@@ -1,0 +1,278 @@
+"""Compile a parsed :class:`MappingSpec` to Catalyst ``Column`` expressions.
+
+The reference interprets rules per row with string substitution
+(``main.gs:67-119``): for every row it splices row values into the rule text
+(``main.gs:74-77,86-98``), then evaluates (``main.gs:251-289``).  Here the
+whole mapping compiles **once** into a ``(filter predicate, select list)``
+pair; Catalyst then owns predicate pushdown, column pruning, constant
+folding and codegen.  There is no per-row Python anywhere.
+
+Two compilation modes:
+
+* ``fidelity`` — reproduces the reference's display-string semantics
+  exactly: every column is treated as a string, ``==``/``!=`` compare
+  strings (JS loose equality over two strings is string equality),
+  ``> < >= <=`` apply JS ``parseFloat`` semantics (leading-prefix numeric
+  parse, non-numeric → NaN → comparison false; ``main.gs:252-259``), and
+  DIRECT projection performs the reference's dynamic header indirection
+  (``main.gs:106-111``).
+* ``typed`` — the idiomatic-Spark mode for typed tables (parquet): pure
+  ``src[X]`` operands keep their native types so comparisons and
+  arithmetic stay numeric and pushdown-friendly.  Deviations from the
+  display-string semantics (e.g. ``"1.0" == "1"``) are documented and
+  pinned by tests.
+
+Known compile-time-vs-row-time deviations (both pathological in the
+reference and deliberately not reproduced):
+
+* substitution-order operator injection: a *cell value* containing ``==``
+  changes how the reference parses the condition for that row; we parse the
+  rule text once with ``src[...]`` as atomic tokens;
+* the malformed-operator error (``main.gs:266-271``) raises at compile time
+  rather than on the first evaluated row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spreadsheet_etl_engine_spark.errors import UnknownSelfRefError
+from spreadsheet_etl_engine_spark.plans import formula as formula_mod
+from spreadsheet_etl_engine_spark.plans.parser import (
+    SRC_REF_RE,
+    ColumnKind,
+    Comparison,
+    FilterRule,
+    MappingSpec,
+)
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+# JS parseFloat: longest numeric prefix, else NaN (→ comparisons false).
+_PARSEFLOAT_PREFIX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+
+
+def parse_float_col(col: Column) -> Column:
+    """JS ``parseFloat`` over a string column: numeric *prefix* parse.
+
+    ``"12%"`` → 12.0, ``"3abc"`` → 3.0, ``"abc"`` → NULL (maps to the
+    reference's NaN: every comparison against it is false; in SQL tri-logic
+    a NULL comparison is NULL which a filter likewise rejects).
+    """
+    extracted = F.regexp_extract(col.cast("string"), _PARSEFLOAT_PREFIX, 0)
+    return F.when(extracted != "", extracted.cast("double"))
+
+
+def _strip_quotes_col(col: Column) -> Column:
+    """Evaluation-order faithful quote strip: trim, then drop one leading
+    and one trailing double quote (reference ``main.gs:284``)."""
+    trimmed = F.trim(col)
+    return F.regexp_replace(F.regexp_replace(trimmed, '^"', ""), '"$', "")
+
+
+@dataclass
+class _Operand:
+    """A compiled comparison operand.
+
+    ``pure_ref`` — operand is exactly ``src[X]`` (native-type fast path in
+    typed mode).  ``literal`` — operand has no refs at all (its quoted form
+    already stripped).  ``expr`` — string-valued expression equivalent to
+    the reference's substitute→trim→strip-quotes pipeline.
+    """
+
+    expr: Column
+    pure_ref: str | None = None
+    literal: str | None = None
+
+
+class MappingCompiler:
+    def __init__(self, df: DataFrame, *, mode: str = "typed") -> None:
+        if mode not in ("typed", "fidelity"):
+            raise ValueError(f"unknown compile mode {mode!r}")
+        self.mode = mode
+        self.schema = {f.name: f.dataType for f in df.schema.fields}
+        self.headers = list(df.columns)
+
+    # --- operands --------------------------------------------------------
+
+    def _is_numeric(self, name: str) -> bool:
+        return isinstance(self.schema.get(name), _NUMERIC_TYPES)
+
+    def _substituted_string(self, text: str) -> Column:
+        """Compile rule text with embedded ``src[...]`` refs to the string
+        Spark expression equivalent to the reference's substitution
+        (``main.gs:74-77``): literal segments stay literal, refs become the
+        column value rendered as a string."""
+        parts: list[Column] = []
+        pos = 0
+        for m in SRC_REF_RE.finditer(text):
+            if m.start() > pos:
+                parts.append(F.lit(text[pos:m.start()]))
+            parts.append(F.col(m.group(1)).cast("string"))
+            pos = m.end()
+        if pos < len(text):
+            parts.append(F.lit(text[pos:]))
+        if not parts:
+            return F.lit("")
+        return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+    def compile_operand(self, text: str) -> _Operand:
+        text = text.strip()
+        m = SRC_REF_RE.fullmatch(text)
+        if m:
+            name = m.group(1)
+            return _Operand(expr=_strip_quotes_col(F.col(name).cast("string")), pure_ref=name)
+        if not SRC_REF_RE.search(text):
+            literal = text
+            if literal.startswith('"'):
+                literal = literal[1:]
+            if literal.endswith('"'):
+                literal = literal[:-1]
+            return _Operand(expr=F.lit(literal), literal=literal)
+        return _Operand(expr=_strip_quotes_col(self._substituted_string(text)))
+
+    # --- filter predicate ------------------------------------------------
+
+    def _numeric_side(self, operand: _Operand) -> Column:
+        """Operand as a double, with parseFloat fidelity for strings."""
+        if operand.pure_ref is not None:
+            if self._is_numeric(operand.pure_ref):
+                return F.col(operand.pure_ref).cast("double")
+            return parse_float_col(F.col(operand.pure_ref))
+        if operand.literal is not None:
+            try:
+                return F.lit(float(operand.literal))
+            except ValueError:
+                return parse_float_col(F.lit(operand.literal))
+        return parse_float_col(operand.expr)
+
+    def _equality_sides(self, left: _Operand, right: _Operand) -> tuple[Column, Column]:
+        if self.mode == "typed":
+            # Native numeric compare when one side is a numeric src column
+            # and the other is a numeric src column or a number literal
+            # (documented deviation from display-string equality; matches
+            # ANSI-SQL oracle semantics).
+            def native(o: _Operand) -> bool:
+                return o.pure_ref is not None and self._is_numeric(o.pure_ref)
+
+            def num_lit(o: _Operand) -> Column | None:
+                if o.literal is None:
+                    return None
+                try:
+                    return F.lit(float(o.literal))
+                except ValueError:
+                    return None
+
+            if native(left) and native(right):
+                return F.col(left.pure_ref), F.col(right.pure_ref)
+            if native(left) and num_lit(right) is not None:
+                return F.col(left.pure_ref), num_lit(right)
+            if native(right) and num_lit(left) is not None:
+                return num_lit(left), F.col(right.pure_ref)
+        return left.expr, right.expr
+
+    def compile_condition(self, cmp: Comparison) -> Column:
+        if cmp.always_false:
+            return F.lit(False)
+        left = self.compile_operand(cmp.left or "")
+        right = self.compile_operand(cmp.right or "")
+        if cmp.op == "==":
+            a, b = self._equality_sides(left, right)
+            return a == b
+        if cmp.op == "!=":
+            a, b = self._equality_sides(left, right)
+            return a != b
+        a, b = self._numeric_side(left), self._numeric_side(right)
+        if cmp.op == ">=":
+            return a >= b
+        if cmp.op == "<=":
+            return a <= b
+        if cmp.op == ">":
+            return a > b
+        return a < b
+
+    def compile_filter(self, rule: FilterRule) -> Column | None:
+        """OR over the rule's conditions (``main.gs:261-263``); non-eval
+        rules pass everything (``main.gs:71-72``)."""
+        if not rule.is_eval:
+            return None
+        pred: Column | None = None
+        for cond in rule.conditions:
+            c = self.compile_condition(cond)
+            pred = c if pred is None else (pred | c)
+        return pred
+
+    def compile_predicate(self, spec: MappingSpec) -> Column | None:
+        """AND across filter rules (``main.gs:71``)."""
+        pred: Column | None = None
+        for rule in spec.filters:
+            p = self.compile_filter(rule)
+            if p is not None:
+                pred = p if pred is None else (pred & p)
+        return pred
+
+    # --- projection ------------------------------------------------------
+
+    def _direct(self, instruction: str) -> Column:
+        """DIRECT resolution (``main.gs:106-111``): substitute ``src[...]``,
+        then if the result names a source header emit that column's value,
+        else emit the substituted text itself."""
+        m = SRC_REF_RE.fullmatch(instruction)
+        if self.mode == "typed":
+            if m:
+                return F.col(m.group(1))
+            if instruction in self.headers and not SRC_REF_RE.search(instruction):
+                return F.col(instruction)
+            if not SRC_REF_RE.search(instruction):
+                return F.lit(instruction)
+            return self._substituted_string(instruction)
+        # Fidelity mode: the substituted *value* may itself name a header
+        # (dynamic indirection). Chain of whens over the header list.
+        substituted = self._substituted_string(instruction)
+        result = substituted
+        for h in reversed(self.headers):
+            result = F.when(substituted == F.lit(h), F.col(h).cast("string")).otherwise(result)
+        return result
+
+    def compile_columns(self, spec: MappingSpec) -> list[Column]:
+        """Ordered projection list; ``self[X]`` in formulas resolves to the
+        already-compiled expression of an earlier output column (value
+        semantics — see SURVEY §7 on why address semantics only exist in
+        the xlsx pass-through sink)."""
+        compiled: dict[str, Column] = {}
+        out: list[Column] = []
+        for col in spec.columns:
+            if col.kind == ColumnKind.CONSTANT:
+                expr = F.lit(col.instruction)
+            elif col.kind == ColumnKind.FORMULA:
+                def resolve_src(name: str) -> Column:
+                    return F.col(name)
+
+                def resolve_self(name: str, _rule: str = col.name,
+                                 _compiled: dict[str, Column] = compiled) -> Column:
+                    if name not in _compiled:
+                        raise UnknownSelfRefError(name, _rule)
+                    return _compiled[name]
+
+                expr = formula_mod.compile_formula(
+                    col.instruction, col.name, resolve_src, resolve_self
+                )
+            else:
+                expr = self._direct(col.instruction)
+            compiled[col.name] = expr
+            out.append(expr.alias(col.name))
+        return out
+
+
+def compile_mapping(
+    df: DataFrame, spec: MappingSpec, *, mode: str = "typed"
+) -> tuple[Column | None, list[Column]]:
+    compiler = MappingCompiler(df, mode=mode)
+    return compiler.compile_predicate(spec), compiler.compile_columns(spec)

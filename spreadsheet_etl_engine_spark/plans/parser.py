@@ -1,0 +1,243 @@
+"""Map-rule DSL parser: rule table → :class:`MappingSpec` IR.
+
+Reference semantics (every behavior cited into ``/root/reference``):
+
+* A mapping is a table of rules: column A = rule name, column B = instruction
+  string (``main.gs:186-200``).  Row 0 of a raw map *table* is a header and
+  skipped; rows whose name starts ``//`` are comments and dropped; rows with
+  an empty name are dropped (``main.gs:190-193``).
+* Rule names starting ``_filter:`` are filter rules; an instruction starting
+  ``eval:`` marks an evaluable predicate, anything else is a no-op filter
+  that passes every row (``main.gs:221-226``, ``main.gs:71-72``).
+* Output rules classify by instruction prefix: ``constant:`` → CONSTANT,
+  ``formula:`` → FORMULA, otherwise DIRECT (``main.gs:227-245``).
+* Delimiters ``[``/``]`` must balance in every instruction
+  (``main.gs:172-184``); every ``src[X]`` must name an existing source
+  column (``main.gs:204-219``) — both are parse-time errors.
+* Filter expressions are ``||``-disjunctions of binary comparisons with
+  operators ``== != >= <= > <`` detected by first match in that fixed order
+  (``main.gs:261-280``); runs of 3+ operator chars are an error
+  (``main.gs:266-271``).  Conditions with no operator, or whose operand
+  count ≠ 2 after splitting, are *silently false* (``main.gs:282,287``).
+
+The parser is pure Python — no Spark import — so the grammar is unit- and
+property-testable without a session.  Compilation to Spark ``Column``
+expressions lives in :mod:`spreadsheet_etl_engine_spark.plans.compiler`.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+from dataclasses import dataclass, field
+from enum import Enum
+
+from spreadsheet_etl_engine_spark.errors import (
+    InvalidOperatorError,
+    MissingColumnError,
+    NoOutputColumnsError,
+    UnbalancedDelimiterError,
+)
+
+# Rule-name / instruction prefixes (reference ``main.gs:12-20``).
+FILTER_PREFIX = "_filter:"
+COMMENT_PREFIX = "//"
+EVAL_PREFIX = "eval:"
+CONSTANT_PREFIX = "constant:"
+FORMULA_PREFIX = "formula:"
+
+# Comparison operators in *detection order* (reference ``main.gs:273-280``:
+# first substring match wins, so `>=` is found before `>`).
+OPERATORS: tuple[str, ...] = ("==", "!=", ">=", "<=", ">", "<")
+
+# Malformed-operator guard (reference ``main.gs:266``).
+_INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
+
+# ``src[...]`` reference extraction (reference ``main.gs:204-209``; design
+# note on avoiding catastrophic backtracking:
+# ``docs/expression-language.md:244-259``).
+SRC_REF_RE = re.compile(r"src\[([^\]]+)\]")
+SELF_REF_RE = re.compile(r"self\[([^\]]+)\]")
+
+
+class ColumnKind(str, Enum):
+    DIRECT = "DIRECT"
+    CONSTANT = "CONSTANT"
+    FORMULA = "FORMULA"
+
+
+@dataclass(frozen=True)
+class Comparison:
+    """One binary comparison inside a filter expression.
+
+    ``op is None`` ⇒ the condition had no recognized operator and is
+    silently false (reference ``main.gs:282``).  ``malformed`` ⇒ the
+    operator appeared more than once so the operand split produced ≠ 2
+    parts — also silently false (reference ``main.gs:287``).
+    """
+
+    raw: str
+    op: str | None = None
+    left: str | None = None
+    right: str | None = None
+    malformed: bool = False
+
+    @property
+    def always_false(self) -> bool:
+        return self.op is None or self.malformed
+
+
+@dataclass(frozen=True)
+class FilterRule:
+    """A ``_filter:`` rule.  ``conditions`` empty ⇔ non-eval no-op filter."""
+
+    name: str
+    is_eval: bool
+    instruction: str
+    conditions: tuple[Comparison, ...] = field(default_factory=tuple)
+
+
+@dataclass(frozen=True)
+class OutputColumn:
+    name: str
+    kind: ColumnKind
+    instruction: str
+
+
+@dataclass(frozen=True)
+class MappingSpec:
+    """Parsed mapping: conjunction of filters + ordered projection list."""
+
+    filters: tuple[FilterRule, ...]
+    columns: tuple[OutputColumn, ...]
+
+    @property
+    def output_names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+
+def validate_delimiters(text: str, rule: str) -> None:
+    """O(n) bracket-balance scan (reference ``main.gs:172-184``)."""
+    count = 0
+    for ch in text:
+        if ch == "[":
+            count += 1
+        elif ch == "]":
+            count -= 1
+        if count < 0:
+            raise UnbalancedDelimiterError(rule, "extra_close")
+    if count != 0:
+        raise UnbalancedDelimiterError(rule, "unclosed")
+
+
+def _check_src_refs(instruction: str, rule: str, source_columns: Sequence[str]) -> None:
+    """Every ``src[X]`` must name a source column (reference ``main.gs:211-219``)."""
+    known = set(source_columns)
+    for m in SRC_REF_RE.finditer(instruction):
+        if m.group(1) not in known:
+            raise MissingColumnError(m.group(1), rule)
+
+
+def strip_quotes(s: str) -> str:
+    """Strip one leading and one trailing double quote (reference
+    ``main.gs:284``: ``replace(/^"|"$/g, "")`` — each end independently)."""
+    if s.startswith('"'):
+        s = s[1:]
+    if s.endswith('"'):
+        s = s[:-1]
+    return s
+
+
+def parse_condition(raw: str, rule: str) -> Comparison:
+    """Parse one ``||``-branch of a filter expression.
+
+    Mirrors the reference evaluator's *structure checks* at parse time
+    (``main.gs:263-287``): invalid-operator runs raise; a missing operator
+    or an operand split ≠ 2 yields a silently-false comparison.  Operand
+    text keeps its surrounding quotes here — quote stripping is an
+    evaluation-time concern handled by the compiler, matching the
+    reference's ordering (split first, strip after, ``main.gs:284``).
+    """
+    trimmed = raw.strip()
+    bad = _INVALID_OP_RE.search(trimmed)
+    if bad:
+        raise InvalidOperatorError(bad.group(0), rule)
+    op = next((o for o in OPERATORS if o in trimmed), None)
+    if op is None:
+        return Comparison(raw=trimmed)
+    parts = [p.strip() for p in trimmed.split(op)]
+    if len(parts) != 2:
+        return Comparison(raw=trimmed, op=op, malformed=True)
+    return Comparison(raw=trimmed, op=op, left=parts[0], right=parts[1])
+
+
+def parse_filter_expression(instruction: str, rule: str) -> tuple[Comparison, ...]:
+    """Split on ``||`` into a disjunction (reference ``main.gs:261-263``)."""
+    return tuple(parse_condition(c, rule) for c in instruction.split("||"))
+
+
+def parse_mapping(
+    rules: Iterable[tuple[str, str]],
+    source_columns: Sequence[str],
+    *,
+    require_output: bool = True,
+) -> MappingSpec:
+    """Parse ``(name, instruction)`` pairs into a :class:`MappingSpec`.
+
+    This is the engine-level entry point: the iterable carries *data* rules
+    only (no sheet header row).  Use :func:`parse_map_table` for a raw
+    sheet-shaped table.  Comment rows (name starting ``//``) and rows with
+    blank names are dropped here too, so both entry points accept them.
+    """
+    filters: list[FilterRule] = []
+    columns: list[OutputColumn] = []
+
+    for raw_name, raw_instruction in rules:
+        name = str(raw_name).strip() if raw_name is not None else ""
+        if not name or name.startswith(COMMENT_PREFIX):
+            continue
+        instruction = str(raw_instruction).strip() if raw_instruction is not None else ""
+
+        validate_delimiters(instruction, name)
+        _check_src_refs(instruction, name, source_columns)
+
+        if name.startswith(FILTER_PREFIX):
+            is_eval = instruction.startswith(EVAL_PREFIX)
+            # Match the reference's `.replace(PREFIX.EVAL, "")`: it removes
+            # the *first* occurrence anywhere, but with startswith guaranteed
+            # this is a prefix strip.
+            body = instruction[len(EVAL_PREFIX):].strip() if is_eval else instruction
+            conditions = parse_filter_expression(body, name) if is_eval else ()
+            filters.append(
+                FilterRule(name=name, is_eval=is_eval, instruction=body, conditions=conditions)
+            )
+        else:
+            kind = ColumnKind.DIRECT
+            body = instruction
+            if instruction.startswith(CONSTANT_PREFIX):
+                kind = ColumnKind.CONSTANT
+                body = instruction[len(CONSTANT_PREFIX):].strip()
+            elif instruction.startswith(FORMULA_PREFIX):
+                kind = ColumnKind.FORMULA
+                body = instruction[len(FORMULA_PREFIX):].strip()
+            columns.append(OutputColumn(name=name, kind=kind, instruction=body))
+
+    if require_output and not columns:
+        raise NoOutputColumnsError()
+    return MappingSpec(filters=tuple(filters), columns=tuple(columns))
+
+
+def parse_map_table(
+    table: Sequence[Sequence[object]],
+    source_columns: Sequence[str],
+    *,
+    require_output: bool = True,
+) -> MappingSpec:
+    """Parse a raw sheet-shaped map table (row 0 = header, skipped;
+    reference ``main.gs:186-193``)."""
+    pairs = [
+        (str(r[0]) if len(r) > 0 and r[0] is not None else "",
+         str(r[1]) if len(r) > 1 and r[1] is not None else "")
+        for r in list(table)[1:]
+    ]
+    return parse_mapping(pairs, source_columns, require_output=require_output)

@@ -1,0 +1,30 @@
+"""Pipeline runner: the whole reference engine as one declarative plan.
+
+The reference's execution loop (``main.gs:67-119``) — filter each row, then
+project — compiles to exactly ``source.filter(pred).select(cols)``.  Filter
+before select keeps the predicate adjacent to the scan so Catalyst pushes it
+into the parquet/CSV reader (check ``PushedFilters`` in
+``df.explain("formatted")``), and the explicit select list drives column
+pruning (``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from spreadsheet_etl_engine_spark.plans.compiler import compile_mapping
+from spreadsheet_etl_engine_spark.plans.parser import MappingSpec
+
+
+def run_mapping(source: DataFrame, spec: MappingSpec, *, mode: str = "typed") -> DataFrame:
+    """Apply a parsed mapping to a source DataFrame.
+
+    ``mode='typed'`` keeps native column types (idiomatic for parquet
+    sources); ``mode='fidelity'`` reproduces the reference's display-string
+    semantics exactly (every output column is a string).
+    """
+    predicate, columns = compile_mapping(source, spec, mode=mode)
+    out = source
+    if predicate is not None:
+        out = out.filter(predicate)
+    return out.select(*columns)

@@ -1,0 +1,119 @@
+"""Pure-Python reimplementation of the reference interpreter, used ONLY as a
+test oracle for fidelity-mode semantics.
+
+Reimplemented from the documented behavior of
+``/root/reference/main.gs:67-119,251-289`` (per-row substitution, AND of
+filter rules, OR of conditions, loose equality, parseFloat ordering, silent
+false, quote stripping, DIRECT header indirection, formula splicing).  This
+lets property tests compare the compiled Spark plan against the row-at-a-time
+semantics on arbitrary string tables without a JS runtime.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+OPERATORS = ("==", "!=", ">=", "<=", ">", "<")
+_INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
+_PARSEFLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def parse_float(s: str) -> float:
+    m = _PARSEFLOAT_RE.match(s.strip())
+    if not m:
+        return math.nan
+    return float(m.group(0))
+
+
+def strip_quotes(s: str) -> str:
+    if s.startswith('"'):
+        s = s[1:]
+    if s.endswith('"'):
+        s = s[:-1]
+    return s
+
+
+def safe_eval(expression: str, rule: str = "Filtro") -> bool:
+    """Evaluate a fully substituted filter expression."""
+    ops = {
+        "==": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        ">=": lambda a, b: parse_float(a) >= parse_float(b),
+        "<=": lambda a, b: parse_float(a) <= parse_float(b),
+        ">": lambda a, b: parse_float(a) > parse_float(b),
+        "<": lambda a, b: parse_float(a) < parse_float(b),
+    }
+    for cond in expression.split("||"):
+        trimmed = cond.strip()
+        bad = _INVALID_OP_RE.search(trimmed)
+        if bad:
+            raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
+        op = next((o for o in OPERATORS if o in trimmed), None)
+        if op is None:
+            continue
+        parts = [strip_quotes(p.strip()) for p in trimmed.split(op)]
+        if len(parts) != 2:
+            continue
+        if ops[op](parts[0], parts[1]):
+            return True
+    return False
+
+
+def substitute_src(text: str, headers: list[str], row: list[str]) -> str:
+    for h, v in zip(headers, row):
+        text = text.replace(f"src[{h}]", v)
+    return text
+
+
+def run_mapping_reference(
+    headers: list[str],
+    rows: list[list[str]],
+    rules: list[tuple[str, str]],
+) -> tuple[list[str], list[list[str]]]:
+    """Row-at-a-time reference semantics over an all-string table.
+
+    Only DIRECT/CONSTANT output columns and eval filters are modeled (the
+    formula path emits text and is pinned by dedicated unit tests instead).
+    Returns (output_headers, output_rows).
+    """
+    filters: list[tuple[str, bool, str]] = []
+    columns: list[tuple[str, str, str]] = []
+    for name, instruction in rules:
+        name = name.strip()
+        instruction = instruction.strip()
+        if not name or name.startswith("//"):
+            continue
+        if name.startswith("_filter:"):
+            is_eval = instruction.startswith("eval:")
+            body = instruction[len("eval:"):].strip() if is_eval else instruction
+            filters.append((name, is_eval, body))
+        elif instruction.startswith("constant:"):
+            columns.append((name, "CONSTANT", instruction[len("constant:"):].strip()))
+        elif instruction.startswith("formula:"):
+            columns.append((name, "FORMULA", instruction[len("formula:"):].strip()))
+        else:
+            columns.append((name, "DIRECT", instruction))
+
+    header_index = {h: i for i, h in enumerate(headers)}
+    out_rows: list[list[str]] = []
+    for row in rows:
+        passes = True
+        for name, is_eval, body in filters:
+            if not is_eval:
+                continue
+            if not safe_eval(substitute_src(body, headers, row), name):
+                passes = False
+                break
+        if not passes:
+            continue
+        out_row: list[str] = []
+        for name, kind, instruction in columns:
+            val = substitute_src(instruction, headers, row)
+            if kind in ("CONSTANT", "FORMULA"):
+                out_row.append(val)
+            else:
+                idx = header_index.get(val)
+                out_row.append(row[idx] if idx is not None else val)
+        out_rows.append(out_row)
+    return [c[0] for c in columns], out_rows

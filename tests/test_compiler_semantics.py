@@ -1,0 +1,112 @@
+"""Fidelity-mode semantics pinned against a row-at-a-time oracle
+(SURVEY §5.2 item 2 — every row of the §2.3 cheat-sheet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+from tests.reference_impl import run_mapping_reference, safe_eval
+
+HEADERS = ["Name", "Age", "Score", "City", "Amount", "Status"]
+ROWS = [
+    ["Ana", "17", "85%", "Cali", "1.0", "active"],
+    ["Bob Pérez", "30", "7.5", "Bogotá", "1", '"active"'],
+    ["", "abc", "0", "NY", "-3.2", "inactive"],
+    ["Dot", "", "12%", "Cali", "0", "active"],
+    ["Eve", "45", "100", "NY", "1.0", ""],
+    ["City", "18", "5", "Name", "2", "active"],  # header-named values (indirection)
+]
+
+
+def _run_both(spark, rules):
+    df = spark.createDataFrame([tuple(r) for r in ROWS], HEADERS)
+    got = run_mapping(df, parse_mapping(rules, HEADERS), mode="fidelity")
+    exp_headers, exp_rows = run_mapping_reference(HEADERS, ROWS, rules)
+    assert got.columns == exp_headers
+    got_rows = [[x for x in r] for r in got.collect()]
+    assert got_rows == exp_rows, f"expected {exp_rows}, got {got_rows}"
+
+
+def test_flagship_filter_and_project(spark):
+    _run_both(
+        spark,
+        [
+            ("_filter:adult", "eval: src[Age] >= 18 || src[Status] == active"),
+            ("_filter:note", "just a note"),
+            ("// disabled", "src[Name]"),
+            ("FullName", "src[Name]"),
+            ("CityCopy", "City"),
+            ("Label", "not_a_header"),
+            ("Flag", "constant:Active"),
+        ],
+    )
+
+
+def test_loose_equality_is_string_equality(spark):
+    # "1.0" == "1" must be FALSE in fidelity mode (main.gs:253 loose eq on strings).
+    _run_both(spark, [("_filter:a", "eval: src[Amount] == 1"), ("N", "src[Name]")])
+
+
+def test_parsefloat_ordering(spark):
+    # "1.0" >= "1" is TRUE; "abc" > 0 is false (NaN); "12%" >= 12 is TRUE
+    # (parseFloat prefix parse); "" is NaN.
+    _run_both(spark, [("_filter:a", "eval: src[Amount] >= 1"), ("N", "src[Name]")])
+    _run_both(spark, [("_filter:a", "eval: src[Age] > 0"), ("N", "src[Name]")])
+    _run_both(spark, [("_filter:a", "eval: src[Score] >= 12"), ("N", "src[Name]")])
+    _run_both(spark, [("_filter:a", "eval: src[Score] <= 50"), ("N", "src[Name]")])
+
+
+def test_quote_stripping(spark):
+    # '"active"' cell: quotes are NOT stripped from cell values (stripping
+    # applies to the substituted operand text, which here IS the cell value
+    # post-substitution — so they are stripped).
+    _run_both(spark, [("_filter:a", 'eval: src[Status] == "active"'), ("N", "src[Name]")])
+    _run_both(spark, [("_filter:a", "eval: src[Status] != active"), ("N", "src[Name]")])
+
+
+def test_or_of_conditions_and_of_rules(spark):
+    _run_both(
+        spark,
+        [
+            ("_filter:a", "eval: src[City] == Cali || src[City] == NY"),
+            ("_filter:b", "eval: src[Age] >= 18"),
+            ("N", "src[Name]"),
+        ],
+    )
+
+
+def test_silent_false_condition(spark):
+    _run_both(
+        spark,
+        [
+            ("_filter:a", "eval: no operator || src[City] == Cali"),
+            ("N", "src[Name]"),
+        ],
+    )
+
+
+def test_direct_header_indirection(spark):
+    # Row 6 has Name="City": `src[Name]` substitutes to "City" which IS a
+    # header → reference emits the City value ("Name" header cell trick).
+    _run_both(spark, [("Out", "src[Name]"), ("N2", "src[City]")])
+
+
+def test_direct_mixed_text(spark):
+    _run_both(spark, [("Out", "hello src[Name]!")])
+
+
+def test_empty_result_preserves_schema(spark):
+    _run_both(spark, [("_filter:a", "eval: src[City] == Nowhere"), ("N", "src[Name]")])
+
+
+def test_safe_eval_oracle_selftest():
+    assert safe_eval("1.0 >= 1")
+    assert not safe_eval("1.0 == 1")
+    assert safe_eval('"x" == x')
+    assert not safe_eval("abc > 0")
+    assert safe_eval("12% >= 12")
+    assert not safe_eval("a == b == c || nothing")
+    with pytest.raises(ValueError):
+        safe_eval("a === b")

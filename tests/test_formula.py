@@ -1,0 +1,94 @@
+"""Compiled formula-subset tests (SURVEY §7.4 hard part 1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.errors import FormulaSyntaxError, UnknownSelfRefError
+from spreadsheet_etl_engine_spark.plans.formula import compile_formula
+from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+
+
+def _eval_one(spark, body, row=None, schema=None):
+    df = spark.createDataFrame([row or (1.0,)], schema or ["x"])
+    col = compile_formula(body, "t", lambda n: F.col(n), lambda n: F.col(n))
+    return df.select(col.alias("r")).collect()[0]["r"]
+
+
+def test_arithmetic_precedence(spark):
+    assert _eval_one(spark, "=1+2*3") == 7.0
+    assert _eval_one(spark, "=(1+2)*3") == 9.0
+    assert _eval_one(spark, "=2^3^2") == 512.0  # right-assoc
+    assert _eval_one(spark, "=-2^2") == 4.0  # unary binds outside ^ here: (-2)^2
+    assert _eval_one(spark, "=10/4") == 2.5
+
+
+def test_percent_literal(spark):
+    assert _eval_one(spark, "=50%") == 0.5
+    assert _eval_one(spark, "=200*10%") == pytest.approx(20.0)
+
+
+def test_strings_and_concat(spark):
+    assert _eval_one(spark, '="a" & "b" & 1') == "ab1.0"
+    assert _eval_one(spark, '=CONCATENATE("x", "y")') == "xy"
+    assert _eval_one(spark, '="say ""hi"""') == 'say "hi"'
+
+
+def test_comparisons_and_if(spark):
+    assert _eval_one(spark, '=IF(1<2, "yes", "no")') == "yes"
+    assert _eval_one(spark, '=IF(1<>1, "yes", "no")') == "no"
+    assert _eval_one(spark, "=IF(AND(TRUE, 2>=2), 1, 0)") == 1.0
+    assert _eval_one(spark, "=IF(OR(FALSE, NOT(FALSE)), 1, 0)") == 1.0
+
+
+def test_functions(spark):
+    assert _eval_one(spark, "=ABS(-3)") == 3.0
+    assert _eval_one(spark, "=ROUND(2.567, 2)") == 2.57
+    assert _eval_one(spark, "=ROUND(2.4)") == 2.0
+    assert _eval_one(spark, "=MIN(3,1,2)") == 1.0
+    assert _eval_one(spark, "=MAX(3,1,2)") == 3.0
+    assert _eval_one(spark, "=SUM(1,2,3)") == 6.0
+    assert _eval_one(spark, '=UPPER("ab")') == "AB"
+    assert _eval_one(spark, '=LOWER("AB")') == "ab"
+    assert _eval_one(spark, '=LEN("abc")') == 3
+    assert _eval_one(spark, '=TRIM("  a  ")') == "a"
+    assert _eval_one(spark, '=LEFT("abcdef", 2)') == "ab"
+    assert _eval_one(spark, '=RIGHT("abcdef", 2)') == "ef"
+    assert _eval_one(spark, '=MID("abcdef", 2, 3)') == "bcd"
+
+
+def test_src_refs(spark):
+    assert _eval_one(spark, "=src[x]*2", row=(21.0,)) == 42.0
+
+
+def test_a1_reference_rejected(spark):
+    with pytest.raises(FormulaSyntaxError, match="A1-style"):
+        compile_formula("=A2+B2", "t", lambda n: F.col(n), lambda n: F.col(n))
+
+
+def test_syntax_errors(spark):
+    for bad in ["=1+", "=FOO(1)", "=(1", "=1 2", "=@"]:
+        with pytest.raises(FormulaSyntaxError):
+            compile_formula(bad, "t", lambda n: F.col(n), lambda n: F.col(n))
+
+
+def test_self_chaining_in_mapping(spark):
+    df = spark.createDataFrame([(10.0,), (20.0,)], ["Amount"])
+    spec = parse_mapping(
+        [
+            ("Calc", "formula:=src[Amount]*2"),
+            ("Chained", "formula:=self[Calc]+1"),
+        ],
+        ["Amount"],
+    )
+    rows = run_mapping(df, spec).orderBy("Calc").collect()
+    assert [(r["Calc"], r["Chained"]) for r in rows] == [(20.0, 21.0), (40.0, 41.0)]
+
+
+def test_unknown_self_ref(spark):
+    df = spark.createDataFrame([(1.0,)], ["Amount"])
+    spec = parse_mapping([("A", "formula:=self[Nope]+1")], ["Amount"])
+    with pytest.raises(UnknownSelfRefError):
+        run_mapping(df, spec)
