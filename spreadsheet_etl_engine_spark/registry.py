@@ -1,0 +1,627 @@
+"""Query registry: the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables (``__spark_entry__.queries`` / ``oracle_sql``).  Conventions that
+make the driver's order-insensitive value-hash comparison deterministic:
+
+* every computed column is aliased identically on both sides;
+* unordered double sums go through ``DECIMAL(18,2)`` (exact, associative)
+  and are cast back to double once — bit-identical across engines
+  regardless of partitioning / aggregation order;
+* timestamp- and date-typed outputs are cast to string on both sides
+  (sidesteps tz-awareness mismatches between Spark UTC sessions and
+  DuckDB naive timestamps);
+* top-k orderings always carry a unique tiebreaker column.
+
+Scale notes are inline: broadcast hints for dimension joins, pre-aggregation
+before joins where possible, no driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = RegisteredQuery(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, alias: str):
+    """Order-independent double sum: sum in DECIMAL(18,2), cast back once."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _revenue_sum(alias: str):
+    """sum(extendedprice * (1 - discount)) with each *factor* cast to
+    decimal before multiplying: the product is exact decimal arithmetic, so
+    the rounding point is engine-independent (casting the double *product*
+    to decimal rounds differently between Spark and DuckDB on ties)."""
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return F.sum(rev).cast("double").alias(alias)
+
+
+# The matching oracle fragment for _revenue_sum.
+_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# DSL parity queries — run through the actual Map-rule engine
+# (parser → compiler → runner), not hand-built DataFrames, so the oracle
+# checks the full reference-semantics path end-to-end.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dsl_flagship",
+    oracle="""
+    SELECT l_orderkey AS OrderKey, l_linenumber AS LineNumber,
+           'Active' AS Status,
+           l_extendedprice * (1 - l_discount) AS GrossPrice
+    FROM lineitem
+    WHERE l_quantity >= 30 OR l_returnflag = 'R'
+    """,
+    doc="Reference pipeline shape Scan->Filter->Project (main.gs:38-140): "
+        "eval filter with OR, direct / constant / formula projections.",
+)
+def dsl_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = parse_mapping(
+        [
+            ("_filter:qty", 'eval: src[l_quantity] >= 30 || src[l_returnflag] == "R"'),
+            ("OrderKey", "src[l_orderkey]"),
+            ("LineNumber", "src[l_linenumber]"),
+            ("Status", "constant:Active"),
+            ("GrossPrice", "formula:=src[l_extendedprice]*(1-src[l_discount])"),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
+@register(
+    "dsl_filter_ops",
+    oracle="""
+    SELECT l_orderkey AS OrderKey, l_linenumber AS LineNumber,
+           l_discount AS Discount, l_quantity AS Qty
+    FROM lineitem
+    WHERE (l_discount <= 0.02 OR l_quantity < 5)
+      AND (l_linenumber > 2 OR l_returnflag <> 'N')
+    """,
+    doc="All six comparators, AND across rules / OR within a rule "
+        "(main.gs:71,252-263).",
+)
+def dsl_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = parse_mapping(
+        [
+            ("_filter:a", "eval: src[l_discount] <= 0.02 || src[l_quantity] < 5"),
+            ("_filter:b", 'eval: src[l_linenumber] > 2 || src[l_returnflag] != "N"'),
+            ("OrderKey", "src[l_orderkey]"),
+            ("LineNumber", "src[l_linenumber]"),
+            ("Discount", "src[l_discount]"),
+            ("Qty", "src[l_quantity]"),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
+@register(
+    "dsl_direct_constant",
+    oracle="""
+    SELECT l_returnflag AS Flag, 'not_a_header' AS Label, '42' AS Tag,
+           l_orderkey AS OrderKey
+    FROM lineitem
+    WHERE l_linestatus = 'O'
+    """,
+    doc="DIRECT bare-header resolution, DIRECT literal fallback "
+        "(main.gs:106-111), CONSTANT, comment rows and no-op filters "
+        "(main.gs:72,191-193).",
+)
+def dsl_direct_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = parse_mapping(
+        [
+            ("_filter:status", 'eval: src[l_linestatus] == "O"'),
+            ("// disabled rule", "src[l_orderkey]"),
+            ("_filter:noop", "this instruction is not eval so it passes all"),
+            ("Flag", "l_returnflag"),
+            ("Label", "not_a_header"),
+            ("Tag", "constant:42"),
+            ("OrderKey", "src[l_orderkey]"),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
+@register(
+    "dsl_formula_chain",
+    oracle="""
+    SELECT l_orderkey AS OrderKey,
+           l_quantity * 2 AS Calc,
+           l_quantity * 2 + 1 AS Chained,
+           CASE WHEN l_quantity >= 25 THEN 'big' ELSE 'small' END AS Bucket
+    FROM lineitem
+    """,
+    doc="Compiled formulas incl. self[...] value chaining (main.gs:100-114 "
+        "-> lateral-alias equivalent) and IF.",
+)
+def dsl_formula_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = parse_mapping(
+        [
+            ("OrderKey", "src[l_orderkey]"),
+            ("Calc", "formula:=src[l_quantity]*2"),
+            ("Chained", "formula:=self[Calc]+1"),
+            ("Bucket", 'formula:=IF(src[l_quantity]>=25, "big", "small")'),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (reference roadmap README.md:121-122: joins, advanced
+# expressions — expressed as idiomatic Spark, each with a SQL oracle).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_dims_broadcast",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Star join: fact->dim->dim. Dims are broadcast (no shuffle of the "
+        "big side at 100 TB); agg is partial/map-side first.",
+)
+def join_dims_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           {_REVENUE_SQL} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Large-side shuffle hash join on the natural key; at scale both "
+        "sides would be bucketed on orderkey to avoid the shuffle entirely. "
+        "Filter applied before the join so it pushes to the orders scan.",
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _revenue_sum("revenue"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-semi join (EXISTS): no payload from the probe side crosses "
+        "the network; Spark broadcasts the smaller distinct key set.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS count_order,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           {_REVENUE_SQL} AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style hash aggregation: map-side partial agg + single "
+        "shuffle on the (low-cardinality) group keys.",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("count_order"),
+        F.sum("l_quantity").alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _revenue_sum("sum_disc_price"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping sets / rollup (subtotals + grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Cube over two order dimensions.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # approximate by design: rows-only check (count is stable
+    # for a fixed dataset+rsd but not ANSI-SQL reproducible in DuckDB).
+    doc="approx_count_distinct (HyperLogLog++): the scale path for "
+        "count(distinct) — one pass, fixed memory, no exact shuffle.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    doc="Window function top-N per key; unique tiebreaker keeps it "
+        "deterministic. One shuffle on the partition key.",
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+    FROM orders
+    """,
+    doc="Running total per customer (rowsBetween frame); decimal "
+        "accumulation keeps the prefix sums engine-independent.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS order_date,
+           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS VARCHAR)
+               AS prev_order_date
+    FROM orders
+    """,
+    doc="lag/lead navigation within a key's timeline.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("order_date"),
+        F.lag("o_orderdate").over(w).cast("string").alias("prev_order_date"),
+    )
+
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition "
+        "heap + driver merge of k rows), never a full sort at scale.",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="Set difference with distinct semantics.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return with_orders.subtract(building)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="Set intersection with distinct semantics.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .intersect(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select(
+                F.col("c_custkey").alias("custkey")
+            )
+        )
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    """,
+    doc="Union with distinct semantics (UNION vs UNION ALL).",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    b = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "distinct_nations_per_segment",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Exact distinct aggregation.",
+)
+def distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(F.countDistinct("c_nationkey").alias("n_nations"))
+
+
+@register(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 10) AS name10,
+           length(p_name) AS name_len,
+           p_brand || '-' || p_type AS brand_type,
+           floor(p_retailprice) AS price_floor,
+           abs(p_size - 25) AS size_dist,
+           CASE WHEN p_size > 25 THEN 'L' ELSE 'S' END AS size_class
+    FROM part
+    """,
+    doc="Scalar string/math function surface (all JVM built-ins, "
+        "whole-stage-codegen friendly).",
+)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.when(F.col("p_size") > 25, "L").otherwise("S").alias("size_class"),
+    )
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS month_start,
+           datediff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS days_since_2020
+    FROM orders
+    """,
+    doc="Datetime function surface: extraction, truncation, date arithmetic.",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2020-01-01").cast("date"))
+        .alias("days_since_2020"),
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+    doc="JSON scalar extraction from the events props column.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregation (batch twin of the "
+        "streaming pipeline in streaming/events.py).",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def get(name: str) -> RegisteredQuery:
+    return REGISTRY[name]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: rq.fn for name, rq in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
