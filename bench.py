@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is fully materialized through the `noop` datasource (executes
+the complete physical plan, no sink I/O).  One untimed warmup executes a
+trivial job first so JVM/executor startup is not attributed to the first
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spreadsheet_etl_engine_spark import registry  # noqa: E402
+from spreadsheet_etl_engine_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "dsl_flagship",
+    "dsl_filter_ops",
+    "agg_pricing_summary",
+    "join_fact_fact",
+    "join_dims_broadcast",
+    "window_rank_orders",
+    "sort_topk",
+    "events_tumbling_window",
+]
+# Extended ops are appended when present so the bench tracks the full
+# engine surface as it grows.
+OPTIONAL = [
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard_pairs",
+    "text_stats",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: start executors + JIT the scan path (untimed).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    registry.get("dsl_flagship").fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    names = HEADLINE + [n for n in OPTIONAL if n in registry.REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry.get(name).fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
