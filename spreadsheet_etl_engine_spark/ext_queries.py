@@ -1,0 +1,345 @@
+"""[EXT] LLM-training-data-pipeline queries: dedup, similarity search,
+text analysis, sessionization (SURVEY §2.2 [EXT] rows; BASELINE.json north
+star).  Registered into the same driver-facing registry as the reference
+surface; the md5-based hash family keeps every deterministic operator
+DuckDB-oracle-checkable.  Approximate operators (IVF ANN, HLL) register
+without an oracle → driver rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.functions import text as TXT
+from spreadsheet_etl_engine_spark.operators import dedup as DD
+from spreadsheet_etl_engine_spark.operators import similarity as SIM
+from spreadsheet_etl_engine_spark.registry import register
+from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+# Shared oracle CTE: word-3-gram shingles per document (matches
+# functions.text.word_shingles(k=3)).
+_SHINGLE_CTE = """
+sh AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 3
+)
+"""
+
+_SIG8 = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(8))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: min-id representative per content hash. One shuffle "
+        "on a uniform 128-bit key; at 100 TB group on the hash, never the "
+        "raw content.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    return DD.exact_dedup(docs, "content_hash", "doc_id")
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, {", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(4))}
+    FROM sh GROUP BY doc_id
+    """,
+    doc="Per-document MinHash signatures (k=4, word-3-gram shingles), "
+        "computed per-row during the scan — zero shuffles (array_min over "
+        "transform, main path of MinHash+LSH dedup).",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_signature(docs, "text", "doc_id", num_hashes=4)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_SIG8} FROM sh GROUP BY doc_id),
+    b AS (
+        SELECT doc_id,
+               md5(h0 || '|' || h1) AS b0, md5(h2 || '|' || h3) AS b1,
+               md5(h4 || '|' || h5) AS b2, md5(h6 || '|' || h7) AS b3
+        FROM sig
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM b x JOIN b y
+      ON x.doc_id < y.doc_id
+     AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    """,
+    doc="MinHash LSH candidate pairs (8 hashes, 4 bands x 2 rows): "
+        "banding explodes to (band_id, band_hash) keys, pairs form inside "
+        "buckets only — O(colliding pairs), not O(n^2).",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * len(list_filter(
+                        list_transform(string_split(text, ' '),
+                                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+                        h -> ((h >> b) & 1) = 1))
+                        > len(string_split(text, ' '))
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM documents
+    """,
+    doc="32-bit SimHash sketch per document, fully per-row (no shuffle); "
+        "near-dup = small Hamming distance, bucketed by prefix at scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.simhash_sketch(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           c * 1.0 / (x.n + y.n - c) AS jaccard
+    FROM shared JOIN cnt x ON x.doc_id = id_a JOIN cnt y ON y.doc_id = id_b
+    WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+    """,
+    doc="Exact n-gram Jaccard pairs (3-gram shingles, tau=0.8) via an "
+        "inverted shingle index; max_df capping guards the join against "
+        "stop-shingle skew at scale.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+                  sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    """,
+    doc="Embedding near-duplicate pairs (cosine >= 0.9). Exact quadratic "
+        "verification here; the LSH-bucketed candidate path "
+        "(hyperplane signatures) is the scale route in operators/dedup.py.",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.9)
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+                  sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="Exact cosine top-5 for 5 query vectors: broadcast queries, single "
+        "corpus scan, per-query window rank. The exact baseline/reranker "
+        "for ANN.",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # approximate by design (IVF probe subset): rows-only.
+    doc="IVF-style ANN top-k: centroid assignment per-row, probe only the "
+        "nprobe nearest centroid partitions per query — the 100 TB path "
+        "(candidate volume ~ nprobe/nlist of the corpus).",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.topk_ivf(emb, queries, "embedding", "vec_id", k=5, nlist=8, nprobe=3)
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           length(text) AS n_chars_txt,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    doc="Per-document quality metrics: token/type/char/BPE-ish counts and "
+        "mean token length — all per-row built-ins, no shuffle.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TXT.tokens(t)
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.type_count(t).alias("n_types"),
+        F.length(t).alias("n_chars_txt"),
+        TXT.bpeish_token_count(t).alias("n_bpeish"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def _lang_case_sql() -> str:
+    langs = sorted(TXT.LANG_MARKERS)
+    scores = {
+        lang: (
+            "len(list_filter(list_distinct(string_split(lower(text), ' ')), "
+            f"t -> list_contains({list(TXT.LANG_MARKERS[lang])}, t)))"
+        )
+        for lang in langs
+    }
+    branches = []
+    for lang in langs:
+        conds = [f"{scores[lang]} > 0"] + [
+            f"{scores[lang]} >= {scores[other]}" for other in langs if other != lang
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents
+    """,
+    doc="Marker-stopword language ID heuristic (argmax hit count, "
+        "deterministic tiebreak); per-row, shuffle-free.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS bow_fp,
+           list_min(list_transform(range(1, length(text) - 6),
+                    i -> md5(substr(text, i, 8)))) AS min_shingle8
+    FROM documents
+    """,
+    doc="Document fingerprints: sorted-bag md5 (catches reordered dups) "
+        "and min rolling char-8-gram hash.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.bow_fingerprint(F.col("text")).alias("bow_fp"),
+        TXT.min_shingle_hash(F.col("text"), 8).alias("min_shingle8"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Session windows (30-min gap) per user — Spark session_window in "
+        "batch; the streaming twin lives in streaming/events.py. Oracle is "
+        "the classic gaps-and-islands rewrite.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts)
+                - (k * INTERVAL '5 minutes') AS VARCHAR) AS window_start,
+           count(*) AS n_events
+    FROM events CROSS JOIN unnest([0, 1]) AS u(k)
+    GROUP BY 1
+    """,
+    doc="Sliding window (10-min window, 5-min slide): every event lands "
+        "in window/slide buckets; batch twin of the streaming pipeline.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
+    )

@@ -1,0 +1,216 @@
+"""Deduplication operators for training-data pipelines, designed for the
+100 TB path:
+
+* **exact** — hash groupBy on the content (or a content hash): one shuffle
+  on a high-cardinality key; AQE handles skew.
+* **MinHash + LSH** — per-row signatures during the scan (no shuffle),
+  banding, then a self-join *per band bucket* so candidate generation is
+  O(colliding pairs), never the O(n²) cross join.
+* **SimHash** — per-row 32-bit sketch; near-dup = small Hamming distance
+  within LSH buckets (prefix bucketing here).
+* **n-gram Jaccard** — exact verification via an inverted shingle index
+  (explode → join on shingle → count shared), with a document-frequency
+  cap to keep the index join skew-free at scale.
+* **embedding near-dup** — cosine threshold over LSH buckets (see
+  operators/similarity.py for the ANN machinery).
+
+All hash functions are the portable md5 family from functions/text.py so
+results are reproducible in the DuckDB oracles; swap ``seeded_hash`` for
+``fast_hash`` (xxhash64) when oracle portability is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.functions import text as TXT
+from spreadsheet_etl_engine_spark.functions import vectors as VEC
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per exact content value.
+
+    At scale, group on md5(content) rather than the full content to keep
+    shuffle rows small; the probability of a 128-bit collision is
+    negligible next to data-corruption rates.
+    """
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def minhash_signature(
+    df: DataFrame, content_col: str, id_col: str, *, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature columns ``h0..h{k-1}``.
+
+    Entirely per-row (array transform + array_min): signatures are computed
+    during the scan with zero shuffles.  Documents with fewer than
+    ``shingle_k`` tokens have no shingles and are dropped (they cannot be
+    meaningfully min-hashed; callers route them to exact dedup instead).
+    """
+    shingles = TXT.word_shingles(F.col(content_col), shingle_k)
+
+    def _hasher(seed: int):
+        # One-arg lambda on purpose: a two-parameter lambda would be
+        # interpreted by F.transform as the (element, index) variant.
+        return lambda s: TXT.seeded_hash(s, seed)
+
+    out = df.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(shingles, _hasher(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return out.filter(F.col("h0").isNotNull())
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Signature rows explode into ``bands`` (band_id, band_hash) keys — a
+    single shuffle — and pairs are generated inside each bucket only.
+    Returns distinct (id_a, id_b) with id_a < id_b.  At 100 TB the bucket
+    join is the standard LSH pattern: the shuffle key (band_id, band_hash)
+    is uniform under md5, and oversized buckets (degenerate content) can
+    be capped with a count filter before the self-join.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, content_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    bucketed = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_sketch(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Per-document 32-bit SimHash (per-row expressions, no shuffle).
+
+    Two-step select so the token-hash array is computed once and shared by
+    the 32 unrolled bit terms instead of being re-derived per bit.
+    """
+    hashed = df.select(F.col(id_col), TXT.token_hashes(F.col(content_col)).alias("_th"))
+    return hashed.select(
+        F.col(id_col), TXT.simhash32_from_hashes(F.col("_th")).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs via an inverted index.
+
+    distinct (id, shingle) → self-join on shingle → |A∩B| per pair →
+    join per-doc set sizes → Jaccard filter.  ``max_df`` drops shingles
+    occurring in more than that many documents before the join — the
+    standard skew guard: a stop-shingle shared by millions of docs would
+    otherwise dominate one join partition at scale (those shingles carry
+    almost no similarity signal).
+    """
+    shingles = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(TXT.word_shingles(F.col(content_col), shingle_k))).alias("s"),
+        )
+    )
+    if max_df is not None:
+        keep = shingles.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+        shingles = shingles.join(F.broadcast(keep), "s")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    With ``planes`` given, candidates are restricted to equal
+    random-hyperplane LSH signatures (scale path: one shuffle on the
+    signature, pairs within buckets).  Without planes it is the exact
+    quadratic verification — only for small inputs / final verification.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if planes is not None:
+        sig = df.select(
+            F.col(id_col),
+            VEC.hyperplane_signature(F.col(vec_col), planes).alias("sig"),
+        )
+        a = a.join(sig.select(F.col(id_col).alias("id_a"), "sig"), "id_a")
+        b = b.join(sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        joined = a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cosine", VEC.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

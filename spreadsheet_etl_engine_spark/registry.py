@@ -625,3 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+
+
+# Import-time side effect: [EXT] queries register themselves (placed at the
+# bottom so ext_queries can import `register` from this module).
+from spreadsheet_etl_engine_spark import ext_queries as _ext_queries  # noqa: E402,F401

@@ -1,0 +1,127 @@
+"""Behavioral tests for [EXT] dedup / similarity / text operators on
+synthetic frames with known ground truth (parity with DuckDB is covered in
+test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.functions import text as TXT
+from spreadsheet_etl_engine_spark.operators import dedup as DD
+from spreadsheet_etl_engine_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),          # near dup
+        (4, "completely different words about spark engines here"),
+        (5, "dog lazy the over jumps fox brown quick the"),          # reordered bag of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = DD.exact_dedup(docs.withColumn("h", F.md5("text")), "h", "doc_id")
+    by_id = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert by_id[1] == 2          # doc 2 collapsed into 1
+    assert 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1 and by_id[5] == 1
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = DD.minhash_signature(docs, "text", "doc_id", num_hashes=4).collect()
+    rows = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(4)) for r in sig}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_minhash_lsh_finds_exact_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             DD.minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_identical_and_near(docs):
+    out = {r["doc_id"]: r["simhash"] for r in DD.simhash_sketch(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    # near-dup differs in few bits, unrelated differs in many
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+
+
+def test_ngram_jaccard_max_df_prunes(docs):
+    # With max_df=1 every shared shingle is dropped -> no pairs at all.
+    out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1, max_df=1)
+    assert out.count() == 0
+
+
+def test_bow_fingerprint_catches_reordered(docs):
+    out = {r["doc_id"]: r["fp"] for r in
+           docs.select("doc_id", TXT.bow_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[5]       # same bag of words
+    assert out[1] != out[4]
+
+
+def test_langid_obvious_cases(spark):
+    rows = [
+        (1, "the cat and the dog of the house is big"),
+        (2, "el perro de la casa que los gatos"),
+        (3, "der hund und die katze nicht das haus"),
+        (4, "le chat et les chiens des maisons une porte"),
+        (5, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", TXT.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),    # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_topk_bruteforce(vectors):
+    out = SIM.topk_bruteforce(vectors, vectors.filter(F.col("vec_id") == 0),
+                              "embedding", "vec_id", k=2).collect()
+    ranked = [(r["neighbor_id"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])]
+    assert ranked[0][0] == 1        # nearest is vector 1
+    assert all(r["neighbor_id"] != 0 for r in out)  # self excluded
+
+
+def test_topk_ivf_shape(vectors):
+    out = SIM.topk_ivf(vectors, vectors.filter(F.col("vec_id") == 0),
+                       "embedding", "vec_id", k=2, nlist=2, nprobe=2).collect()
+    assert len(out) >= 1
+    assert {"query_id", "neighbor_id", "cosine", "rnk"} <= set(out[0].asDict())
+
+
+def test_embedding_neardup_with_lsh_planes(vectors):
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = DD.embedding_neardup_pairs(vectors, "embedding", "vec_id",
+                                     threshold=0.9, planes=planes)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert (0, 4) not in pairs
