@@ -29,7 +29,16 @@ sh AS (
 )
 """
 
-_SIG8 = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(8))
+# Portable 32-bit shingle hash (matches functions.text.hash32) reduced mod
+# the MinHash prime (matches operators.dedup.minhash_signature).
+_BASE_SQL = f"(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {DD.MINHASH_P})"
+
+
+def _sig_sql(num_hashes: int) -> str:
+    return ", ".join(
+        f"min(({_BASE_SQL} * {a} + {b}) % {DD.MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(DD.minhash_constants(num_hashes))
+    )
 
 
 @register(
@@ -51,27 +60,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_signature",
     oracle=f"""
     WITH {_SHINGLE_CTE}
-    SELECT doc_id, {", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(4))}
+    SELECT doc_id, {_sig_sql(4)}
     FROM sh GROUP BY doc_id
     """,
-    doc="Per-document MinHash signatures (k=4, word-3-gram shingles), "
-        "computed per-row during the scan — zero shuffles (array_min over "
-        "transform, main path of MinHash+LSH dedup).",
+    doc="Per-document MinHash signatures (Broder affine family over one "
+        "32-bit base hash per word-3-gram shingle), computed per-row "
+        "during the scan — zero shuffles.",
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DD.minhash_signature(docs, "text", "doc_id", num_hashes=4)
+    return DD.minhash_signature(
+        docs, "text", "doc_id", num_hashes=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sig AS (SELECT doc_id, {_SIG8} FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
     b AS (
         SELECT doc_id,
-               md5(h0 || '|' || h1) AS b0, md5(h2 || '|' || h3) AS b1,
-               md5(h4 || '|' || h5) AS b2, md5(h6 || '|' || h7) AS b3
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
         FROM sig
     )
     SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -85,7 +99,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4)
+    return DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -113,7 +130,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+    dsh AS (SELECT DISTINCT doc_id,
+                   CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS s
+            FROM sh),
     cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -131,7 +150,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    return DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -343,3 +365,51 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").cast("string").alias("window_start"), "n_events")
     )
+
+
+@register(
+    "multimodal_decode",
+    oracle=None,  # binary decode plumbing: no SQL-expressible oracle
+    # (media libs absent -> deterministic fake decode; see
+    # operators/multimodal.py).
+    doc="Multimodal column plumbing: binary media + typed metadata decoded "
+        "via Arrow-batched mapInPandas; per-format size/dimension rollup.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, 96)
+    decoded = MM.decode_media(media)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+        F.countDistinct("payload_hash").alias("n_distinct_payloads"),
+    )
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle=None,  # exercised as a real streaming query (file source ->
+    # availableNow -> collect); the batch twin events_tumbling_window has
+    # the SQL oracle.
+    doc="Structured Streaming tumbling-window counts executed with the "
+        "file source and availableNow trigger; must equal the batch twin.",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_in"
+        ev.write.mode("overwrite").parquet(src)
+        stream = SE.read_event_stream(spark, src)
+        name = "streaming_tumbling_counts_sink"
+        SE.run_to_memory_sink(SE.tumbling_counts(stream), name, output_mode="complete")
+        out = spark.table(name)
+        # Materialize before the temp dir disappears.
+        return spark.createDataFrame(
+            out.collect(), out.schema
+        ).withColumn("window_start", F.col("window_start").cast("string"))

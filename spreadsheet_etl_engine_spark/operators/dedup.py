@@ -41,28 +41,61 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Mersenne prime 2^31-1: the classic universal-hash modulus.  Affine
+# constants (a_i, b_i) derive from fixed multipliers so the whole family is
+# reproducible in any engine with 64-bit integer arithmetic (a_i < P and
+# base < P keep every product under 2^62 — no overflow).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((2 * i + 1) * 2_654_435_761 % MINHASH_P, (i + 1) * 40_503 * 65_537 % MINHASH_P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
-    df: DataFrame, content_col: str, id_col: str, *, num_hashes: int = 8, shingle_k: int = 3
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """Per-document MinHash signature columns ``h0..h{k-1}``.
+    """Per-document MinHash signature columns ``h0..h{k-1}`` (Broder
+    construction: one 32-bit base hash per shingle, then ``num_hashes``
+    affine permutations ``(a*h + b) mod P`` — k cheap integer ops instead
+    of k full hashes per shingle).
 
-    Entirely per-row (array transform + array_min): signatures are computed
-    during the scan with zero shuffles.  Documents with fewer than
-    ``shingle_k`` tokens have no shingles and are dropped (they cannot be
-    meaningfully min-hashed; callers route them to exact dedup instead).
+    Entirely per-row: signatures are computed during the scan with zero
+    shuffles.  The base-hash array is materialized in its own projection so
+    the k min-columns share it.  Documents with fewer than ``shingle_k``
+    tokens have no shingles and are dropped (they cannot be meaningfully
+    min-hashed; callers route them to exact dedup instead).
+
+    ``parallelism`` repartitions the input first — useful when the source
+    is a single small file locally; on a real cluster the scan is already
+    split and this should stay None.
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     shingles = TXT.word_shingles(F.col(content_col), shingle_k)
+    base = df.select(
+        F.col(id_col),
+        F.transform(shingles, lambda s: TXT.hash32(s) % MINHASH_P).alias("_base"),
+    )
+    def _affine(a: int, b: int):
+        # One-arg lambda factory: extra (defaulted) parameters would make
+        # F.transform treat it as the (element, index) two-arg variant.
+        return lambda h: (h * a + b) % MINHASH_P
 
-    def _hasher(seed: int):
-        # One-arg lambda on purpose: a two-parameter lambda would be
-        # interpreted by F.transform as the (element, index) variant.
-        return lambda s: TXT.seeded_hash(s, seed)
-
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         *[
-            F.array_min(F.transform(shingles, _hasher(i))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("_base"), _affine(a, b))).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_constants(num_hashes))
         ],
     )
     return out.filter(F.col("h0").isNotNull())
@@ -76,6 +109,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -88,16 +122,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
-        df, content_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+        df, content_col, id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("band_hash"),
             )
             for b in range(bands)
@@ -140,20 +173,30 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via an inverted index.
 
-    distinct (id, shingle) → self-join on shingle → |A∩B| per pair →
-    join per-doc set sizes → Jaccard filter.  ``max_df`` drops shingles
-    occurring in more than that many documents before the join — the
-    standard skew guard: a stop-shingle shared by millions of docs would
-    otherwise dominate one join partition at scale (those shingles carry
-    almost no similarity signal).
+    distinct (id, shingle-hash) → self-join on the hash → |A∩B| per pair →
+    join per-doc set sizes → Jaccard filter.  The index joins on a 32-bit
+    shingle *hash*, not the shingle text: ~10× smaller shuffle rows at
+    identical results (hash collisions are deterministic and vanishingly
+    rare next to the threshold).  ``max_df`` drops shingles occurring in
+    more than that many documents before the join — the standard skew
+    guard: a stop-shingle shared by millions of docs would otherwise
+    dominate one join partition at scale (those shingles carry almost no
+    similarity signal).
     """
+    if parallelism:
+        df = df.repartition(parallelism)
     shingles = (
         df.select(
             F.col(id_col),
-            F.explode(F.array_distinct(TXT.word_shingles(F.col(content_col), shingle_k))).alias("s"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(TXT.word_shingles(F.col(content_col), shingle_k), TXT.hash32)
+                )
+            ).alias("s"),
         )
     )
     if max_df is not None:

@@ -1,0 +1,125 @@
+"""Sinks.  The reference's only sink overwrites a sheet wholesale
+(``main.gs:124-129``); here: parquet/CSV natively, xlsx via a gated
+openpyxl bridge with optional FORMULA pass-through.
+
+Pass-through mode is where the reference's two deferred-evaluation quirks
+live (SURVEY §7.4 items 1-3): ``formula:`` output columns keep their
+*text* (with ``src[...]`` values spliced in, non-numeric values quoted,
+``main.gs:86-98``), and ``self[Col]`` resolves to the A1 *address* of the
+referenced output cell in the same row (``main.gs:100-114``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.plans.parser import (
+    SELF_REF_RE, SRC_REF_RE, ColumnKind, MappingSpec,
+)
+
+
+def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def column_letter(col: int) -> str:
+    """1-based column index → A1 letter (reference ``main.gs:291-299``)."""
+    letters = ""
+    while col > 0:
+        col, rem = divmod(col - 1, 26)
+        letters = chr(65 + rem) + letters
+    return letters
+
+
+def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFrame:
+    """Produce output rows where FORMULA columns carry spreadsheet formula
+    *text* (deferred evaluation) instead of computed values.
+
+    ``src[X]`` splices the row value; values that are non-numeric after
+    ``%`` removal are double-quoted (``main.gs:90-95``).  ``self[Out]``
+    becomes the A1 address of that output column: letter from declaration
+    position, row number = output row ordinal + 2 (header row + 1-basing,
+    ``main.gs:69,114``).  Requires a deterministic row order, so callers
+    must provide an ordering column via ``order_by`` semantics — here we
+    use the first DIRECT column's source order via row_number over a
+    constant partition only at sheet scale (pass-through is a spreadsheet
+    sink; it is not a 100 TB path).
+    """
+    from pyspark.sql.window import Window
+
+    out_positions = {c.name: i + 1 for i, c in enumerate(spec.columns)}
+    ordered = source.withColumn(
+        "_row", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
+    )
+    cols = []
+    for col in spec.columns:
+        if col.kind != ColumnKind.FORMULA:
+            continue
+        body = col.instruction
+        parts = []
+        pos = 0
+        for m in SRC_REF_RE.finditer(body):
+            if m.start() > pos:
+                parts.append(F.lit(body[pos:m.start()]))
+            value = F.col(m.group(1)).cast("string")
+            # JS isNaN semantics (main.gs:92): '' and whitespace coerce to 0
+            # (numeric); otherwise Number(x) must parse.  try_cast avoids
+            # ANSI-mode cast failures on non-numeric values.
+            nopct = F.regexp_replace(value, "%", "")
+            numericish = (F.trim(nopct) == "") | nopct.try_cast("double").isNotNull()
+            parts.append(F.when(numericish, value).otherwise(F.concat(F.lit('"'), value, F.lit('"'))))
+            pos = m.end()
+        if pos < len(body):
+            parts.append(F.lit(body[pos:]))
+        expr = F.concat(*parts) if parts else F.lit("")
+
+        # self[X] → A1 address: column letter of X's declaration position +
+        # output row number (+1 for the header row, main.gs:69,114).
+        for sm in SELF_REF_RE.finditer(body):
+            ref = sm.group(1)
+            if ref in out_positions:
+                addr = F.concat(
+                    F.lit(column_letter(out_positions[ref])),
+                    (F.col("_row") + 1).cast("string"),
+                )
+                expr = F.regexp_replace(expr, F.lit(f"self\\[{ref}\\]"), addr)
+        cols.append(expr.alias(col.name))
+    return ordered.select(F.col("_row"), *cols)
+
+
+def write_xlsx(
+    df: DataFrame,
+    path: str,
+    *,
+    sheet_name: str = "Output",
+    max_rows: int = 1_048_576,
+) -> None:
+    """Write a (sheet-sized) DataFrame to xlsx via openpyxl.
+
+    Gated: raises ImportError with guidance when openpyxl is missing.
+    Collects to the driver — by definition a spreadsheet-sized sink
+    (Excel's own limit is ~1M rows); big outputs belong in parquet.
+    """
+    try:
+        import openpyxl
+    except ImportError as e:
+        raise ImportError(
+            "write_xlsx requires openpyxl, which is not installed in this "
+            "environment; use write_csv/write_parquet instead"
+        ) from e
+    rows = df.limit(max_rows).collect()
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.title = sheet_name
+    ws.append(df.columns)
+    for r in rows:
+        ws.append(list(r))
+    wb.save(path)

@@ -1,0 +1,137 @@
+"""Structured Streaming over the events table.
+
+The reference is strictly batch (whole sheet in memory, ``main.gs:52``);
+streaming is an [EXT] capability.  Design:
+
+* event-time processing with ``withWatermark`` so state is bounded — at
+  100 TB/day the watermark is what keeps window state from growing without
+  limit while still admitting late data inside the threshold;
+* tumbling / sliding windows via ``F.window``, session windows via
+  ``F.session_window`` — all have exact batch twins registered in
+  ``ext_queries`` so the DuckDB oracle can check the aggregation logic;
+* a custom stateful operator (running per-user counters) via
+  ``applyInPandasWithState`` showing the arbitrary-state escape hatch.
+
+Tests drive these with the file source + ``availableNow`` trigger and a
+memory sink, then diff against the batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet files under ``path``.
+
+    ``maxFilesPerTrigger`` keeps micro-batches bounded when backfilling a
+    large directory.
+    """
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time aggregation (streaming twin of
+    ``events_tumbling_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation (streaming twin of ``events_sessionize``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count and value sum
+    maintained with ``applyInPandasWithState`` — the escape hatch when
+    built-in windows can't express the state machine.  Emits one row per
+    user per micro-batch with the updated totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdf_iter, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, *, output_mode: str = "append"):
+    """Execute a streaming query to completion on available data (test/
+    batch-catchup harness): availableNow trigger + memory sink."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,89 @@
+"""Multimodal binary-column plumbing and sink tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.operators import multimodal as MM
+from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+from spreadsheet_etl_engine_spark.sources import writers as W
+
+
+def test_decode_media_batches(spark):
+    media = MM.synth_media(spark, 30)
+    decoded = MM.decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert len(rows) == 30
+    r0 = rows[0]  # IMG:32x16
+    assert (r0["kind"], r0["width"], r0["height"], r0["n_frames"]) == ("image", 32, 16, 1)
+    r2 = rows[2]  # VID:6x64x48
+    assert (r2["kind"], r2["width"], r2["height"], r2["n_frames"]) == ("video", 64, 48, 6)
+    # Deterministic: same input -> same payload hash across runs.
+    again = {r["media_id"]: r["payload_hash"] for r in MM.decode_media(media).collect()}
+    assert again == {k: v["payload_hash"] for k, v in rows.items()}
+
+
+def test_decode_real_is_marked_stub():
+    with pytest.raises(NotImplementedError, match="PIL/cv2/librosa"):
+        MM._decode_real(b"anything")
+
+
+def test_frame_sample(spark):
+    media = MM.synth_media(spark, 30)
+    frames = MM.frame_sample(media, every_k=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # media_id 2 is VID with 6 frames -> sampled 0,2,4
+    assert sorted(by_media[2]) == [0, 2, 4]
+    assert all(i % 2 == 0 for idxs in by_media.values() for i in idxs)
+
+
+def test_column_letter():
+    assert W.column_letter(1) == "A"
+    assert W.column_letter(26) == "Z"
+    assert W.column_letter(27) == "AA"
+    assert W.column_letter(52) == "AZ"
+    assert W.column_letter(703) == "AAA"
+
+
+def test_formula_passthrough_text_and_addresses(spark):
+    df = spark.createDataFrame(
+        [("12%", "abc"), ("7", "x y")], ["Score", "Note"]
+    )
+    spec = parse_mapping(
+        [
+            ("ScoreOut", "src[Score]"),
+            ("Calc", "formula:=src[Score]*2"),
+            ("Chained", "formula:=self[Calc]+1"),
+            ("Quoted", "formula:=CONCAT(src[Note])"),
+        ],
+        df.columns,
+    )
+    out = W.formula_passthrough_columns(df, spec).orderBy("_row").collect()
+    # Row 1 (output row 2 in sheet terms): numeric-ish "12%" spliced bare,
+    # non-numeric "abc" quoted, self[Calc] -> B2 (Calc is column 2).
+    assert out[0]["Calc"] == "=12%*2"
+    assert out[0]["Chained"] == "=B2+1"
+    assert out[0]["Quoted"] == '=CONCAT("abc")'
+    assert out[1]["Calc"] == "=7*2"
+    assert out[1]["Chained"] == "=B3+1"
+    assert out[1]["Quoted"] == '=CONCAT("x y")'
+
+
+def test_write_xlsx_gated(spark):
+    df = spark.createDataFrame([(1, "a")], ["x", "y"])
+    with pytest.raises(ImportError, match="openpyxl"):
+        W.write_xlsx(df, "/tmp/out.xlsx")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.sources.readers import read_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["x", "y"])
+    path = str(tmp_path / "csv_out")
+    W.write_csv(df, path)
+    back = read_csv(spark, path, fidelity=True)
+    assert {(r["x"], r["y"]) for r in back.collect()} == {("1", "a"), ("2", "b")}
+    assert dict(back.dtypes) == {"x": "string", "y": "string"}
