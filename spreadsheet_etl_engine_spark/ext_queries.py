@@ -413,3 +413,24 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             out.collect(), out.schema
         ).withColumn("window_start", F.col("window_start").cast("string"))
+
+
+@register(
+    "text_wordcount_top",
+    oracle="""
+    SELECT t AS token, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ) GROUP BY t ORDER BY n DESC, t LIMIT 20
+    """,
+    doc="Corpus-level token frequency top-20 (explode -> hash agg -> "
+        "TakeOrdered): the canonical map-side-combinable word count.",
+)
+def text_wordcount_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -1,0 +1,106 @@
+"""Relational operators beyond plain DataFrame methods: as-of joins,
+pivot, deterministic sampling, exact algebraic moments.
+
+Each is designed for the 100 TB path and documented with its shuffle
+shape; the registry pairs them with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    right_cols: dict[str, str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (direction
+    'backward'; 'forward' mirrors with >=).
+
+    Implementation is the union-and-window trick: tag both sides, union,
+    sort within ``by`` by ``on``, carry the last-seen right values forward
+    with ``last(ignorenulls)``, keep left rows.  ONE shuffle on ``by``
+    (the window partition) regardless of table sizes — no range cross
+    join, no per-key driver loop; skewed ``by`` keys are handled by AQE.
+    ``right_cols`` maps right column → output alias.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    l_tag = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in left.columns if c not in (by, on)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (by, on)],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # Right rows sort before left rows at equal timestamps so an exact-tie
+    # right row is visible to the left row (asof <=).
+    order = [F.col(on).asc(), F.col("_is_left").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("_is_left").asc()]
+    w = Window.partitionBy(by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(out)
+            for c, out in right_cols.items()
+        ],
+    )
+    keep = [c for c in left.columns] + list(right_cols.values())
+    return carried.filter(F.col("_is_left") == 1).select(*keep)
+
+
+def pivot_counts(
+    df: DataFrame, *, row_key: str, pivot_key: str, values: list[str]
+) -> DataFrame:
+    """Pivot with an explicit value list — never the value-discovering
+    variant (which runs an extra distinct job and breaks at high
+    cardinality).  Map-side combinable: one shuffle on ``row_key``."""
+    return df.groupBy(row_key).pivot(pivot_key, values).count().na.fill(0)
+
+
+def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100) -> DataFrame:
+    """Deterministic hash-based sampling: keep rows where
+    ``md5(key) mod modulus < percent``.
+
+    At 100 TB this is the only sane sampling: reproducible across runs,
+    engines and partitionings, stable under re-partitioning (unlike
+    ``df.sample`` whose output depends on partition layout), and
+    consistent for the same key across tables (joinable samples).
+    """
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
+    return df.filter(bucket < percent)
+
+
+def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias_prefix: str) -> DataFrame:
+    """Mean / population variance / stddev computed from exact decimal
+    power sums (Σx, Σx²) in ONE pass: algebraic aggregates that combine
+    associatively across partitions — the scale-correct way to get exact,
+    engine-reproducible moments (float sum order never enters; the only
+    float ops are the final divisions/sqrt, identical in any engine)."""
+    x = F.col(value_col).cast("decimal(18,2)")
+    n = F.count("*")
+    sx = F.sum(x)
+    sxx = F.sum(x * x)
+    mean = (sx.cast("double") / n)
+    var = (sxx.cast("double") / n) - mean * mean
+    return df.groupBy(*group_cols).agg(
+        n.alias(f"{alias_prefix}_n"),
+        mean.alias(f"{alias_prefix}_mean"),
+        var.alias(f"{alias_prefix}_var"),
+        F.sqrt(var).alias(f"{alias_prefix}_std"),
+    )

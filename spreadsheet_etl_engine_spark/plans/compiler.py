@@ -128,6 +128,11 @@ class MappingCompiler:
         m = SRC_REF_RE.fullmatch(text)
         if m:
             name = m.group(1)
+            if self.mode == "typed":
+                # Native column, no display-string mangling: keeps the
+                # comparison pushdown-eligible (a regexp-wrapped column
+                # never reaches PushedFilters).
+                return _Operand(expr=F.col(name), pure_ref=name)
             return _Operand(expr=_strip_quotes_col(F.col(name).cast("string")), pure_ref=name)
         if not SRC_REF_RE.search(text):
             literal = text
@@ -141,10 +146,14 @@ class MappingCompiler:
     # --- filter predicate ------------------------------------------------
 
     def _numeric_side(self, operand: _Operand) -> Column:
-        """Operand as a double, with parseFloat fidelity for strings."""
+        """Operand as a double, with parseFloat fidelity for strings.
+
+        Numeric columns keep their native type (no cast): parquet pushdown
+        only fires on untransformed column references.
+        """
         if operand.pure_ref is not None:
             if self._is_numeric(operand.pure_ref):
-                return F.col(operand.pure_ref).cast("double")
+                return F.col(operand.pure_ref)
             return parse_float_col(F.col(operand.pure_ref))
         if operand.literal is not None:
             try:
@@ -176,6 +185,13 @@ class MappingCompiler:
                 return F.col(left.pure_ref), num_lit(right)
             if native(right) and num_lit(left) is not None:
                 return num_lit(left), F.col(right.pure_ref)
+            if (native(left) and right.literal is not None) or (
+                native(right) and left.literal is not None
+            ):
+                # Numeric column vs non-numeric literal: the reference's
+                # string compare can never match ("20.0" == "abc"), and
+                # letting Spark coerce would raise under ANSI mode.
+                return None, None
         return left.expr, right.expr
 
     def compile_condition(self, cmp: Comparison) -> Column:
@@ -185,10 +201,10 @@ class MappingCompiler:
         right = self.compile_operand(cmp.right or "")
         if cmp.op == "==":
             a, b = self._equality_sides(left, right)
-            return a == b
+            return F.lit(False) if a is None else a == b
         if cmp.op == "!=":
             a, b = self._equality_sides(left, right)
-            return a != b
+            return F.lit(True) if a is None else a != b
         a, b = self._numeric_side(left), self._numeric_side(right)
         if cmp.op == ">=":
             return a >= b

@@ -615,6 +615,166 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsl_fidelity_strings",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) AS OrderKey,
+           qty_s AS Qty, flag_s AS Flag
+    FROM (SELECT l_orderkey, CAST(l_quantity AS VARCHAR) AS qty_s,
+                 l_returnflag AS flag_s
+          FROM lineitem)
+    WHERE try_cast(qty_s AS DOUBLE) >= 30 OR flag_s = 'R'
+    """,
+    doc="Fidelity-mode pipeline over an all-string source: display-string "
+        "semantics end-to-end (parseFloat ordering via try_cast, string "
+        "equality), mirroring the reference's getDisplayValues model "
+        "(main.gs:52, SURVEY §1.2).",
+)
+def dsl_fidelity_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("l_orderkey"),
+        F.col("l_quantity").cast("string").alias("qty_s"),
+        F.col("l_returnflag").alias("flag_s"),
+    )
+    spec = parse_mapping(
+        [
+            ("_filter:f", 'eval: src[qty_s] >= 30 || src[flag_s] == "R"'),
+            ("OrderKey", "src[l_orderkey]"),
+            ("Qty", "src[qty_s]"),
+            ("Flag", "src[flag_s]"),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec, mode="fidelity")
+
+
+@register(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact continuous quantiles (sort-based within group). At scale "
+        "prefer approx_percentile (t-digest sketch, registered rows-only "
+        "in agg_approx_quantile); exact quantiles shuffle whole groups.",
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "agg_approx_quantile",
+    oracle=None,  # sketch-based by design: rows-only check.
+    doc="approx_percentile: the one-pass fixed-memory quantile sketch for "
+        "the 100 TB path.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").alias("approx_p")
+    ).select("o_orderstatus", F.col("approx_p")[0].alias("p50"), F.col("approx_p")[1].alias("p90"))
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS qty_n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS qty_mean,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qty_var,
+           sqrt(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+               * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS qty_std
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Mean/variance/stddev from exact decimal power sums in one pass — "
+        "algebraic aggregates that combine associatively across partitions "
+        "(engine-reproducible: no float accumulation order anywhere).",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import exact_moments
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_moments(li, ["l_returnflag"], "l_quantity", alias_prefix="qty")
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot with an explicit value list (no value-discovery job); "
+        "map-side combinable, one shuffle.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import pivot_counts
+
+    o = load_table(spark, sf_dir, "orders")
+    return pivot_counts(o, row_key="o_orderpriority", pivot_key="o_orderstatus",
+                        values=["F", "O", "P"])
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10
+    """,
+    doc="Deterministic hash-based 10% sample: reproducible across runs, "
+        "engines and partition layouts (df.sample is not), and joinable "
+        "across tables on the same key — the only sane sampling at 100 TB.",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import hash_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    return hash_sample(o, F.col("o_orderkey"), percent=10).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,
+           CAST(l.ts AS VARCHAR) AS last_login_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'login') l
+      ON p.user_id = l.user_id AND p.ts >= l.ts
+    """,
+    doc="As-of join (each purchase -> user's latest login at-or-before "
+        "it) via the union-and-window trick: ONE shuffle on the by-key, "
+        "no range cross join. Oracle uses DuckDB's native ASOF JOIN.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    logins = ev.filter(F.col("event_type") == "login").select("user_id", "ts")
+    out = asof_join(
+        purchases, logins, on="ts", by="user_id", right_cols={"ts": "last_login_ts"}
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("last_login_ts").cast("string").alias("last_login_ts"),
+    )
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 

@@ -1,0 +1,98 @@
+"""Physical-plan assertions: the scale properties the engine relies on
+must be visible in `.explain` — broadcast joins stay broadcast, semi joins
+don't carry payload, top-k never globally sorts, bucketed joins don't
+shuffle, and DSL filters reach the parquet scan (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark import registry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(registry.get("join_dims_broadcast").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_plan(spark, sf_dir):
+    plan = _plan(registry.get("join_semi").fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(registry.get("sort_topk").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # No global Sort node — per-partition heaps + driver merge of k rows.
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_dsl_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(registry.get("dsl_flagship").fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "l_quantity" in pushed or "l_returnflag" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema  # unused column pruned
+
+
+def test_minhash_signature_has_no_shuffle(spark, sf_dir):
+    # Per-row signature computation must not introduce an aggregation
+    # shuffle (only the optional repartition for local parallelism).
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(DD.minhash_signature(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-partitions data so the
+    join runs with zero Exchange — the co-located join strategy for
+    repeated fact-fact joins at scale."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", str(tmp_path / "b_lineitem")).saveAsTable("b_lineitem"))
+    # Disable auto-broadcast so the small test tables take the same
+    # sort-merge path a 100 TB fact-fact join would.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        ).groupBy("o_orderpriority").count()
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    # The join inputs come straight from the bucketed scans: no Exchange
+    # between scan and join (the only exchange is for the final groupBy).
+    below_join = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning(o_orderkey" not in below_join
+    assert "Exchange hashpartitioning(l_orderkey" not in below_join
+    assert "Bucketed: true" in plan
+
+
+def test_broadcast_hint_survives_aqe(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_whole_stage_codegen_on_dsl_pipeline(spark, sf_dir):
+    # The `*(n)` prefix marks operators inside a WholeStageCodegen span.
+    plan = _plan(registry.get("dsl_flagship").fn(spark, sf_dir))
+    assert plan.startswith("*(1)") or "*(1)" in plan
