@@ -39,6 +39,10 @@ OPTIONAL = [
     "dedup_ngram_jaccard_pairs",
     "text_stats",
     "similarity_topk_bruteforce",
+    "dsl_v2_join_agg",
+    "join_asof",
+    "agg_moments",
+    "events_sessionize",
 ]
 
 

@@ -1,0 +1,231 @@
+"""Map-DSL v2: multi-table joins and aggregation as rule kinds.
+
+The reference lists "Multi-sheet joins" and an "Advanced expression parser"
+as roadmap items (``/root/reference/README.md:121-122``) without defining
+syntax, so this extension keeps the reference's idiom — one rule per row,
+``<name>[<col>]`` references, prefix-classified instructions — and adds:
+
+* ``_join:<alias>`` rules: ``on: src[left_col] == <alias>[right_col]
+  how: inner|left|right|semi|anti [broadcast]`` — joins the table bound to
+  ``alias`` (from the caller-provided table dict) in declaration order.
+  ``broadcast`` marks a dimension-sized right side (at 100 TB the
+  difference between a map-side join and a full shuffle).
+* ``_group:<name>`` rule: ``by: src[col1], src[col2]`` — switches the
+  output columns to aggregation mode.
+* aggregate output columns: instruction ``agg:<fn>`` or
+  ``agg:<fn>:src[col]`` with fn ∈ count, countd, sum, sumd, min, max,
+  avgd.  ``sumd``/``avgd`` accumulate in DECIMAL(18,2) and cast back to
+  double — the engine-reproducible form for unordered money sums.
+
+Everything else (filters, DIRECT/CONSTANT/FORMULA columns, comments,
+validation) is v1: after the joins run, all columns share one namespace and
+``alias[col]`` normalizes to ``src[col]`` before the v1 compiler sees it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.errors import EngineError, MissingColumnError
+from spreadsheet_etl_engine_spark.plans.compiler import MappingCompiler
+from spreadsheet_etl_engine_spark.plans.parser import (
+    COMMENT_PREFIX,
+    FILTER_PREFIX,
+    MappingSpec,
+    parse_mapping,
+)
+
+JOIN_PREFIX = "_join:"
+GROUP_PREFIX = "_group:"
+AGG_PREFIX = "agg:"
+
+_JOIN_RE = re.compile(
+    r"^on:\s*src\[(?P<left>[^\]]+)\]\s*==\s*(?P<alias>\w+)\[(?P<right>[^\]]+)\]"
+    r"\s*how:\s*(?P<how>inner|left|right|semi|anti)(?P<bcast>\s+broadcast)?\s*$"
+)
+_AGG_RE = re.compile(r"^agg:(?P<fn>count|countd|sum|sumd|min|max|avgd)(?::(?P<arg>.*))?$")
+
+_HOW_MAP = {"inner": "inner", "left": "left", "right": "right",
+            "semi": "left_semi", "anti": "left_anti"}
+
+
+@dataclass(frozen=True)
+class JoinRule:
+    name: str
+    alias: str
+    left_col: str
+    right_col: str
+    how: str
+    broadcast: bool
+
+
+@dataclass(frozen=True)
+class AggColumn:
+    name: str
+    fn: str
+    arg: str | None
+
+
+@dataclass(frozen=True)
+class MappingSpecV2:
+    joins: tuple[JoinRule, ...]
+    group_by: tuple[str, ...]
+    aggs: tuple[AggColumn, ...]
+    base: MappingSpec  # v1 filters + non-agg output columns
+
+
+def _normalize_refs(text: str, aliases: Iterable[str]) -> str:
+    """``alias[col]`` → ``src[col]``: post-join there is one flat
+    namespace, so the v1 compiler handles every reference."""
+    for alias in aliases:
+        text = re.sub(rf"\b{re.escape(alias)}\[", "src[", text)
+    return text
+
+
+def parse_mapping_v2(
+    rules: Iterable[tuple[str, str]],
+    tables: dict[str, Sequence[str]],
+    *,
+    source: str = "src",
+) -> MappingSpecV2:
+    """Parse v2 rules.  ``tables`` maps alias → column list (the source
+    table's alias is ``source``; joined aliases must appear in ``tables``)."""
+    joins: list[JoinRule] = []
+    group_by: list[str] = []
+    aggs: list[AggColumn] = []
+    v1_rules: list[tuple[str, str]] = []
+    aliases = [a for a in tables if a != source]
+
+    visible_cols = list(tables[source])
+    for raw_name, raw_instruction in rules:
+        name = str(raw_name).strip() if raw_name is not None else ""
+        if not name or name.startswith(COMMENT_PREFIX):
+            continue
+        instruction = str(raw_instruction).strip() if raw_instruction is not None else ""
+
+        if name.startswith(JOIN_PREFIX):
+            m = _JOIN_RE.match(instruction)
+            if not m:
+                raise EngineError(
+                    f'Invalid join instruction in rule "{name}": expected '
+                    f'"on: src[L] == alias[R] how: inner|left|right|semi|anti '
+                    f'[broadcast]", got "{instruction}".'
+                )
+            alias = m.group("alias")
+            if alias not in tables:
+                raise EngineError(f'Unknown table alias "{alias}" in rule "{name}".')
+            if m.group("left") not in visible_cols:
+                raise MissingColumnError(m.group("left"), name)
+            if m.group("right") not in tables[alias]:
+                raise MissingColumnError(m.group("right"), name)
+            how = _HOW_MAP[m.group("how")]
+            joins.append(
+                JoinRule(
+                    name=name,
+                    alias=alias,
+                    left_col=m.group("left"),
+                    right_col=m.group("right"),
+                    how=how,
+                    broadcast=bool(m.group("bcast")),
+                )
+            )
+            if how not in ("left_semi", "left_anti"):
+                visible_cols = visible_cols + [
+                    c for c in tables[alias] if c != m.group("right")
+                ] + [m.group("right")]
+            continue
+
+        if name.startswith(GROUP_PREFIX):
+            body = instruction
+            if body.startswith("by:"):
+                body = body[3:]
+            for part in body.split(","):
+                part = _normalize_refs(part.strip(), aliases)
+                m = re.fullmatch(r"src\[([^\]]+)\]|(\w+)", part)
+                if not m:
+                    raise EngineError(f'Invalid group key "{part}" in rule "{name}".')
+                col = m.group(1) or m.group(2)
+                if col not in visible_cols:
+                    raise MissingColumnError(col, name)
+                group_by.append(col)
+            continue
+
+        instruction = _normalize_refs(instruction, aliases)
+        m = _AGG_RE.match(instruction)
+        if m and not name.startswith(FILTER_PREFIX):
+            arg = m.group("arg")
+            if arg:
+                arg = arg.strip()
+                am = re.fullmatch(r"src\[([^\]]+)\]", arg)
+                if not am:
+                    raise EngineError(
+                        f'Aggregate argument must be src[col] in rule "{name}", got "{arg}".'
+                    )
+                if am.group(1) not in visible_cols:
+                    raise MissingColumnError(am.group(1), name)
+                arg = am.group(1)
+            elif m.group("fn") != "count":
+                raise EngineError(f'Aggregate "{m.group("fn")}" needs src[col] in rule "{name}".')
+            aggs.append(AggColumn(name=name, fn=m.group("fn"), arg=arg))
+            continue
+
+        v1_rules.append((name, instruction))
+
+    base = parse_mapping(v1_rules, visible_cols, require_output=not aggs)
+    if group_by and not aggs:
+        raise EngineError("A _group: rule requires at least one agg: output column.")
+    return MappingSpecV2(
+        joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base
+    )
+
+
+def _agg_expr(a: AggColumn) -> Column:
+    col = F.col(a.arg) if a.arg else None
+    if a.fn == "count":
+        return (F.count(col) if col is not None else F.count("*")).alias(a.name)
+    if a.fn == "countd":
+        return F.countDistinct(col).alias(a.name)
+    if a.fn == "sum":
+        return F.sum(col).alias(a.name)
+    if a.fn == "sumd":
+        return F.sum(col.cast("decimal(18,2)")).cast("double").alias(a.name)
+    if a.fn == "avgd":
+        return (F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)).alias(a.name)
+    if a.fn == "min":
+        return F.min(col).alias(a.name)
+    return F.max(col).alias(a.name)
+
+
+def run_mapping_v2(
+    tables: dict[str, DataFrame],
+    rules: Iterable[tuple[str, str]],
+    *,
+    source: str = "src",
+    mode: str = "typed",
+) -> DataFrame:
+    """Execute a v2 mapping: joins (declaration order) → filters →
+    projection or grouped aggregation."""
+    spec = parse_mapping_v2(
+        rules, {alias: df.columns for alias, df in tables.items()}, source=source
+    )
+    df = tables[source]
+    for j in spec.joins:
+        right = tables[j.alias]
+        if j.broadcast:
+            right = F.broadcast(right)
+        df = df.join(right, F.col(j.left_col) == F.col(j.right_col), j.how)
+
+    compiler = MappingCompiler(df, mode=mode)
+    predicate = compiler.compile_predicate(spec.base)
+    if predicate is not None:
+        df = df.filter(predicate)
+
+    if spec.aggs:
+        keys = [F.col(k) for k in spec.group_by]
+        return df.groupBy(*keys).agg(*[_agg_expr(a) for a in spec.aggs])
+    return df.select(*compiler.compile_columns(spec.base))

@@ -775,6 +775,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsl_v2_join_agg",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           count(DISTINCT c_nationkey) AS n_nations
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal > 0
+    GROUP BY r_name
+    """,
+    doc="Map-DSL v2 (plans/extensions.py): _join:/_group:/agg: rule kinds "
+        "— the reference's roadmap 'Multi-sheet joins' (README.md:122) in "
+        "its own rule idiom, compiled to broadcast joins + hash agg.",
+)
+def dsl_v2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+
+    tables = {
+        "src": load_table(spark, sf_dir, "customer"),
+        "nation": load_table(spark, sf_dir, "nation"),
+        "region": load_table(spark, sf_dir, "region"),
+    }
+    return run_mapping_v2(
+        tables,
+        [
+            ("// star join over the customer dims", ""),
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("_join:region", "on: src[n_regionkey] == region[r_regionkey] how: inner broadcast"),
+            ("_filter:pos", "eval: src[c_acctbal] > 0"),
+            ("_group:g", "by: src[r_name]"),
+            ("n_customers", "agg:count"),
+            ("total_bal", "agg:sumd:src[c_acctbal]"),
+            ("n_nations", "agg:countd:src[c_nationkey]"),
+        ],
+    )
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 

@@ -1,0 +1,111 @@
+"""Map-DSL v2 (joins + aggregation rule kinds) tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.errors import EngineError, MissingColumnError
+from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def tpch(spark, sf_dir):
+    return {
+        "src": load_table(spark, sf_dir, "customer"),
+        "nation": load_table(spark, sf_dir, "nation"),
+        "region": load_table(spark, sf_dir, "region"),
+        "orders": load_table(spark, sf_dir, "orders"),
+    }
+
+
+def test_join_project(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("_filter:seg", 'eval: src[c_mktsegment] == "BUILDING"'),
+            ("Cust", "src[c_name]"),
+            ("Nation", "src[n_name]"),
+        ],
+    )
+    assert out.columns == ["Cust", "Nation"]
+    expected = (
+        tpch["src"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(tpch["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .count()
+    )
+    assert out.count() == expected
+
+
+def test_join_group_agg(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("_join:region", "on: src[n_regionkey] == region[r_regionkey] how: inner broadcast"),
+            ("_group:g", "by: src[r_name]"),
+            ("n_customers", "agg:count"),
+            ("total_bal", "agg:sumd:src[c_acctbal]"),
+            ("max_bal", "agg:max:src[c_acctbal]"),
+        ],
+    )
+    rows = {r["r_name"]: r for r in out.collect()}
+    check = (
+        tpch["src"]
+        .join(tpch["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(tpch["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"), F.max("c_acctbal").alias("m"))
+    )
+    for r in check.collect():
+        assert rows[r["r_name"]]["n_customers"] == r["n"]
+        assert rows[r["r_name"]]["max_bal"] == r["m"]
+
+
+def test_semi_join_hides_right_columns(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("_join:orders", "on: src[c_custkey] == orders[o_custkey] how: semi"),
+            ("Cust", "src[c_custkey]"),
+        ],
+    )
+    assert out.count() > 0
+    with pytest.raises(MissingColumnError):
+        run_mapping_v2(
+            tpch,
+            [
+                ("_join:orders", "on: src[c_custkey] == orders[o_custkey] how: semi"),
+                ("Bad", "src[o_totalprice]"),  # right side not visible after semi
+            ],
+        )
+
+
+def test_v2_errors(spark, tpch):
+    with pytest.raises(EngineError, match="Invalid join instruction"):
+        run_mapping_v2(tpch, [("_join:nation", "garbage"), ("C", "src[c_name]")])
+    with pytest.raises(EngineError, match="Unknown table alias"):
+        run_mapping_v2(
+            tpch,
+            [("_join:bogus", "on: src[c_custkey] == bogus[x] how: inner"), ("C", "src[c_name]")],
+        )
+    with pytest.raises(EngineError, match="requires at least one agg"):
+        run_mapping_v2(tpch, [("_group:g", "by: src[c_mktsegment]"), ("C", "src[c_name]")])
+    with pytest.raises(EngineError, match="needs src"):
+        run_mapping_v2(
+            tpch,
+            [("_group:g", "by: src[c_mktsegment]"), ("S", "agg:sum")],
+        )
+
+
+def test_broadcast_hint_applied(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("Cust", "src[c_name]"),
+        ],
+    )
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()

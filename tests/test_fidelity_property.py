@@ -1,0 +1,61 @@
+"""Property test: compiled fidelity-mode plans must match the row-at-a-time
+reference semantics (tests/reference_impl.py) on arbitrary string tables and
+rule sets.
+
+Generation stays inside the documented grammar (no operator characters or
+brackets inside literals — substitution-order pathologies are documented
+deviations, SURVEY compiler notes)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+from tests.reference_impl import run_mapping_reference
+
+HEADERS = ["A", "B", "C"]
+VALUES = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
+          "Cali", "-3.2", " pad ", "B", "0", "3e2"]
+LITERALS = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
+            "Cali", "-3.2", "0", "B"]
+OPS = ["==", "!=", ">=", "<=", ">", "<"]
+
+operand = st.one_of(
+    st.sampled_from([f"src[{h}]" for h in HEADERS]),
+    st.sampled_from(LITERALS),
+)
+condition = st.builds(lambda l, op, r: f"{l} {op} {r}", operand, st.sampled_from(OPS), operand)
+filter_expr = st.lists(condition, min_size=1, max_size=3).map(" || ".join)
+
+direct_instruction = st.sampled_from(
+    [f"src[{h}]" for h in HEADERS] + HEADERS + ["not_a_header", "x src[A] y"]
+)
+
+rows = st.lists(
+    st.tuples(*[st.sampled_from(VALUES) for _ in HEADERS]).map(list),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(data=rows, fexprs=st.lists(filter_expr, min_size=0, max_size=2),
+       directs=st.lists(direct_instruction, min_size=1, max_size=3))
+def test_fidelity_matches_reference(spark, data, fexprs, directs):
+    rules = [(f"_filter:f{i}", f"eval: {e}") for i, e in enumerate(fexprs)]
+    rules += [(f"Out{i}", ins) for i, ins in enumerate(directs)]
+
+    exp_headers, exp_rows = run_mapping_reference(HEADERS, data, rules)
+
+    if data:
+        df = spark.createDataFrame([tuple(r) for r in data], HEADERS)
+    else:
+        df = spark.createDataFrame([], "A string, B string, C string")
+    got = run_mapping(df, parse_mapping(rules, HEADERS), mode="fidelity")
+    assert got.columns == exp_headers
+    got_rows = sorted([list(r) for r in got.collect()])
+    assert got_rows == sorted(exp_rows)
