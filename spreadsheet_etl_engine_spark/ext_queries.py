@@ -434,3 +434,65 @@ def text_wordcount_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> list_contains(['the','and','of','to','is','a','in'], t))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / greatest(len(string_split(text, ' ')), 1))
+             + 0.5 * (CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE) / 100.0)
+               AS quality_score
+    FROM documents
+    """,
+    doc="Per-document quality scoring: punctuation count, stopword ratio, "
+        "and a [0,1] heuristic score (type/token diversity + length term) "
+        "— per-row built-ins, shuffle-free.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = TXT.tokens(t)
+    stop = ["the", "and", "of", "to", "is", "a", "in"]
+    low_toks = TXT.tokens(F.lower(t))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).alias("n_punct"),
+        (
+            F.size(F.filter(low_toks, lambda x: x.isin(*stop))).cast("double")
+            / F.size(toks)
+        ).alias("stopword_ratio"),
+        TXT.quality_score(t).alias("quality_score"),
+    )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Window-function variants: dense_rank / percent_rank / ntile over "
+        "a per-key ordering (single shuffle on the partition key).",
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
