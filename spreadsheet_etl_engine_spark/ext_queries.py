@@ -496,3 +496,42 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prnk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_SIMHASH_SQL = """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * len(list_filter(
+                        list_transform(string_split(text, ' '),
+                                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+                        h -> ((h >> b) & 1) = 1))
+                        > len(string_split(text, ' '))
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM documents
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH s AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-duplicate pairs (Hamming distance <= 6 over the "
+        "32-bit sketch). Exact quadratic verification here for the oracle; "
+        "at scale candidates come from hash-prefix buckets first "
+        "(operators/dedup.py simhash notes).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sk = DD.simhash_sketch(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )

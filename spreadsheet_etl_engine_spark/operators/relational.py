@@ -86,6 +86,33 @@ def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100)
     return df.filter(bucket < percent)
 
 
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    *,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salting join: the manual fallback when AQE's skew-join split
+    can't help (e.g. one key holds >spill-size of rows on the *build*
+    side, or the join is followed by a key-preserving op that re-skews).
+
+    The skewed side gets a random salt in [0, salt); the small side is
+    replicated ``salt`` times (explode over the salt range); joining on
+    (key, salt) spreads each hot key over ``salt`` partitions.  Replication
+    multiplies the small side — only use when small ≪ skewed.
+    """
+    # Any salt value works (the small side is replicated for all of them),
+    # so a cheap row-local counter is enough to spread hot keys.
+    salted_left = skewed.withColumn("_salt", F.monotonically_increasing_id() % salt)
+    exploded_right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = salted_left.join(exploded_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias_prefix: str) -> DataFrame:
     """Mean / population variance / stddev computed from exact decimal
     power sums (Σx, Σx²) in ONE pass: algebraic aggregates that combine

@@ -125,3 +125,19 @@ def test_embedding_neardup_with_lsh_planes(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (0, 1) in pairs
     assert (0, 4) not in pairs
+
+
+def test_salted_join_matches_plain_join(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import salted_join
+
+    # Heavily skewed left side: one hot key.
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1), (3, 2)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unused")], ["k", "name"])
+    out = salted_join(left, right, key="k", salt=8)
+    plain = left.join(right, "k")
+    assert out.count() == plain.count() == 501  # k=1 x500, k=2 x1, k=3 unmatched
+    assert set(out.columns) == set(plain.columns)
+    got = out.groupBy("k").count().orderBy("k").collect()
+    assert [(r["k"], r["count"]) for r in got] == [(1, 500), (2, 1)]
