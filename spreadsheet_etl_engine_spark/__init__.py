@@ -43,6 +43,20 @@ from spreadsheet_etl_engine_spark.plans.parser import (
 from spreadsheet_etl_engine_spark.plans.runner import run_mapping
 from spreadsheet_etl_engine_spark.session import get_spark
 
+
+def run_mapping_v2(*args, **kwargs):
+    """Map-DSL v2 (joins + aggregation rule kinds); see plans.extensions."""
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2 as _impl
+
+    return _impl(*args, **kwargs)
+
+
+def run_job(*args, **kwargs):
+    """Full mapping-job lifecycle (config -> source -> map -> sink); see jobs."""
+    from spreadsheet_etl_engine_spark.jobs import run_job as _impl
+
+    return _impl(*args, **kwargs)
+
 __all__ = [
     "EngineError",
     "FilterRule",
@@ -58,7 +72,9 @@ __all__ = [
     "load_config",
     "parse_map_table",
     "parse_mapping",
+    "run_job",
     "run_mapping",
+    "run_mapping_v2",
 ]
 
 __version__ = "0.1.0"

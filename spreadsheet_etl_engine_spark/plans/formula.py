@@ -322,6 +322,35 @@ class _Parser:
             return F.concat(*[a.cast("string") for a in args])
         if name in ("COALESCE", "IFERROR"):
             return F.coalesce(*args)
+        if name == "MOD":
+            arity(2)
+            # Sheets MOD takes the divisor's sign — pmod matches for the
+            # positive-divisor domain.
+            return F.pmod(args[0], args[1])
+        if name == "INT":
+            arity(1)
+            return F.floor(args[0])
+        if name == "CEILING":
+            arity(1)
+            return F.ceil(args[0])
+        if name == "FLOOR":
+            arity(1)
+            return F.floor(args[0])
+        if name == "SQRT":
+            arity(1)
+            return F.sqrt(args[0])
+        if name == "EXP":
+            arity(1)
+            return F.exp(args[0])
+        if name == "LN":
+            arity(1)
+            return F.log(args[0])
+        if name == "LOG10":
+            arity(1)
+            return F.log10(args[0])
+        if name == "POWER":
+            arity(2)
+            return F.pow(args[0], args[1])
         raise FormulaSyntaxError(f"unsupported function {name!r}", self.rule)
 
 

@@ -814,6 +814,43 @@ def dsl_v2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (distinct from rollup/cube lattices).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey AS k FROM lineitem
+    EXCEPT ALL
+    SELECT o_orderkey AS k FROM orders
+    """,
+    doc="Multiset difference (EXCEPT ALL — multiplicity-aware, vs the "
+        "distinct EXCEPT in set_except).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return li.exceptAll(o)
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 

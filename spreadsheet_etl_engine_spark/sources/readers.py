@@ -27,6 +27,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds with *integer* division (floating division would lose
     precision above 2^53 ns), matching DuckDB's ns→µs truncation.
     """
+    # Timestamp-to-string casts in query outputs assume a UTC session —
+    # pin it here so driver-created sessions with another TZ still match
+    # the (naive-timestamp) DuckDB oracles.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -65,12 +69,13 @@ def read_excel(
     import pandas as pd  # baked in
 
     try:
-        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str if fidelity else None)
-    except ImportError as e:  # openpyxl missing
+        import openpyxl  # noqa: F401
+    except ImportError as e:
         raise ImportError(
             "read_excel requires an Excel engine (openpyxl); install it or "
             "convert the workbook to CSV/parquet"
         ) from e
+    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str if fidelity else None)
     if fidelity:
         pdf = pdf.fillna("")
     return spark.createDataFrame(pdf)

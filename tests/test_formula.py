@@ -92,3 +92,15 @@ def test_unknown_self_ref(spark):
     spec = parse_mapping([("A", "formula:=self[Nope]+1")], ["Amount"])
     with pytest.raises(UnknownSelfRefError):
         run_mapping(df, spec)
+
+
+def test_math_functions(spark):
+    assert _eval_one(spark, "=MOD(7, 3)") == 1.0
+    assert _eval_one(spark, "=INT(2.9)") == 2
+    assert _eval_one(spark, "=CEILING(2.1)") == 3
+    assert _eval_one(spark, "=FLOOR(2.9)") == 2
+    assert _eval_one(spark, "=SQRT(16)") == 4.0
+    assert _eval_one(spark, "=POWER(2, 10)") == 1024.0
+    assert _eval_one(spark, "=ROUND(EXP(1), 4)") == 2.7183
+    assert _eval_one(spark, "=LN(EXP(1))") == 1.0
+    assert _eval_one(spark, "=LOG10(1000)") == 3.0

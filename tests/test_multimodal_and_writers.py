@@ -87,3 +87,43 @@ def test_csv_roundtrip(spark, tmp_path):
     back = read_csv(spark, path, fidelity=True)
     assert {(r["x"], r["y"]) for r in back.collect()} == {("1", "a"), ("2", "b")}
     assert dict(back.dtypes) == {"x": "string", "y": "string"}
+
+
+def test_read_excel_gated(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.sources.readers import read_excel
+
+    # pandas needs openpyxl for xlsx; absent in this container -> the
+    # gate must surface a clear ImportError, not a pandas internal one.
+    fake = tmp_path / "wb.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    with pytest.raises(ImportError):
+        read_excel(spark, str(fake))
+
+
+def test_fidelity_csv_pipeline_end_to_end(spark, tmp_path):
+    """Spreadsheet-faithful path: CSV in, all-string processing, CSV out."""
+    from spreadsheet_etl_engine_spark.plans.parser import parse_map_table
+    from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+    from spreadsheet_etl_engine_spark.sources.readers import read_csv
+
+    src_dir = str(tmp_path / "people_csv")
+    spark.createDataFrame(
+        [("Ana", "17", "85%"), ("Bob", "30", "7.5"), ("Cy", "abc", "0")],
+        ["Name", "Age", "Score"],
+    ).write.mode("overwrite").option("header", "true").csv(src_dir)
+
+    df = read_csv(spark, src_dir, fidelity=True)
+    out = run_mapping(
+        df,
+        parse_map_table(
+            [["rule", "instruction"],
+             ["_filter:adult", "eval: src[Age] >= 18"],
+             ["Who", "src[Name]"],
+             ["Pct", "src[Score]"]],
+            df.columns,
+        ),
+        mode="fidelity",
+    )
+    rows = {r["Who"]: r["Pct"] for r in out.collect()}
+    assert rows == {"Bob": "7.5"}  # "17" < 18, "abc" is NaN -> dropped
+    assert dict(out.dtypes) == {"Who": "string", "Pct": "string"}

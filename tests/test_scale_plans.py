@@ -96,3 +96,19 @@ def test_whole_stage_codegen_on_dsl_pipeline(spark, sf_dir):
     # The `*(n)` prefix marks operators inside a WholeStageCodegen span.
     plan = _plan(registry.get("dsl_flagship").fn(spark, sf_dir))
     assert plan.startswith("*(1)") or "*(1)" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Hive-style partitioned output prunes at read time: the standard
+    layout for time/category-partitioned 100 TB datasets."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    path = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "login")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "event_type" in part_filters
