@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from spreadsheet_etl_engine_spark.errors import EmptyHeadersError
 from spreadsheet_etl_engine_spark.plans.compiler import compile_mapping
 from spreadsheet_etl_engine_spark.plans.parser import MappingSpec
 
@@ -23,6 +24,8 @@ def run_mapping(source: DataFrame, spec: MappingSpec, *, mode: str = "typed") ->
     sources); ``mode='fidelity'`` reproduces the reference's display-string
     semantics exactly (every output column is a string).
     """
+    if not source.columns:
+        raise EmptyHeadersError()  # reference main.gs:55-56
     predicate, columns = compile_mapping(source, spec, mode=mode)
     out = source
     if predicate is not None:

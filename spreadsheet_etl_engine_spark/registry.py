@@ -55,21 +55,33 @@ def _dec_sum(col, alias: str):
     return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
 
 
+def _cents(col) -> "F.Column":
+    """2-decimal money as integer cents: round(x*100) is within 1e-9 of an
+    integer for every stored double, so both engines land on the same
+    value, and the subsequent sum is exact long arithmetic — faster than
+    wide-decimal accumulation and just as order-independent."""
+    return F.round(col * 100).cast("long")
+
+
+def _cents_sum(col, alias: str):
+    return (F.sum(_cents(col)) / 100.0).alias(alias)
+
+
 def _revenue_sum(alias: str):
-    """sum(extendedprice * (1 - discount)) with each *factor* cast to
-    decimal before multiplying: the product is exact decimal arithmetic, so
-    the rounding point is engine-independent (casting the double *product*
-    to decimal rounds differently between Spark and DuckDB on ties)."""
-    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-    )
-    return F.sum(rev).cast("double").alias(alias)
+    """sum(extendedprice * (1 - discount)) in exact integer arithmetic:
+    cents * (100 - discount_percent_x100) summed as longs, one final
+    division.  No float accumulation, no decimal object overhead."""
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    return (F.sum(rev) / 10000.0).alias(alias)
 
 
-# The matching oracle fragment for _revenue_sum.
+# The matching oracle fragments.
+_CENTS_BASE_SQL = (
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0"
+)
 _REVENUE_SQL = (
-    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)"
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    "(100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0"
 )
 
 
@@ -284,7 +296,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            count(*) AS count_order,
            sum(l_quantity) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           {_CENTS_BASE_SQL} AS sum_base_price,
            {_REVENUE_SQL} AS sum_disc_price,
            sum(l_quantity) / count(*) AS avg_qty,
            count(DISTINCT l_orderkey) AS n_orders
@@ -299,7 +311,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("count_order"),
         F.sum("l_quantity").alias("sum_qty"),
-        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        _cents_sum(F.col("l_extendedprice"), "sum_base_price"),
         _revenue_sum("sum_disc_price"),
         (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
