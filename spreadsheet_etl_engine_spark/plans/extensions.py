@@ -16,6 +16,11 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
   ``agg:<fn>:src[col]`` with fn ∈ count, countd, sum, sumd, min, max,
   avgd.  ``sumd``/``avgd`` accumulate in DECIMAL(18,2) and cast back to
   double — the engine-reproducible form for unordered money sums.
+* ``_having:<name>`` rules: post-aggregation filters in the v1 expression
+  grammar, referencing aggregate output columns (``src[n_customers] >= 10``).
+* ``_sort:<name>``: ``by: src[col] [asc|desc], ...`` and
+  ``_limit:<name>``: ``<n>`` — applied after projection/aggregation
+  (together they plan as TakeOrderedAndProject, never a global sort).
 
 Everything else (filters, DIRECT/CONSTANT/FORMULA columns, comments,
 validation) is v1: after the joins run, all columns share one namespace and
@@ -42,6 +47,9 @@ from spreadsheet_etl_engine_spark.plans.parser import (
 
 JOIN_PREFIX = "_join:"
 GROUP_PREFIX = "_group:"
+HAVING_PREFIX = "_having:"
+SORT_PREFIX = "_sort:"
+LIMIT_PREFIX = "_limit:"
 AGG_PREFIX = "agg:"
 
 _JOIN_RE = re.compile(
@@ -72,11 +80,20 @@ class AggColumn:
 
 
 @dataclass(frozen=True)
+class SortKey:
+    column: str
+    descending: bool
+
+
+@dataclass(frozen=True)
 class MappingSpecV2:
     joins: tuple[JoinRule, ...]
     group_by: tuple[str, ...]
     aggs: tuple[AggColumn, ...]
     base: MappingSpec  # v1 filters + non-agg output columns
+    having: tuple[str, ...] = ()  # post-agg filter expressions (v1 grammar)
+    sort_keys: tuple[SortKey, ...] = ()
+    limit: int | None = None
 
 
 def _normalize_refs(text: str, aliases: Iterable[str]) -> str:
@@ -98,6 +115,9 @@ def parse_mapping_v2(
     joins: list[JoinRule] = []
     group_by: list[str] = []
     aggs: list[AggColumn] = []
+    having: list[str] = []
+    sort_keys: list[SortKey] = []
+    limit: int | None = None
     v1_rules: list[tuple[str, str]] = []
     aliases = [a for a in tables if a != source]
 
@@ -155,6 +175,34 @@ def parse_mapping_v2(
                 group_by.append(col)
             continue
 
+        if name.startswith(HAVING_PREFIX):
+            body = _normalize_refs(instruction, aliases)
+            if body.startswith("eval:"):
+                body = body[len("eval:"):].strip()
+            having.append(body)
+            continue
+
+        if name.startswith(SORT_PREFIX):
+            for part in _normalize_refs(instruction, aliases).removeprefix("by:").split(","):
+                m = re.fullmatch(
+                    r"\s*(?:src\[([^\]]+)\]|(\w+))(?:\s+(asc|desc))?\s*", part, re.IGNORECASE
+                )
+                if not m:
+                    raise EngineError(f'Invalid sort key "{part.strip()}" in rule "{name}".')
+                sort_keys.append(
+                    SortKey(
+                        column=m.group(1) or m.group(2),
+                        descending=(m.group(3) or "asc").lower() == "desc",
+                    )
+                )
+            continue
+
+        if name.startswith(LIMIT_PREFIX):
+            if not instruction.isdigit():
+                raise EngineError(f'Limit must be a non-negative integer in rule "{name}".')
+            limit = int(instruction)
+            continue
+
         instruction = _normalize_refs(instruction, aliases)
         m = _AGG_RE.match(instruction)
         if m and not name.startswith(FILTER_PREFIX):
@@ -179,8 +227,11 @@ def parse_mapping_v2(
     base = parse_mapping(v1_rules, visible_cols, require_output=not aggs)
     if group_by and not aggs:
         raise EngineError("A _group: rule requires at least one agg: output column.")
+    if having and not aggs:
+        raise EngineError("A _having: rule requires an aggregating mapping.")
     return MappingSpecV2(
-        joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base
+        joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base,
+        having=tuple(having), sort_keys=tuple(sort_keys), limit=limit,
     )
 
 
@@ -227,5 +278,25 @@ def run_mapping_v2(
 
     if spec.aggs:
         keys = [F.col(k) for k in spec.group_by]
-        return df.groupBy(*keys).agg(*[_agg_expr(a) for a in spec.aggs])
-    return df.select(*compiler.compile_columns(spec.base))
+        out = df.groupBy(*keys).agg(*[_agg_expr(a) for a in spec.aggs])
+        if spec.having:
+            from spreadsheet_etl_engine_spark.plans.parser import parse_filter_expression
+
+            having_compiler = MappingCompiler(out, mode=mode)
+            for i, expr_text in enumerate(spec.having):
+                conditions = parse_filter_expression(expr_text, f"_having:{i}")
+                pred = None
+                for cond in conditions:
+                    c = having_compiler.compile_condition(cond)
+                    pred = c if pred is None else (pred | c)
+                if pred is not None:
+                    out = out.filter(pred)
+    else:
+        out = df.select(*compiler.compile_columns(spec.base))
+    if spec.sort_keys:
+        out = out.orderBy(
+            *[F.desc(k.column) if k.descending else F.asc(k.column) for k in spec.sort_keys]
+        )
+    if spec.limit is not None:
+        out = out.limit(spec.limit)
+    return out

@@ -109,3 +109,59 @@ def test_broadcast_hint_applied(spark, tpch):
         ],
     )
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_having_sort_limit(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("_group:g", "by: src[n_name]"),
+            ("n_customers", "agg:count"),
+            ("max_bal", "agg:max:src[c_acctbal]"),
+            ("_having:big", "eval: src[n_customers] >= 5"),
+            ("_sort:s", "by: src[n_customers] desc, src[n_name]"),
+            ("_limit:top", "3"),
+        ],
+    )
+    rows = out.collect()
+    assert len(rows) <= 3
+    counts = [r["n_customers"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= 5 for c in counts)
+    # sort+limit plans as top-k, not a global sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sort_limit_without_grouping(spark, tpch):
+    out = run_mapping_v2(
+        tpch,
+        [
+            ("Cust", "src[c_name]"),
+            ("Bal", "src[c_acctbal]"),
+            ("_sort:s", "by: src[Bal] desc"),
+            ("_limit:l", "5"),
+        ],
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    bals = [r["Bal"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_having_without_agg_raises(spark, tpch):
+    from spreadsheet_etl_engine_spark.errors import EngineError
+
+    with pytest.raises(EngineError, match="_having"):
+        run_mapping_v2(
+            tpch,
+            [("_having:x", "eval: src[c_acctbal] > 0"), ("C", "src[c_name]")],
+        )
+
+
+def test_bad_limit_raises(spark, tpch):
+    from spreadsheet_etl_engine_spark.errors import EngineError
+
+    with pytest.raises(EngineError, match="Limit"):
+        run_mapping_v2(tpch, [("_limit:x", "ten"), ("C", "src[c_name]")])

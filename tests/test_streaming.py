@@ -74,3 +74,38 @@ def test_watermark_in_plan(spark, event_dir):
     stream = SE.read_event_stream(spark, event_dir)
     agg = SE.tumbling_counts(stream, watermark="42 minutes")
     assert "42 minutes" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """File-sink + checkpoint: restarting the stream picks up where it
+    left off — new files only, no reprocessing (exactly-once at the
+    file-source level)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            SE.read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # No event processed twice.
+    assert back.select("event_id").distinct().count() == ev.count()
