@@ -30,6 +30,28 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d * d))
 
 
+def cosine_pandas(a: Column, b: Column) -> Column:
+    """Arrow-batched pandas-UDF cosine — the escape hatch when a kernel
+    genuinely can't be expressed with built-ins (this one can; the expr
+    version above is the default).  Batches arrive as pandas Series of
+    numpy arrays; math is vectorized numpy, never per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_fn(xs, ys):
+        xm = np.stack(xs.to_numpy()).astype(np.float64)
+        ym = np.stack(ys.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", xm, ym)
+        norms = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
+        return pd.Series(dots / norms)
+
+    # Real (non-string) annotations: this module uses postponed annotation
+    # evaluation, which pandas_udf's signature inspection cannot resolve.
+    _cos_fn.__annotations__ = {"xs": pd.Series, "ys": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos_fn, "double")(a, b)
+
+
 def hyperplane_signature(a: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a long.  ``planes`` is a small engine-generated list (broadcast as

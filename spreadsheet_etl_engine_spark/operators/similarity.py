@@ -57,14 +57,30 @@ def train_centroids_lite(
 ) -> list[list[float]]:
     """IVF centroid 'training' without MLlib: deterministic sample of
     ``nlist`` vectors as centroids (k-means|| init without the iterations).
-    Good enough to demonstrate the partition-pruning shape; swap in
-    pyspark.ml KMeans for production recall."""
+    Cheap fallback; ``train_centroids_kmeans`` is the quality path."""
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
         .limit(nlist * sample_per_list)
         .collect()
     )
     return [list(map(float, r["v"])) for r in rows[:nlist]]
+
+
+def train_centroids_kmeans(
+    corpus: DataFrame, vec_col: str, *, nlist: int = 16, seed: int = 42, max_iter: int = 10
+) -> list[list[float]]:
+    """Real IVF centroids via pyspark.ml KMeans (k-means|| init, fixed
+    seed).  Training runs distributed over the corpus; only the ``nlist``
+    centroid vectors come back to the driver (tiny — they are broadcast
+    into the assignment expression as literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
 
 
 def assign_centroid(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
@@ -93,11 +109,16 @@ def topk_ivf(
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 4,
+    kmeans: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest centroid
     partitions per query.  Recall < 1 by design; the bruteforce operator
-    is the exact baseline."""
-    centroids = train_centroids_lite(corpus, vec_col, nlist=nlist)
+    is the exact baseline.  ``kmeans=True`` trains real centroids via
+    MLlib; False uses the cheap deterministic-sample fallback."""
+    if kmeans:
+        centroids = train_centroids_kmeans(corpus, vec_col, nlist=nlist)
+    else:
+        centroids = train_centroids_lite(corpus, vec_col, nlist=nlist)
     c = assign_centroid(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", centroids
     )

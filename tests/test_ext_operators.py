@@ -141,3 +141,33 @@ def test_salted_join_matches_plain_join(spark):
     assert set(out.columns) == set(plain.columns)
     got = out.groupBy("k").count().orderBy("k").collect()
     assert [(r["k"], r["count"]) for r in got] == [(1, 500), (2, 1)]
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    """KMeans-IVF with nprobe=half the lists must recover most of the true
+    top-k on the real embeddings table."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    approx = SIM.topk_ivf(emb, queries, "embedding", "vec_id",
+                          k=5, nlist=8, nprobe=4, kmeans=True)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_cosine_pandas_matches_expr(spark):
+    from spreadsheet_etl_engine_spark.functions import vectors as VEC
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    pair = emb.alias("a").crossJoin(emb.alias("b")).limit(200).select(
+        VEC.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c_expr"),
+        VEC.cosine_pandas(F.col("a.embedding"), F.col("b.embedding")).alias("c_pd"),
+    )
+    rows = pair.collect()
+    assert len(rows) == 200
+    assert all(abs(r["c_expr"] - r["c_pd"]) < 1e-12 for r in rows)

@@ -104,3 +104,25 @@ def test_math_functions(spark):
     assert _eval_one(spark, "=ROUND(EXP(1), 4)") == 2.7183
     assert _eval_one(spark, "=LN(EXP(1))") == 1.0
     assert _eval_one(spark, "=LOG10(1000)") == 3.0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def arith_expr(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return str(draw(st.integers(min_value=0, max_value=99)))
+    left = draw(arith_expr(depth=depth + 1))
+    right = draw(arith_expr(depth=depth + 1))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    return f"({left}{op}{right})"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=arith_expr())
+def test_formula_arithmetic_matches_python(spark, expr):
+    got = _eval_one(spark, f"={expr}")
+    assert got == float(eval(expr))  # noqa: S307 — generated arithmetic only

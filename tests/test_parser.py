@@ -154,3 +154,16 @@ def test_load_config_defaults_and_overrides():
     assert cfg.output == "out"
     with pytest.raises(MissingConfigError):
         load_config({"source": "  "})
+
+
+@given(st.text(max_size=40), st.text(max_size=60))
+def test_parser_never_raises_foreign_exceptions(name, instruction):
+    """Arbitrary rule text either parses or raises an EngineError —
+    never an internal exception (the reference's design principle of
+    contextualized errors, docs/expression-language.md:285-292)."""
+    from spreadsheet_etl_engine_spark.errors import EngineError
+
+    try:
+        parse_mapping([(name, instruction), ("Out", "src[Name]")], HEADERS)
+    except EngineError:
+        pass
