@@ -24,7 +24,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType(
@@ -124,6 +125,68 @@ def decode_media(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over the binary column via ``mapInPandas``.
+
+    The real path would run an image/audio encoder per Arrow batch; with
+    media libs absent the kernel is a deterministic fake (md5-seeded
+    pseudo-embedding), but the batch shape — one encoder call per Arrow
+    batch, output an ``array<float>`` column — is the production shape.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf["data"]:
+                digest = hashlib.md5(bytes(data)).digest()
+                vec = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+                feats.append((vec.astype(np.float32) / 65535.0).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.mapInPandas(encode, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Image resize plan: with PIL absent, rewrites the fake header to the
+    target dimensions (payload untouched) — marking exactly where the real
+    kernel goes while keeping schema/batching real."""
+    import pandas as pd
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL  # noqa: F401
+            raise NotImplementedError("real resize requires PIL wiring")
+        except ImportError:
+            pass
+        for pdf in batches:
+            out = []
+            for data in pdf["data"]:
+                raw = bytes(data)
+                tag, _dims, payload = raw.split(b":", 2)
+                if tag == b"IMG":
+                    raw = b"IMG:%dx%d:" % (width, height) + payload
+                out.append(raw)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    return df.mapInPandas(resize, df.schema)
 
 
 def frame_sample(df: DataFrame, *, every_k: int = 2) -> DataFrame:

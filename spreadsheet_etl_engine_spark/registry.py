@@ -863,6 +863,40 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.exceptAll(o)
 
 
+@register(
+    "dsl_v2_having_topn",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers, max(c_acctbal) AS max_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) >= 3
+    ORDER BY n_customers DESC, n_name
+    LIMIT 5
+    """,
+    doc="Map-DSL v2 _having/_sort/_limit: post-agg filter + deterministic "
+        "top-N (plans as TakeOrderedAndProject, never a global sort).",
+)
+def dsl_v2_having_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+
+    tables = {
+        "src": load_table(spark, sf_dir, "customer"),
+        "nation": load_table(spark, sf_dir, "nation"),
+    }
+    return run_mapping_v2(
+        tables,
+        [
+            ("_join:nation", "on: src[c_nationkey] == nation[n_nationkey] how: inner broadcast"),
+            ("_group:g", "by: src[n_name]"),
+            ("n_customers", "agg:count"),
+            ("max_bal", "agg:max:src[c_acctbal]"),
+            ("_having:min3", "eval: src[n_customers] >= 3"),
+            ("_sort:s", "by: src[n_customers] desc, src[n_name]"),
+            ("_limit:top", "5"),
+        ],
+    )
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 

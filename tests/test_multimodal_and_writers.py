@@ -127,3 +127,25 @@ def test_fidelity_csv_pipeline_end_to_end(spark, tmp_path):
     rows = {r["Who"]: r["Pct"] for r in out.collect()}
     assert rows == {"Bob": "7.5"}  # "17" < 18, "abc" is NaN -> dropped
     assert dict(out.dtypes) == {"Who": "string", "Pct": "string"}
+
+
+def test_extract_features_deterministic(spark):
+    media = MM.synth_media(spark, 12)
+    feats = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    assert len(feats) == 12
+    assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
+    assert all(0.0 <= x <= 1.0 for v in feats.values() for x in v)
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    assert feats == again
+
+
+def test_resize_rewrites_image_headers_only(spark):
+    media = MM.synth_media(spark, 9)
+    resized = MM.resize_images(media, width=8, height=8)
+    decoded = {r["media_id"]: r for r in MM.decode_media(resized).collect()}
+    for mid, row in decoded.items():
+        if row["kind"] == "image":
+            assert (row["width"], row["height"]) == (8, 8)
+        else:
+            orig = {r["media_id"]: r for r in MM.decode_media(media).collect()}[mid]
+            assert (row["width"], row["height"]) == (orig["width"], orig["height"])
