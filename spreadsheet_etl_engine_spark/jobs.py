@@ -63,11 +63,17 @@ def run_job(
     )
     spec = parse_map_table(map_table, source.columns)
     out = run_mapping(source, spec, mode=mode)
+    # The reference reports the produced row count (main.gs:133).  When
+    # writing, count the *written* output instead of re-executing the whole
+    # pipeline (parquet counts come from file metadata; a second full
+    # scan+shuffle would double the job's cost).
     if write:
         if cfg.output.endswith(".csv"):
             write_csv(out, cfg.output)
+            rows = spark.read.option("header", "true").csv(cfg.output).count()
         else:
             write_parquet(out, cfg.output)
-    # count() executes the same plan the sink wrote; the reference reports
-    # the produced row count in its success alert (main.gs:133).
-    return JobResult(output=out, rows_written=out.count(), config=cfg)
+            rows = spark.read.parquet(cfg.output).count()
+    else:
+        rows = out.count()
+    return JobResult(output=out, rows_written=rows, config=cfg)

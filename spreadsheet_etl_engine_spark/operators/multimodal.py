@@ -105,7 +105,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             import PIL  # noqa: F401
-            decoder = None  # pragma: no cover — would select _decode_real
+
+            decoder = _decode_real  # pragma: no cover — raises the marked stub
         except ImportError:
             decoder = _decode_fake
         for pdf in batches:

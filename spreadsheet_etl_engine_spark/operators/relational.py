@@ -69,8 +69,10 @@ def pivot_counts(
 ) -> DataFrame:
     """Pivot with an explicit value list — never the value-discovering
     variant (which runs an extra distinct job and breaks at high
-    cardinality).  Map-side combinable: one shuffle on ``row_key``."""
-    return df.groupBy(row_key).pivot(pivot_key, values).count().na.fill(0)
+    cardinality).  Map-side combinable: one shuffle on ``row_key``.
+    Only the pivoted count columns are zero-filled — a NULL row key must
+    stay NULL, not merge with a genuine 0 key."""
+    return df.groupBy(row_key).pivot(pivot_key, values).count().na.fill(0, subset=values)
 
 
 def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100) -> DataFrame:
@@ -124,7 +126,9 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
     sx = F.sum(x)
     sxx = F.sum(x * x)
     mean = (sx.cast("double") / n)
-    var = (sxx.cast("double") / n) - mean * mean
+    # Clamp at 0: the final double subtraction can land at -1e-18 for
+    # constant-valued groups, which would turn the stddev into NaN.
+    var = F.greatest((sxx.cast("double") / n) - mean * mean, F.lit(0.0))
     return df.groupBy(*group_cols).agg(
         n.alias(f"{alias_prefix}_n"),
         mean.alias(f"{alias_prefix}_mean"),

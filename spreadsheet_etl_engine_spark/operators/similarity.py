@@ -60,6 +60,9 @@ def train_centroids_lite(
     Cheap fallback; ``train_centroids_kmeans`` is the quality path."""
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
+        # Order before limit: a bare limit() depends on partition layout,
+        # which would make the "deterministic" sample anything but.
+        .orderBy(F.col("v"))
         .limit(nlist * sample_per_list)
         .collect()
     )

@@ -49,6 +49,7 @@ from spreadsheet_etl_engine_spark.plans.parser import (
     FilterRule,
     MappingSpec,
 )
+from spreadsheet_etl_engine_spark.plans.parser import strip_quotes as parser_strip_quotes
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -135,11 +136,7 @@ class MappingCompiler:
                 return _Operand(expr=F.col(name), pure_ref=name)
             return _Operand(expr=_strip_quotes_col(F.col(name).cast("string")), pure_ref=name)
         if not SRC_REF_RE.search(text):
-            literal = text
-            if literal.startswith('"'):
-                literal = literal[1:]
-            if literal.endswith('"'):
-                literal = literal[:-1]
+            literal = parser_strip_quotes(text)
             return _Operand(expr=F.lit(literal), literal=literal)
         return _Operand(expr=_strip_quotes_col(self._substituted_string(text)))
 

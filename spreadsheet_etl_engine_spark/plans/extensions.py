@@ -144,20 +144,25 @@ def parse_mapping_v2(
             if m.group("right") not in tables[alias]:
                 raise MissingColumnError(m.group("right"), name)
             how = _HOW_MAP[m.group("how")]
+            right_col = m.group("right")
             joins.append(
                 JoinRule(
                     name=name,
                     alias=alias,
                     left_col=m.group("left"),
-                    right_col=m.group("right"),
+                    right_col=right_col,
                     how=how,
                     broadcast=bool(m.group("bcast")),
                 )
             )
             if how not in ("left_semi", "left_anti"):
-                visible_cols = visible_cols + [
-                    c for c in tables[alias] if c != m.group("right")
-                ] + [m.group("right")]
+                # The right key column is dropped after the join when its
+                # name collides with an already-visible column (natural-key
+                # joins) — mirrored in run_mapping_v2.
+                incoming = [c for c in tables[alias] if c != right_col]
+                visible_cols = visible_cols + incoming
+                if right_col not in visible_cols:
+                    visible_cols = visible_cols + [right_col]
             continue
 
         if name.startswith(GROUP_PREFIX):
@@ -269,7 +274,12 @@ def run_mapping_v2(
         right = tables[j.alias]
         if j.broadcast:
             right = F.broadcast(right)
-        df = df.join(right, F.col(j.left_col) == F.col(j.right_col), j.how)
+        # DataFrame-qualified keys: unqualified F.col would be ambiguous
+        # whenever both sides share the key name (natural-key joins).
+        joined = df.join(right, df[j.left_col] == right[j.right_col], j.how)
+        if j.how not in ("left_semi", "left_anti") and j.right_col in df.columns:
+            joined = joined.drop(right[j.right_col])
+        df = joined
 
     compiler = MappingCompiler(df, mode=mode)
     predicate = compiler.compile_predicate(spec.base)

@@ -699,16 +699,20 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_moments",
     oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           count(*) AS qty_n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS qty_mean,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-               * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qty_var,
-           sqrt(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-               * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))) AS qty_std
-    FROM lineitem GROUP BY l_returnflag
+           n AS qty_n,
+           sx / n AS qty_mean,
+           greatest(sxx / n - (sx / n) * (sx / n), 0.0) AS qty_var,
+           sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0)) AS qty_std
+    FROM sums
     """,
     doc="Mean/variance/stddev from exact decimal power sums in one pass — "
         "algebraic aggregates that combine associatively across partitions "

@@ -55,8 +55,17 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
     """
     from pyspark.sql.window import Window
 
+    from spreadsheet_etl_engine_spark.plans.compiler import MappingCompiler
+
+    # Filters first: the reference numbers output rows over *surviving*
+    # rows only (currentRowNum = finalData.length + 2, main.gs:69), so an
+    # unfiltered numbering would shift every self[...] A1 address.
+    compiler = MappingCompiler(source, mode="fidelity")
+    predicate = compiler.compile_predicate(spec)
+    filtered = source.filter(predicate) if predicate is not None else source
+
     out_positions = {c.name: i + 1 for i, c in enumerate(spec.columns)}
-    ordered = source.withColumn(
+    ordered = filtered.withColumn(
         "_row", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
     )
     cols = []
@@ -70,10 +79,16 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
             if m.start() > pos:
                 parts.append(F.lit(body[pos:m.start()]))
             value = F.col(m.group(1)).cast("string")
-            # JS isNaN semantics (main.gs:92): '' and whitespace coerce to 0
-            # (numeric); otherwise Number(x) must parse.  try_cast avoids
+            # JS isNaN semantics (main.gs:92): only the FIRST '%' is
+            # removed (String.replace with a string pattern), '' and
+            # whitespace coerce to 0 (numeric), and try_cast avoids
             # ANSI-mode cast failures on non-numeric values.
-            nopct = F.regexp_replace(value, "%", "")
+            before = F.substring_index(value, "%", 1)
+            after_start = F.length(before) + 2
+            nopct = F.when(
+                value.contains("%"),
+                F.concat(before, value.substr(after_start, F.length(value))),
+            ).otherwise(value)
             numericish = (F.trim(nopct) == "") | nopct.try_cast("double").isNotNull()
             parts.append(F.when(numericish, value).otherwise(F.concat(F.lit('"'), value, F.lit('"'))))
             pos = m.end()
@@ -83,6 +98,8 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
 
         # self[X] → A1 address: column letter of X's declaration position +
         # output row number (+1 for the header row, main.gs:69,114).
+        # Literal replace (F.replace), so metacharacters in column names
+        # never become regex syntax.
         for sm in SELF_REF_RE.finditer(body):
             ref = sm.group(1)
             if ref in out_positions:
@@ -90,7 +107,7 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
                     F.lit(column_letter(out_positions[ref])),
                     (F.col("_row") + 1).cast("string"),
                 )
-                expr = F.regexp_replace(expr, F.lit(f"self\\[{ref}\\]"), addr)
+                expr = F.replace(expr, F.lit(f"self[{ref}]"), addr)
         cols.append(expr.alias(col.name))
     return ordered.select(F.col("_row"), *cols)
 

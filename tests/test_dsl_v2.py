@@ -165,3 +165,20 @@ def test_bad_limit_raises(spark, tpch):
 
     with pytest.raises(EngineError, match="Limit"):
         run_mapping_v2(tpch, [("_limit:x", "ten"), ("C", "src[c_name]")])
+
+
+def test_natural_key_join_same_column_name(spark):
+    """Both sides share the key column name — the common natural-key case
+    must not hit an ambiguous-reference error."""
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "val"])
+    dim = spark.createDataFrame([(1, "x"), (3, "y")], ["id", "name"])
+    out = run_mapping_v2(
+        {"src": left, "dim": dim},
+        [
+            ("_join:dim", "on: src[id] == dim[id] how: inner"),
+            ("Id", "src[id]"),
+            ("Val", "src[val]"),
+            ("Name", "src[name]"),
+        ],
+    )
+    assert [(r["Id"], r["Val"], r["Name"]) for r in out.collect()] == [(1, "a", "x")]

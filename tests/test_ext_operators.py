@@ -171,3 +171,27 @@ def test_cosine_pandas_matches_expr(spark):
     rows = pair.collect()
     assert len(rows) == 200
     assert all(abs(r["c_expr"] - r["c_pd"]) < 1e-12 for r in rows)
+
+
+def test_asof_join_directions(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 15, "p3")], ["uid", "t", "tag"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (1, 25, "c"), (2, 30, "d")], ["uid", "t", "label"]
+    )
+    back = asof_join(left, right, on="t", by="uid",
+                     right_cols={"label": "prev_label"}, direction="backward")
+    got = {(r["uid"], r["t"]): r["prev_label"] for r in back.collect()}
+    # t=20 matches the equal-timestamp right row (asof <=).
+    assert got == {(1, 10): "a", (1, 20): "b", (2, 15): None}
+
+    fwd = asof_join(left, right, on="t", by="uid",
+                    right_cols={"label": "next_label"}, direction="forward")
+    got_f = {(r["uid"], r["t"]): r["next_label"] for r in fwd.collect()}
+    assert got_f == {(1, 10): "b", (1, 20): "b", (2, 15): "d"}
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="t", by="uid", right_cols={}, direction="sideways")

@@ -149,3 +149,36 @@ def test_resize_rewrites_image_headers_only(spark):
         else:
             orig = {r["media_id"]: r for r in MM.decode_media(media).collect()}[mid]
             assert (row["width"], row["height"]) == (orig["width"], orig["height"])
+
+
+def test_formula_passthrough_numbers_surviving_rows_only(spark):
+    """A1 addresses count only rows that pass the filters (main.gs:69):
+    with the first rows filtered out, the first output row is still row 2."""
+    from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+
+    df = spark.createDataFrame(
+        [("1", "drop"), ("2", "drop"), ("30", "keep"), ("40", "keep")],
+        ["Qty", "Tag"],
+    )
+    spec = parse_mapping(
+        [
+            ("_filter:f", "eval: src[Qty] >= 30"),
+            ("Calc", "formula:=src[Qty]*2"),
+            ("Chained", "formula:=self[Calc]+1"),
+        ],
+        df.columns,
+    )
+    out = {r["Calc"]: r["Chained"] for r in W.formula_passthrough_columns(df, spec).collect()}
+    assert out == {"=30*2": "=A2+1", "=40*2": "=A3+1"}
+
+
+def test_formula_passthrough_first_percent_only(spark):
+    """Reference removes only the FIRST '%' before the isNaN check
+    (String.replace with a string pattern, main.gs:92): '12%%' stays
+    non-numeric and is quoted."""
+    from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+
+    df = spark.createDataFrame([("12%%",), ("12%",)], ["V"])
+    spec = parse_mapping([("Out", "formula:=src[V]")], df.columns)
+    got = sorted(r["Out"] for r in W.formula_passthrough_columns(df, spec).collect())
+    assert got == ['="12%%"', "=12%"]
