@@ -901,6 +901,42 @@ def dsl_v2_having_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_range_window",
+    oracle="""
+    SELECT p.event_id, p.user_id, count(e.ts) AS n_recent_errors
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL '10 minutes'
+     AND e.ts < p.ts
+    GROUP BY 1, 2
+    """,
+    doc="Range (interval) join: errors by the same user in the 10 minutes "
+        "before each purchase. The equi-key (user_id) carries the shuffle; "
+        "the range predicate filters within each key group — at 100 TB "
+        "bucket both sides by (user, time-bucket) so the range probe stays "
+        "partition-local.",
+)
+def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    return (
+        p.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") < F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("e_ts").alias("n_recent_errors"))
+    )
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 
