@@ -937,6 +937,35 @@ def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey)  OVER w AS last_order,
+           count(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / last_value over an unbounded frame (per-customer "
+        "first and latest order).",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count("*").over(w).alias("n_orders"),
+    ).distinct()
+
+
 def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 

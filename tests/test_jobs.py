@@ -53,3 +53,25 @@ def test_run_job_missing_source(spark, tmp_path):
             map_table=MAP_TABLE,
             write=False,
         )
+
+
+def test_run_job_map_table_from_storage(spark, sf_dir, tmp_path):
+    """The reference's three-sheet model with every 'sheet' a stored
+    table: Dashboard config + Map rules + Source all resolved by path."""
+    map_path = str(tmp_path / "map_table")
+    spark.createDataFrame(
+        [("_filter:big", "eval: src[l_quantity] >= 30"),
+         ("OrderKey", "src[l_orderkey]"),
+         ("Qty", "src[l_quantity]")],
+        ["rule", "instruction"],
+    ).coalesce(1).write.mode("overwrite").option("header", "true").csv(map_path)
+
+    result = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet", "map": map_path,
+                "output": str(tmp_path / "out")},
+        map_table=None,
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert result.rows_written == li.filter("l_quantity >= 30").count()
+    assert spark.read.parquet(str(tmp_path / "out")).columns == ["OrderKey", "Qty"]
