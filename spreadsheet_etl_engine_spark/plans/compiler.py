@@ -34,6 +34,7 @@ reference and deliberately not reproduced):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -57,7 +58,29 @@ _NUMERIC_TYPES = (
 )
 
 # JS parseFloat: longest numeric prefix, else NaN (→ comparisons false).
-_PARSEFLOAT_PREFIX = r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"
+# The "Infinity" keyword is accepted (JS does); bare "Inf" is not, and
+# neither are Python-isms like "nan" or underscore separators.
+_PARSEFLOAT_PREFIX = r"^[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)"
+_FULL_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def parse_float_literal(text: str) -> float | None:
+    """JS ``parseFloat`` applied to a compile-time literal: numeric prefix
+    of the trimmed text, else None (NaN).  Deliberately NOT Python
+    ``float()``, which accepts "Inf"/"nan"/"1_0" that parseFloat rejects."""
+    m = re.match(_PARSEFLOAT_PREFIX, text.strip())
+    if not m:
+        return None
+    return float(m.group(0))  # Python float() handles "[+-]Infinity" too
+
+
+def full_float_literal(text: str) -> float | None:
+    """The literal as a number only if the WHOLE text is a plain decimal
+    (typed-mode equality: a numeric column can only equal a fully numeric
+    literal)."""
+    if _FULL_FLOAT_RE.fullmatch(text.strip()):
+        return float(text.strip())
+    return None
 
 
 def parse_float_col(col: Column) -> Column:
@@ -153,10 +176,8 @@ class MappingCompiler:
                 return F.col(operand.pure_ref)
             return parse_float_col(F.col(operand.pure_ref))
         if operand.literal is not None:
-            try:
-                return F.lit(float(operand.literal))
-            except ValueError:
-                return parse_float_col(F.lit(operand.literal))
+            value = parse_float_literal(operand.literal)
+            return F.lit(value).cast("double")
         return parse_float_col(operand.expr)
 
     def _equality_sides(self, left: _Operand, right: _Operand) -> tuple[Column, Column]:
@@ -171,10 +192,8 @@ class MappingCompiler:
             def num_lit(o: _Operand) -> Column | None:
                 if o.literal is None:
                     return None
-                try:
-                    return F.lit(float(o.literal))
-                except ValueError:
-                    return None
+                value = full_float_literal(o.literal)
+                return None if value is None else F.lit(value)
 
             if native(left) and native(right):
                 return F.col(left.pure_ref), F.col(right.pure_ref)

@@ -16,14 +16,17 @@ import re
 
 OPERATORS = ("==", "!=", ">=", "<=", ">", "<")
 _INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
-_PARSEFLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+_PARSEFLOAT_RE = re.compile(r"^[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)")
 
 
 def parse_float(s: str) -> float:
     m = _PARSEFLOAT_RE.match(s.strip())
     if not m:
         return math.nan
-    return float(m.group(0))
+    text = m.group(0)
+    if "Infinity" in text:
+        return -math.inf if text.startswith("-") else math.inf
+    return float(text)
 
 
 def strip_quotes(s: str) -> str:

@@ -17,10 +17,14 @@ from spreadsheet_etl_engine_spark.plans.runner import run_mapping
 from tests.reference_impl import run_mapping_reference
 
 HEADERS = ["A", "B", "C"]
+# Pool includes parseFloat landmines: "Inf" (NaN in JS, inf in Python
+# float()), "Infinity" (valid in both), "nan"/"1_0" (Python-only), "1e"
+# (prefix-parses to 1), "+5"/".5"/"3e2" (valid prefixes).
 VALUES = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
-          "Cali", "-3.2", " pad ", "B", "0", "3e2"]
+          "Cali", "-3.2", " pad ", "B", "0", "3e2", "+5", ".5", "1e",
+          "Inf", "Infinity", "-Infinity", "nan", "1_0", "%5", "a b"]
 LITERALS = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
-            "Cali", "-3.2", "0", "B"]
+            "Cali", "-3.2", "0", "B", "Inf", "Infinity", "1e", ".5"]
 OPS = ["==", "!=", ">=", "<=", ">", "<"]
 
 operand = st.one_of(

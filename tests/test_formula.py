@@ -126,3 +126,17 @@ def arith_expr(draw, depth=0):
 def test_formula_arithmetic_matches_python(spark, expr):
     got = _eval_one(spark, f"={expr}")
     assert got == float(eval(expr))  # noqa: S307 — generated arithmetic only
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=30))
+def test_formula_fuzz_only_engine_errors(text):
+    """Arbitrary formula text either compiles or raises FormulaSyntaxError."""
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.errors import FormulaSyntaxError
+
+    try:
+        compile_formula(text, "t", lambda n: F.col(n), lambda n: F.col(n))
+    except FormulaSyntaxError:
+        pass
