@@ -938,6 +938,25 @@ def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+    doc="Unpivot/melt (wide->long): each measure column becomes a "
+        "(metric, value) row — per-row expansion, no shuffle.",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot("p_partkey", ["retailprice", "size"], "metric", "value")
+
+
+@register(
     "window_first_last",
     oracle="""
     SELECT DISTINCT o_custkey,
