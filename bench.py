@@ -59,9 +59,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.get(name).fn
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        # Best of 2: the first run pays one-time codegen/JIT for this
+        # query's generated classes; the min reflects steady-state cost
+        # and is stable under background load noise.
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

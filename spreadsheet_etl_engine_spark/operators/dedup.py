@@ -70,35 +70,51 @@ def minhash_signature(
     of k full hashes per shingle).
 
     Entirely per-row: signatures are computed during the scan with zero
-    shuffles.  The base-hash array is materialized in its own projection so
-    the k min-columns share it.  Documents with fewer than ``shingle_k``
-    tokens have no shingles and are dropped (they cannot be meaningfully
-    min-hashed; callers route them to exact dedup instead).
+    shuffles.  All k minima are maintained in ONE fold over the base-hash
+    array — Catalyst's CollapseProject would otherwise inline the base
+    expression (shingling + md5 per element) into every h_i column and
+    recompute it k times, since interpreted HOFs get no subexpression
+    elimination.  Documents with fewer than ``shingle_k`` tokens have no
+    shingles and are dropped (they cannot be meaningfully min-hashed;
+    callers route them to exact dedup instead).
 
     ``parallelism`` repartitions the input first — useful when the source
     is a single small file locally; on a real cluster the scan is already
     split and this should stay None.
     """
+    # Drop un-shingle-able docs with a CHEAP predicate before the shuffle.
+    # Filtering on the signature sentinel instead would push the entire
+    # fold below the repartition exchange (filter pushdown) and evaluate
+    # it twice — once single-task pre-shuffle, once post-shuffle.
+    df = df.filter(F.size(TXT.tokens(F.col(content_col))) >= shingle_k)
     if parallelism:
         df = df.repartition(parallelism)
     shingles = TXT.word_shingles(F.col(content_col), shingle_k)
-    base = df.select(
-        F.col(id_col),
-        F.transform(shingles, lambda s: TXT.hash32(s) % MINHASH_P).alias("_base"),
-    )
-    def _affine(a: int, b: int):
-        # One-arg lambda factory: extra (defaulted) parameters would make
-        # F.transform treat it as the (element, index) two-arg variant.
-        return lambda h: (h * a + b) % MINHASH_P
+    base = F.transform(shingles, lambda s: TXT.hash32(s) % MINHASH_P)
 
-    out = base.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("_base"), _affine(a, b))).alias(f"h{i}")
-            for i, (a, b) in enumerate(minhash_constants(num_hashes))
-        ],
+    consts = minhash_constants(num_hashes)
+    a_vec = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    b_vec = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    # (h*a + b) % P < P always, so P is a safe "no shingles" sentinel.
+    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+    idx = F.sequence(F.lit(1), F.lit(num_hashes))
+    mins = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(
+                m,
+                (h * F.element_at(a_vec, i.cast("int"))
+                 + F.element_at(b_vec, i.cast("int"))) % MINHASH_P,
+            ),
+        ),
     )
-    return out.filter(F.col("h0").isNotNull())
+    return df.select(
+        F.col(id_col),
+        *[F.element_at(mins, i + 1).alias(f"h{i}") for i in range(num_hashes)],
+    )
 
 
 def minhash_lsh_pairs(
