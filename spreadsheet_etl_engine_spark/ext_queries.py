@@ -133,10 +133,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsh AS (SELECT DISTINCT doc_id,
                    CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS s
             FROM sh),
-    cnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    keep AS (SELECT s FROM dsh GROUP BY s
+             HAVING count(*) <= (SELECT ceil(0.1 * n_docs) FROM tot)),
+    dshf AS (SELECT dsh.doc_id, dsh.s FROM dsh JOIN keep USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM dshf GROUP BY doc_id),
     shared AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM dshf a JOIN dshf b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -145,13 +149,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
     """,
     doc="Exact n-gram Jaccard pairs (3-gram shingles, tau=0.8) via an "
-        "inverted shingle index; max_df capping guards the join against "
-        "stop-shingle skew at scale.",
+        "inverted shingle index; the max_df_frac=0.1 skew guard drops "
+        "stop-shingles (df > 10% of corpus) before the self-join — the "
+        "guard the 100 TB run needs, active here so the oracle pins it.",
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return DD.ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.8,
+        docs, "text", "doc_id", threshold=0.8, max_df_frac=0.1,
         parallelism=spark.sparkContext.defaultParallelism,
     )
 
@@ -169,15 +174,18 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
         FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.45
     """,
-    doc="Embedding near-duplicate pairs (cosine >= 0.9). Exact quadratic "
+    doc="Embedding near-duplicate pairs (cosine >= 0.45 — the fixture "
+        "embeddings are near-orthogonal random vectors, so 0.45 is the "
+        "highest threshold with non-empty results at every SF; an empty "
+        "result would have zero discriminating power). Exact quadratic "
         "verification here; the LSH-bucketed candidate path "
         "(hyperplane signatures) is the scale route in operators/dedup.py.",
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return DD.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.9)
+    return DD.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
 
 
 @register(

@@ -189,6 +189,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via an inverted index.
@@ -201,7 +202,10 @@ def ngram_jaccard_pairs(
     more than that many documents before the join — the standard skew
     guard: a stop-shingle shared by millions of docs would otherwise
     dominate one join partition at scale (those shingles carry almost no
-    similarity signal).
+    similarity signal).  ``max_df_frac`` is the relative form — the cap is
+    ``ceil(frac * corpus_doc_count)``, computed distributively (one-row
+    broadcast scalar, no driver-side count) so the same fraction scales
+    from a 500-doc fixture to a 100 TB corpus.
     """
     if parallelism:
         df = df.repartition(parallelism)
@@ -215,8 +219,17 @@ def ngram_jaccard_pairs(
             ).alias("s"),
         )
     )
-    if max_df is not None:
-        keep = shingles.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
+    if max_df is not None or max_df_frac is not None:
+        dfc = shingles.groupBy("s").agg(F.count("*").alias("df"))
+        if max_df is not None:
+            keep = dfc.filter(F.col("df") <= max_df).select("s")
+        else:
+            total = df.select(F.count("*").alias("_n_docs"))
+            keep = (
+                dfc.crossJoin(F.broadcast(total))
+                .filter(F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("_n_docs")))
+                .select("s")
+            )
         shingles = shingles.join(F.broadcast(keep), "s")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.alias("a")

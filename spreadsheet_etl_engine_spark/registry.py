@@ -280,13 +280,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
     """,
-    doc="Left-anti join (NOT EXISTS).",
+    doc="Left-anti join (NOT EXISTS) against a filtered build side — "
+        "customers with no large order. The price filter keeps the result "
+        "non-empty at every SF (3/30/308 rows) so the check has "
+        "discriminating power; a plain anti vs all orders is always empty "
+        "in this data (every customer has orders).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -531,7 +537,7 @@ def distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(p_name, 1, 10) AS name10,
            length(p_name) AS name_len,
            p_brand || '-' || p_type AS brand_type,
-           floor(p_retailprice) AS price_floor,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            abs(p_size - 25) AS size_dist,
            CASE WHEN p_size > 25 THEN 'L' ELSE 'S' END AS size_class
     FROM part
@@ -729,9 +735,9 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Pivot with an explicit value list (no value-discovery job); "

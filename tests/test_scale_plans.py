@@ -85,6 +85,28 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Bucketed: true" in plan
 
 
+def test_ngram_jaccard_skew_guard_is_broadcast(spark, sf_dir):
+    """The max_df keep-filter must broadcast to the shingle stream (a
+    shuffle join against the full inverted index would defeat the point
+    of the guard), and the registered query must actually enable it."""
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_df_frac=0.1))
+    # Two broadcast joins: the one-row corpus-count scalar and the
+    # keep-set semi-filter on the shingle hash.
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
+    # The registered driver query runs with the guard on.
+    import inspect
+
+    from spreadsheet_etl_engine_spark import ext_queries  # noqa: F401
+    src = inspect.getsource(registry.get("dedup_ngram_jaccard_pairs").fn)
+    assert "max_df_frac" in src
+
+
 def test_broadcast_hint_survives_aqe(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
