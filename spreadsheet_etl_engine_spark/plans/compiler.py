@@ -88,9 +88,12 @@ def parse_float_col(col: Column) -> Column:
 
     ``"12%"`` → 12.0, ``"3abc"`` → 3.0, ``"abc"`` → NULL (maps to the
     reference's NaN: every comparison against it is false; in SQL tri-logic
-    a NULL comparison is NULL which a filter likewise rejects).
+    a NULL comparison is NULL which a filter likewise rejects).  Leading
+    whitespace is skipped, as JS ``parseFloat`` itself does — ``" 5"``
+    parses to 5.0.
     """
-    extracted = F.regexp_extract(col.cast("string"), _PARSEFLOAT_PREFIX, 0)
+    unpadded = F.regexp_replace(col.cast("string"), r"^\s+", "")
+    extracted = F.regexp_extract(unpadded, _PARSEFLOAT_PREFIX, 0)
     return F.when(extracted != "", extracted.cast("double"))
 
 
@@ -174,6 +177,11 @@ class MappingCompiler:
         if operand.pure_ref is not None:
             if self._is_numeric(operand.pure_ref):
                 return F.col(operand.pure_ref)
+            if self.mode == "fidelity":
+                # operand.expr already carries the reference's trim +
+                # one-pair quote strip (main.gs:284); parseFloat must see
+                # the stripped text so '"5"' and ' 5' compare as 5.
+                return parse_float_col(operand.expr)
             return parse_float_col(F.col(operand.pure_ref))
         if operand.literal is not None:
             value = parse_float_literal(operand.literal)
@@ -282,7 +290,16 @@ class MappingCompiler:
         out: list[Column] = []
         for col in spec.columns:
             if col.kind == ColumnKind.CONSTANT:
-                expr = F.lit(col.instruction)
+                # The reference's substitution pass runs for every column
+                # type (main.gs:85-97): src[...] inside a constant splices
+                # the row value (unquoted — the quote-wrap is formula-only).
+                # Deviation (documented): self[...] inside a constant stays
+                # literal text here; the reference emits the A1 *address*
+                # of an earlier output column, which only exists in the
+                # xlsx pass-through sink where surviving-row numbering is
+                # materialized.
+                expr = self._substituted_string(col.instruction) \
+                    if SRC_REF_RE.search(col.instruction) else F.lit(col.instruction)
             elif col.kind == ColumnKind.FORMULA:
                 def resolve_src(name: str) -> Column:
                     return F.col(name)

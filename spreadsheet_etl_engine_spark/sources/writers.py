@@ -64,13 +64,18 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
     predicate = compiler.compile_predicate(spec)
     filtered = source.filter(predicate) if predicate is not None else source
 
-    out_positions = {c.name: i + 1 for i, c in enumerate(spec.columns)}
+    # Built incrementally: the reference adds a column to outputRowRefs
+    # only AFTER its own substitution ran (main.gs:99-114), so self[X] can
+    # only address an earlier-declared column — self-references and
+    # forward references stay literal text in the emitted formula.
+    out_positions: dict[str, int] = {}
     ordered = filtered.withColumn(
         "_row", F.row_number().over(Window.orderBy(F.monotonically_increasing_id()))
     )
     cols = []
-    for col in spec.columns:
+    for col_idx, col in enumerate(spec.columns):
         if col.kind != ColumnKind.FORMULA:
+            out_positions[col.name] = col_idx + 1
             continue
         body = col.instruction
         parts = []
@@ -109,6 +114,7 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
                 )
                 expr = F.replace(expr, F.lit(f"self[{ref}]"), addr)
         cols.append(expr.alias(col.name))
+        out_positions[col.name] = col_idx + 1
     return ordered.select(F.col("_row"), *cols)
 
 

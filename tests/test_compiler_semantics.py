@@ -58,6 +58,35 @@ def test_parsefloat_ordering(spark):
     _run_both(spark, [("_filter:a", "eval: src[Score] <= 50"), ("N", "src[Name]")])
 
 
+def test_parsefloat_sees_trimmed_quote_stripped_operand(spark):
+    """Numeric comparators run AFTER the trim + one-pair quote strip
+    (main.gs:284) and JS parseFloat itself skips leading whitespace — a
+    cell holding ' 5' or '"5"' satisfies src[X] >= 3."""
+    headers = ["V", "Tag"]
+    rows = [[" 5", "pad"], ['"5"', "quoted"], ['" 7"', "both"],
+            ["abc", "nan"], ["  -2.5", "neg"], ["5", "plain"]]
+    df = spark.createDataFrame([tuple(r) for r in rows], headers)
+    rules = [("_filter:n", "eval: src[V] >= 3"), ("Tag", "src[Tag]")]
+    got = [r["Tag"] for r in run_mapping(df, parse_mapping(rules, headers),
+                                         mode="fidelity").collect()]
+    exp_headers, exp_rows = run_mapping_reference(headers, rows, rules)
+    assert got == [r[0] for r in exp_rows] == ["pad", "quoted", "both", "plain"]
+
+
+def test_constant_splices_src_refs(spark):
+    """The substitution pass runs for CONSTANT columns too (main.gs:85-97):
+    src[...] inside a constant emits the row value, unquoted."""
+    headers = ["Name", "Age"]
+    rows = [["Ana", "17"], ["Bob", "x y"]]
+    df = spark.createDataFrame([tuple(r) for r in rows], headers)
+    rules = [("Label", "constant:user-src[Name] (src[Age])"),
+             ("Fixed", "constant:plain")]
+    got = [list(r) for r in run_mapping(df, parse_mapping(rules, headers),
+                                        mode="fidelity").collect()]
+    exp_headers, exp_rows = run_mapping_reference(headers, rows, rules)
+    assert got == exp_rows == [["user-Ana (17)", "plain"], ["user-Bob (x y)", "plain"]]
+
+
 def test_quote_stripping(spark):
     # '"active"' cell: quotes are NOT stripped from cell values (stripping
     # applies to the substituted operand text, which here IS the cell value

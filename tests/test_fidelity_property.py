@@ -22,9 +22,11 @@ HEADERS = ["A", "B", "C"]
 # (prefix-parses to 1), "+5"/".5"/"3e2" (valid prefixes).
 VALUES = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
           "Cali", "-3.2", " pad ", "B", "0", "3e2", "+5", ".5", "1e",
-          "Inf", "Infinity", "-Infinity", "nan", "1_0", "%5", "a b"]
+          "Inf", "Infinity", "-Infinity", "nan", "1_0", "%5", "a b",
+          " 5", '"5"', '" 7"', " -2.5 "]
 LITERALS = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
-            "Cali", "-3.2", "0", "B", "Inf", "Infinity", "1e", ".5"]
+            "Cali", "-3.2", "0", "B", "Inf", "Infinity", "1e", ".5",
+            " 5", '"5"']
 OPS = ["==", "!=", ">=", "<=", ">", "<"]
 
 operand = st.one_of(
@@ -35,7 +37,11 @@ condition = st.builds(lambda l, op, r: f"{l} {op} {r}", operand, st.sampled_from
 filter_expr = st.lists(condition, min_size=1, max_size=3).map(" || ".join)
 
 direct_instruction = st.sampled_from(
-    [f"src[{h}]" for h in HEADERS] + HEADERS + ["not_a_header", "x src[A] y"]
+    [f"src[{h}]" for h in HEADERS] + HEADERS
+    + ["not_a_header", "x src[A] y",
+       # constants, including ref-splicing ones (main.gs:85-97 runs the
+       # substitution pass for every column type)
+       "constant:fixed", "constant:id-src[B]", "constant:src[A] src[C]"]
 )
 
 rows = st.lists(

@@ -72,6 +72,25 @@ def test_formula_passthrough_text_and_addresses(spark):
     assert out[1]["Quoted"] == '=CONCAT("x y")'
 
 
+def test_formula_passthrough_forward_and_self_refs_stay_literal(spark):
+    """The reference registers a column in outputRowRefs only after its own
+    substitution (main.gs:99-114): self[...] naming the current column or a
+    later one is NOT replaced — the text survives into the emitted formula."""
+    df = spark.createDataFrame([("3",)], ["V"])
+    spec = parse_mapping(
+        [
+            ("SelfRef", "formula:=self[SelfRef]+1"),
+            ("Fwd", "formula:=self[Later]*2"),
+            ("Later", "formula:=self[SelfRef]+self[Fwd]"),
+        ],
+        df.columns,
+    )
+    row = W.formula_passthrough_columns(df, spec).collect()[0]
+    assert row["SelfRef"] == "=self[SelfRef]+1"      # self-reference: literal
+    assert row["Fwd"] == "=self[Later]*2"            # forward ref: literal
+    assert row["Later"] == "=A2+B2"                  # backward refs resolve
+
+
 def test_write_xlsx_gated(spark):
     df = spark.createDataFrame([(1, "a")], ["x", "y"])
     with pytest.raises(ImportError, match="openpyxl"):
