@@ -73,34 +73,75 @@ def train_centroids_kmeans(
     corpus: DataFrame, vec_col: str, *, nlist: int = 16, seed: int = 42, max_iter: int = 10
 ) -> list[list[float]]:
     """Real IVF centroids via pyspark.ml KMeans (k-means|| init, fixed
-    seed).  Training runs distributed over the corpus; only the ``nlist``
-    centroid vectors come back to the driver (tiny — they are broadcast
-    into the assignment expression as literals)."""
+    seed) over L2-NORMALIZED vectors — spherical k-means, so the bucket
+    structure matches the cosine metric the search ranks by.  Training
+    runs distributed over the corpus; only the ``nlist`` centroid vectors
+    come back to the driver (tiny — they are shipped to executors inside
+    the Arrow-batched assignment kernel)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    arr = F.col(vec_col).cast("array<double>")
+    unit = F.transform(arr, lambda x: x / F.greatest(VEC.norm(arr), F.lit(1e-12)))
+    train = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def _centroid_matrix(centroids: list[list[float]]):
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+
+def _cosine_to_centroids(vs, Cn):
+    """(batch × dim) unit-normalized matmul against the centroid matrix."""
+    import numpy as np
+
+    M = np.stack(vs.to_numpy()).astype(np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return M @ Cn.T
+
+
 def assign_centroid(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    """Add ``centroid_id`` = argmin L2 distance to the (literal, broadcast)
-    centroid list — per-row expression, no shuffle."""
-    best_id = F.lit(0)
-    best_d = None
-    for i, cvec in enumerate(centroids):
-        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        d = VEC.l2_distance(F.col(vec_col), lit_vec)
-        if best_d is None:
-            best_d, best_id = d, F.lit(0)
-        else:
-            closer = d < best_d
-            best_id = F.when(closer, F.lit(i)).otherwise(best_id)
-            best_d = F.when(closer, d).otherwise(best_d)
-    return df.withColumn("centroid_id", best_id)
+    """Add ``centroid_id`` = argmax cosine against the centroid list.
+
+    One Arrow-batched kernel: the whole batch is a single
+    ``(batch × dim) @ (dim × nlist)`` numpy matmul — per-row expression
+    trees (nlist × dim literals deep) make Catalyst analysis itself the
+    bottleneck, and a centroid *join* would amplify the corpus nlist-fold.
+    Per-partition, no shuffle; centroids ride along in the closure
+    (serialized once per executor, like a broadcast)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _centroid_matrix(centroids)
+
+    def _nearest(vs):
+        return pd.Series(_cosine_to_centroids(vs, Cn).argmax(axis=1))
+
+    _nearest.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return df.withColumn("centroid_id", pandas_udf(_nearest, "int")(F.col(vec_col)))
+
+
+def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]],
+                    nprobe: int) -> DataFrame:
+    """Add ``probes`` = the ``nprobe`` nearest centroid ids (by cosine),
+    same Arrow-batched matmul as :func:`assign_centroid`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _centroid_matrix(centroids)
+
+    def _probes(vs):
+        sims = _cosine_to_centroids(vs, Cn)
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    _probes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return df.withColumn("probes", pandas_udf(_probes, "array<int>")(F.col(vec_col)))
 
 
 def topk_ivf(
@@ -112,33 +153,40 @@ def topk_ivf(
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 4,
+    spill: int = 2,
     kmeans: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` closest centroid
     partitions per query.  Recall < 1 by design; the bruteforce operator
     is the exact baseline.  ``kmeans=True`` trains real centroids via
-    MLlib; False uses the cheap deterministic-sample fallback."""
+    MLlib; False uses the cheap deterministic-sample fallback.
+
+    ``spill`` replicates each corpus vector into its ``spill`` nearest
+    buckets (spill-tree / IVF-with-replication): near-boundary vectors —
+    where most recall is lost, especially on near-orthogonal embeddings
+    with weak cluster structure — become reachable from either side.
+    Storage × spill, query fan-in unchanged (still nprobe buckets).
+    """
     if kmeans:
         centroids = train_centroids_kmeans(corpus, vec_col, nlist=nlist)
     else:
         centroids = train_centroids_lite(corpus, vec_col, nlist=nlist)
-    c = assign_centroid(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "cv", centroids
-    )
+    c = probe_centroids(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", centroids, max(1, spill),
+    ).withColumn("centroid_id", F.explode(F.col("probes"))).drop("probes")
     # Rank centroids per query, keep nprobe.
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    probe_sets = []
-    for i, cvec in enumerate(centroids):
-        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
-        probe_sets.append(F.struct(VEC.l2_distance(F.col("qv"), lit_vec).alias("d"), F.lit(i).alias("cid")))
-    q = q.withColumn(
-        "probes",
-        F.slice(F.array_sort(F.array(*probe_sets)), 1, nprobe),
-    ).withColumn("probe", F.explode(F.col("probes.cid"))).drop("probes")
+    q = probe_centroids(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", centroids, nprobe,
+    ).withColumn("probe", F.explode(F.col("probes"))).drop("probes")
     scored = (
         F.broadcast(q)
         .join(c, F.col("probe") == F.col("centroid_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # A pair can surface via several shared buckets — dedupe before
+        # scoring so the window ranks each candidate once.
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", VEC.cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

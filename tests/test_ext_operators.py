@@ -152,11 +152,13 @@ def test_ivf_recall_against_bruteforce(spark):
     queries = emb.filter(F.col("vec_id") < 10)
     exact = SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
     approx = SIM.topk_ivf(emb, queries, "embedding", "vec_id",
-                          k=5, nlist=8, nprobe=4, kmeans=True)
+                          k=5, nlist=8, nprobe=4, spill=2, kmeans=True)
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # Measured 0.96 at this config (spherical-kmeans buckets + spill=2
+    # corpus replication); the floor leaves seed-stability slack only.
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
 def test_cosine_pandas_matches_expr(spark):
