@@ -310,8 +310,18 @@ class MappingCompiler:
                         raise UnknownSelfRefError(name, _rule)
                     return _compiled[name]
 
+                def resolve_a1(ordinal: int, _rule: str = col.name) -> Column:
+                    # A1 letter -> source column by pinned ingest position
+                    # (parquet/CSV column order is the ingest order).
+                    if ordinal > len(self.headers):
+                        raise UnknownSelfRefError(
+                            f"column #{ordinal} (source has "
+                            f"{len(self.headers)} columns)", _rule)
+                    return F.col(self.headers[ordinal - 1])
+
                 expr = formula_mod.compile_formula(
-                    col.instruction, col.name, resolve_src, resolve_self
+                    col.instruction, col.name, resolve_src, resolve_self,
+                    resolve_a1,
                 )
             else:
                 expr = self._direct(col.instruction)

@@ -41,8 +41,12 @@ syntax              compiles to
 ``COALESCE/IFERROR``first non-null
 ==================  =====================================================
 
-A1-style positional references (``=A2+B2``) are only meaningful in
-pass-through mode and are rejected here with a clear error.
+A1-style positional references (``=A2+B2``, reference ``README.md:76``)
+compile as row-local templates when the caller provides ``resolve_a1``:
+the letter indexes a source column by pinned ingest position (A → first
+column), the row number is the current-row placeholder (must be >= 2 and
+consistent within the formula).  Without ``resolve_a1`` they are rejected
+with a clear error pointing at pass-through mode.
 """
 
 from __future__ import annotations
@@ -98,14 +102,26 @@ SrcResolver = Callable[[str], Column]
 SelfResolver = Callable[[str], Column]
 
 
+def a1_col_ordinal(letters: str) -> int:
+    """A1 column letters → 1-based ordinal (inverse of
+    ``sources.writers.column_letter``): A→1, Z→26, AA→27."""
+    n = 0
+    for ch in letters.upper():
+        n = n * 26 + (ord(ch) - 64)
+    return n
+
+
 class _Parser:
     def __init__(self, toks: list[_Tok], rule: str,
-                 resolve_src: SrcResolver, resolve_self: SelfResolver) -> None:
+                 resolve_src: SrcResolver, resolve_self: SelfResolver,
+                 resolve_a1: Callable[[int], Column] | None = None) -> None:
         self.toks = toks
         self.i = 0
         self.rule = rule
         self.resolve_src = resolve_src
         self.resolve_self = resolve_self
+        self.resolve_a1 = resolve_a1
+        self._a1_row: int | None = None
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -202,12 +218,32 @@ class _Parser:
             nxt = self.peek()
             if nxt and nxt.text == "(":
                 return self.func_call(tok.text.upper())
-            if re.fullmatch(r"[A-Z]{1,3}[0-9]+", tok.text):
-                raise FormulaSyntaxError(
-                    f"A1-style reference {tok.text!r} is only supported in "
-                    "xlsx pass-through mode; use src[Column] here",
-                    self.rule,
-                )
+            if m := re.fullmatch(r"([A-Z]{1,3})([0-9]+)", tok.text.upper()):
+                if self.resolve_a1 is None:
+                    raise FormulaSyntaxError(
+                        f"A1-style reference {tok.text!r} is only supported in "
+                        "xlsx pass-through mode; use src[Column] here",
+                        self.rule,
+                    )
+                # Row-local template semantics: the letter indexes a SOURCE
+                # column by ingest position; the row number is the
+                # current-row placeholder (row 1 is the header, so it must
+                # be >= 2 and identical for every A1 ref in the formula —
+                # cross-row references are not row-locally expressible;
+                # use window/lag operators for those).
+                row = int(m.group(2))
+                if row < 2:
+                    raise FormulaSyntaxError(
+                        f"A1 reference {tok.text!r} addresses the header "
+                        "row; data rows start at 2", self.rule)
+                if self._a1_row is not None and row != self._a1_row:
+                    raise FormulaSyntaxError(
+                        f"A1 reference {tok.text!r} mixes row {row} with "
+                        f"row {self._a1_row}; compiled formulas are "
+                        "row-local templates (one row number per formula)",
+                        self.rule)
+                self._a1_row = row
+                return self.resolve_a1(a1_col_ordinal(m.group(1)))
             # Bare names (TRUE/FALSE) — anything else is an error.
             if tok.text.upper() == "TRUE":
                 return F.lit(True)
@@ -359,16 +395,19 @@ def compile_formula(
     rule: str,
     resolve_src: SrcResolver,
     resolve_self: SelfResolver,
+    resolve_a1: Callable[[int], Column] | None = None,
 ) -> Column:
     """Compile a ``formula:`` body (with or without the leading ``=``) to a
-    Spark ``Column``."""
+    Spark ``Column``.  ``resolve_a1`` (1-based source-column ordinal →
+    Column) enables compiled A1-positional references (``=A2+B2``) as
+    row-local templates over the pinned ingest column order."""
     text = body.strip()
     if text.startswith("="):
         text = text[1:]
     toks = _tokenize(text, rule)
     if not toks:
         raise FormulaSyntaxError("empty formula", rule)
-    parser = _Parser(toks, rule, resolve_src, resolve_self)
+    parser = _Parser(toks, rule, resolve_src, resolve_self, resolve_a1)
     col = parser.expr()
     if parser.peek() is not None:
         raise FormulaSyntaxError(f"trailing tokens starting at {parser.peek().text!r}", rule)

@@ -201,6 +201,35 @@ def dsl_formula_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mapping(li, spec)
 
 
+@register(
+    "dsl_a1_formula",
+    oracle="""
+    SELECT l_orderkey AS OrderKey,
+           l_quantity + l_extendedprice * 2 AS A1Calc,
+           l_quantity * (1 - l_discount) AS NetQty
+    FROM lineitem
+    """,
+    doc="Compiled A1-positional formulas (reference README.md:76 "
+        "'Total -> formula:=A2+B2'): letters index source columns by "
+        "pinned ingest ordinal (A=l_orderkey, E=l_quantity, ...), the row "
+        "number is the current-row placeholder. Compiles to plain column "
+        "arithmetic — same codegen plan as src[...] refs.",
+)
+def dsl_a1_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # lineitem ingest order: A=l_orderkey ... E=l_quantity, F=l_extendedprice,
+    # G=l_discount.
+    spec = parse_mapping(
+        [
+            ("OrderKey", "src[l_orderkey]"),
+            ("A1Calc", "formula:=E2+F2*2"),
+            ("NetQty", "formula:=E2*(1-G2)"),
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).

@@ -63,9 +63,36 @@ def test_src_refs(spark):
     assert _eval_one(spark, "=src[x]*2", row=(21.0,)) == 42.0
 
 
-def test_a1_reference_rejected(spark):
+def test_a1_reference_rejected_without_resolver(spark):
     with pytest.raises(FormulaSyntaxError, match="A1-style"):
         compile_formula("=A2+B2", "t", lambda n: F.col(n), lambda n: F.col(n))
+
+
+def test_a1_compiled_template(spark):
+    """A1 refs compile as row-local templates over the ingest ordinal:
+    letters index source columns (A -> 1st), the row number is the
+    current-row placeholder."""
+    df = spark.createDataFrame([(3.0, 4.0)], ["x", "y"])
+    headers = list(df.columns)
+    expr = compile_formula("=A2+B2*2", "t", lambda n: F.col(n), lambda n: F.col(n),
+                           lambda i: F.col(headers[i - 1]))
+    assert df.select(expr.alias("v")).collect()[0]["v"] == 11.0
+    # Header row (row 1) and mixed row numbers are rejected.
+    with pytest.raises(FormulaSyntaxError, match="header"):
+        compile_formula("=A1+B1", "t", lambda n: F.col(n), lambda n: F.col(n),
+                        lambda i: F.col(headers[i - 1]))
+    with pytest.raises(FormulaSyntaxError, match="mixes row"):
+        compile_formula("=A2+B3", "t", lambda n: F.col(n), lambda n: F.col(n),
+                        lambda i: F.col(headers[i - 1]))
+
+
+def test_a1_col_ordinal():
+    from spreadsheet_etl_engine_spark.plans.formula import a1_col_ordinal
+
+    assert a1_col_ordinal("A") == 1
+    assert a1_col_ordinal("Z") == 26
+    assert a1_col_ordinal("AA") == 27
+    assert a1_col_ordinal("AAA") == 703
 
 
 def test_syntax_errors(spark):
