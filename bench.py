@@ -43,6 +43,7 @@ OPTIONAL = [
     "join_asof",
     "agg_moments",
     "events_sessionize",
+    "events_sliding_window",
 ]
 
 
