@@ -36,15 +36,18 @@ EVENT_SCHEMA = StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream of event parquet files under ``path``.
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded when backfilling a
-    large directory.
+    large directory (tests set 1 to force one file per micro-batch so
+    watermark advancement between batches is observable).
     """
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 

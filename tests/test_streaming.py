@@ -76,6 +76,70 @@ def test_watermark_in_plan(spark, event_dir):
     assert "42 minutes" in agg._jdf.queryExecution().analyzed().toString()
 
 
+def test_watermark_drops_late_data_and_append_holds_open_windows(spark, tmp_path):
+    """Behavioral watermark pin, one file per micro-batch:
+
+    * batch 1 — three on-time events (windows [10:00,10:10) ×2 and
+      [10:10,10:20) ×1);
+    * batch 2 — an event at 13:00 advances the watermark to 12:30;
+    * batch 3 — an event at 13:05: during this batch the 12:30 watermark
+      is in effect, so the two morning windows are emitted and their
+      state evicted;
+    * batch 4 — a straggler at 10:03, far behind the watermark and with
+      its window already closed, must be DROPPED (a batch boundary after
+      eviction matters: a straggler arriving in the SAME batch as the
+      eviction is still aggregated — watermark dropping is a guarantee
+      about kept data, not a same-batch eviction barrier).
+
+    Append mode must emit the two closed windows with the on-time counts
+    only, and hold back the still-open afternoon windows.
+    """
+    import datetime
+    import os
+    import shutil
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _mk(ts_offsets_min, event_ids):
+        return [
+            (eid, base + datetime.timedelta(minutes=m), 1, "click", 1.0, "{}")
+            for eid, m in zip(event_ids, ts_offsets_min)
+        ]
+
+    batches = [
+        _mk([1, 5, 12], [1, 2, 3]),     # on time
+        _mk([180], [4]),                # watermark -> 12:30 next batch
+        _mk([185], [5]),                # morning windows emit + evict here
+        _mk([3], [6]),                  # late straggler, beyond watermark
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, SE.EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        dest = str(src / f"batch-{i}.parquet")
+        shutil.copyfile(f"{staging}/{part}", dest)
+        # The file source orders batches by (mtime, path): pin both.
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = SE.read_event_stream(spark, str(src), max_files_per_trigger=1)
+    SE.run_to_memory_sink(
+        SE.tumbling_counts(stream, window="10 minutes", watermark="30 minutes"),
+        "t_watermark", output_mode="append",
+    )
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.table("t_watermark").collect()
+    }
+    assert got == {
+        "2024-01-01 10:00:00": 2,   # straggler NOT counted
+        "2024-01-01 10:10:00": 1,
+    }  # 13:00 window held back: watermark never passed its end
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     """File-sink + checkpoint: restarting the stream picks up where it
     left off — new files only, no reprocessing (exactly-once at the
