@@ -188,6 +188,60 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
 
 
+# Deterministic hyperplanes (seed pinned) shared verbatim by the Spark
+# expression and the DuckDB oracle below: 8 planes in 4 bands of 2.
+_LSH_PLANES = DD.random_hyperplanes(8, 64, seed=7)
+_LSH_BANDS = 4
+
+
+def _lsh_band_sql(k: int, r: int = 2) -> str:
+    parts = []
+    for j in range(r):
+        lit = "[" + ",".join(repr(v) for v in _LSH_PLANES[k * r + j]) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(e, {lit}), "
+            f"p -> p[1]*p[2])) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sig AS (SELECT vec_id, e,
+                   {_lsh_band_sql(0)} AS b0, {_lsh_band_sql(1)} AS b1,
+                   {_lsh_band_sql(2)} AS b2, {_lsh_band_sql(3)} AS b3
+            FROM v),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+                  sqrt(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+        FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.42
+    """,
+    doc="Banded hyperplane-LSH near-dup pairs (4 bands x 2 planes, "
+        "cosine >= 0.42): per-row signatures, one shuffle on the band "
+        "key, exact cosine on colliding candidates only — the scale path "
+        "the quadratic dedup_embedding_neardup verifies. The fixture's "
+        "random embeddings are LSH-adversarial (near-orthogonal pairs "
+        "collide often), so real-corpus pruning is far stronger than "
+        "measured here. Oracle shares the exact plane literals.",
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return DD.embedding_lsh_pairs(
+        emb, "embedding", "vec_id",
+        planes=_LSH_PLANES, bands=_LSH_BANDS, threshold=0.42,
+    )
+
+
 @register(
     "similarity_topk_bruteforce",
     oracle="""

@@ -254,6 +254,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int, *, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane set (numpy MT19937 — bit-stable across
+    platforms, so the same planes can be embedded as literals into both
+    the Spark expression and a SQL oracle)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    planes: list[list[float]],
+    bands: int,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-duplicate pairs — the 100 TB candidate
+    path for embedding dedup.
+
+    ``planes`` is split into ``bands`` contiguous bands of
+    ``len(planes)//bands`` planes; a pair is a candidate iff it collides
+    in AT LEAST ONE band (OR-amplification: recall rises with bands while
+    each band key stays selective).  Plan shape: per-row band signatures
+    (no shuffle) → explode to (band, sig) → one shuffle join on the band
+    key → distinct candidate pairs → exact cosine filter.  Candidate
+    volume is O(colliding pairs), never all-pairs; the exact quadratic
+    path in :func:`embedding_neardup_pairs` is verify-only.
+    """
+    r = len(planes) // bands
+    band_sigs = F.array(*[
+        VEC.hyperplane_signature(F.col(vec_col), planes[k * r:(k + 1) * r])
+        for k in range(bands)
+    ])
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        F.posexplode(band_sigs).alias("band", "sig"),
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", VEC.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

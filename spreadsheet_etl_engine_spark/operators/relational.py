@@ -88,6 +88,30 @@ def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100)
     return df.filter(bucket < percent)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    rates: dict[str, int],
+    *,
+    modulus: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep rows where
+    ``md5(key) mod modulus < rates[stratum]`` (percent per stratum value;
+    missing strata keep nothing).
+
+    The 100 TB rebalancing primitive: down-weight dominant strata
+    (language, domain, source) at exact, reproducible rates with a single
+    codegen'd filter — no shuffle, no RNG, pushable after the scan, and
+    the same key hash keeps per-entity samples consistent across tables.
+    """
+    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
+    rate = F.lit(0)
+    for value, pct in rates.items():
+        rate = F.when(stratum == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -798,6 +798,31 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+    WHERE (CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+          < (CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 20 WHEN 'R' THEN 10 ELSE 0 END)
+    """,
+    doc="Deterministic stratified sampling: per-stratum rates (A 5% / N "
+        "20% / R 10%) over a hash bucket — the exact, reproducible "
+        "rebalancing primitive for dominant strata (language, domain) in "
+        "a training-data pipeline. Single codegen'd filter, no shuffle, "
+        "no RNG.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import stratified_hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return stratified_hash_sample(
+        li,
+        key=F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        stratum=F.col("l_returnflag"),
+        rates={"A": 5, "N": 20, "R": 10},
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
     "join_asof",
     oracle="""
     SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,

@@ -127,6 +127,45 @@ def test_embedding_neardup_with_lsh_planes(vectors):
     assert (0, 4) not in pairs
 
 
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """Banded LSH candidates filtered by exact cosine must be a non-empty
+    subset of the exact quadratic pairs at the same threshold."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = DD.random_hyperplanes(8, 64, seed=7)
+    lsh = {(r["id_a"], r["id_b"]) for r in DD.embedding_lsh_pairs(
+        emb, "embedding", "vec_id", planes=planes, bands=4, threshold=0.42
+    ).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in DD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.42).collect()}
+    assert lsh and lsh <= exact
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import (
+        stratified_hash_sample,
+    )
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    rates = {"A": 5, "N": 20, "R": 10}
+
+    def counts():
+        out = stratified_hash_sample(li, key, F.col("l_returnflag"), rates)
+        return {r["l_returnflag"]: r["count"]
+                for r in out.groupBy("l_returnflag").count().collect()}
+
+    got = counts()
+    assert got == counts()  # exact determinism, not approximate
+    totals = {r["l_returnflag"]: r["count"]
+              for r in li.groupBy("l_returnflag").count().collect()}
+    for flag, pct in rates.items():
+        frac = got.get(flag, 0) / totals[flag]
+        assert abs(frac - pct / 100) < 0.03, (flag, frac)
+
+
 def test_salted_join_matches_plain_join(spark):
     from spreadsheet_etl_engine_spark.operators.relational import salted_join
 
