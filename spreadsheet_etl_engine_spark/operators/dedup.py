@@ -191,21 +191,36 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     max_df_frac: float | None = None,
     parallelism: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs via an inverted index.
 
-    distinct (id, shingle-hash) → self-join on the hash → |A∩B| per pair →
-    join per-doc set sizes → Jaccard filter.  The index joins on a 32-bit
-    shingle *hash*, not the shingle text: ~10× smaller shuffle rows at
-    identical results (hash collisions are deterministic and vanishingly
-    rare next to the threshold).  ``max_df`` drops shingles occurring in
-    more than that many documents before the join — the standard skew
-    guard: a stop-shingle shared by millions of docs would otherwise
-    dominate one join partition at scale (those shingles carry almost no
-    similarity signal).  ``max_df_frac`` is the relative form — the cap is
-    ``ceil(frac * corpus_doc_count)``, computed distributively (one-row
-    broadcast scalar, no driver-side count) so the same fraction scales
-    from a 500-doc fixture to a 100 TB corpus.
+    Two exact plans, identical results:
+
+    * ``prefix_filter=True`` (default, the scale plan) — PPJoin-style
+      prefix filtering: order each doc's shingle set by ascending corpus
+      frequency and index only its first ``n - ceil(t*n) + 1`` (rarest)
+      shingles; any pair with Jaccard >= t MUST collide on at least one
+      prefix shingle (pigeonhole over the >= ceil(t*n)-sized overlap), so
+      pruning is lossless while the candidate join shrinks by one-to-two
+      orders of magnitude.  A length filter (``t*max(na,nb) <=
+      min(na,nb)``) prunes candidates before the intersection, computed
+      via ``array_intersect`` on the two docs' full hash arrays.
+    * ``prefix_filter=False`` — the plain inverted-index self-join on
+      every shingle (|A∩B| via groupBy count), kept as the
+      oracle-in-repo for the optimized plan.
+
+    The index joins on a 32-bit shingle *hash*, not the shingle text:
+    ~10× smaller shuffle rows at identical results (hash collisions are
+    deterministic and vanishingly rare next to the threshold).
+    ``max_df`` drops shingles occurring in more than that many documents
+    before the join — the standard skew guard: a stop-shingle shared by
+    millions of docs would otherwise dominate one join partition at scale
+    (those shingles carry almost no similarity signal).  ``max_df_frac``
+    is the relative form — the cap is ``ceil(frac * corpus_doc_count)``,
+    computed distributively (one-row broadcast scalar, no driver-side
+    count) so the same fraction scales from a 500-doc fixture to a 100 TB
+    corpus.
     """
     if parallelism:
         df = df.repartition(parallelism)
@@ -219,7 +234,8 @@ def ngram_jaccard_pairs(
             ).alias("s"),
         )
     )
-    if max_df is not None or max_df_frac is not None:
+    guard = max_df is not None or max_df_frac is not None
+    if guard and not prefix_filter:
         dfc = shingles.groupBy("s").agg(F.count("*").alias("df"))
         if max_df is not None:
             keep = dfc.filter(F.col("df") <= max_df).select("s")
@@ -231,6 +247,69 @@ def ngram_jaccard_pairs(
                 .select("s")
             )
         shingles = shingles.join(F.broadcast(keep), "s")
+    if prefix_filter:
+        # Rank shingles rarest-first by (corpus df, hash) — a total order,
+        # so each doc's prefix is deterministic.  The max_df guard folds
+        # into this same join (prefix mode already needs per-row df for
+        # the ranking, so a separate keep-set pass would aggregate the
+        # index twice).
+        freq = shingles.groupBy("s").agg(F.count("*").alias("df"))
+        ranked_src = shingles.join(freq, "s")
+        if guard:
+            if max_df is not None:
+                ranked_src = ranked_src.filter(F.col("df") <= max_df)
+            else:
+                total = df.select(F.count("*").alias("_n_docs"))
+                ranked_src = ranked_src.crossJoin(F.broadcast(total)).filter(
+                    F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("_n_docs"))
+                )
+        docs = (
+            ranked_src
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("df", "s"))).alias("ranked"))
+            .select(
+                F.col(id_col),
+                F.col("ranked.s").alias("arr"),
+                F.size("ranked").alias("n"),
+            )
+            .withColumn(
+                "plen",
+                F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+            )
+        )
+        # The index carries each doc's full hash array alongside its
+        # prefix tokens (~0.2n of them), so the verification is inline in
+        # the join output — no extra join stages to fetch arrays, and the
+        # pair dedup runs on the tiny post-threshold result instead of the
+        # full candidate set.
+        index = docs.select(
+            F.col(id_col), F.col("n"), F.col("arr"),
+            F.explode(F.slice(F.col("arr"), F.lit(1), F.col("plen"))).alias("s"),
+        )
+        ia = index.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"),
+                          F.col("arr").alias("arr_a"), "s")
+        ib = index.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"),
+                          F.col("arr").alias("arr_b"), "s")
+        shared = F.size(F.array_intersect("arr_a", "arr_b"))
+        return (
+            ia.join(ib, "s")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                # Length filter: J >= t forces t*max(na,nb) <= min(na,nb).
+                & (F.lit(threshold) * F.greatest("n_a", "n_b")
+                   <= F.least("n_a", "n_b"))
+            )
+            .withColumn(
+                "jaccard",
+                shared.cast("double")
+                / (F.col("n_a") + F.col("n_b") - shared).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            # A pair can collide on several prefix shingles: dedup the
+            # (small) surviving set.
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "jaccard")
+        )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -62,6 +62,24 @@ def test_ngram_jaccard_pairs(docs):
     assert 0.5 <= pairs[(1, 3)] < 1.0
 
 
+def test_ngram_prefix_filter_is_lossless(spark):
+    """PPJoin prefix filtering is an exact optimization: both plans must
+    return identical pairs and jaccard values on the real documents table,
+    with and without the max_df guard."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    real = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for kwargs in ({}, {"max_df_frac": 0.1}, {"threshold": 0.5}):
+        base = {"threshold": 0.8, **kwargs}
+        old = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in
+               DD.ngram_jaccard_pairs(real, "text", "doc_id",
+                                      prefix_filter=False, **base).collect()}
+        new = {(r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in
+               DD.ngram_jaccard_pairs(real, "text", "doc_id",
+                                      prefix_filter=True, **base).collect()}
+        assert old == new and new, base
+
+
 def test_ngram_jaccard_max_df_prunes(docs):
     # With max_df=1 every shared shingle is dropped -> no pairs at all.
     out = DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1, max_df=1)
