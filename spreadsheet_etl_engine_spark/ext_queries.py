@@ -431,16 +431,17 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle=None,  # binary decode plumbing: no SQL-expressible oracle
-    # (media libs absent -> deterministic fake decode; see
-    # operators/multimodal.py).
-    doc="Multimodal column plumbing: binary media + typed metadata decoded "
-        "via Arrow-batched mapInPandas; per-format size/dimension rollup.",
+    oracle=None,  # binary decode: no SQL-expressible oracle (DuckDB can't
+    # parse BMP/WAV bytes); determinism + dims pinned by pytest instead.
+    doc="Multimodal columns: binary media + typed metadata decoded via "
+        "Arrow-batched mapInPandas — REAL numpy BMP/PPM/WAV decode "
+        "(functions/media_codecs.py), fake header for video; per-format "
+        "size/dimension rollup.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators import multimodal as MM
 
-    media = MM.synth_media(spark, 96)
+    media = MM.synth_media(spark, 96, real=True)
     decoded = MM.decode_media(media)
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_media"),

@@ -1,9 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no media libraries (PIL/cv2/librosa are absent), so the
-*decode kernels* are stubbed behind import-tries with a clearly-marked
-deterministic fake; everything Spark-side — schema, partitioning, Arrow
-batch shape, ``mapInPandas`` plumbing — is real and tested.
+Decode / resize / feature-extract are REAL for uncompressed containers —
+24-bit BMP, binary PPM, PCM16 WAV — via the pure-numpy codecs in
+``functions.media_codecs`` (header parse + array reshape, no media libs).
+Compressed formats (JPEG/PNG/MP3/H.264) genuinely require PIL/cv2/ffmpeg,
+which this container lacks: those route through the marked import-try
+extension points and otherwise fall back to the deterministic fake
+header format, so the Arrow plumbing is exercised for every kind.
 
 Scale design: media bytes stay in a ``binary`` column co-located with
 metadata; decode/feature-extract run as Arrow-batched ``mapInPandas``
@@ -50,30 +53,49 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def synth_media(spark: SparkSession, n: int = 96) -> DataFrame:
-    """Deterministic synthetic media table (the container has no real
-    images; the driver testdata has no media column — this feeds the
-    plumbing tests and the registry query)."""
+def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> DataFrame:
+    """Deterministic synthetic media table (the driver testdata has no
+    media column — this feeds the plumbing tests and the registry query).
+
+    ``real=True`` emits genuine uncompressed containers (24-bit BMP /
+    binary PPM gradients for images, PCM16 sine WAVs for audio) so the
+    numpy decode kernels run end-to-end; video rows keep the fake header
+    (an uncompressed video container would just be a frame list)."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
     def make(i: int) -> tuple:
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            header = f"IMG:{32 + i % 64}x{16 + i % 32}:"
+            if real:
+                w, h = 8 + i % 16, 6 + i % 8
+                img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256
+                       ).astype(np.uint8)
+                payload = MC.encode_bmp(img) if i % 2 == 0 else MC.encode_ppm(img)
+            else:
+                payload = (f"IMG:{32 + i % 64}x{16 + i % 32}:" + "p" * (i % 17 + 1)).encode()
         elif kind == "audio":
-            header = f"AUD:{1000 + i}@16000:"
+            if real:
+                t = np.arange(256 + i % 64)
+                wave = (1000 * np.sin(t * ((i % 7) + 1) * 0.1)).astype(np.int16)
+                payload = MC.encode_wav(wave, 16000)
+            else:
+                payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
-            header = f"VID:{4 + i % 8}x{64}x{48}:"
-        payload = (header + "p" * (i % 17 + 1)).encode()
+            payload = (f"VID:{4 + i % 8}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
         return (i, kind, payload, i % 7)
 
     return spark.createDataFrame([make(i) for i in range(n)], MEDIA_SCHEMA)
 
 
-def _decode_real(data: bytes) -> dict | None:
-    """Real decode path — requires media libraries absent from this
-    container.  Kept as the marked extension point."""
+def _decode_compressed(data: bytes) -> tuple[int, int, int]:
+    """Extension point for compressed containers (JPEG/PNG/...): requires
+    PIL/cv2, absent here."""
     raise NotImplementedError(
-        "real image/audio/video decoding requires PIL/cv2/librosa, which "
-        "are not installed; the deterministic fake decoder is used instead"
+        "compressed image/audio/video decoding requires PIL/cv2/librosa, "
+        "which are not installed; uncompressed BMP/PPM/WAV decode is real "
+        "(functions.media_codecs)"
     )
 
 
@@ -94,6 +116,27 @@ def _decode_fake(data: bytes) -> tuple[int, int, int]:
     return 0, 0, 0
 
 
+def _decode_any(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) for any supported container: real numpy
+    decode for BMP/PPM/WAV, fake-header parse otherwise.  For audio,
+    width = n_samples, height = n_channels (mirroring the fake format's
+    convention)."""
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    raw = bytes(data)
+    kind = MC.sniff(raw)
+    if kind == "bmp":
+        img = MC.decode_bmp(raw)
+        return img.shape[1], img.shape[0], 1
+    if kind == "ppm":
+        img = MC.decode_ppm(raw)
+        return img.shape[1], img.shape[0], 1
+    if kind == "wav":
+        samples, _rate = MC.decode_wav(raw)
+        return samples.shape[0], samples.shape[1], 1
+    return _decode_fake(raw)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode metadata from the binary column via Arrow-batched
     ``mapInPandas``.  Batch shape: the iterator yields pandas DataFrames of
@@ -103,14 +146,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     import pandas as pd
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL  # noqa: F401
-
-            decoder = _decode_real  # pragma: no cover — raises the marked stub
-        except ImportError:
-            decoder = _decode_fake
         for pdf in batches:
-            decoded = [decoder(d) for d in pdf["data"]]
+            decoded = [_decode_any(d) for d in pdf["data"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -141,46 +178,75 @@ FEATURE_SCHEMA = StructType(
 def extract_features(df: DataFrame) -> DataFrame:
     """Feature extraction over the binary column via ``mapInPandas``.
 
-    The real path would run an image/audio encoder per Arrow batch; with
-    media libs absent the kernel is a deterministic fake (md5-seeded
-    pseudo-embedding), but the batch shape — one encoder call per Arrow
-    batch, output an ``array<float>`` column — is the production shape.
+    REAL statistical features for decodable media (per-channel mean/std +
+    normalized dims for images; amplitude stats + rate for audio) — a
+    production encoder (CLIP/wav2vec) swaps in at exactly this point with
+    the identical batch shape (one kernel call per Arrow batch, output an
+    ``array<float>`` column).  Undecodable bytes get a deterministic
+    md5-seeded pseudo-embedding so the pipeline stays total.
     """
     import hashlib
 
     import numpy as np
     import pandas as pd
 
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    def _one(data: bytes) -> list[float]:
+        raw = bytes(data)
+        container = MC.sniff(raw)
+        if container in ("bmp", "ppm"):
+            img = (MC.decode_bmp(raw) if container == "bmp"
+                   else MC.decode_ppm(raw)).astype(np.float32) / 255.0
+            h, w = img.shape[:2]
+            return [*img.mean(axis=(0, 1)).tolist(),
+                    *img.std(axis=(0, 1)).tolist(),
+                    w / 4096.0, h / 4096.0]
+        if container == "wav":
+            samples, rate = MC.decode_wav(raw)
+            x = samples.astype(np.float32) / 32768.0
+            return [float(x.mean()), float(x.std()),
+                    float(np.abs(x).mean()), float(x.max()), float(x.min()),
+                    float(np.sqrt((x ** 2).mean())),
+                    x.shape[0] / 1e6, rate / 1e5]
+        digest = hashlib.md5(raw).digest()
+        vec = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+        return (vec.astype(np.float32) / 65535.0).tolist()
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for data in pdf["data"]:
-                digest = hashlib.md5(bytes(data)).digest()
-                vec = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
-                feats.append((vec.astype(np.float32) / 65535.0).tolist())
-            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "feature": [_one(d) for d in pdf["data"]],
+            })
 
     return df.mapInPandas(encode, FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
-    """Image resize plan: with PIL absent, rewrites the fake header to the
-    target dimensions (payload untouched) — marking exactly where the real
-    kernel goes while keeping schema/batching real."""
+    """Image resize via Arrow-batched ``mapInPandas``.
+
+    REAL nearest-neighbor resize (pure numpy index arithmetic) for
+    BMP/PPM bytes, re-encoded in the same container; fake-format rows get
+    their header rewritten (payload untouched); compressed formats would
+    route through the PIL extension point.  Non-image kinds pass through
+    unchanged."""
     import pandas as pd
 
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL  # noqa: F401
-            raise NotImplementedError("real resize requires PIL wiring")
-        except ImportError:
-            pass
         for pdf in batches:
             out = []
             for data in pdf["data"]:
                 raw = bytes(data)
-                tag, _dims, payload = raw.split(b":", 2)
-                if tag == b"IMG":
+                container = MC.sniff(raw)
+                if container == "bmp":
+                    raw = MC.encode_bmp(MC.resize_nearest(MC.decode_bmp(raw), width, height))
+                elif container == "ppm":
+                    raw = MC.encode_ppm(MC.resize_nearest(MC.decode_ppm(raw), width, height))
+                elif raw[:4] == b"IMG:":
+                    _tag, _dims, payload = raw.split(b":", 2)
                     raw = b"IMG:%dx%d:" % (width, height) + payload
                 out.append(raw)
             pdf = pdf.copy()
