@@ -88,6 +88,57 @@ def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100)
     return df.filter(bucket < percent)
 
 
+def upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Key-based upsert (MERGE without a table format): updates win, target
+    rows without a matching update survive.
+
+    Anti-join formulation — ``updates ∪ (target ⟂ updates.keys)`` — moves
+    only the key column of the update set against the target (semi-join
+    pruning), not full rows through a full-outer join; at 100 TB with a
+    small update batch the anti side broadcasts and the big target never
+    shuffles.  Output column order follows ``target``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = target.join(updates.select(*keys), keys, "left_anti")
+    return updates.select(*target.columns).unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data capture between two snapshots: one row per changed key
+    with ``change_type`` in {added, removed, changed}.
+
+    Three key-only joins (two anti + one inner with a compare predicate);
+    ``changed`` uses null-safe equality so NULL→value transitions count.
+    The CDC primitive for incremental pipelines: feed the output to
+    :func:`upsert` (or a deletion pass) to advance a derived table without
+    reprocessing the unchanged bulk.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    added = new.join(old.select(*keys), keys, "left_anti").select(
+        *keys, F.lit("added").alias("change_type")
+    )
+    removed = old.join(new.select(*keys), keys, "left_anti").select(
+        *keys, F.lit("removed").alias("change_type")
+    )
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *[F.col(c).alias(f"_new_{c}") for c in compare_cols])
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = (
+        o.join(n, keys)
+        .filter(differs)
+        .select(*keys, F.lit("changed").alias("change_type"))
+    )
+    return added.unionByName(removed).unionByName(changed)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key: Column,

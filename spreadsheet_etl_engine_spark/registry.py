@@ -823,6 +823,85 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_upsert",
+    oracle="""
+    WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    u AS (SELECT c_custkey, upper(c_name) AS c_name, c_acctbal + 100 AS c_acctbal
+          FROM customer WHERE c_custkey % 10 = 0)
+    SELECT * FROM u
+    UNION ALL
+    SELECT t.* FROM t
+    WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = t.c_custkey)
+    """,
+    doc="Key-based upsert (MERGE without a table format): updates win, "
+        "unmatched target rows survive. Anti-join formulation — only the "
+        "update batch's keys probe the target, so a small batch "
+        "broadcasts and the big side never shuffles.",
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import upsert
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("c_name"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+    )
+    return upsert(c, updates, "c_custkey")
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT c_custkey, c_acctbal FROM customer),
+    n AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 50
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal FROM customer
+        WHERE c_custkey % 139 = 0
+    )
+    SELECT c_custkey, 'added' AS change_type FROM n
+    WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.c_custkey = n.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'removed' AS change_type FROM o
+    WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.c_custkey = o.c_custkey)
+    UNION ALL
+    SELECT o.c_custkey, 'changed' AS change_type
+    FROM o JOIN n USING (c_custkey)
+    WHERE o.c_acctbal IS DISTINCT FROM n.c_acctbal
+    """,
+    doc="Change-data capture between two snapshots: added/removed/changed "
+        "per key via two anti-joins plus a null-safe compare join — the "
+        "incremental-pipeline primitive (diff then upsert instead of "
+        "reprocessing the unchanged bulk).",
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import snapshot_diff
+
+    old = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = load_table(spark, sf_dir, "customer")
+    new = (
+        base.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 50)
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 139 == 0)
+            .select((F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal")
+        )
+    )
+    return snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
+
+
+@register(
     "join_asof",
     oracle="""
     SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS purchase_ts,

@@ -184,6 +184,31 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
         assert abs(frac - pct / 100) < 0.03, (flag, frac)
 
 
+def test_upsert_semantics(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "v"])
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["k", "name", "v"])
+    got = {r["k"]: (r["name"], r["v"]) for r in upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0),   # update wins
+                   3: ("c", 30.0), 4: ("d", 40.0)}   # insert of new key
+
+
+def test_snapshot_diff_with_null_transitions(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (5, 50.0)], "k long, v double")
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (4, 40.0), (5, None)], "k long, v double")
+    got = {(r["k"], r["change_type"])
+           for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # NULL->value and value->NULL both count as changed (null-safe eq).
+    assert got == {(4, "added"), (3, "removed"), (2, "changed"), (5, "changed")}
+
+
 def test_salted_join_matches_plain_join(spark):
     from spreadsheet_etl_engine_spark.operators.relational import salted_join
 
