@@ -106,6 +106,55 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
+    bnd AS (
+        SELECT doc_id,
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bnd x JOIN bnd y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    rec AS (
+        WITH RECURSIVE reach(node, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+        )
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT node, component FROM rec
+    """,
+    doc="Duplicate CLUSTERS from MinHash-LSH pairs: connected components "
+        "via min-label propagation (one shuffle per round, lineage "
+        "checkpointed, early exit on convergence) — component id = min "
+        "doc_id, the canonical representative dedup keeps. Oracle walks "
+        "the same graph with a recursive CTE.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return DD.connected_components(pairs)
+
+
+@register(
     "dedup_simhash",
     oracle="""
     SELECT doc_id,

@@ -333,6 +333,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list → ``(node, component)`` with
+    ``component`` = the minimum node id in the component (the canonical
+    representative dedup keeps).
+
+    This is the step that turns near-duplicate PAIRS into duplicate
+    CLUSTERS.  Min-label propagation: every node starts as its own label;
+    each round replaces a node's label with the minimum over its
+    neighborhood; converges in O(component diameter) rounds — small for
+    dup clusters, which are near-cliques.  Each round is one shuffle
+    (join + groupBy on node id); ``localCheckpoint`` truncates the lineage
+    so the plan does not grow exponentially with iterations; the loop
+    exits early when a round changes nothing (one scalar count per round,
+    driver-side orchestration only — the same pattern MLlib iterative
+    algorithms use).  For web-scale graphs with long chains, the
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") drops rounds to O(log n); dup
+    graphs do not need it.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"),
+                              F.col("component").alias("nbr_component")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("component"))
+
+
 def random_hyperplanes(n_planes: int, dim: int, *, seed: int = 7) -> list[list[float]]:
     """Deterministic hyperplane set (numpy MT19937 — bit-stable across
     platforms, so the same planes can be embedded as literals into both

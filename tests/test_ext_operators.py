@@ -184,6 +184,19 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
         assert abs(frac - pct / 100) < 0.03, (flag, frac)
 
 
+def test_connected_components_chain_triangle_pair(spark):
+    """A 4-node chain (needs >1 propagation round), a triangle, and an
+    isolated pair — every node labels with its component's min id."""
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),        # chain 10-11-12-13
+         (20, 21), (21, 22), (20, 22),        # triangle
+         (30, 31)],                           # pair
+        ["id_a", "id_b"])
+    got = {r["node"]: r["component"] for r in DD.connected_components(edges).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
 def test_upsert_semantics(spark):
     from spreadsheet_etl_engine_spark.operators.relational import upsert
 
