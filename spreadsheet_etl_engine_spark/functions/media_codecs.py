@@ -143,13 +143,14 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def sniff(data: bytes) -> str:
     """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'fake' |
-    'unknown'."""
-    head = bytes(data[:8])
+    'unknown'.  RIFF alone is not enough for WAV — WebP/AVI are RIFF
+    containers too, so the WAVE fourcc is required."""
+    head = bytes(data[:12])
     if head[:2] == b"BM":
         return "bmp"
     if head[:2] == b"P6":
         return "ppm"
-    if head[:4] == b"RIFF":
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):
         return "fake"

@@ -393,8 +393,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("node"), F.col("component"))
+            return labels.select(F.col("node"), F.col("component"))
+    # Silent non-convergence would split one duplicate cluster into
+    # several "canonical" representatives — fail loudly instead.
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds ({changed} labels still changing); the graph has a "
+        "component with diameter > max_iter — raise max_iter, or switch "
+        "to the large-star/small-star formulation for long-chain graphs"
+    )
 
 
 def random_hyperplanes(n_planes: int, dim: int, *, seed: int = 7) -> list[list[float]]:
@@ -428,6 +435,14 @@ def embedding_lsh_pairs(
     volume is O(colliding pairs), never all-pairs; the exact quadratic
     path in :func:`embedding_neardup_pairs` is verify-only.
     """
+    if bands < 1 or len(planes) % bands != 0:
+        # A silent remainder would drop planes (recall below configured);
+        # r=0 would make every signature 0 and the "candidate" join a full
+        # cross product — the exact blowup LSH exists to avoid.
+        raise ValueError(
+            f"bands={bands} must evenly divide len(planes)={len(planes)} "
+            "with at least one plane per band"
+        )
     r = len(planes) // bands
     band_sigs = F.array(*[
         VEC.hyperplane_signature(F.col(vec_col), planes[k * r:(k + 1) * r])

@@ -22,6 +22,7 @@ Fake formats (deterministic, self-describing):
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,21 +121,26 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_frames) for any supported container: real numpy
     decode for BMP/PPM/WAV, fake-header parse otherwise.  For audio,
     width = n_samples, height = n_channels (mirroring the fake format's
-    convention)."""
+    convention).  TOTAL by contract: corrupt/unsupported bytes (truncated
+    BMP, unsupported bpp, non-WAVE RIFF) decode to (0, 0, 0) instead of
+    raising — one bad row must never kill a 100 TB job."""
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
 
     raw = bytes(data)
     kind = MC.sniff(raw)
-    if kind == "bmp":
-        img = MC.decode_bmp(raw)
-        return img.shape[1], img.shape[0], 1
-    if kind == "ppm":
-        img = MC.decode_ppm(raw)
-        return img.shape[1], img.shape[0], 1
-    if kind == "wav":
-        samples, _rate = MC.decode_wav(raw)
-        return samples.shape[0], samples.shape[1], 1
-    return _decode_fake(raw)
+    try:
+        if kind == "bmp":
+            img = MC.decode_bmp(raw)
+            return img.shape[1], img.shape[0], 1
+        if kind == "ppm":
+            img = MC.decode_ppm(raw)
+            return img.shape[1], img.shape[0], 1
+        if kind == "wav":
+            samples, _rate = MC.decode_wav(raw)
+            return samples.shape[0], samples.shape[1], 1
+        return _decode_fake(raw)
+    except (ValueError, IndexError, struct.error):
+        return 0, 0, 0
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -195,20 +201,23 @@ def extract_features(df: DataFrame) -> DataFrame:
     def _one(data: bytes) -> list[float]:
         raw = bytes(data)
         container = MC.sniff(raw)
-        if container in ("bmp", "ppm"):
-            img = (MC.decode_bmp(raw) if container == "bmp"
-                   else MC.decode_ppm(raw)).astype(np.float32) / 255.0
-            h, w = img.shape[:2]
-            return [*img.mean(axis=(0, 1)).tolist(),
-                    *img.std(axis=(0, 1)).tolist(),
-                    w / 4096.0, h / 4096.0]
-        if container == "wav":
-            samples, rate = MC.decode_wav(raw)
-            x = samples.astype(np.float32) / 32768.0
-            return [float(x.mean()), float(x.std()),
-                    float(np.abs(x).mean()), float(x.max()), float(x.min()),
-                    float(np.sqrt((x ** 2).mean())),
-                    x.shape[0] / 1e6, rate / 1e5]
+        try:
+            if container in ("bmp", "ppm"):
+                img = (MC.decode_bmp(raw) if container == "bmp"
+                       else MC.decode_ppm(raw)).astype(np.float32) / 255.0
+                h, w = img.shape[:2]
+                return [*img.mean(axis=(0, 1)).tolist(),
+                        *img.std(axis=(0, 1)).tolist(),
+                        w / 4096.0, h / 4096.0]
+            if container == "wav":
+                samples, rate = MC.decode_wav(raw)
+                x = samples.astype(np.float32) / 32768.0
+                return [float(x.mean()), float(x.std()),
+                        float(np.abs(x).mean()), float(x.max()), float(x.min()),
+                        float(np.sqrt((x ** 2).mean())),
+                        x.shape[0] / 1e6, rate / 1e5]
+        except (ValueError, IndexError, struct.error):
+            pass  # undecodable despite the magic bytes: md5 fallback below
         digest = hashlib.md5(raw).digest()
         vec = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
         return (vec.astype(np.float32) / 65535.0).tolist()
@@ -241,13 +250,16 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
             for data in pdf["data"]:
                 raw = bytes(data)
                 container = MC.sniff(raw)
-                if container == "bmp":
-                    raw = MC.encode_bmp(MC.resize_nearest(MC.decode_bmp(raw), width, height))
-                elif container == "ppm":
-                    raw = MC.encode_ppm(MC.resize_nearest(MC.decode_ppm(raw), width, height))
-                elif raw[:4] == b"IMG:":
-                    _tag, _dims, payload = raw.split(b":", 2)
-                    raw = b"IMG:%dx%d:" % (width, height) + payload
+                try:
+                    if container == "bmp":
+                        raw = MC.encode_bmp(MC.resize_nearest(MC.decode_bmp(raw), width, height))
+                    elif container == "ppm":
+                        raw = MC.encode_ppm(MC.resize_nearest(MC.decode_ppm(raw), width, height))
+                    elif raw[:4] == b"IMG:":
+                        _tag, _dims, payload = raw.split(b":", 2)
+                        raw = b"IMG:%dx%d:" % (width, height) + payload
+                except (ValueError, IndexError, struct.error):
+                    pass  # corrupt bytes pass through unchanged
                 out.append(raw)
             pdf = pdf.copy()
             pdf["data"] = out

@@ -75,6 +75,13 @@ def pivot_counts(
     return df.groupBy(row_key).pivot(pivot_key, values).count().na.fill(0, subset=values)
 
 
+def _hash_bucket(key: Column, modulus: int) -> Column:
+    """The engine's one deterministic bucket function: first 8 hex chars of
+    md5 as an integer, mod ``modulus``.  Mirrored verbatim in the SQL
+    oracles — change both together or parity breaks."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
+
+
 def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100) -> DataFrame:
     """Deterministic hash-based sampling: keep rows where
     ``md5(key) mod modulus < percent``.
@@ -84,11 +91,16 @@ def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100)
     ``df.sample`` whose output depends on partition layout), and
     consistent for the same key across tables (joinable samples).
     """
-    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
-    return df.filter(bucket < percent)
+    return df.filter(_hash_bucket(key, modulus) < percent)
 
 
-def upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    *,
+    dedup_updates: bool = False,
+) -> DataFrame:
     """Key-based upsert (MERGE without a table format): updates win, target
     rows without a matching update survive.
 
@@ -97,8 +109,21 @@ def upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataF
     pruning), not full rows through a full-outer join; at 100 TB with a
     small update batch the anti side broadcasts and the big target never
     shuffles.  Output column order follows ``target``.
+
+    PRECONDITION: ``updates`` must be unique per key, or the output breaks
+    the one-row-per-key invariant (Delta/Iceberg MERGE errors loudly on
+    multiple matches for the same reason).  ``dedup_updates=True`` keeps
+    an arbitrary-but-deterministic row per key (max by the row's struct
+    ordering) for feeds that can't guarantee it upstream.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if dedup_updates:
+        others = [c for c in updates.columns if c not in keys]
+        updates = (
+            updates.groupBy(*keys)
+            .agg(F.max(F.struct(*others)).alias("_r"))
+            .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+        )
     survivors = target.join(updates.select(*keys), keys, "left_anti")
     return updates.select(*target.columns).unionByName(survivors)
 
@@ -156,7 +181,7 @@ def stratified_hash_sample(
     codegen'd filter — no shuffle, no RNG, pushable after the scan, and
     the same key hash keeps per-entity samples consistent across tables.
     """
-    bucket = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
+    bucket = _hash_bucket(key, modulus)
     rate = F.lit(0)
     for value, pct in rates.items():
         rate = F.when(stratum == value, F.lit(pct)).otherwise(rate)

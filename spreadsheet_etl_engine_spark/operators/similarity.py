@@ -78,11 +78,22 @@ def train_centroids_kmeans(
     runs distributed over the corpus; only the ``nlist`` centroid vectors
     come back to the driver (tiny — they are shipped to executors inside
     the Arrow-batched assignment kernel)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
 
-    arr = F.col(vec_col).cast("array<double>")
-    unit = F.transform(arr, lambda x: x / F.greatest(VEC.norm(arr), F.lit(1e-12)))
+    # Arrow-batched normalization: one numpy pass per batch.  (The
+    # expression form — transform(arr, x -> x / norm(arr)) — re-evaluates
+    # the full norm aggregate per ELEMENT: O(dim^2) work per row.)
+    def _unit_rows(vs):
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(list(M))
+
+    _unit_rows.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    unit = pandas_udf(_unit_rows, "array<double>")(F.col(vec_col))
     train = corpus.select(array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]

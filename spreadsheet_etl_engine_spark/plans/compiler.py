@@ -90,9 +90,13 @@ def parse_float_col(col: Column) -> Column:
     reference's NaN: every comparison against it is false; in SQL tri-logic
     a NULL comparison is NULL which a filter likewise rejects).  Leading
     whitespace is skipped, as JS ``parseFloat`` itself does — ``" 5"``
-    parses to 5.0.
+    parses to 5.0 — including Unicode whitespace (NBSP & co. survive
+    HTML/spreadsheet copy-paste; Java's ``\\s`` is ASCII-only, so the
+    class lists JS StrWhiteSpace explicitly).
     """
-    unpadded = F.regexp_replace(col.cast("string"), r"^\s+", "")
+    ws = ("[\\s\u00a0\u1680\u2000-\u200a"
+          "\u202f\u205f\u3000\ufeff]+")
+    unpadded = F.regexp_replace(col.cast("string"), "^" + ws, "")
     extracted = F.regexp_extract(unpadded, _PARSEFLOAT_PREFIX, 0)
     return F.when(extracted != "", extracted.cast("double"))
 

@@ -64,13 +64,14 @@ def test_parsefloat_sees_trimmed_quote_stripped_operand(spark):
     cell holding ' 5' or '"5"' satisfies src[X] >= 3."""
     headers = ["V", "Tag"]
     rows = [[" 5", "pad"], ['"5"', "quoted"], ['" 7"', "both"],
-            ["abc", "nan"], ["  -2.5", "neg"], ["5", "plain"]]
+            ["abc", "nan"], ["  -2.5", "neg"], ["5", "plain"],
+            [" 5", "nbsp"]]  # JS parseFloat skips Unicode whitespace
     df = spark.createDataFrame([tuple(r) for r in rows], headers)
     rules = [("_filter:n", "eval: src[V] >= 3"), ("Tag", "src[Tag]")]
     got = [r["Tag"] for r in run_mapping(df, parse_mapping(rules, headers),
                                          mode="fidelity").collect()]
     exp_headers, exp_rows = run_mapping_reference(headers, rows, rules)
-    assert got == [r[0] for r in exp_rows] == ["pad", "quoted", "both", "plain"]
+    assert got == [r[0] for r in exp_rows] == ["pad", "quoted", "both", "plain", "nbsp"]
 
 
 def test_constant_splices_src_refs(spark):

@@ -184,6 +184,30 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
         assert abs(frac - pct / 100) < 0.03, (flag, frac)
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must fail loudly —
+    silently splitting one cluster into several canonical reps is the
+    failure mode dedup cannot detect downstream."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(chain, max_iter=2)
+
+
+def test_embedding_lsh_pairs_validates_band_split(spark):
+    import pytest as _pytest
+
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = DD.random_hyperplanes(8, 64)
+    for bands in (3, 16, 0):
+        with _pytest.raises(ValueError, match="evenly divide"):
+            DD.embedding_lsh_pairs(emb, "embedding", "vec_id",
+                                   planes=planes, bands=bands)
+
+
 def test_connected_components_chain_triangle_pair(spark):
     """A 4-node chain (needs >1 propagation round), a triangle, and an
     isolated pair — every node labels with its component's min id."""
@@ -207,6 +231,14 @@ def test_upsert_semantics(spark):
     got = {r["k"]: (r["name"], r["v"]) for r in upsert(target, updates, "k").collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0),   # update wins
                    3: ("c", 30.0), 4: ("d", 40.0)}   # insert of new key
+
+    # A feed with duplicate keys breaks the one-row-per-key invariant
+    # unless dedup_updates resolves it deterministically.
+    dupes = spark.createDataFrame(
+        [(2, "B1", 1.0), (2, "B2", 2.0)], ["k", "name", "v"])
+    out = upsert(target, dupes, "k", dedup_updates=True).collect()
+    assert len(out) == len({r["k"] for r in out}) == 3
+    assert {r["k"]: r["name"] for r in out}[2] == "B2"  # max-struct row wins
 
 
 def test_snapshot_diff_with_null_transitions(spark):

@@ -24,6 +24,25 @@ def test_decode_media_batches(spark):
     assert again == {k: v["payload_hash"] for k, v in rows.items()}
 
 
+def test_corrupt_media_never_kills_the_job(spark):
+    """Totality contract: truncated/foreign bytes must decode to (0,0,0),
+    fall back to the md5 feature, and pass through resize unchanged —
+    one bad row must not fail a 100 TB job."""
+    bad = [
+        (1, "image", b"BM" + b"\x00" * 20, 0),         # truncated BMP
+        (2, "audio", b"RIFF\x00\x00\x00\x00AVI LIST", 0),  # RIFF but not WAVE
+        (3, "image", b"P6 garbage", 0),                # malformed PPM header
+    ]
+    media = spark.createDataFrame(bad, MM.MEDIA_SCHEMA)
+    decoded = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert all((decoded[i]["width"], decoded[i]["height"]) == (0, 0) for i in (1, 3))
+    feats = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=4, height=4).collect()}
+    assert resized == {i: bytes(b) for i, _k, b, _s in bad}
+
+
 def test_compressed_decode_is_marked_stub():
     with pytest.raises(NotImplementedError, match="PIL/cv2/librosa"):
         MM._decode_compressed(b"anything")

@@ -85,20 +85,29 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Bucketed: true" in plan
 
 
-def test_ngram_jaccard_skew_guard_is_broadcast(spark, sf_dir):
-    """The max_df keep-filter must broadcast to the shingle stream (a
-    shuffle join against the full inverted index would defeat the point
-    of the guard), and the registered query must actually enable it."""
+def test_ngram_jaccard_skew_guard_plans(spark, sf_dir):
+    """Guard plan shapes, per path.  Plain inverted-index path: the
+    keep-set must BROADCAST back to the shingle stream (a shuffle join
+    against the full index would defeat the guard).  Prefix path: the
+    guard folds into the ranking join, and the one-row corpus-count
+    scalar must be a broadcast nested-loop join.  And the registered
+    driver query must actually enable the guard."""
     from spreadsheet_etl_engine_spark.operators import dedup as DD
     from spreadsheet_etl_engine_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = _plan(DD.ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.8, max_df_frac=0.1))
-    # Two broadcast joins: the one-row corpus-count scalar and the
-    # keep-set semi-filter on the shingle hash.
-    assert plan.count("BroadcastHashJoin") + plan.count(
+    plain = _plan(DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_df_frac=0.1,
+        prefix_filter=False))
+    # Keep-set semi-filter + one-row scalar: both broadcast.
+    assert plain.count("BroadcastHashJoin") + plain.count(
         "BroadcastNestedLoopJoin") >= 2
+
+    prefix = _plan(DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.8, max_df_frac=0.1,
+        prefix_filter=True))
+    assert "BroadcastNestedLoopJoin" in prefix  # the corpus-count scalar
+
     # The registered driver query runs with the guard on.
     import inspect
 
