@@ -128,6 +128,66 @@ def upsert(
     return updates.select(*target.columns).unionByName(survivors)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    attrs: list[str],
+    *,
+    effective_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply a change batch to a
+    versioned dimension, preserving history.
+
+    For each change row whose attributes differ from the key's current
+    version (null-safe compare): the current row closes
+    (``valid_to = effective``, ``is_current = false``) and a new open
+    version is appended; identical attributes are a no-op; unknown keys
+    insert a first version.  Historical (non-current) rows pass through
+    untouched.  Shuffle shape: one key join of current-rows × changes plus
+    one anti-join for brand-new keys — the change batch is typically tiny
+    next to the dimension, so both broadcast; history never shuffles.
+
+    PRECONDITION: one change row per key per batch (run batches in
+    effective-date order); ``effective_col`` must be non-null.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    out_cols = dim.columns
+    null_to = F.lit(None).cast(dim.schema[to_col].dataType)
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+    u = changes.select(
+        *keys,
+        *[F.col(a).alias(f"_u_{a}") for a in attrs],
+        F.col(effective_col).alias("_eff"),
+    )
+    j = cur.join(u, keys, "left")
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+    is_changed = F.col("_eff").isNotNull() & differs
+    closed = j.filter(is_changed).select(
+        *keys, *attrs, F.col(from_col),
+        F.col("_eff").alias(to_col), F.lit(False).alias(current_col),
+    ).select(*out_cols)
+    kept = j.filter(~is_changed).select(*out_cols)
+    reopened = j.filter(is_changed).select(
+        *keys, *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_eff").alias(from_col), null_to.alias(to_col),
+        F.lit(True).alias(current_col),
+    ).select(*out_cols)
+    first_version = u.join(cur.select(*keys), keys, "left_anti").select(
+        *keys, *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        F.col("_eff").alias(from_col), null_to.alias(to_col),
+        F.lit(True).alias(current_col),
+    ).select(*out_cols)
+    return hist.unionByName(kept).unionByName(closed).unionByName(
+        reopened).unionByName(first_version)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -854,6 +854,87 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_scd2",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               DATE '2020-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM customer
+    ),
+    chg AS (
+        SELECT c_custkey AS k, 'MOVED' AS seg, DATE '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, 'NEW', DATE '2024-06-01'
+        FROM customer WHERE c_custkey % 211 = 0
+    ),
+    changed AS (
+        SELECT d.k FROM dim d JOIN chg u USING (k)
+        WHERE d.seg IS DISTINCT FROM u.seg
+    ),
+    closed AS (
+        SELECT d.k, d.seg, d.valid_from, u.eff AS valid_to, FALSE AS is_current
+        FROM dim d JOIN chg u USING (k) WHERE d.seg IS DISTINCT FROM u.seg
+    ),
+    kept AS (SELECT d.* FROM dim d
+             WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.k = d.k)),
+    new_rows AS (
+        SELECT u.k, u.seg, u.eff AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        FROM chg u LEFT JOIN dim d USING (k)
+        WHERE d.k IS NULL OR d.seg IS DISTINCT FROM u.seg
+    ),
+    unioned AS (
+        SELECT * FROM closed UNION ALL SELECT * FROM kept
+        UNION ALL SELECT * FROM new_rows
+    )
+    SELECT k, seg, CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to, is_current
+    FROM unioned
+    """,
+    doc="SCD type-2 dimension maintenance: changed keys close their "
+        "current version and open a new one, unknown keys insert a first "
+        "version, identical attributes are a no-op, history passes "
+        "through untouched. One key join + one anti-join; the change "
+        "batch broadcasts, the dimension's history never shuffles.",
+)
+def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("MOVED").alias("seg"),
+            F.lit("2024-06-01").cast("date").alias("eff"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 211 == 0).select(
+                (F.col("c_custkey") + 2000000).alias("k"),
+                F.lit("NEW").alias("seg"),
+                F.lit("2024-06-01").cast("date").alias("eff"),
+            )
+        )
+    )
+    out = scd2_apply(dim, changes, "k", ["seg"], effective_col="eff")
+    return out.select(
+        "k", "seg",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
     "etl_snapshot_diff",
     oracle="""
     WITH o AS (SELECT c_custkey, c_acctbal FROM customer),

@@ -241,6 +241,30 @@ def test_upsert_semantics(spark):
     assert {r["k"]: r["name"] for r in out}[2] == "B2"  # max-struct row wins
 
 
+def test_scd2_apply_versions(spark):
+    from spreadsheet_etl_engine_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", "2022-01-01", False),   # history row
+         (1, "b", "2022-01-01", None, True),            # current, will change
+         (2, "x", "2020-01-01", None, True)],           # current, unchanged
+        "k long, attr string, valid_from string, valid_to string, is_current boolean")
+    changes = spark.createDataFrame(
+        [(1, "c", "2024-01-01"),     # attr change -> close + reopen
+         (2, "x", "2024-01-01"),     # identical attrs -> no-op
+         (3, "z", "2024-01-01")],    # new key -> first version
+        "k long, attr string, eff string")
+    got = {(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+           for r in scd2_apply(dim, changes, "k", ["attr"], effective_col="eff").collect()}
+    assert got == {
+        (1, "a", "2020-01-01", "2022-01-01", False),   # history untouched
+        (1, "b", "2022-01-01", "2024-01-01", False),   # closed
+        (1, "c", "2024-01-01", None, True),            # new version
+        (2, "x", "2020-01-01", None, True),            # no-op
+        (3, "z", "2024-01-01", None, True),            # first version
+    }
+
+
 def test_snapshot_diff_with_null_transitions(spark):
     from spreadsheet_etl_engine_spark.operators.relational import snapshot_diff
 
