@@ -823,6 +823,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_name,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    doc="Skew-salted join, oracle-checked against the plain join: the "
+        "skewed fact side gets a salt in [0,16), the small side is "
+        "replicated per salt, and the (key, salt) join spreads each hot "
+        "key over 16 partitions. Results must be identical to the "
+        "unsalted join — salting changes the shuffle layout, never the "
+        "answer.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_name")
+    joined = salted_join(li, sup, key="k", salt=16)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
     "etl_upsert",
     oracle="""
     WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
