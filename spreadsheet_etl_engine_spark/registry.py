@@ -823,6 +823,71 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                WHEN l_extendedprice >= 110000 THEN 12
+                ELSE CAST(floor(l_extendedprice / 10000) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Equal-width histogram via width_bucket with literal bounds — "
+        "data-profiling primitive; fixed bounds keep it one pass (a "
+        "min/max-derived histogram needs two). Map-side combinable, one "
+        "shuffle on <=13 keys.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(11))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col, CAST(min(l_quantity) AS DOUBLE) AS mn,
+           CAST(max(l_quantity) AS DOUBLE) AS mx,
+           count(*) AS n_rows, count(l_quantity) AS n_non_null,
+           count(DISTINCT l_quantity) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE),
+           CAST(max(l_discount) AS DOUBLE),
+           count(*), count(l_discount), count(DISTINCT l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+           count(*), count(l_tax), count(DISTINCT l_tax)
+    FROM lineitem
+    """,
+    doc="Column profiling (min/max/null/distinct per column) — the "
+        "pipeline-QA primitive; one aggregation per column over a single "
+        "cached scan shape, exact distincts (HLL variant is "
+        "agg_approx_distinct).",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.min(col).cast("double").alias("mn"),
+            F.max(col).cast("double").alias("mx"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+        )
+
+    return one("l_quantity").unionByName(one("l_discount")).unionByName(one("l_tax"))
+
+
+@register(
     "join_skew_salted",
     oracle="""
     SELECT s_name,
