@@ -136,6 +136,14 @@ def minhash_lsh_pairs(
     is uniform under md5, and oversized buckets (degenerate content) can
     be capped with a count filter before the self-join.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # Same invariant as embedding_lsh_pairs: a silent remainder drops
+        # hashes (recall below configured); rows_per_band=0 would make
+        # every band hash identical and the join a full cross product.
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes} "
+            "with at least one hash per band"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
         df, content_col, id_col,
@@ -358,6 +366,8 @@ def connected_components(
     Components in MapReduce and Beyond") drops rounds to O(log n); dup
     graphs do not need it.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter={max_iter} must be >= 1")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)

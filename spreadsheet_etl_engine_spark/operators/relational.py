@@ -152,13 +152,26 @@ def scd2_apply(
     next to the dimension, so both broadcast; history never shuffles.
 
     PRECONDITION: one change row per key per batch (run batches in
-    effective-date order); ``effective_col`` must be non-null.
+    effective-date order); ``effective_col`` must be non-null; ``dim``
+    must carry exactly ``keys + attrs`` plus the three SCD bookkeeping
+    columns (validated — surrogate keys / audit columns belong on a
+    wrapping projection).  A NULL ``is_current`` is treated as historical
+    (``coalesce(false)``): under plain filters such a row would match
+    neither branch and silently vanish.
     """
     keys = [key] if isinstance(key, str) else list(key)
     out_cols = dim.columns
+    expected = set(keys) | set(attrs) | {from_col, to_col, current_col}
+    extra = [c for c in out_cols if c not in expected]
+    if extra:
+        raise ValueError(
+            f"scd2_apply: dim has columns {extra} beyond keys+attrs+SCD "
+            "bookkeeping; project them off (or into attrs) first"
+        )
     null_to = F.lit(None).cast(dim.schema[to_col].dataType)
-    cur = dim.filter(F.col(current_col))
-    hist = dim.filter(~F.col(current_col))
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = dim.filter(is_cur)
+    hist = dim.filter(~is_cur)
     u = changes.select(
         *keys,
         *[F.col(a).alias(f"_u_{a}") for a in attrs],

@@ -91,11 +91,14 @@ def parse_float_col(col: Column) -> Column:
     a NULL comparison is NULL which a filter likewise rejects).  Leading
     whitespace is skipped, as JS ``parseFloat`` itself does — ``" 5"``
     parses to 5.0 — including Unicode whitespace (NBSP & co. survive
-    HTML/spreadsheet copy-paste; Java's ``\\s`` is ASCII-only, so the
-    class lists JS StrWhiteSpace explicitly).
+    HTML/spreadsheet copy-paste; Java's ``\\s`` misses the Unicode set, so
+    the class lists every char the pinned oracle's ``str.strip()`` strips:
+    FS/GS/RS/US, NEL, NBSP, Ogham, the \u2000 block, LS/PS, NNBSP, MMSP,
+    ideographic space.  \ufeff is deliberately ABSENT — Python does not
+    treat the BOM as whitespace, and the oracle is the gate).
     """
-    ws = ("[\\s\u00a0\u1680\u2000-\u200a"
-          "\u202f\u205f\u3000\ufeff]+")
+    ws = ("[\\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
+          "\u2028\u2029\u202f\u205f\u3000]+")
     unpadded = F.regexp_replace(col.cast("string"), "^" + ws, "")
     extracted = F.regexp_extract(unpadded, _PARSEFLOAT_PREFIX, 0)
     return F.when(extracted != "", extracted.cast("double"))

@@ -23,7 +23,7 @@ HEADERS = ["A", "B", "C"]
 VALUES = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
           "Cali", "-3.2", " pad ", "B", "0", "3e2", "+5", ".5", "1e",
           "Inf", "Infinity", "-Infinity", "nan", "1_0", "%5", "a b",
-          " 5", '"5"', '" 7"', " -2.5 ", "\u00a05"]
+          " 5", '"5"', '" 7"', " -2.5 ", "\u00a05", "\u20285", "\ufeff5"]
 LITERALS = ["17", "abc", "", "12%", "1.0", "1", '"active"', "active",
             "Cali", "-3.2", "0", "B", "Inf", "Infinity", "1e", ".5",
             " 5", '"5"']
