@@ -888,6 +888,33 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT tok, count(*) AS n
+    FROM toks GROUP BY tok
+    HAVING count(*) > (SELECT count(*) / 200.0 FROM toks)
+    """,
+    doc="Exact heavy hitters: tokens above a 1/200 corpus-frequency "
+        "threshold (stopword discovery — the skewed domain where heavy "
+        "hitters exist; TPC-H keys are uniform). Two-phase hash agg + a "
+        "broadcast one-row scalar threshold; at 100 TB the sketch "
+        "alternative (count-min / approx_top_k) trades exactness for "
+        "fixed memory when token cardinality explodes.",
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.select((F.count("*") / 200.0).alias("_thr"))
+    return (
+        toks.groupBy("tok").agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.col("_thr"))
+        .select("tok", "n")
+    )
+
+
+@register(
     "join_skew_salted",
     oracle="""
     SELECT s_name,
