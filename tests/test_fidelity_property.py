@@ -51,7 +51,7 @@ rows = st.lists(
 )
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=24, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 @given(data=rows, fexprs=st.lists(filter_expr, min_size=0, max_size=2),
        directs=st.lists(direct_instruction, min_size=1, max_size=3))
