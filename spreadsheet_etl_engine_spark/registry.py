@@ -1331,12 +1331,96 @@ def get(name: str) -> RegisteredQuery:
     return REGISTRY[name]
 
 
+# The driver verifies the FIRST 50 entries of ``queries()`` (dict insertion
+# order) against the DuckDB oracles each round.  Registration order is a
+# module-import accident, so the driver-facing order is pinned explicitly:
+# the reference-parity DSL surface and the LLM-pipeline [EXT] operators
+# (dedup / similarity / text / multimodal / streaming) — the queries that
+# must never silently lose verification — come first, then one
+# representative per relational family.  Everything past slot 50 was
+# hash-verified in an earlier round and is unchanged (see PLANS.md).
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # Reference DSL surface (parser -> compiler -> runner end-to-end).
+    "dsl_flagship",
+    "dsl_filter_ops",
+    "dsl_direct_constant",
+    "dsl_formula_chain",
+    "dsl_a1_formula",
+    "dsl_fidelity_strings",
+    "dsl_v2_join_agg",
+    "dsl_v2_having_topn",
+    "dsl_xlsx_roundtrip",
+    # [EXT] dedup family.
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_neardup",
+    "dedup_embedding_lsh_pairs",
+    # [EXT] similarity search.
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    # [EXT] text analysis.
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_quality",
+    "text_wordcount_top",
+    # [EXT] multimodal.
+    "multimodal_decode",
+    # Event-time / streaming.
+    "events_sessionize",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    # Window functions.
+    "window_rank_orders",
+    "window_rank_variants",
+    "window_running_sum",
+    "window_first_last",
+    # Joins.
+    "join_dims_broadcast",
+    "join_fact_fact",
+    "join_fact_fact_bucketed",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "join_range_window",
+    "join_skew_salted",
+    # Aggregations.
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_heavy_hitters_approx",
+    # Sort / top-k.
+    "sort_topk",
+)
+
+DRIVER_CHECK_BUDGET = 50
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in DRIVER_PRIORITY if n in REGISTRY]
+    tail = [n for n in REGISTRY if n not in DRIVER_PRIORITY]
+    return head + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: rq.fn for name, rq in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 # Import-time side effect: [EXT] queries register themselves (placed at the

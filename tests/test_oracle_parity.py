@@ -77,3 +77,50 @@ def test_entry_contract(spark):
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 10
+
+
+# Queries the driver must re-verify every round: the reference DSL surface
+# and the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
+# past the driver's 50-entry check budget when relational extras were
+# registered ahead of them).
+MUST_BE_IN_CHECK_BUDGET = [
+    "dsl_flagship",
+    "dsl_fidelity_strings",
+    "dedup_exact",
+    "dedup_minhash_signature",
+    "dedup_minhash_lsh_pairs",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_neardup",
+    "dedup_embedding_lsh_pairs",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_stats",
+    "text_langid",
+    "text_fingerprint",
+    "text_quality",
+    "text_wordcount_top",
+    "multimodal_decode",
+    "events_sessionize",
+    "events_sliding_window",
+    "streaming_tumbling_counts",
+    "window_rank_variants",
+]
+
+
+def test_driver_priority_ordering():
+    """All north-star queries sit inside the driver's check budget, the
+    priority list has no typos (every name registered) and no duplicates,
+    and it never exceeds the budget (extra registrations go to the tail)."""
+    names = list(registry.queries())
+    head = names[: registry.DRIVER_CHECK_BUDGET]
+    assert len(registry.DRIVER_PRIORITY) == len(set(registry.DRIVER_PRIORITY))
+    assert len(registry.DRIVER_PRIORITY) <= registry.DRIVER_CHECK_BUDGET
+    unregistered = [n for n in registry.DRIVER_PRIORITY if n not in registry.REGISTRY]
+    assert not unregistered, f"priority names not registered: {unregistered}"
+    missing = [n for n in MUST_BE_IN_CHECK_BUDGET if n not in head]
+    assert not missing, f"north-star queries past the driver budget: {missing}"
+    # The tail must still be registered queries (nothing dropped).
+    assert sorted(names) == sorted(registry.REGISTRY)
