@@ -230,6 +230,57 @@ def dsl_a1_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_mapping(li, spec)
 
 
+@register(
+    "dsl_xlsx_roundtrip",
+    oracle="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS SuppKey,
+           s_name AS Name,
+           'Verified' AS Status,
+           CAST(s_acctbal * 2 AS VARCHAR) AS DoubleBal
+    FROM supplier
+    WHERE s_acctbal > 0
+    """,
+    doc="Spreadsheet-native egress+ingest end-to-end — the reference's "
+        "whole identity (main.gs:51-53 reads the sheet, main.gs:124-129 "
+        "overwrites it): parse -> compile -> run the mapping, write the "
+        "result to a real .xlsx workbook (stdlib OOXML codec, "
+        "sources/xlsx_native.py), read it back in fidelity mode "
+        "(getDisplayValues semantics: every column a display string) and "
+        "return that.  The oracle checks the *round-tripped strings*, so "
+        "cell encoding, XML escaping and number formatting are all under "
+        "the hash.  xlsx is driver-side and sheet-sized by design; the "
+        "100 TB sinks are parquet/CSV.",
+)
+def dsl_xlsx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.sources.readers import read_excel
+    from spreadsheet_etl_engine_spark.sources.writers import write_xlsx
+
+    sup = load_table(spark, sf_dir, "supplier")
+    spec = parse_mapping(
+        [
+            ("_filter:bal", "eval: src[s_acctbal] > 0"),
+            ("SuppKey", "src[s_suppkey]"),
+            ("Name", "src[s_name]"),
+            ("Status", "constant:Verified"),
+            ("DoubleBal", "formula:=src[s_acctbal]*2"),
+        ],
+        sup.columns,
+    )
+    out = run_mapping(sup, spec)
+    fd, path = tempfile.mkstemp(suffix=".xlsx")
+    os.close(fd)
+    try:
+        write_xlsx(out, path, sheet_name="Output")
+        # read_excel materializes driver-side, so the temp file can go
+        # away as soon as the DataFrame exists.
+        return read_excel(spark, path, fidelity=True)
+    finally:
+        os.unlink(path)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).

@@ -9,8 +9,12 @@ fidelity mode reads every column as a string, matching the reference's
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_INT_RE = re.compile(r"[+-]?\d+")
 
 TABLE_NAMES = (
     "region", "nation", "customer", "supplier", "part",
@@ -73,22 +77,37 @@ def read_csv(
 def read_excel(
     spark: SparkSession, path: str, *, sheet_name: str | int = 0, fidelity: bool = False
 ) -> DataFrame:
-    """Excel scan via a pandas bridge (no JVM excel datasource in this
-    environment).  Suitable for the reference's actual use case —
-    spreadsheet-sized inputs; large data belongs in parquet/CSV.
+    """Excel scan via the stdlib-native OOXML codec
+    (``sources/xlsx_native.py`` — no JVM excel datasource and no openpyxl
+    in this environment).  Suitable for the reference's actual use case —
+    spreadsheet-sized inputs (``main.gs:51-53``); large data belongs in
+    parquet/CSV.
 
-    Requires ``openpyxl`` (gated: raises ImportError with guidance).
+    ``fidelity=True`` returns every column as its display string
+    (``getDisplayValues`` semantics, ``main.gs:52``).  Otherwise columns
+    whose cells are all number cells come back typed: ``bigint`` when
+    every value is integral, ``double`` otherwise.
     """
-    import pandas as pd  # baked in
+    from pyspark.sql import types as T
 
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "read_excel requires an Excel engine (openpyxl); install it or "
-            "convert the workbook to CSV/parquet"
-        ) from e
-    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str if fidelity else None)
-    if fidelity:
-        pdf = pdf.fillna("")
-    return spark.createDataFrame(pdf)
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    header, rows, numeric = xlsx_native.read_workbook(path, sheet_name=sheet_name)
+    if fidelity or not rows:
+        schema = T.StructType([T.StructField(h, T.StringType()) for h in header])
+        return spark.createDataFrame([tuple(r) for r in rows], schema)
+
+    def col_type(i: int):
+        vals = [r[i] for r in rows]
+        if not all(numeric[ri][i] or v == "" for ri, v in enumerate(vals)):
+            return T.StringType(), lambda v: v if v != "" else None
+        if all(v == "" or _INT_RE.fullmatch(v) for v in vals):
+            return T.LongType(), lambda v: int(v) if v != "" else None
+        return T.DoubleType(), lambda v: float(v) if v != "" else None
+
+    types = [col_type(i) for i in range(len(header))]
+    schema = T.StructType(
+        [T.StructField(h, t) for h, (t, _) in zip(header, types)]
+    )
+    data = [tuple(conv(v) for v, (_, conv) in zip(r, types)) for r in rows]
+    return spark.createDataFrame(data, schema)

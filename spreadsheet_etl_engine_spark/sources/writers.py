@@ -1,6 +1,6 @@
 """Sinks.  The reference's only sink overwrites a sheet wholesale
-(``main.gs:124-129``); here: parquet/CSV natively, xlsx via a gated
-openpyxl bridge with optional FORMULA pass-through.
+(``main.gs:124-129``); here: parquet/CSV natively, xlsx via the
+stdlib-native OOXML codec with optional FORMULA pass-through.
 
 Pass-through mode is where the reference's two deferred-evaluation quirks
 live (SURVEY §7.4 items 1-3): ``formula:`` output columns keep their
@@ -125,24 +125,18 @@ def write_xlsx(
     sheet_name: str = "Output",
     max_rows: int = 1_048_576,
 ) -> None:
-    """Write a (sheet-sized) DataFrame to xlsx via openpyxl.
+    """Write a (sheet-sized) DataFrame to xlsx via the stdlib-native OOXML
+    codec (``sources/xlsx_native.py``; no openpyxl in this environment).
 
-    Gated: raises ImportError with guidance when openpyxl is missing.
     Collects to the driver — by definition a spreadsheet-sized sink
-    (Excel's own limit is ~1M rows); big outputs belong in parquet.
+    (Excel's own grid caps at ~1M rows, hence ``max_rows``); big outputs
+    belong in parquet.  Mirrors the reference's overwrite-sheet semantics
+    (``main.gs:124-129``): header row first, then data; string cells
+    starting with ``=`` become live formula cells, exactly as
+    ``setValues`` would make them (the pass-through mode's deferred
+    evaluation rides on this).
     """
-    try:
-        import openpyxl
-    except ImportError as e:
-        raise ImportError(
-            "write_xlsx requires openpyxl, which is not installed in this "
-            "environment; use write_csv/write_parquet instead"
-        ) from e
-    rows = df.limit(max_rows).collect()
-    wb = openpyxl.Workbook()
-    ws = wb.active
-    ws.title = sheet_name
-    ws.append(df.columns)
-    for r in rows:
-        ws.append(list(r))
-    wb.save(path)
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    rows = [tuple(r) for r in df.limit(max_rows).collect()]
+    xlsx_native.write_workbook(path, list(df.columns), rows, sheet_name=sheet_name)

@@ -1,0 +1,264 @@
+"""Minimal native xlsx codec — stdlib only (``zipfile`` + ``ElementTree``).
+
+An ``.xlsx`` workbook is a ZIP of OOXML parts (ECMA-376 / ISO 29500;
+the format is public).  This module reads and writes the minimal part
+set a single-sheet workbook needs, with no third-party dependency:
+
+* ``[Content_Types].xml`` — part-type registry;
+* ``_rels/.rels`` — package → workbook relationship;
+* ``xl/workbook.xml`` + ``xl/_rels/workbook.xml.rels`` — sheet registry;
+* ``xl/styles.xml`` — minimal stylesheet (readers require one);
+* ``xl/worksheets/sheet1.xml`` — the cell grid.
+
+The spreadsheet-native ingest/egress path is the reference's entire
+identity (``main.gs:51-53`` reads the sheet, ``main.gs:124-129``
+overwrites the output sheet) and this container has no openpyxl, so the
+codec is what makes that path real rather than gated.
+
+Write-side cell mapping (mirrors the reference's ``setValues``, where a
+string starting with ``=`` becomes a live formula, ``main.gs:86-98``):
+
+* ``None``        → cell omitted (blank);
+* ``bool``        → ``t="b"`` with 0/1;
+* ``int/float``   → number cell ``<v>`` (shortest ``repr`` text);
+* str ``=...``    → formula cell ``<f>`` (deferred evaluation);
+* other str       → ``t="inlineStr"`` (no sharedStrings indirection —
+  one part fewer, and streaming-friendly: each row is self-contained).
+
+Read side accepts inline strings, sharedStrings (files written by other
+tools), numbers, booleans, and formula cells; formulas read back as
+their ``=``-prefixed text (this engine does not evaluate spreadsheet
+formulas on read — ``plans/formula.py`` compiles the DSL's formulas
+instead).  Cells come back as *display strings* plus a per-cell
+numeric-typed flag so callers can do typed-column inference.
+
+Scale stance: xlsx is a driver-side, spreadsheet-sized format (Excel's
+own grid caps at ~1M rows); the distributed sinks are parquet/CSV
+(``writers.py``).  Collecting here is by design, bounded by ``max_rows``.
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+SHEET_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+</Types>"""
+
+_ROOT_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="{PKG_REL_NS}">
+<Relationship Id="rId1" Type="{REL_NS}/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="{PKG_REL_NS}">
+<Relationship Id="rId1" Type="{REL_NS}/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="{REL_NS}/styles" Target="styles.xml"/>
+</Relationships>"""
+
+_STYLES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="{SHEET_NS}">
+<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+<fills count="1"><fill><patternFill patternType="none"/></fill></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="1"><xf xfId="0"/></cellXfs>
+</styleSheet>"""
+
+
+def column_letter(col: int) -> str:
+    """1-based column index → A1 letters (same algorithm as the
+    reference's ``columnToLetter``, ``main.gs:291-299``)."""
+    letters = ""
+    while col > 0:
+        col, rem = divmod(col - 1, 26)
+        letters = chr(65 + rem) + letters
+    return letters
+
+
+_CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def letters_to_ordinal(letters: str) -> int:
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n
+
+
+def _num_text(value) -> str:
+    """Shortest round-trip decimal text for a number (what DuckDB/Spark
+    also print for doubles, keeping string round-trips engine-portable)."""
+    if isinstance(value, bool):
+        return "1" if value else "0"
+    if isinstance(value, int):
+        return str(value)
+    return repr(float(value))
+
+
+def _cell_xml(ref: str, value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        return f'<c r="{ref}"><v>{_num_text(value)}</v></c>'
+    text = str(value)
+    if text.startswith("="):
+        return f'<c r="{ref}"><f>{escape(text[1:])}</f></c>'
+    # xml:space="preserve" keeps leading/trailing whitespace (fidelity
+    # strings round-trip exactly).
+    return (
+        f'<c r="{ref}" t="inlineStr"><is>'
+        f'<t xml:space="preserve">{escape(text)}</t></is></c>'
+    )
+
+
+def write_workbook(
+    path: str,
+    header: list[str],
+    rows: list[tuple],
+    *,
+    sheet_name: str = "Output",
+) -> None:
+    """Write a single-sheet workbook: header row 1, data rows from row 2
+    (the reference's output layout, ``main.gs:124-129``)."""
+    body: list[str] = []
+    all_rows = [tuple(header)] + [tuple(r) for r in rows]
+    for ri, row in enumerate(all_rows, start=1):
+        cells = "".join(
+            _cell_xml(f"{column_letter(ci)}{ri}", v)
+            for ci, v in enumerate(row, start=1)
+        )
+        body.append(f'<row r="{ri}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{SHEET_NS}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{SHEET_NS}" xmlns:r="{REL_NS}"><sheets>'
+        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def _tag(name: str) -> str:
+    return f"{{{SHEET_NS}}}{name}"
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    out = []
+    for si in root.iter(_tag("si")):
+        # <si> may hold one <t> or rich-text runs of <r><t>; join texts.
+        out.append("".join(t.text or "" for t in si.iter(_tag("t"))))
+    return out
+
+
+def _sheet_part(zf: zipfile.ZipFile, sheet_name: str | int) -> str:
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    sheets = list(wb.iter(_tag("sheet")))
+    if not sheets:
+        raise ValueError("workbook has no sheets")
+    if isinstance(sheet_name, int):
+        try:
+            chosen = sheets[sheet_name]
+        except IndexError:
+            raise ValueError(f"workbook has no sheet index {sheet_name}") from None
+    else:
+        match = [s for s in sheets if s.get("name") == sheet_name]
+        if not match:
+            names = [s.get("name") for s in sheets]
+            raise ValueError(f"no sheet named {sheet_name!r}; workbook has {names}")
+        chosen = match[0]
+    rid = chosen.get(f"{{{REL_NS}}}id")
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    for rel in rels.iter(f"{{{PKG_REL_NS}}}Relationship"):
+        if rel.get("Id") == rid:
+            target = rel.get("Target")
+            return target if target.startswith("xl/") else f"xl/{target}"
+    raise ValueError(f"sheet relationship {rid!r} not found")
+
+
+def read_workbook(
+    path: str, *, sheet_name: str | int = 0
+) -> tuple[list[str], list[list[str]], list[list[bool]]]:
+    """Read one sheet → ``(header, rows, numeric_flags)``.
+
+    ``rows`` hold display strings (blank cells → ``""``); ``numeric_flags``
+    marks, per cell, whether the source cell was a number cell — the hook
+    ``readers.read_excel`` uses for typed-column inference.
+    """
+    with zipfile.ZipFile(path) as zf:
+        shared = _shared_strings(zf)
+        root = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
+        grid: list[list[str]] = []
+        flags: list[list[bool]] = []
+        for row in root.iter(_tag("row")):
+            cells: list[str] = []
+            numeric: list[bool] = []
+
+            def put(idx: int, text: str, is_num: bool) -> None:
+                while len(cells) < idx - 1:
+                    cells.append("")
+                    numeric.append(False)
+                cells.append(text)
+                numeric.append(is_num)
+
+            for pos, c in enumerate(row.iter(_tag("c")), start=1):
+                ref = c.get("r")
+                m = _CELL_REF_RE.match(ref) if ref else None
+                idx = letters_to_ordinal(m.group(1)) if m else pos
+                ctype = c.get("t", "n")
+                v = c.find(_tag("v"))
+                f = c.find(_tag("f"))
+                if ctype == "inlineStr":
+                    is_el = c.find(_tag("is"))
+                    text = "".join(
+                        t.text or "" for t in is_el.iter(_tag("t"))
+                    ) if is_el is not None else ""
+                    put(idx, text, False)
+                elif ctype == "s":
+                    put(idx, shared[int(v.text)] if v is not None else "", False)
+                elif f is not None and v is None:
+                    put(idx, "=" + (f.text or ""), False)
+                elif ctype == "b":
+                    put(idx, "TRUE" if v is not None and v.text == "1" else "FALSE", False)
+                else:  # "n" or "str" (formula cached string)
+                    put(idx, v.text if v is not None and v.text else "", ctype == "n")
+            grid.append(cells)
+            flags.append(numeric)
+    if not grid:
+        return [], [], []
+    header = grid[0]
+    width = max(len(r) for r in grid)
+    header = header + [f"_c{i}" for i in range(len(header), width)]
+    rows = [r + [""] * (width - len(r)) for r in grid[1:]]
+    nflags = [r + [False] * (width - len(r)) for r in flags[1:]]
+    return header, rows, nflags

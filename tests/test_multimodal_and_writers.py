@@ -146,10 +146,43 @@ def test_formula_passthrough_forward_and_self_refs_stay_literal(spark):
     assert row["Later"] == "=A2+B2"                  # backward refs resolve
 
 
-def test_write_xlsx_gated(spark):
-    df = spark.createDataFrame([(1, "a")], ["x", "y"])
-    with pytest.raises(ImportError, match="openpyxl"):
-        W.write_xlsx(df, "/tmp/out.xlsx")
+def test_xlsx_roundtrip_values_and_escaping(spark, tmp_path):
+    """The stdlib OOXML codec must round-trip strings exactly (XML
+    escaping, leading/trailing whitespace), numbers as shortest-repr
+    text, '='-strings as live formula cells, and blanks as empty."""
+    from spreadsheet_etl_engine_spark.sources.readers import read_excel
+
+    df = spark.createDataFrame(
+        [(1, 'a <&> "q"', 4032.68, "=A2+1", None),
+         (2, "  padded  ", -0.5, "plain", "x")],
+        "id long, name string, bal double, formula string, opt string",
+    )
+    path = str(tmp_path / "wb.xlsx")
+    W.write_xlsx(df, path)
+    back = read_excel(spark, path, fidelity=True)
+    assert back.columns == ["id", "name", "bal", "formula", "opt"]
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows["1"]["name"] == 'a <&> "q"'
+    assert rows["1"]["bal"] == "4032.68"
+    assert rows["1"]["formula"] == "=A2+1"      # formula cell reads back as text
+    assert rows["1"]["opt"] == ""               # blank cell
+    assert rows["2"]["name"] == "  padded  "    # whitespace preserved
+    # Typed read: all-number columns come back typed, mixed stay string.
+    typed = read_excel(spark, path)
+    assert dict(typed.dtypes)["id"] == "bigint"
+    assert dict(typed.dtypes)["bal"] == "double"
+    assert dict(typed.dtypes)["name"] == "string"
+
+
+def test_xlsx_sheet_selection_and_errors(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    path = str(tmp_path / "one.xlsx")
+    xlsx_native.write_workbook(path, ["h"], [("v",)], sheet_name="Datos")
+    header, rows, _ = xlsx_native.read_workbook(path, sheet_name="Datos")
+    assert (header, rows) == (["h"], [["v"]])
+    with pytest.raises(ValueError, match="no sheet named"):
+        xlsx_native.read_workbook(path, sheet_name="Missing")
 
 
 def test_csv_roundtrip(spark, tmp_path):
@@ -163,14 +196,14 @@ def test_csv_roundtrip(spark, tmp_path):
     assert dict(back.dtypes) == {"x": "string", "y": "string"}
 
 
-def test_read_excel_gated(spark, tmp_path):
+def test_read_excel_rejects_garbage(spark, tmp_path):
     from spreadsheet_etl_engine_spark.sources.readers import read_excel
 
-    # pandas needs openpyxl for xlsx; absent in this container -> the
-    # gate must surface a clear ImportError, not a pandas internal one.
+    # Corrupt/non-zip input must surface a clear error, not a silent
+    # empty frame.
     fake = tmp_path / "wb.xlsx"
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
-    with pytest.raises(ImportError):
+    with pytest.raises(Exception):
         read_excel(spark, str(fake))
 
 
