@@ -528,6 +528,34 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_counts",
+    oracle=None,  # exercised as a real streaming query; the batch twin
+    # events_sessionize carries the SQL oracle, and pytest pins
+    # stream == batch (tests/test_streaming.py).
+    doc="Structured Streaming session-window counts (30-min gap) executed "
+        "with the file source and availableNow trigger — the streaming "
+        "run of events_sessionize. Complete output mode: append would "
+        "hold back sessions the final watermark hasn't closed.",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_in"
+        ev.write.mode("overwrite").parquet(src)
+        stream = SE.read_event_stream(spark, src)
+        name = "streaming_session_counts_sink"
+        SE.run_to_memory_sink(SE.session_counts(stream), name, output_mode="complete")
+        out = spark.table(name)
+        return spark.createDataFrame(
+            out.collect(), out.schema
+        ).withColumn("session_start", F.col("session_start").cast("string"))
+
+
+@register(
     "text_wordcount_top",
     oracle="""
     SELECT t AS token, count(*) AS n FROM (

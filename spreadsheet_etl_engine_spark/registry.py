@@ -342,6 +342,63 @@ def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fact_fact_bucketed",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           count(*) AS n_lines,
+           {_REVENUE_SQL} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderpriority
+    """,
+    doc="Zero-Exchange fact-fact join: both sides persisted bucketed on "
+        "the join key (sources/writers.py write_bucketed), so the "
+        "sort-merge join — and the per-order aggregation after it, whose "
+        "grouping keys are a superset of the bucket key — run with no "
+        "shuffle at all (plan-asserted in tests/test_scale_plans.py). "
+        "This is the pay-the-shuffle-once-at-ingest layout for fact-fact "
+        "joins that repeat at 100 TB; the merge hint stands in for the "
+        "broadcast threshold a real fact table would exceed anyway.",
+)
+def join_fact_fact_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bo, bl = _bucketed_fact_tables(spark, sf_dir)
+    o = spark.table(bo)
+    li = spark.table(bl)
+    return (
+        o.join(li.hint("merge"), o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _revenue_sum("revenue"),
+        )
+    )
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create-or-reuse bucketed copies of orders/lineitem for ``sf_dir``.
+
+    The bucketed layout is an ingest-time artifact; within one session it
+    is built once per scale factor (catalog lookup) and reused.  Files
+    live under /tmp keyed by the source dir, so a stale catalog entry
+    whose files vanished is rebuilt via mode("overwrite").
+    """
+    import hashlib
+
+    from spreadsheet_etl_engine_spark.sources.writers import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = []
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            write_bucketed(
+                load_table(spark, sf_dir, tbl), name,
+                f"/tmp/spark_graft_buckets/{tag}/{tbl}", buckets=8, key=key,
+            )
+        names.append(name)
+    return names[0], names[1]
+
+
+@register(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer
@@ -966,6 +1023,32 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_heavy_hitters_approx",
+    oracle=None,  # sketch output is approximate by design; pytest pins
+    # the sketch top-k against the exact two-phase agg
+    # (tests/test_ext_operators.py::test_heavy_hitters_sketch_vs_exact).
+    doc="Sketch-based heavy hitters: approx_top_k (Spark 4's bounded-"
+        "memory frequent-items aggregate) over the token stream — the "
+        "100 TB alternative to agg_heavy_hitters' exact two-phase agg. "
+        "The exact plan's state is one counter per distinct token; when "
+        "token cardinality explodes (raw web text, no normalization), "
+        "the sketch caps state at maxItemsTracked per partition, stays "
+        "map-side combinable, and returns the top-k with approximate "
+        "counts. Single pass, no shuffle of the token stream — only the "
+        "constant-size sketch merges.",
+)
+def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.select(F.expr("approx_top_k(tok, 32, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("n_approx"))
+        .orderBy(F.desc("n_approx"), F.asc("tok"))
+    )
+
+
+@register(
     "join_skew_salted",
     oracle="""
     SELECT s_name,
@@ -1442,12 +1525,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_range_window",
     "join_skew_salted",
-    # Aggregations.
+    # Aggregations.  (agg_cube rotated to the tail in r4: green in r3 and
+    # unchanged since; agg_rollup + agg_grouping_sets keep the family
+    # covered in the head.)
     "agg_pricing_summary",
     "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
     "agg_pivot",
+    "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
     # Sort / top-k.
     "sort_topk",
@@ -1457,9 +1542,19 @@ DRIVER_CHECK_BUDGET = 50
 
 
 def _ordered_names() -> list[str]:
-    head = [n for n in DRIVER_PRIORITY if n in REGISTRY]
+    # A priority name that is not registered is a typo or a query that was
+    # deleted without updating the list — either way the driver would
+    # silently verify something other than what the list promises, so
+    # fail loudly instead of filtering (round-3 lesson: four phantom
+    # names sat here for a whole round).
+    unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    if unknown:
+        raise LookupError(
+            f"DRIVER_PRIORITY names not in REGISTRY: {unknown}; "
+            "implement them or remove them from the list"
+        )
     tail = [n for n in REGISTRY if n not in DRIVER_PRIORITY]
-    return head + tail
+    return list(DRIVER_PRIORITY) + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -30,6 +30,47 @@ def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    buckets: int,
+    key: str | list[str],
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and per-bucket sorted) external table.
+
+    Bucketing pre-partitions the data by ``hash(key) % buckets`` at write
+    time, so every later join or aggregation on ``key`` between tables
+    with the same bucket count starts from a satisfied distribution:
+    zero Exchange on either side (see ``join_fact_fact_bucketed`` and
+    ``tests/test_scale_plans.py``).  That is the co-located-join strategy
+    for fact↔fact joins that repeat at 100 TB — pay the shuffle once at
+    ingest, never again.  ``sortBy`` additionally makes each bucket file
+    merge-join-ready without a per-task sort.
+
+    ``buckets`` sizing at scale: aim for bucket files in the 100-500 MB
+    range (e.g. ~25k buckets for 10 TB of fact data); too few buckets
+    caps join parallelism, too many makes small files.
+
+    Bucketed layout requires the table catalog (``saveAsTable``); plain
+    ``.parquet(path)`` writes would lose the bucket metadata.  The
+    ``path`` option keeps the data external to the warehouse dir.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    sorts = keys if sort_by is None else (
+        [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    )
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(sorts[0], *sorts[1:])
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
 def column_letter(col: int) -> str:
     """1-based column index → A1 letter (reference ``main.gs:291-299``)."""
     letters = ""

@@ -348,3 +348,25 @@ def test_asof_join_directions(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, on="t", by="uid", right_cols={}, direction="sideways")
+
+
+def test_heavy_hitters_sketch_vs_exact(spark, sf_dir):
+    """The approx_top_k sketch must surface every exact heavy hitter
+    (threshold 1/200 of the corpus — far above top-32 rank at any SF)
+    with counts within 5%: at test scale the sketch tracks far more
+    items than exist, so counts should in fact be exact."""
+    from spreadsheet_etl_engine_spark import registry
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in registry.get("agg_heavy_hitters").fn(spark, sf_dir).collect()
+    }
+    sketch = {
+        r["tok"]: r["n_approx"]
+        for r in registry.get("agg_heavy_hitters_approx").fn(spark, sf_dir).collect()
+    }
+    assert 0 < len(exact) <= 32, "threshold should yield a small hitter set"
+    missing = set(exact) - set(sketch)
+    assert not missing, f"exact heavy hitters absent from sketch top-k: {missing}"
+    for tok, n in exact.items():
+        assert abs(sketch[tok] - n) <= max(1, 0.05 * n), (tok, n, sketch[tok])

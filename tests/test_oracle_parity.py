@@ -106,7 +106,12 @@ MUST_BE_IN_CHECK_BUDGET = [
     "events_sessionize",
     "events_sliding_window",
     "streaming_tumbling_counts",
+    "streaming_session_counts",
     "window_rank_variants",
+    "dsl_xlsx_roundtrip",
+    "join_fact_fact_bucketed",
+    "agg_heavy_hitters",
+    "agg_heavy_hitters_approx",
 ]
 
 

@@ -85,6 +85,17 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert "Bucketed: true" in plan
 
 
+def test_registered_bucketed_join_has_zero_exchange(spark, sf_dir):
+    """The driver-facing join_fact_fact_bucketed must run entirely
+    shuffle-free: bucketed scans feed the sort-merge join directly, and
+    the per-order aggregation's grouping keys contain the bucket key, so
+    its distribution is already satisfied too."""
+    plan = _plan(registry.get("join_fact_fact_bucketed").fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Bucketed: true" in plan
+
+
 def test_ngram_jaccard_skew_guard_plans(spark, sf_dir):
     """Guard plan shapes, per path.  Plain inverted-index path: the
     keep-set must BROADCAST back to the shingle stream (a shuffle join
