@@ -289,11 +289,13 @@ class MappingCompiler:
         return result
 
     def compile_columns(self, spec: MappingSpec) -> list[Column]:
-        """Ordered projection list; ``self[X]`` in formulas resolves to the
-        already-compiled expression of an earlier output column (value
-        semantics — see SURVEY §7 on why address semantics only exist in
-        the xlsx pass-through sink)."""
+        """Ordered projection list; ``self[X]`` (by name) and A1 letters
+        (by declaration position) both resolve to the already-compiled
+        expression of an earlier OUTPUT column (value semantics — see
+        SURVEY §7 on why address semantics only exist in the xlsx
+        pass-through sink)."""
         compiled: dict[str, Column] = {}
+        out_exprs: list[Column] = []  # declaration order, for A1 letters
         out: list[Column] = []
         for col in spec.columns:
             if col.kind == ColumnKind.CONSTANT:
@@ -317,14 +319,25 @@ class MappingCompiler:
                         raise UnknownSelfRefError(name, _rule)
                     return _compiled[name]
 
-                def resolve_a1(ordinal: int, _rule: str = col.name) -> Column:
-                    # A1 letter -> source column by pinned ingest position
-                    # (parquet/CSV column order is the ingest order).
-                    if ordinal > len(self.headers):
+                def resolve_a1(ordinal: int, _rule: str = col.name,
+                               _out: list[Column] = out_exprs) -> Column:
+                    # A1 letters address OUTPUT columns by declaration
+                    # position: in the reference the formula text lands in
+                    # the output sheet (main.gs:107-108), where =A2+B2
+                    # reads the output grid — the same binding the xlsx
+                    # pass-through writer uses for self[...] addresses.
+                    # Like self[...] (and like the reference's
+                    # incrementally-built outputRowRefs, main.gs:99-114),
+                    # only earlier-declared columns are addressable: a
+                    # forward or self-positional reference has no compiled
+                    # value yet.
+                    if ordinal > len(_out):
                         raise UnknownSelfRefError(
-                            f"column #{ordinal} (source has "
-                            f"{len(self.headers)} columns)", _rule)
-                    return F.col(self.headers[ordinal - 1])
+                            f"output column #{ordinal} (only "
+                            f"{len(_out)} declared so far; A1 letters "
+                            "bind to earlier-declared output columns)",
+                            _rule)
+                    return _out[ordinal - 1]
 
                 expr = formula_mod.compile_formula(
                     col.instruction, col.name, resolve_src, resolve_self,
@@ -333,6 +346,7 @@ class MappingCompiler:
             else:
                 expr = self._direct(col.instruction)
             compiled[col.name] = expr
+            out_exprs.append(expr)
             out.append(expr.alias(col.name))
         return out
 

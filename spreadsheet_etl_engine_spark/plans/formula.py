@@ -43,10 +43,13 @@ syntax              compiles to
 
 A1-style positional references (``=A2+B2``, reference ``README.md:76``)
 compile as row-local templates when the caller provides ``resolve_a1``:
-the letter indexes a source column by pinned ingest position (A → first
-column), the row number is the current-row placeholder (must be >= 2 and
-consistent within the formula).  Without ``resolve_a1`` they are rejected
-with a clear error pointing at pass-through mode.
+the letter is a 1-based column ordinal (A → 1) handed to the resolver,
+the row number is the current-row placeholder (must be >= 2 and
+consistent within the formula).  What the ordinal addresses is the
+caller's choice; ``MappingCompiler`` binds it to OUTPUT columns by
+declaration position, matching the reference where the formula text
+lands in the output sheet (``main.gs:107-108``).  Without ``resolve_a1``
+they are rejected with a clear error pointing at pass-through mode.
 """
 
 from __future__ import annotations
@@ -398,9 +401,10 @@ def compile_formula(
     resolve_a1: Callable[[int], Column] | None = None,
 ) -> Column:
     """Compile a ``formula:`` body (with or without the leading ``=``) to a
-    Spark ``Column``.  ``resolve_a1`` (1-based source-column ordinal →
-    Column) enables compiled A1-positional references (``=A2+B2``) as
-    row-local templates over the pinned ingest column order."""
+    Spark ``Column``.  ``resolve_a1`` (1-based column ordinal → Column)
+    enables compiled A1-positional references (``=A2+B2``) as row-local
+    templates; the mapping compiler binds ordinals to output-column
+    declaration positions (reference output-sheet semantics)."""
     text = body.strip()
     if text.startswith("="):
         text = text[1:]

@@ -204,26 +204,35 @@ def dsl_formula_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsl_a1_formula",
     oracle="""
-    SELECT l_orderkey AS OrderKey,
-           l_quantity + l_extendedprice * 2 AS A1Calc,
-           l_quantity * (1 - l_discount) AS NetQty
+    SELECT l_extendedprice AS Price,
+           l_quantity AS Qty,
+           l_orderkey AS OrderKey,
+           l_extendedprice + l_quantity * 2 AS Total,
+           (l_extendedprice + l_quantity * 2) * 10 AS Grand
     FROM lineitem
     """,
     doc="Compiled A1-positional formulas (reference README.md:76 "
-        "'Total -> formula:=A2+B2'): letters index source columns by "
-        "pinned ingest ordinal (A=l_orderkey, E=l_quantity, ...), the row "
-        "number is the current-row placeholder. Compiles to plain column "
-        "arithmetic — same codegen plan as src[...] refs.",
+        "'Total -> formula:=A2+B2'): letters address OUTPUT columns by "
+        "declaration position — in the reference the formula text lands "
+        "in the output sheet (main.gs:107-108), so =A2+B2 reads the "
+        "output grid, not the source. The output order here deliberately "
+        "differs from the source order (Price before Qty, OrderKey "
+        "demoted to C) so the oracle distinguishes output binding from "
+        "source-ordinal binding; Grand chains off the Total formula "
+        "column (D2). Compiles to plain column arithmetic — same codegen "
+        "plan as src[...] refs.",
 )
 def dsl_a1_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # lineitem ingest order: A=l_orderkey ... E=l_quantity, F=l_extendedprice,
-    # G=l_discount.
+    # Output grid: A=Price, B=Qty, C=OrderKey, D=Total — NOT the source
+    # order (source A..E are l_orderkey..l_quantity).
     spec = parse_mapping(
         [
+            ("Price", "src[l_extendedprice]"),
+            ("Qty", "src[l_quantity]"),
             ("OrderKey", "src[l_orderkey]"),
-            ("A1Calc", "formula:=E2+F2*2"),
-            ("NetQty", "formula:=E2*(1-G2)"),
+            ("Total", "formula:=A2+B2*2"),
+            ("Grand", "formula:=D2*10"),
         ],
         li.columns,
     )

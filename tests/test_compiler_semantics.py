@@ -140,3 +140,36 @@ def test_safe_eval_oracle_selftest():
     assert not safe_eval("a == b == c || nothing")
     with pytest.raises(ValueError):
         safe_eval("a === b")
+
+
+def test_a1_binds_to_output_declaration_positions(spark):
+    """A1 letters address OUTPUT columns by declaration position
+    (reference main.gs:107-108: the formula text lands in the output
+    sheet) — NOT source ingest ordinals.  Output order here inverts the
+    source order so the two bindings give different answers."""
+    df = spark.createDataFrame([(2.0, 30.0)], ["x", "y"])  # source: A=x, B=y
+    spec = parse_mapping(
+        [
+            ("Y", "src[y]"),          # output A
+            ("X", "src[x]"),          # output B
+            ("T", "formula:=A2-B2"),  # output binding: y-x = 28
+        ],
+        df.columns,
+    )
+    assert run_mapping(df, spec).collect()[0]["T"] == 28.0  # source binding would give -28
+
+
+def test_a1_forward_reference_rejected(spark):
+    """Like self[...] (and the reference's incrementally-built
+    outputRowRefs, main.gs:99-114), A1 letters can only address
+    earlier-declared output columns; forward/self positions raise with
+    rule context."""
+    from spreadsheet_etl_engine_spark.errors import UnknownSelfRefError
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    spec = parse_mapping(
+        [("T", "formula:=B2+1"), ("X", "src[x]")],
+        df.columns,
+    )
+    with pytest.raises(UnknownSelfRefError, match="earlier-declared"):
+        run_mapping(df, spec)

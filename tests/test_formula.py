@@ -69,9 +69,10 @@ def test_a1_reference_rejected_without_resolver(spark):
 
 
 def test_a1_compiled_template(spark):
-    """A1 refs compile as row-local templates over the ingest ordinal:
-    letters index source columns (A -> 1st), the row number is the
-    current-row placeholder."""
+    """A1 refs compile as row-local templates: letters become 1-based
+    ordinals handed to the caller's resolver (this test binds them to a
+    plain column list; MappingCompiler binds output declaration
+    positions), the row number is the current-row placeholder."""
     df = spark.createDataFrame([(3.0, 4.0)], ["x", "y"])
     headers = list(df.columns)
     expr = compile_formula("=A2+B2*2", "t", lambda n: F.col(n), lambda n: F.col(n),
