@@ -119,11 +119,17 @@ def upsert(
     keys = [key] if isinstance(key, str) else list(key)
     if dedup_updates:
         others = [c for c in updates.columns if c not in keys]
-        updates = (
-            updates.groupBy(*keys)
-            .agg(F.max(F.struct(*others)).alias("_r"))
-            .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
-        )
+        if others:
+            updates = (
+                updates.groupBy(*keys)
+                .agg(F.max(F.struct(*others)).alias("_r"))
+                .select(*keys, *[F.col(f"_r.{c}").alias(c) for c in others])
+            )
+        else:
+            # Key-only update set: duplicate keys are identical rows, so
+            # dedup is plain distinct (the struct-of-no-columns agg would
+            # otherwise die with an opaque analysis error).
+            updates = updates.distinct()
     survivors = target.join(updates.select(*keys), keys, "left_anti")
     return updates.select(*target.columns).unionByName(survivors)
 
@@ -152,7 +158,8 @@ def scd2_apply(
     next to the dimension, so both broadcast; history never shuffles.
 
     PRECONDITION: one change row per key per batch (run batches in
-    effective-date order); ``effective_col`` must be non-null; ``dim``
+    effective-date order); ``effective_col`` must be non-null (validated —
+    a NULL change row fails the job loudly rather than vanishing); ``dim``
     must carry exactly ``keys + attrs`` plus the three SCD bookkeeping
     columns (validated — surrogate keys / audit columns belong on a
     wrapping projection).  A NULL ``is_current`` is treated as historical
@@ -172,10 +179,21 @@ def scd2_apply(
     is_cur = F.coalesce(F.col(current_col), F.lit(False))
     cur = dim.filter(is_cur)
     hist = dim.filter(~is_cur)
+    # A NULL effective date would make the change row match neither the
+    # changed nor the unchanged branch and silently vanish from history —
+    # fail the job loudly instead (the check rides inside the _eff
+    # expression itself so column pruning can never drop it).
+    eff = F.col(effective_col)
+    eff_checked = F.when(eff.isNotNull(), eff).otherwise(
+        F.raise_error(F.lit(
+            f"scd2_apply: NULL {effective_col} in change batch; every "
+            "change row needs an effective date"
+        ))
+    )
     u = changes.select(
         *keys,
         *[F.col(a).alias(f"_u_{a}") for a in attrs],
-        F.col(effective_col).alias("_eff"),
+        eff_checked.alias("_eff"),
     )
     j = cur.join(u, keys, "left")
     differs = F.lit(False)

@@ -92,13 +92,15 @@ def parse_float_col(col: Column) -> Column:
     whitespace is skipped, as JS ``parseFloat`` itself does — ``" 5"``
     parses to 5.0 — including Unicode whitespace (NBSP & co. survive
     HTML/spreadsheet copy-paste; Java's ``\\s`` misses the Unicode set, so
-    the class lists every char the pinned oracle's ``str.strip()`` strips:
-    FS/GS/RS/US, NEL, NBSP, Ogham, the \u2000 block, LS/PS, NNBSP, MMSP,
-    ideographic space.  \ufeff is deliberately ABSENT — Python does not
-    treat the BOM as whitespace, and the oracle is the gate).
+    the class is explicit: FS/GS/RS/US, NEL, NBSP, Ogham, the \u2000
+    block, LS/PS, NNBSP, MMSP, ideographic space, and \ufeff — the BOM
+    is in ECMA-262 StrWhiteSpace (and lands at cell start when UTF-8
+    files with a BOM are pasted into a sheet), so JS parseFloat skips
+    it; the pinned oracle model strips it explicitly too (Python
+    ``str.strip()`` alone would not).
     """
     ws = ("[\\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
-          "\u2028\u2029\u202f\u205f\u3000]+")
+          "\u2028\u2029\u202f\u205f\u3000\ufeff]+")
     unpadded = F.regexp_replace(col.cast("string"), "^" + ws, "")
     extracted = F.regexp_extract(unpadded, _PARSEFLOAT_PREFIX, 0)
     return F.when(extracted != "", extracted.cast("double"))

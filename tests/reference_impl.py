@@ -19,8 +19,19 @@ _INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
 _PARSEFLOAT_RE = re.compile(r"^[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)")
 
 
+# ECMA-262 StrWhiteSpace: Python's whitespace set plus FS/GS/RS/US, NEL,
+# NBSP, Ogham, the U+2000 block, LS/PS, NNBSP, MMSP, ideographic space,
+# and the BOM (which Python's default str.strip() does NOT strip) --
+# mirrors the compiled class in plans/compiler.py::parse_float_col.
+_STR_WHITESPACE = (
+    " \t\n\r\v\f\x1c\x1d\x1e\x1f\x85\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+
+
 def parse_float(s: str) -> float:
-    m = _PARSEFLOAT_RE.match(s.strip())
+    m = _PARSEFLOAT_RE.match(s.strip(_STR_WHITESPACE))
     if not m:
         return math.nan
     text = m.group(0)

@@ -173,3 +173,23 @@ def test_a1_forward_reference_rejected(spark):
     )
     with pytest.raises(UnknownSelfRefError, match="earlier-declared"):
         run_mapping(df, spec)
+
+
+def test_parsefloat_skips_bom(spark):
+    """ECMA-262 StrWhiteSpace includes the BOM (U+FEFF) — it lands at
+    cell start when a UTF-8-with-BOM file is pasted into a sheet, and JS
+    parseFloat skips it.  Compiled column and oracle model must agree."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.plans.compiler import parse_float_col
+    from tests.reference_impl import parse_float
+
+    cases = ["﻿5", " ﻿ 7.5x", "﻿abc", "﻿"]
+    df = spark.createDataFrame([(c,) for c in cases], ["s"])
+    got = [r["v"] for r in df.select(parse_float_col(F.col("s")).alias("v")).collect()]
+    assert got == [5.0, 7.5, None, None]
+    model = [parse_float(c) for c in cases]
+    assert model[0] == 5.0 and model[1] == 7.5
+    assert math.isnan(model[2]) and math.isnan(model[3])

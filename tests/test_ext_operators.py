@@ -370,3 +370,31 @@ def test_heavy_hitters_sketch_vs_exact(spark, sf_dir):
     assert not missing, f"exact heavy hitters absent from sketch top-k: {missing}"
     for tok, n in exact.items():
         assert abs(sketch[tok] - n) <= max(1, 0.05 * n), (tok, n, sketch[tok])
+
+
+def test_upsert_key_only_updates(spark):
+    """An update feed carrying ONLY key columns (e.g. a tombstone-refresh
+    feed) must work with dedup_updates=True: duplicate keys are identical
+    rows, so dedup degenerates to distinct — not an opaque analysis error
+    from an empty struct agg."""
+    from spreadsheet_etl_engine_spark.operators.relational import upsert
+
+    target = spark.createDataFrame([(1,), (2,)], ["k"])
+    ups = spark.createDataFrame([(2,), (2,), (3,)], ["k"])
+    out = sorted(r["k"] for r in upsert(target, ups, "k", dedup_updates=True).collect())
+    assert out == [1, 2, 3]
+
+
+def test_scd2_null_effective_date_raises(spark):
+    """A change row with a NULL effective date would silently vanish from
+    history (matches neither branch); scd2_apply must fail the job loudly
+    instead."""
+    from spreadsheet_etl_engine_spark.operators.relational import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean")
+    changes = spark.createDataFrame(
+        [(1, "b", None)], "k long, attr string, eff string")
+    with pytest.raises(Exception, match="scd2_apply"):
+        scd2_apply(dim, changes, "k", ["attr"], effective_col="eff").collect()
