@@ -57,18 +57,21 @@ def main() -> None:
     registry.get("dsl_flagship").fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     names = HEADLINE + [n for n in OPTIONAL if n in registry.REGISTRY]
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.get(name).fn
-        # Best of 2: the first run pays one-time codegen/JIT for this
-        # query's generated classes; the min reflects steady-state cost
-        # and is stable under background load noise.
-        best = float("inf")
-        for _ in range(2):
+        # Median of `reps`: the first run pays one-time codegen/JIT for
+        # this query's generated classes, and single-shot timings on
+        # local[32] swing ±40% on sub-second queries (round-3 lesson:
+        # phantom regressions on untouched code); the median is robust to
+        # one slow outlier AND one suspiciously fast cache hit.
+        runs = []
+        for _ in range(reps):
             start = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -77,6 +80,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
+                "reps": reps,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -129,3 +129,32 @@ def test_driver_priority_ordering():
     assert not missing, f"north-star queries past the driver budget: {missing}"
     # The tail must still be registered queries (nothing dropped).
     assert sorted(names) == sorted(registry.REGISTRY)
+
+
+def test_tail_queries_unchanged():
+    """Rotation guard: queries past the driver's 50-slot check budget ride
+    on a green row earned in an EARLIER round — valid only while their
+    code is untouched.  If this fails: you edited a tail query; promote
+    it into the DRIVER_PRIORITY head (rotate out something stable) so the
+    next round re-verifies it, then run
+    `python scripts/update_tail_snapshot.py`."""
+    import json
+    import os
+
+    from scripts.update_tail_snapshot import fingerprint, tail_names
+
+    path = os.path.join(os.path.dirname(__file__), "driver_tail_snapshot.json")
+    with open(path) as f:
+        snap = json.load(f)
+    tail = tail_names()
+    assert sorted(tail) == sorted(snap), (
+        f"tail set changed: new={sorted(set(tail) - set(snap))} "
+        f"gone={sorted(set(snap) - set(tail))}; re-pin via "
+        "scripts/update_tail_snapshot.py (new tail entries must have a "
+        "green driver row from the round that demoted them)"
+    )
+    drifted = [n for n in tail if fingerprint(n) != snap[n]]
+    assert not drifted, (
+        f"tail queries edited since their last driver verification: "
+        f"{drifted}; promote them into DRIVER_PRIORITY and re-pin"
+    )
