@@ -1534,15 +1534,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof",
     "join_range_window",
     "join_skew_salted",
-    # Aggregations.  (agg_cube rotated to the tail in r4: green in r3 and
-    # unchanged since; agg_rollup + agg_grouping_sets keep the family
-    # covered in the head.)
+    # Aggregations.  (r4 rotation: agg_cube / agg_grouping_sets / agg_pivot
+    # to the tail — all green in r3 and byte-unchanged since, with
+    # agg_rollup keeping the GROUPING-SETS family covered in the head —
+    # making room for agg_heavy_hitters and for etl_upsert/etl_scd2,
+    # whose underlying operators changed in r4 and so MUST re-verify.)
     "agg_pricing_summary",
     "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot",
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
+    # Incremental ETL — operator code (upsert/scd2_apply) edited in r4.
+    "etl_upsert",
+    "etl_scd2",
     # Sort / top-k.
     "sort_topk",
 )
