@@ -675,3 +675,187 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation queries (r4): repetition-quality signals, PII
+# scrubbing, deterministic split assignment, source mixing weights.  All
+# pure Catalyst expressions — no UDFs, no driver loops; each aggregates or
+# maps during the scan, so cost is one pass over documents at any scale.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS dup_word_frac,
+           CASE WHEN len(bg) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+           ELSE 0.0 END AS top_bigram_frac
+    FROM b
+    """,
+    doc="Gopher-style repetition quality signals per document: duplicate-"
+        "word fraction and most-frequent-bigram fraction — the classic "
+        "filters for boilerplate/degenerate text in training corpora "
+        "(Rae et al. 2021 §A1.1). Pure per-row array expressions inside "
+        "codegen: zero shuffle, linear in the scan. The per-row "
+        "distinct-bigram scan is quadratic in DOCUMENT length (bounded: "
+        "docs are length-capped upstream), never in corpus size.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TXT.tokens(F.col("text"))
+    bg = TXT.word_shingles(F.col("text"), 2)
+    dup = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    top = F.when(
+        F.size(bg) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", dup.alias("dup_word_frac"), top.alias("top_bigram_frac")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@' || source
+                  || '.net or 10.0.' || (doc_id % 200) || '.7' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_IPV4_RE}')) AS n_ips,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IPV4_RE}', '<IP>', 'g') AS clean
+    FROM raw
+    """,
+    doc="PII scrubbing: redact emails and IPv4 addresses with typed "
+        "placeholders and count redactions per document — standard "
+        "pre-training hygiene. The synthetic corpus carries no PII, so "
+        "the query splices a deterministic contact string per row first; "
+        "the oracle checks the actual redacted text, so both regex "
+        "dialects (Java / RE2) must agree on every match. regexp_replace "
+        "in the scan stage: zero shuffle, Arrow never involved.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@"), F.col("source"),
+        F.lit(".net or 10.0."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(_IPV4_RE)).alias("n_ips"),
+        clean.alias("clean"),
+    )
+
+
+@register(
+    "train_split_assign",
+    oracle="""
+    SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_tokens
+    FROM (
+      SELECT *, CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                % 100 AS h
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    doc="Deterministic train/val/test assignment (80/10/10) by salted "
+        "content-key hash — reproducible across runs, engines and "
+        "repartitioning, unlike randomSplit whose output depends on "
+        "partition layout. The same portable md5-prefix hash family as "
+        "the dedup operators, so DuckDB derives identical splits. "
+        "Map-side classify + 3-group agg: one scan, one tiny shuffle.",
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.size(TXT.tokens(F.col("text"))).alias("_n"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+    )
+
+
+@register(
+    "mix_weights_by_source",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(18,6)) AS sq FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(sq AS DOUBLE) / CAST((SELECT sum(sq) FROM w) AS DOUBLE)
+               AS mix_weight
+    FROM w
+    """,
+    doc="Temperature-scaled source mixing weights (alpha=0.5, the "
+        "multilingual-sampling exponent): per-source token counts -> "
+        "w_s = sqrt(tokens_s) / sum(sqrt(tokens)). sqrt is IEEE-correctly-"
+        "rounded (bit-identical across engines, unlike pow) and the "
+        "normalizing sum runs in DECIMAL so accumulation order cannot "
+        "perturb the weights. Shape: map-side-combined agg to ~|sources| "
+        "rows, then a broadcast one-row total — the big side is scanned "
+        "once and never shuffled beyond the tiny agg.",
+)
+def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TXT.tokens(F.col("text")))).alias("n_tokens"),
+    ).withColumn("_sq", F.sqrt(F.col("n_tokens")).cast("decimal(18,6)"))
+    total = per_src.select(F.sum("_sq").alias("_tot"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            (F.col("_sq").cast("double") / F.col("_tot").cast("double"))
+            .alias("mix_weight"),
+        )
+    )

@@ -1506,12 +1506,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # [EXT] similarity search.
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    # [EXT] text analysis.
+    # [EXT] text analysis + curation (repetition/PII/split/mixing new in
+    # r4 — never driver-verified, so they take the head slots of
+    # window_running_sum / window_first_last / join_semi / join_anti,
+    # all green in r3 and byte-unchanged since).
     "text_stats",
     "text_langid",
     "text_fingerprint",
     "text_quality",
     "text_wordcount_top",
+    "text_repetition",
+    "text_pii_scrub",
+    "train_split_assign",
+    "mix_weights_by_source",
     # [EXT] multimodal.
     "multimodal_decode",
     # Event-time / streaming.
@@ -1523,14 +1530,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Window functions.
     "window_rank_orders",
     "window_rank_variants",
-    "window_running_sum",
-    "window_first_last",
     # Joins.
     "join_dims_broadcast",
     "join_fact_fact",
     "join_fact_fact_bucketed",
-    "join_semi",
-    "join_anti",
     "join_asof",
     "join_range_window",
     "join_skew_salted",

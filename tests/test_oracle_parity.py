@@ -112,6 +112,10 @@ MUST_BE_IN_CHECK_BUDGET = [
     "join_fact_fact_bucketed",
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
+    "text_repetition",
+    "text_pii_scrub",
+    "train_split_assign",
+    "mix_weights_by_source",
 ]
 
 
