@@ -840,22 +840,21 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_s = sqrt(tokens_s) / sum(sqrt(tokens)). sqrt is IEEE-correctly-"
         "rounded (bit-identical across engines, unlike pow) and the "
         "normalizing sum runs in DECIMAL so accumulation order cannot "
-        "perturb the weights. Shape: map-side-combined agg to ~|sources| "
-        "rows, then a broadcast one-row total — the big side is scanned "
-        "once and never shuffled beyond the tiny agg.",
+        "perturb the weights. Shape: ONE scan, map-side-combined agg to "
+        "~|sources| rows, then the normalizing total as an unpartitioned "
+        "window over that tiny aggregate — a cross-join against a "
+        "separate total would re-scan and re-aggregate the corpus.",
 )
 def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(TXT.tokens(F.col("text")))).alias("n_tokens"),
     ).withColumn("_sq", F.sqrt(F.col("n_tokens")).cast("decimal(18,6)"))
-    total = per_src.select(F.sum("_sq").alias("_tot"))
-    return (
-        per_src.crossJoin(F.broadcast(total))
-        .select(
-            "source", "n_docs", "n_tokens",
-            (F.col("_sq").cast("double") / F.col("_tot").cast("double"))
-            .alias("mix_weight"),
-        )
+    total = F.sum("_sq").over(Window.partitionBy())
+    return per_src.select(
+        "source", "n_docs", "n_tokens",
+        (F.col("_sq").cast("double") / total.cast("double")).alias("mix_weight"),
     )
