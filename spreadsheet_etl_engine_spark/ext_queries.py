@@ -858,3 +858,54 @@ def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens",
         (F.col("_sq").cast("double") / total.cast("double")).alias("mix_weight"),
     )
+
+
+@register(
+    "text_contamination",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> array_to_string(toks[i:i+2], ' ')))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100 AS b
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT g.g FROM g JOIN h USING (doc_id) WHERE h.b < 5
+    ), corpus AS (
+      SELECT g.doc_id, g.g FROM g JOIN h USING (doc_id) WHERE h.b >= 5
+    )
+    SELECT doc_id, count(*) AS n_contaminated_grams
+    FROM corpus JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Benchmark-contamination check: flag corpus documents sharing any "
+        "word 3-gram with a held-out evaluation set (here a deterministic "
+        "5% hash split of documents stands in for the benchmark), with "
+        "the count of distinct contaminated grams per document. Scale "
+        "shape: a real benchmark is MBs against a 100 TB corpus, so its "
+        "distinct-gram set BROADCASTS and the corpus gram stream is "
+        "filtered map-side during the scan — no shuffle of corpus data; "
+        "only the small flagged aggregate shuffles. The decontamination "
+        "step is then an anti-join on the flagged doc_ids.",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TXT.word_shingles(F.col("text"), 3))).alias("g"),
+        _hash_bucket(F.col("doc_id"), 100).alias("_b"),
+    )
+    bench = grams.filter(F.col("_b") < 5).select("g").distinct()
+    corpus = grams.filter(F.col("_b") >= 5)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )

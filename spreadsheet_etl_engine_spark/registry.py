@@ -1517,6 +1517,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_wordcount_top",
     "text_repetition",
     "text_pii_scrub",
+    "text_contamination",
     "train_split_assign",
     "mix_weights_by_source",
     # [EXT] multimodal.
@@ -1535,7 +1536,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_fact_fact",
     "join_fact_fact_bucketed",
     "join_asof",
-    "join_range_window",
     "join_skew_salted",
     # Aggregations.  (r4 rotation: agg_cube / agg_grouping_sets / agg_pivot
     # to the tail — all green in r3 and byte-unchanged since, with

@@ -114,6 +114,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "agg_heavy_hitters_approx",
     "text_repetition",
     "text_pii_scrub",
+    "text_contamination",
     "train_split_assign",
     "mix_weights_by_source",
 ]
