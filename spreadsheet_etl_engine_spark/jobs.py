@@ -92,3 +92,90 @@ def run_job(
     else:
         rows = out.count()
     return JobResult(output=out, rows_written=rows, config=cfg)
+
+
+def run_workbook(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    mode: str = "fidelity",
+    passthrough: bool = False,
+    max_rows: int = 1_048_576,
+) -> JobResult:
+    """The reference's ENTIRE lifecycle on one workbook file
+    (``main.gs:38-140``): read the Dashboard sheet (key/value config,
+    defaults when absent), the Map sheet (rule table) and the source
+    sheet from ``in_path``; compile and run the mapping; write
+    ``out_path`` as the same workbook with the output sheet replaced
+    (the reference clears and rewrites ``Output`` in place,
+    ``main.gs:124-129``; a file sink takes an explicit destination
+    instead — pass ``out_path == in_path`` for true in-place).
+
+    ``mode='fidelity'`` (default) is ``getDisplayValues`` semantics:
+    every cell a display string, exactly the reference's data model.
+    ``passthrough=True`` additionally emits FORMULA columns as formula
+    *text* with ``self[...]`` resolved to A1 addresses over surviving
+    rows (deferred evaluation, ``main.gs:86-114``) — the codec writes
+    ``=``-strings as live formula cells, so the output workbook
+    recalculates in a spreadsheet app just like the reference's.
+
+    Workbook-sized by design (driver-side; the 100 TB path is
+    ``run_job`` over parquet).
+    """
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+    from spreadsheet_etl_engine_spark.sources.readers import read_excel
+    from spreadsheet_etl_engine_spark.sources.writers import (
+        formula_passthrough_columns,
+    )
+
+    names = xlsx_native.sheet_names(in_path)
+    if "Dashboard" in names:
+        d_header, d_rows, _ = xlsx_native.read_workbook(
+            in_path, sheet_name="Dashboard"
+        )
+        # The reference iterates every Dashboard row as a key/value pair
+        # (main.gs:146-154) — there is no header row to skip; unknown
+        # keys (including a decorative "Key"/"Value" row) are ignored.
+        cfg = load_config([d_header] + d_rows)
+    else:
+        cfg = load_config(None)
+    for sheet in (cfg.source, cfg.map):
+        if sheet not in names:
+            raise MissingSheetError(f'Table "{sheet}" not found.')
+    m_header, m_rows, _ = xlsx_native.read_workbook(in_path, sheet_name=cfg.map)
+    map_table = [m_header] + m_rows
+    source = read_excel(spark, in_path, sheet_name=cfg.source, fidelity=True)
+    spec = parse_map_table(map_table, source.columns)
+    if passthrough:
+        ordered = formula_passthrough_columns(source, spec)
+        out = ordered.orderBy("_row").drop("_row")
+    else:
+        out = run_mapping(source, spec, mode=mode)
+    out_rows = [tuple(r) for r in out.limit(max_rows).collect()]
+
+    def _revive(value: str, was_numeric: bool):
+        # Cells that were number cells round-trip as numbers, not
+        # inline strings (formula cells already carry their '=' prefix).
+        if not was_numeric:
+            return value
+        try:
+            return int(value)
+        except ValueError:
+            return float(value)
+
+    # Preserve every non-output sheet of the input workbook, replacing
+    # (or appending) the output sheet — the reference's in-place shape.
+    sheets: list[tuple[str, list[str], list[tuple]]] = []
+    for name in names:
+        if name == cfg.output:
+            continue
+        header, rows, flags = xlsx_native.read_workbook(in_path, sheet_name=name)
+        revived = [
+            tuple(_revive(v, f) for v, f in zip(r, fl))
+            for r, fl in zip(rows, flags)
+        ]
+        sheets.append((name, header, revived))
+    sheets.append((cfg.output, list(out.columns), out_rows))
+    xlsx_native.write_workbook_multi(out_path, sheets)
+    return JobResult(output=out, rows_written=len(out_rows), config=cfg)

@@ -81,8 +81,11 @@ def column_letter(col: int) -> str:
 
 
 def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFrame:
-    """Produce output rows where FORMULA columns carry spreadsheet formula
-    *text* (deferred evaluation) instead of computed values.
+    """Produce the full output projection where FORMULA columns carry
+    spreadsheet formula *text* (deferred evaluation) instead of computed
+    values; DIRECT and CONSTANT columns evaluate normally (fidelity
+    strings) — together, exactly the row the reference's ``setValues``
+    writes (``main.gs:83-116``).
 
     ``src[X]`` splices the row value; values that are non-numeric after
     ``%`` removal are double-quoted (``main.gs:90-95``).  ``self[Out]``
@@ -117,6 +120,15 @@ def formula_passthrough_columns(source: DataFrame, spec: MappingSpec) -> DataFra
     for col_idx, col in enumerate(spec.columns):
         if col.kind != ColumnKind.FORMULA:
             out_positions[col.name] = col_idx + 1
+            if col.kind == ColumnKind.CONSTANT:
+                value = (
+                    compiler._substituted_string(col.instruction)
+                    if SRC_REF_RE.search(col.instruction)
+                    else F.lit(col.instruction)
+                )
+            else:
+                value = compiler._direct(col.instruction)
+            cols.append(value.cast("string").alias(col.name))
             continue
         body = col.instruction
         parts = []

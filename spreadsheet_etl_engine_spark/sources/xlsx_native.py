@@ -48,25 +48,42 @@ SHEET_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
 
-_CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-<Default Extension="xml" ContentType="application/xml"/>
-<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
-<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-</Types>"""
+def _content_types(n_sheets: int) -> str:
+    overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.worksheet+xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        f"{overrides}</Types>"
+    )
+
 
 _ROOT_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="{PKG_REL_NS}">
 <Relationship Id="rId1" Type="{REL_NS}/officeDocument" Target="xl/workbook.xml"/>
 </Relationships>"""
 
-_WORKBOOK_RELS = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<Relationships xmlns="{PKG_REL_NS}">
-<Relationship Id="rId1" Type="{REL_NS}/worksheet" Target="worksheets/sheet1.xml"/>
-<Relationship Id="rId2" Type="{REL_NS}/styles" Target="styles.xml"/>
-</Relationships>"""
+
+def _workbook_rels(n_sheets: int) -> str:
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="{REL_NS}/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, n_sheets + 1)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{PKG_REL_NS}">{rels}'
+        f'<Relationship Id="rId{n_sheets + 1}" Type="{REL_NS}/styles" '
+        'Target="styles.xml"/></Relationships>'
+    )
 
 _STYLES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <styleSheet xmlns="{SHEET_NS}">
@@ -126,6 +143,55 @@ def _cell_xml(ref: str, value) -> str:
     )
 
 
+def _sheet_xml(header: list[str], rows: list[tuple]) -> str:
+    body: list[str] = []
+    all_rows = [tuple(header)] + [tuple(r) for r in rows]
+    for ri, row in enumerate(all_rows, start=1):
+        cells = "".join(
+            _cell_xml(f"{column_letter(ci)}{ri}", v)
+            for ci, v in enumerate(row, start=1)
+        )
+        body.append(f'<row r="{ri}">{cells}</row>')
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{SHEET_NS}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+
+
+def write_workbook_multi(
+    path: str,
+    sheets: list[tuple[str, list[str], list[tuple]]],
+) -> None:
+    """Write a multi-sheet workbook: ``sheets`` is an ordered list of
+    ``(sheet_name, header, rows)``.  The reference operates on one
+    spreadsheet holding Dashboard/Map/Data/Output sheets side by side
+    (``main.gs:40-53``); this is the sink that preserves that shape."""
+    if not sheets:
+        raise ValueError("workbook needs at least one sheet")
+    names = [s[0] for s in sheets]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate sheet names: {names}")
+    entries = "".join(
+        f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, name in enumerate(names, start=1)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{SHEET_NS}" xmlns:r="{REL_NS}"><sheets>'
+        f"{entries}</sheets></workbook>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _content_types(len(sheets)))
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", _workbook_rels(len(sheets)))
+        zf.writestr("xl/styles.xml", _STYLES)
+        for i, (_, header, rows) in enumerate(sheets, start=1):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(header, rows))
+
+
 def write_workbook(
     path: str,
     header: list[str],
@@ -135,33 +201,13 @@ def write_workbook(
 ) -> None:
     """Write a single-sheet workbook: header row 1, data rows from row 2
     (the reference's output layout, ``main.gs:124-129``)."""
-    body: list[str] = []
-    all_rows = [tuple(header)] + [tuple(r) for r in rows]
-    for ri, row in enumerate(all_rows, start=1):
-        cells = "".join(
-            _cell_xml(f"{column_letter(ci)}{ri}", v)
-            for ci, v in enumerate(row, start=1)
-        )
-        body.append(f'<row r="{ri}">{cells}</row>')
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<worksheet xmlns="{SHEET_NS}"><sheetData>'
-        + "".join(body)
-        + "</sheetData></worksheet>"
-    )
-    workbook = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<workbook xmlns="{SHEET_NS}" xmlns:r="{REL_NS}"><sheets>'
-        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
-        "</sheets></workbook>"
-    )
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        zf.writestr("_rels/.rels", _ROOT_RELS)
-        zf.writestr("xl/workbook.xml", workbook)
-        zf.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        zf.writestr("xl/styles.xml", _STYLES)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    write_workbook_multi(path, [(sheet_name, header, rows)])
+
+
+def sheet_names(path: str) -> list[str]:
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        return [s.get("name") for s in wb.iter(_tag("sheet"))]
 
 
 def _tag(name: str) -> str:

@@ -75,3 +75,81 @@ def test_run_job_map_table_from_storage(spark, sf_dir, tmp_path):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert result.rows_written == li.filter("l_quantity >= 30").count()
     assert spark.read.parquet(str(tmp_path / "out")).columns == ["OrderKey", "Qty"]
+
+
+def _demo_workbook(path):
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    xlsx_native.write_workbook_multi(path, [
+        ("Dashboard", ["Key", "Value"],
+         [("source", "Data"), ("map", "Rules"), ("output", "Result")]),
+        ("Rules", ["Rule", "Instruction"],
+         [("_filter:act", 'eval: src[Status] == "active" || src[Score] >= 90'),
+          ("Who", "src[Name]"),
+          ("Tag", "constant:ok"),
+          ("Double", "formula:=src[Score]*2")]),
+        ("Data", ["Name", "Score", "Status"],
+         [("Ana", 85, "active"),
+          ("Bob", 95, "inactive"),
+          ("Cyd", 10, "paused"),
+          ("Dot", 90, "")]),
+    ])
+
+
+def test_run_workbook_end_to_end(spark, tmp_path):
+    """The reference's whole lifecycle on one workbook: Dashboard config
+    (remapped sheet names), Map rules, Data sheet -> Output sheet written
+    back next to the untouched input sheets."""
+    from spreadsheet_etl_engine_spark.jobs import run_workbook
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    src = str(tmp_path / "in.xlsx")
+    dst = str(tmp_path / "out.xlsx")
+    _demo_workbook(src)
+    result = run_workbook(spark, src, dst)
+    assert result.rows_written == 3  # Ana (active), Bob (95>=90), Dot (90>=90)
+    assert result.config.output == "Result"
+    assert xlsx_native.sheet_names(dst) == ["Dashboard", "Rules", "Data", "Result"]
+    header, rows, _ = xlsx_native.read_workbook(dst, sheet_name="Result")
+    assert header == ["Who", "Tag", "Double"]
+    got = {tuple(r) for r in rows}
+    # Fidelity mode: strings in, strings out; parseFloat handles ">= 90".
+    assert got == {("Ana", "ok", "170.0"), ("Bob", "ok", "190.0"),
+                   ("Dot", "ok", "180.0")}
+    # Untouched sheets survive the rewrite, numbers still numbers.
+    d_header, d_rows, d_flags = xlsx_native.read_workbook(dst, sheet_name="Data")
+    assert d_header == ["Name", "Score", "Status"]
+    assert d_rows[0] == ["Ana", "85", "active"] and d_flags[0][1] is True
+
+
+def test_run_workbook_passthrough_formulas(spark, tmp_path):
+    """passthrough=True defers FORMULA evaluation: the output sheet gets
+    live formula cells (src[] values spliced, self[] as A1 addresses over
+    surviving rows) exactly like the reference's setValues output."""
+    from spreadsheet_etl_engine_spark.jobs import run_workbook
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    src = str(tmp_path / "in.xlsx")
+    dst = str(tmp_path / "out.xlsx")
+    xlsx_native.write_workbook_multi(src, [
+        ("Map", ["Rule", "Instruction"],
+         [("_filter:f", "eval: src[V] >= 2"),
+          ("Base", "src[V]"),
+          ("Calc", "formula:=self[Base]*3")]),
+        ("Source", ["V"], [("1",), ("2",), ("3",)]),
+    ])
+    run_workbook(spark, src, dst, passthrough=True)
+    header, rows, _ = xlsx_native.read_workbook(dst, sheet_name="Output")
+    assert header == ["Base", "Calc"]
+    # Rows 2,3 survive; self[Base] -> column A of the SURVIVING row.
+    assert rows == [["2", "=A2*3"], ["3", "=A3*3"]]
+
+
+def test_run_workbook_missing_sheet(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.jobs import run_workbook
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    src = str(tmp_path / "in.xlsx")
+    xlsx_native.write_workbook_multi(src, [("Source", ["x"], [("1",)])])
+    with pytest.raises(MissingSheetError, match="Map"):
+        run_workbook(spark, src, str(tmp_path / "out.xlsx"))
