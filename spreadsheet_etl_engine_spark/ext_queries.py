@@ -909,3 +909,64 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
+
+
+@register(
+    "train_pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             CAST(('0x' || substr(md5('pack:' || doc_id), 1, 8)) AS BIGINT)
+             % 32 AS bucket,
+             md5('order:' || doc_id) AS okey
+      FROM documents
+    ), c AS (
+      SELECT *, sum(n_tok) OVER (PARTITION BY bucket ORDER BY okey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    )
+    SELECT bucket * 1000000 + CAST(floor((cum - n_tok) / 512.0) AS BIGINT)
+               AS seq_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM c GROUP BY 1
+    """,
+    doc="Sequence packing for pre-training: assign documents to fixed "
+        "token-budget (512) training sequences. Scale shape: docs hash "
+        "into 32 independent packing buckets and the cumulative-token "
+        "window runs PER BUCKET in deterministic md5 order — a single "
+        "global cumulative sum would funnel 100 TB through one partition; "
+        "per-bucket windows keep every partition independent and the "
+        "bucket count scales with the cluster. The bin boundary divides "
+        "by 512 (a power of two, so the double division is exact in both "
+        "engines). Greedy first-fit packs ~2% tighter but is inherently "
+        "sequential; bucket-local next-fit is the distributed trade.",
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    d = docs.select(
+        "doc_id",
+        F.size(TXT.tokens(F.col("text"))).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)
+            .cast("long") % 32
+        ).alias("bucket"),
+        F.md5(F.concat(F.lit("order:"), key)).alias("okey"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    seq = (
+        F.col("bucket") * 1000000
+        + F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512.0)).cast("long")
+    )
+    return (
+        c.select(seq.alias("seq_id"), "n_tok")
+        .groupBy("seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )

@@ -1519,6 +1519,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "text_contamination",
     "train_split_assign",
+    "train_pack_sequences",
     "mix_weights_by_source",
     # [EXT] multimodal.
     "multimodal_decode",
@@ -1529,7 +1530,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_counts",
     "streaming_session_counts",
     # Window functions.
-    "window_rank_orders",
     "window_rank_variants",
     # Joins.
     "join_dims_broadcast",

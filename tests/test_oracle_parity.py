@@ -116,6 +116,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "text_pii_scrub",
     "text_contamination",
     "train_split_assign",
+    "train_pack_sequences",
     "mix_weights_by_source",
 ]
 
