@@ -109,6 +109,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "streaming_session_counts",
     "window_rank_variants",
     "dsl_xlsx_roundtrip",
+    "dsl_workbook_job",
     "join_fact_fact_bucketed",
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
