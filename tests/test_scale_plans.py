@@ -96,6 +96,23 @@ def test_registered_bucketed_join_has_zero_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan
 
 
+def test_curation_query_plans(spark, sf_dir):
+    """Scale-shape pins for the r4 curation queries: column pruning on the
+    documents scan, broadcast of the benchmark gram set, and bucketed
+    (never global) window partitioning for sequence packing."""
+    plan = _plan(registry.get("text_repetition").fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+    plan = _plan(registry.get("text_contamination").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
+    assert "SortMergeJoin" not in plan  # corpus side never shuffles to join
+
+    plan = _plan(registry.get("train_pack_sequences").fn(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan  # per-bucket window...
+    assert "SinglePartition" not in plan      # ...never one global funnel
+
+
 def test_ngram_jaccard_skew_guard_plans(spark, sf_dir):
     """Guard plan shapes, per path.  Plain inverted-index path: the
     keep-set must BROADCAST back to the shingle stream (a shuffle join
