@@ -970,3 +970,92 @@ def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seq_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
     )
+
+
+@register(
+    "events_rolling_window",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+           count(*) OVER w AS n_30m,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-event trailing 30-minute rolling aggregate per user — the "
+        "time-interval RANGE frame (every event sees a different window "
+        "start), which rows-based frames cannot express. Ordering on "
+        "epoch MICROseconds keeps the frame boundary exact on both "
+        "engines (an epoch-seconds cast would truncate sub-second "
+        "timestamps differently from an INTERVAL frame). Decimal sum in "
+        "the frame: frame re-accumulation order cannot perturb values. "
+        "One shuffle on user_id; frame state is bounded by the interval.",
+)
+def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
+        F.count("*").over(w).alias("n_30m"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("sum_30m"),
+    )
+
+
+@register(
+    "embedding_cluster_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT label, i,
+             CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,8))) AS DOUBLE) AS sv,
+             count(*) AS n
+      FROM e GROUP BY label, i
+    ), t AS (
+      SELECT label, n,
+             CAST((sv / n) * (sv / n) AS DECIMAL(18,12)) AS sq
+      FROM s
+    )
+    SELECT label, max(n) AS n_vecs,
+           sqrt(CAST(sum(sq) AS DOUBLE)) AS centroid_norm
+    FROM t GROUP BY label
+    """,
+    doc="Per-cluster embedding profile: vector count and CENTROID NORM "
+        "(unit vectors tightly clustered -> norm near 1; spread -> near "
+        "0) — the standard health check before IVF training or "
+        "label-balanced sampling. Exact cross-engine parity via decimal "
+        "accumulation at both reduction layers (per-dimension sums, then "
+        "the across-dimension square sum), so no float-order drift. "
+        "Shape here: posexplode to (label, dim) — dims x rows — then two "
+        "tiny aggs; at 100 TB the per-partition Arrow matmul in "
+        "operators/similarity.py computes the same centroids without the "
+        "explode (this query is the oracle-checkable twin).",
+)
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    s = e.groupBy("label", "i").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+        .cast("double").alias("sv"),
+        F.count("*").alias("n"),
+    )
+    sq = ((F.col("sv") / F.col("n")) * (F.col("sv") / F.col("n"))).cast(
+        "decimal(18,12)"
+    )
+    return (
+        s.select("label", F.col("n"), sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sqrt(F.sum("sq").cast("double")).alias("centroid_norm"),
+        )
+    )

@@ -1548,7 +1548,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_a1_formula",
     "dsl_fidelity_strings",
     "dsl_v2_join_agg",
-    "dsl_v2_having_topn",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
     # [EXT] dedup family.
@@ -1561,9 +1560,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
     "dedup_embedding_lsh_pairs",
-    # [EXT] similarity search.
+    # [EXT] similarity search + vector analytics.
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "embedding_cluster_stats",
     # [EXT] text analysis + curation (repetition/PII/split/mixing new in
     # r4 — never driver-verified, so they take the head slots of
     # window_running_sum / window_first_last / join_semi / join_anti,
@@ -1586,13 +1586,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # streaming_tumbling_counts stays pinned in the head.)
     "events_sessionize",
     "events_sliding_window",
+    "events_rolling_window",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     # Window functions.
     "window_rank_variants",
     # Joins.
     "join_dims_broadcast",
-    "join_fact_fact",
     "join_fact_fact_bucketed",
     "join_asof",
     "join_skew_salted",

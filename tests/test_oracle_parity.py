@@ -119,6 +119,8 @@ MUST_BE_IN_CHECK_BUDGET = [
     "train_split_assign",
     "train_pack_sequences",
     "mix_weights_by_source",
+    "events_rolling_window",
+    "embedding_cluster_stats",
 ]
 
 
