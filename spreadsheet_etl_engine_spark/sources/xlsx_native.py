@@ -107,6 +107,11 @@ def column_letter(col: int) -> str:
 
 _CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
 
+# XML 1.0 forbids these control characters outright — they cannot be
+# escaped, so a cell containing one is unrepresentable in xlsx (openpyxl
+# raises IllegalCharacterError for the same reason).
+_ILLEGAL_XML_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
 
 def letters_to_ordinal(letters: str) -> int:
     n = 0
@@ -133,6 +138,14 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{_num_text(value)}</v></c>'
     text = str(value)
+    bad = _ILLEGAL_XML_RE.search(text)
+    if bad:
+        raise ValueError(
+            f"cell {ref} contains control character {bad.group(0)!r}, which "
+            "XML 1.0 cannot represent even escaped; strip control "
+            "characters before writing xlsx (note: a carriage return is "
+            "representable but XML parsers normalize it to \\n on read)"
+        )
     if text.startswith("="):
         return f'<c r="{ref}"><f>{escape(text[1:])}</f></c>'
     # xml:space="preserve" keeps leading/trailing whitespace (fidelity

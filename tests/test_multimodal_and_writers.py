@@ -289,3 +289,68 @@ def test_formula_passthrough_first_percent_only(spark):
     spec = parse_mapping([("Out", "formula:=src[V]")], df.columns)
     got = sorted(r["Out"] for r in W.formula_passthrough_columns(df, spec).collect())
     assert got == ['="12%%"', "=12%"]
+
+
+def test_xlsx_property_roundtrip():
+    """Property: any workbook of printable strings and finite numbers
+    round-trips exactly through the native codec (strings byte-identical
+    after XML escaping, numbers via shortest-repr text)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    # \r is representable but XML parsers normalize CR->LF on read;
+    # illegal control chars are rejected by the writer (tested below).
+    cell_text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),
+            blacklist_characters="\r" + "".join(
+                chr(c) for c in [*range(0x00, 0x09), 0x0B, 0x0C,
+                                 *range(0x0E, 0x20)]
+            ),
+        ),
+        max_size=40,
+    ).filter(lambda s: not s.startswith("="))
+    cell = st.one_of(
+        cell_text,
+        st.integers(min_value=-10**15, max_value=10**15),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.none(),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(cell, cell, cell), min_size=0, max_size=6))
+    def check(rows):
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".xlsx")
+        os.close(fd)
+        try:
+            xlsx_native.write_workbook(path, ["a", "b", "c"], rows)
+            header, back, flags = xlsx_native.read_workbook(path)
+        finally:
+            os.unlink(path)
+        assert header == ["a", "b", "c"]
+        assert len(back) == len(rows)
+        for row, got, fl in zip(rows, back, flags):
+            for v, g, f in zip(row, got, fl):
+                if v is None:
+                    assert g == ""
+                elif isinstance(v, str):
+                    assert g == v and f is False
+                else:
+                    assert f is True
+                    assert float(g) == float(v)  # numeric round-trip exact
+
+    check()
+
+
+def test_xlsx_rejects_illegal_control_chars(tmp_path):
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    with pytest.raises(ValueError, match="control character"):
+        xlsx_native.write_workbook(
+            str(tmp_path / "bad.xlsx"), ["h"], [("a\x00b",)]
+        )
