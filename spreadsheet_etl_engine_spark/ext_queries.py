@@ -707,24 +707,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gopher-style repetition quality signals per document: duplicate-"
         "word fraction and most-frequent-bigram fraction — the classic "
         "filters for boilerplate/degenerate text in training corpora "
-        "(Rae et al. 2021 §A1.1). Pure per-row array expressions inside "
-        "codegen: zero shuffle, linear in the scan. The per-row "
-        "distinct-bigram scan is quadratic in DOCUMENT length (bounded: "
-        "docs are length-capped upstream), never in corpus size.",
+        "(Rae et al. 2021 §A1.1). Pure per-row array expressions: zero "
+        "shuffle, one scan. The top-bigram count is sort + longest-equal-"
+        "run in a single aggregate pass — O(n log n) per DOCUMENT; the "
+        "naive distinct x filter formulation is O(n^2) per row in an "
+        "interpreted HOF and measured 140x slower at sf0.1 (84 s -> "
+        "0.6 s). The DuckDB oracle keeps the quadratic spelling: same "
+        "values, and the oracle only runs at small SF.",
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = TXT.tokens(F.col("text"))
     bg = TXT.word_shingles(F.col("text"), 2)
     dup = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    # Longest run of equal adjacent elements in the SORTED bigram array
+    # == max bigram multiplicity.  State: (prev, current run, best run).
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_count = F.aggregate(F.array_sort(bg), init, step, lambda acc: acc["best"])
     top = F.when(
-        F.size(bg) > 0,
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda x: F.size(F.filter(bg, lambda y: y == x)),
-            )
-        ).cast("double") / F.size(bg),
+        F.size(bg) > 0, max_count.cast("double") / F.size(bg)
     ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id", dup.alias("dup_word_frac"), top.alias("top_bigram_frac")
