@@ -234,7 +234,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return DD.embedding_neardup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+    return DD.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 # Deterministic hyperplanes (seed pinned) shared verbatim by the Spark
@@ -661,20 +664,15 @@ _SIMHASH_SQL = """
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
     doc="SimHash near-duplicate pairs (Hamming distance <= 6 over the "
-        "32-bit sketch). Exact quadratic verification here for the oracle; "
-        "at scale candidates come from hash-prefix buckets first "
-        "(operators/dedup.py simhash notes).",
+        "32-bit sketch) via pigeonhole segment buckets: 7 segments, a "
+        "<=6-bit difference leaves >=1 segment equal, so candidates come "
+        "from an equi-join on (segment, value) — one shuffle, never the "
+        "O(n^2) nested loop — then exact bit_count verification. "
+        "Lossless: identical rows to the quadratic oracle.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = DD.simhash_sketch(load_table(spark, sf_dir, "documents"), "text", "doc_id")
-    a = sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
-    b = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
-    )
+    return DD.simhash_hamming_pairs(sk, max_hamming=6)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,21 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def to_double(a: Column) -> Column:
+    """Array pre-cast to double — hoist out of O(n^2) pair loops so the
+    per-pair expression is one zip_with + one fold, nothing else."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot_precast(a: Column, b: Column) -> Column:
+    """Dot for arrays ALREADY cast to double (same sequential fold →
+    bit-identical to :func:`dot`; higher-order functions run interpreted,
+    so per-element work inside a pair join dominates wall clock)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
