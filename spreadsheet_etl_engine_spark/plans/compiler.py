@@ -57,6 +57,13 @@ _NUMERIC_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 
+# ECMA-262 WhiteSpace/LineTerminator class (what both JS ``trim()`` and
+# ``parseFloat`` skip): ASCII \s plus FS/GS/RS/US, NEL, NBSP, Ogham, the
+# U+2000 block, LS/PS, NNBSP, MMSP, ideographic space and the BOM.
+# Mirrored by the test oracle's ``_STR_WHITESPACE`` — change both together.
+_JS_WS_CLASS = ("[\\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
+                "\u2028\u2029\u202f\u205f\u3000\ufeff]")
+
 # JS parseFloat: longest numeric prefix, else NaN (→ comparisons false).
 # The "Infinity" keyword is accepted (JS does); bare "Inf" is not, and
 # neither are Python-isms like "nan" or underscore separators.
@@ -99,17 +106,24 @@ def parse_float_col(col: Column) -> Column:
     it; the pinned oracle model strips it explicitly too (Python
     ``str.strip()`` alone would not).
     """
-    ws = ("[\\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
-          "\u2028\u2029\u202f\u205f\u3000\ufeff]+")
-    unpadded = F.regexp_replace(col.cast("string"), "^" + ws, "")
+    unpadded = F.regexp_replace(col.cast("string"), "^" + _JS_WS_CLASS + "+", "")
     extracted = F.regexp_extract(unpadded, _PARSEFLOAT_PREFIX, 0)
     return F.when(extracted != "", extracted.cast("double"))
 
 
+def js_trim_col(col: Column) -> Column:
+    """JS ``String.trim()``: strips the full ECMA-262 whitespace set from
+    both ends — Spark's ``F.trim`` strips only ASCII spaces, which
+    silently diverges on NBSP & co. that survive spreadsheet copy-paste
+    (hypothesis-found: ``"\xa05" == 5`` must match after trim)."""
+    out = F.regexp_replace(col, "^" + _JS_WS_CLASS + "+", "")
+    return F.regexp_replace(out, _JS_WS_CLASS + "+$", "")
+
+
 def _strip_quotes_col(col: Column) -> Column:
-    """Evaluation-order faithful quote strip: trim, then drop one leading
-    and one trailing double quote (reference ``main.gs:284``)."""
-    trimmed = F.trim(col)
+    """Evaluation-order faithful quote strip: trim (JS semantics), then
+    drop one leading and one trailing double quote (``main.gs:284``)."""
+    trimmed = js_trim_col(col)
     return F.regexp_replace(F.regexp_replace(trimmed, '^"', ""), '"$', "")
 
 

@@ -59,14 +59,18 @@ def safe_eval(expression: str, rule: str = "Filtro") -> bool:
         "<": lambda a, b: parse_float(a) < parse_float(b),
     }
     for cond in expression.split("||"):
-        trimmed = cond.strip()
+        trimmed = cond.strip(_STR_WHITESPACE)
         bad = _INVALID_OP_RE.search(trimmed)
         if bad:
             raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
         op = next((o for o in OPERATORS if o in trimmed), None)
         if op is None:
             continue
-        parts = [strip_quotes(p.strip()) for p in trimmed.split(op)]
+        # JS String.trim() semantics (the reference trims each operand,
+        # main.gs:284): strip the full ECMA-262 whitespace set, which is
+        # wider than Python's default (BOM) — mirror of the compiled
+        # js_trim_col.
+        parts = [strip_quotes(p.strip(_STR_WHITESPACE)) for p in trimmed.split(op)]
         if len(parts) != 2:
             continue
         if ops[op](parts[0], parts[1]):
