@@ -74,6 +74,21 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, *, fidelity: bool = False, **options: str
+) -> DataFrame:
+    """JSON-lines scan.  ``fidelity=True`` reads every field as a string
+    (display-value semantics, mirroring ``read_csv``); otherwise Spark
+    infers the schema.  Multi-line JSON via ``multiLine='true'``."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.json(path)
+    if fidelity:
+        df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    return df
+
+
 def read_excel(
     spark: SparkSession, path: str, *, sheet_name: str | int = 0, fidelity: bool = False
 ) -> DataFrame:

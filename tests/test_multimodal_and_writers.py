@@ -354,3 +354,17 @@ def test_xlsx_rejects_illegal_control_chars(tmp_path):
         xlsx_native.write_workbook(
             str(tmp_path / "bad.xlsx"), ["h"], [("a\x00b",)]
         )
+
+
+def test_read_json_typed_and_fidelity(spark, tmp_path):
+    path = str(tmp_path / "in.json")
+    with open(path, "w") as f:
+        f.write('{"k": 1, "name": "a", "v": 1.5}\n{"k": 2, "name": "b", "v": null}\n')
+    typed = __import__("spreadsheet_etl_engine_spark.sources.readers",
+                       fromlist=["read_json"]).read_json(spark, path)
+    assert dict(typed.dtypes) == {"k": "bigint", "name": "string", "v": "double"}
+    fid = __import__("spreadsheet_etl_engine_spark.sources.readers",
+                     fromlist=["read_json"]).read_json(spark, path, fidelity=True)
+    assert dict(fid.dtypes) == {"k": "string", "name": "string", "v": "string"}
+    rows = {r["k"]: (r["name"], r["v"]) for r in fid.collect()}
+    assert rows == {"1": ("a", "1.5"), "2": ("b", None)}
