@@ -34,6 +34,14 @@ def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> D
 
     if name_or_path.endswith(".parquet"):
         return spark.read.parquet(name_or_path)
+    if name_or_path.endswith(".json"):
+        from spreadsheet_etl_engine_spark.sources.readers import read_json
+
+        return read_json(spark, name_or_path, fidelity=fidelity)
+    if name_or_path.endswith(".xlsx"):
+        from spreadsheet_etl_engine_spark.sources.readers import read_excel
+
+        return read_excel(spark, name_or_path, fidelity=fidelity)
     if name_or_path.endswith(".csv") or name_or_path.endswith("/"):
         return read_csv(spark, name_or_path, fidelity=fidelity)
     if os.path.isdir(name_or_path):
