@@ -171,3 +171,23 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     part_filters = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "event_type" in part_filters
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_parquet(partition_by=...) + an equality filter on the
+    partition column must prune at the scan: the filter shows up in
+    PartitionFilters and non-matching partition directories are never
+    read — the layout that turns a 100 TB scan into a per-day/per-type
+    slice."""
+    from spreadsheet_etl_engine_spark.sources.writers import write_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "ev_part")
+    write_parquet(ev.withColumn("etype", F.col("event_type")), out,
+                  partition_by=["etype"])
+    scan = spark.read.parquet(out).filter(F.col("etype") == "click")
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "etype" in plan.split("PartitionFilters")[1].split("]")[0]
+    got = scan.count()
+    exp = ev.filter(F.col("event_type") == "click").count()
+    assert got == exp > 0
