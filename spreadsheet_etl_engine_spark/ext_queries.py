@@ -793,7 +793,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
                 ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS n_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
     FROM (
       SELECT *, CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
                 % 100 AS h
@@ -834,7 +834,7 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_src AS (
       SELECT source, count(*) AS n_docs,
-             sum(len(string_split(text, ' '))) AS n_tokens
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ), w AS (
       SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(18,6)) AS sq FROM per_src
@@ -936,7 +936,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket * 1000000 + CAST(floor((cum - n_tok) / 512.0) AS BIGINT)
                AS seq_id,
-           count(*) AS n_docs, sum(n_tok) AS n_tokens
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1
     """,
     doc="Sequence packing for pre-training: assign documents to fixed "
