@@ -505,9 +505,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_tumbling_counts",
-    oracle=None,  # exercised as a real streaming query (file source ->
-    # availableNow -> collect); the batch twin events_tumbling_window has
-    # the SQL oracle.
+    # availableNow over a static file source is deterministic and complete
+    # output mode emits every window, so the batch twin's SQL oracle
+    # (events_tumbling_window, registry.py) applies verbatim; pytest
+    # additionally pins stream == batch (tests/test_streaming.py).
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="Structured Streaming tumbling-window counts executed with the "
         "file source and availableNow trigger; must equal the batch twin.",
 )
@@ -532,9 +541,28 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_session_counts",
-    oracle=None,  # exercised as a real streaming query; the batch twin
-    # events_sessionize carries the SQL oracle, and pytest pins
-    # stream == batch (tests/test_streaming.py).
+    # Deterministic availableNow run in complete mode ≡ the batch twin
+    # events_sessionize, whose gaps-and-islands oracle applies verbatim;
+    # pytest additionally pins stream == batch (tests/test_streaming.py).
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
     doc="Structured Streaming session-window counts (30-min gap) executed "
         "with the file source and availableNow trigger — the streaming "
         "run of events_sessionize. Complete output mode: append would "

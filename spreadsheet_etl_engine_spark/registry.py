@@ -347,6 +347,56 @@ def dsl_workbook_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmpdir)
 
 
+@register(
+    "dsl_json_source",
+    oracle="""
+    SELECT c_custkey AS CustKey, c_name AS Name,
+           'Ingested' AS Status,
+           c_acctbal * 2 AS DoubleBal
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    doc="JSON-lines ingest end-to-end: the customer table is exported to "
+        "JSON-lines (distributed Spark write), re-read through read_json "
+        "(sources/readers.py) with schema inference, and run through the "
+        "Map-rule engine (filter + direct/constant/formula projections). "
+        "The oracle computes the same result from the parquet view, so "
+        "JSON serialization, type inference (bigint/double/string) and "
+        "the DSL path are all under the hash.  The JSON scan itself is a "
+        "distributed file source — no driver materialization; the "
+        "localCheckpoint only decouples the result from the temp fixture.",
+)
+def dsl_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.sources.readers import read_json
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = f"{tmpdir}/customer_json"
+        cust.write.mode("overwrite").json(path)
+        src = read_json(spark, path)
+        spec = parse_mapping(
+            [
+                ("_filter:pos", "eval: src[c_acctbal] > 0"),
+                ("CustKey", "src[c_custkey]"),
+                ("Name", "src[c_name]"),
+                ("Status", "constant:Ingested"),
+                ("DoubleBal", "formula:=src[c_acctbal]*2"),
+            ],
+            src.columns,
+        )
+        # Materialize (executor-side, lineage truncated) before the temp
+        # fixture disappears; the caller still gets a lazy DataFrame.
+        return run_mapping(src, spec).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).
@@ -1541,21 +1591,23 @@ def get(name: str) -> RegisteredQuery:
 # hash-verified in an earlier round and is unchanged (see PLANS.md).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
+    # (r5 rotation: dsl_direct_constant to the tail — green r2/r3/r4,
+    # byte-unchanged; dsl_json_source is new in r5 and must verify.)
     "dsl_flagship",
     "dsl_filter_ops",
-    "dsl_direct_constant",
     "dsl_formula_chain",
     "dsl_a1_formula",
     "dsl_fidelity_strings",
     "dsl_v2_join_agg",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
-    # [EXT] dedup family.
-    "dedup_exact",
+    "dsl_json_source",
+    # [EXT] dedup family.  (r5 rotation: dedup_exact / dedup_simhash to
+    # the tail — both multiply-verified and byte-unchanged; their family
+    # stays covered by the 7 entries below.)
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
     "dedup_components",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
@@ -1564,13 +1616,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
-    # [EXT] text analysis + curation (repetition/PII/split/mixing new in
-    # r4 — never driver-verified, so they take the head slots of
-    # window_running_sum / window_first_last / join_semi / join_anti,
-    # all green in r3 and byte-unchanged since).
+    # [EXT] text analysis + curation.  (r5 rotation: text_langid /
+    # text_fingerprint to the tail — green r3/r4, byte-unchanged — making
+    # room for the r2-green-but-never-re-verified relational four:
+    # scalar_string_math, agg_quantiles, sample_stratified,
+    # reshape_unpivot.)
     "text_stats",
-    "text_langid",
-    "text_fingerprint",
     "text_quality",
     "text_wordcount_top",
     "text_repetition",
@@ -1610,6 +1661,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "etl_scd2",
     # Sort / top-k.
     "sort_topk",
+    # r5 rotation: long-tail relational entries back through the head —
+    # green in r2, never re-verified since (round-4 verdict item 4).
+    "scalar_string_math",
+    "agg_quantiles",
+    "sample_stratified",
+    "reshape_unpivot",
 )
 
 DRIVER_CHECK_BUDGET = 50

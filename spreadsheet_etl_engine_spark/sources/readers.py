@@ -25,11 +25,14 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS) which Spark 4
-    refuses to read natively; we read nanos as long
+    ``events.ts`` arrives either as parquet TIMESTAMP(NANOS) — which
+    Spark 4 refuses to read natively, so we read nanos as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
     microseconds with *integer* division (floating division would lose
-    precision above 2^53 ns), matching DuckDB's ns→µs truncation.
+    precision above 2^53 ns), matching DuckDB's ns→µs truncation — or
+    already as TIMESTAMP(MICROS)/NTZ, which passes through untouched.
+    The actual read schema decides; both layouts normalize to the same
+    microsecond timestamp column.
     """
     # Timestamp-to-string casts in query outputs assume a UTC session —
     # pin it here so driver-created sessions with another TZ still match
@@ -38,7 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from pyspark.sql.types import LongType, TimestampType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Session TZ is UTC, so NTZ→LTZ preserves every value; downstream
+        # queries (unix_micros, window(), casts to string) expect TIMESTAMP.
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

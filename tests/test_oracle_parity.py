@@ -82,15 +82,17 @@ def test_entry_contract(spark):
 # Queries the driver must re-verify every round: the reference DSL surface
 # and the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
 # past the driver's 50-entry check budget when relational extras were
-# registered ahead of them).
+# registered ahead of them).  r5 rotation: dedup_exact / dedup_simhash /
+# text_langid / text_fingerprint moved to the tail (multiply-verified,
+# byte-unchanged — pinned by the tail snapshot guard below) to make room
+# for never-re-verified r2 entries and the new dsl_json_source.
 MUST_BE_IN_CHECK_BUDGET = [
     "dsl_flagship",
     "dsl_fidelity_strings",
-    "dedup_exact",
+    "dsl_json_source",
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
     "dedup_components",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
@@ -98,8 +100,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_stats",
-    "text_langid",
-    "text_fingerprint",
     "text_quality",
     "text_wordcount_top",
     "multimodal_decode",
