@@ -44,6 +44,11 @@ OPTIONAL = [
     "agg_moments",
     "events_sessionize",
     "events_sliding_window",
+    # r5: the bucketed-join production path and the curation family join
+    # the headline set so the new operators are perf-tracked per round.
+    "join_fact_fact_bucketed",
+    "text_pii_scrub",
+    "train_pack_sequences",
 ]
 
 

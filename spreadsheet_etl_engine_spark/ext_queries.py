@@ -326,15 +326,29 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_topk_ivf",
-    oracle=None,  # approximate by design (IVF probe subset): rows-only.
+    oracle=None,  # approximate by design (IVF probe subset): rows-only —
+    # but the output embeds recall_vs_exact, computed in-query against
+    # the brute-force twin on the same data, so the driver row carries
+    # its own quality signal (pytest separately pins recall >= 0.8).
     doc="IVF-style ANN top-k: centroid assignment per-row, probe only the "
         "nprobe nearest centroid partitions per query — the 100 TB path "
-        "(candidate volume ~ nprobe/nlist of the corpus).",
+        "(candidate volume ~ nprobe/nlist of the corpus).  Each row "
+        "carries the per-query recall vs the exact brute-force top-k.",
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.topk_ivf(emb, queries, "embedding", "vec_id", k=5, nlist=8, nprobe=3)
+    k = 5
+    ivf = SIM.topk_ivf(emb, queries, "embedding", "vec_id", k=k, nlist=8, nprobe=3)
+    exact = SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=k).select(
+        "query_id", "neighbor_id"
+    )
+    recall = (
+        ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / float(k)).alias("recall_vs_exact"))
+    )
+    return ivf.join(recall, "query_id", "left").na.fill({"recall_vs_exact": 0.0})
 
 
 @register(
@@ -483,12 +497,53 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle=None,  # binary decode: no SQL-expressible oracle (DuckDB can't
-    # parse BMP/WAV bytes); determinism + dims pinned by pytest instead.
+    # The synthetic media table is a pure function of the row index i
+    # (operators/multimodal.py:synth_media), so DuckDB can recompute the
+    # EXPECTED metadata — dimensions and exact container byte sizes (BMP
+    # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, WAV 44+2n,
+    # fake VID header) — from range(96) without parsing binary.  The
+    # Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/WAV
+    # kernels via Arrow-batched mapInPandas), so both the encoder and the
+    # decoder sit under the hash; a one-byte layout bug breaks the match.
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             8 + i % 16 AS iw, 6 + i % 8 AS ih,
+             256 + i % 64 AS ns,
+             4 + i % 8 AS nf,
+             i % 17 + 1 AS plen
+      FROM range(96) t(i)
+    ), meta AS (
+      SELECT kind,
+             CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN ns
+                  ELSE 64 END AS width,
+             CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 1
+                  ELSE 48 END AS height,
+             CASE kind WHEN 'video' THEN nf ELSE 1 END AS n_frames,
+             CASE kind
+               WHEN 'image' THEN CASE WHEN i % 2 = 0
+                 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
+                 ELSE 9 + len(CAST(iw AS VARCHAR)) + len(CAST(ih AS VARCHAR))
+                      + 3 * iw * ih
+               END
+               WHEN 'audio' THEN 44 + 2 * ns
+               ELSE 11 + len(CAST(nf AS VARCHAR)) + plen
+             END AS n_bytes
+      FROM m
+    )
+    SELECT kind, count(*) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(max(width) AS BIGINT) AS max_width,
+           CAST(max(height) AS BIGINT) AS max_height,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames
+    FROM meta GROUP BY kind
+    """,
     doc="Multimodal columns: binary media + typed metadata decoded via "
         "Arrow-batched mapInPandas — REAL numpy BMP/PPM/WAV decode "
         "(functions/media_codecs.py), fake header for video; per-format "
-        "size/dimension rollup.",
+        "size/dimension rollup, oracled against the generative formula.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators import multimodal as MM
@@ -497,9 +552,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = MM.decode_media(media)
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.max("width").alias("max_width"),
-        F.countDistinct("payload_hash").alias("n_distinct_payloads"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("width").cast("long").alias("max_width"),
+        F.max("height").cast("long").alias("max_height"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
     )
 
 
@@ -979,16 +1035,38 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequential; bucket-local next-fit is the distributed trade.",
 )
 def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs)
+
+
+# Packing-bucket knob: each bucket is an independent window partition, so
+# parallelism == PACK_BUCKETS.  Size it like shuffle partitions — a few ×
+# the executor-core count, and high enough that one bucket's token mass
+# (corpus_tokens / n_buckets) fits a single task comfortably; md5 doc
+# assignment keeps loads uniform regardless of the doc-length
+# distribution (pinned by tests/test_curation_scale.py).  32 matches the
+# local[32] harness; a 1000-executor run would use O(10k).
+PACK_BUCKETS = 32
+
+
+def pack_sequences(
+    docs: DataFrame, *, n_buckets: int = PACK_BUCKETS, seq_len: int = 512
+) -> DataFrame:
+    """Bucketed next-fit sequence packing (the train_pack_sequences body,
+    parameterized so tests can drive skewed inputs and bucket counts).
+
+    ``docs`` needs ``doc_id`` and ``text``; output is one row per packed
+    training sequence.  ``seq_len`` must keep the bin-boundary division
+    exact in double (powers of two are)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
         F.size(TXT.tokens(F.col("text"))).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)
-            .cast("long") % 32
+            .cast("long") % n_buckets
         ).alias("bucket"),
         F.md5(F.concat(F.lit("order:"), key)).alias("okey"),
     )
@@ -1000,7 +1078,7 @@ def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = d.withColumn("cum", F.sum("n_tok").over(w))
     seq = (
         F.col("bucket") * 1000000
-        + F.floor((F.col("cum") - F.col("n_tok")) / F.lit(512.0)).cast("long")
+        + F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(seq_len))).cast("long")
     )
     return (
         c.select(seq.alias("seq_id"), "n_tok")

@@ -58,10 +58,13 @@ _NUMERIC_TYPES = (
 )
 
 # ECMA-262 WhiteSpace/LineTerminator class (what both JS ``trim()`` and
-# ``parseFloat`` skip): ASCII \s plus FS/GS/RS/US, NEL, NBSP, Ogham, the
-# U+2000 block, LS/PS, NNBSP, MMSP, ideographic space and the BOM.
+# ``parseFloat`` skip): ASCII \s plus NBSP, Ogham, the U+2000 block,
+# LS/PS, NNBSP, MMSP, ideographic space and the BOM.  Deliberately NOT
+# Python's strip set: FS/GS/RS/US (U+001C-001F) and NEL (U+0085) are Cc
+# characters outside ECMA-262 WhiteSpace, so real JS does not skip them
+# ('\x1c5' stays unparseable) — neither does this class.
 # Mirrored by the test oracle's ``_STR_WHITESPACE`` — change both together.
-_JS_WS_CLASS = ("[\\s\x1c-\x1f\x85\u00a0\u1680\u2000-\u200a"
+_JS_WS_CLASS = ("[\\s\u00a0\u1680\u2000-\u200a"
                 "\u2028\u2029\u202f\u205f\u3000\ufeff]")
 
 # JS parseFloat: longest numeric prefix, else NaN (→ comparisons false).
@@ -99,7 +102,7 @@ def parse_float_col(col: Column) -> Column:
     whitespace is skipped, as JS ``parseFloat`` itself does — ``" 5"``
     parses to 5.0 — including Unicode whitespace (NBSP & co. survive
     HTML/spreadsheet copy-paste; Java's ``\\s`` misses the Unicode set, so
-    the class is explicit: FS/GS/RS/US, NEL, NBSP, Ogham, the \u2000
+    the class is explicit: NBSP, Ogham, the \u2000
     block, LS/PS, NNBSP, MMSP, ideographic space, and \ufeff — the BOM
     is in ECMA-262 StrWhiteSpace (and lands at cell start when UTF-8
     files with a BOM are pasted into a sheet), so JS parseFloat skips

@@ -42,7 +42,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 SHEET_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -122,12 +122,21 @@ def letters_to_ordinal(letters: str) -> int:
 
 def _num_text(value) -> str:
     """Shortest round-trip decimal text for a number (what DuckDB/Spark
-    also print for doubles, keeping string round-trips engine-portable)."""
+    also print for doubles, keeping string round-trips engine-portable).
+    Non-finite doubles (inf/nan) are not valid OOXML number text — Excel
+    itself cannot hold them in a number cell — so they fail loudly like
+    illegal control characters do, instead of writing a corrupt cell."""
     if isinstance(value, bool):
         return "1" if value else "0"
     if isinstance(value, int):
         return str(value)
-    return repr(float(value))
+    f = float(value)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"non-finite number {f!r} cannot be written as an xlsx number "
+            "cell; filter or stringify non-finite values before the xlsx sink"
+        )
+    return repr(f)
 
 
 def _cell_xml(ref: str, value) -> str:
@@ -186,8 +195,18 @@ def write_workbook_multi(
     names = [s[0] for s in sheets]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate sheet names: {names}")
+    for name in names:
+        # Excel's own sheet-name rules; a name violating them writes a
+        # workbook Excel refuses to open, so fail at the sink instead.
+        if not name or len(name) > 31 or re.search(r"[\[\]:*?/\\]", name):
+            raise ValueError(
+                f"invalid sheet name {name!r}: must be 1-31 chars with "
+                "none of [ ] : * ? / \\"
+            )
+    # quoteattr (not escape) for attribute values: escape() leaves double
+    # quotes alone, which would break out of the name="..." attribute.
     entries = "".join(
-        f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>'
+        f'<sheet name={quoteattr(name)} sheetId="{i}" r:id="rId{i}"/>'
         for i, name in enumerate(names, start=1)
     )
     workbook = (
@@ -279,16 +298,28 @@ def read_workbook(
         root = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
         grid: list[list[str]] = []
         flags: list[list[bool]] = []
-        for row in root.iter(_tag("row")):
-            cells: list[str] = []
-            numeric: list[bool] = []
+        for rpos, row in enumerate(root.iter(_tag("row")), start=1):
+            # Honor the row's r number: writers that omit empty rows (or
+            # emit rows out of order — both legal OOXML) must not shift
+            # data rows; missing rows materialize as blank.
+            try:
+                rn = int(row.get("r", rpos))
+            except ValueError:
+                rn = rpos
+            while len(grid) < rn:
+                grid.append([])
+                flags.append([])
+            cells = grid[rn - 1]
+            numeric = flags[rn - 1]
 
             def put(idx: int, text: str, is_num: bool) -> None:
-                while len(cells) < idx - 1:
+                # Assign by computed index, padding as needed — append-only
+                # would misplace out-of-order or duplicate cell refs.
+                while len(cells) < idx:
                     cells.append("")
                     numeric.append(False)
-                cells.append(text)
-                numeric.append(is_num)
+                cells[idx - 1] = text
+                numeric[idx - 1] = is_num
 
             for pos, c in enumerate(row.iter(_tag("c")), start=1):
                 ref = c.get("r")
@@ -311,8 +342,6 @@ def read_workbook(
                     put(idx, "TRUE" if v is not None and v.text == "1" else "FALSE", False)
                 else:  # "n" or "str" (formula cached string)
                     put(idx, v.text if v is not None and v.text else "", ctype == "n")
-            grid.append(cells)
-            flags.append(numeric)
     if not grid:
         return [], [], []
     header = grid[0]

@@ -19,12 +19,14 @@ _INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
 _PARSEFLOAT_RE = re.compile(r"^[+-]?(Infinity|(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?)")
 
 
-# ECMA-262 StrWhiteSpace: Python's whitespace set plus FS/GS/RS/US, NEL,
-# NBSP, Ogham, the U+2000 block, LS/PS, NNBSP, MMSP, ideographic space,
-# and the BOM (which Python's default str.strip() does NOT strip) --
-# mirrors the compiled class in plans/compiler.py::parse_float_col.
+# ECMA-262 StrWhiteSpace: ASCII whitespace plus NBSP, Ogham, the U+2000
+# block, LS/PS, NNBSP, MMSP, ideographic space, and the BOM (which
+# Python's default str.strip() does NOT strip).  FS/GS/RS/US and NEL are
+# in Python's strip set but NOT in ECMA-262 \u2014 real JS trim()/parseFloat
+# keeps them, so this set excludes them deliberately.  Mirrors the
+# compiled class in plans/compiler.py::parse_float_col.
 _STR_WHITESPACE = (
-    " \t\n\r\v\f\x1c\x1d\x1e\x1f\x85\u00a0\u1680"
+    " \t\n\r\v\f\u00a0\u1680"
     "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
     "\u2028\u2029\u202f\u205f\u3000\ufeff"
 )

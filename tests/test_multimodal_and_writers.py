@@ -368,3 +368,71 @@ def test_read_json_typed_and_fidelity(spark, tmp_path):
     assert dict(fid.dtypes) == {"k": "string", "name": "string", "v": "string"}
     rows = {r["k"]: (r["name"], r["v"]) for r in fid.collect()}
     assert rows == {"1": ("a", "1.5"), "2": ("b", None)}
+
+
+def test_xlsx_sheet_name_with_quote_roundtrips(tmp_path):
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    path = str(tmp_path / "q.xlsx")
+    name = 'My "Quoted" Sheet'
+    xlsx_native.write_workbook(path, ["h"], [("v",)], sheet_name=name)
+    assert xlsx_native.sheet_names(path) == [name]
+    header, rows, _ = xlsx_native.read_workbook(path, sheet_name=name)
+    assert header == ["h"] and rows == [["v"]]
+
+
+def test_xlsx_rejects_invalid_sheet_names(tmp_path):
+    import pytest
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    for bad in ["", "a" * 32, "x[y]", "a:b", "a/b", "a\\b", "a*b", "a?b"]:
+        with pytest.raises(ValueError, match="sheet name"):
+            xlsx_native.write_workbook(
+                str(tmp_path / "bad.xlsx"), ["h"], [("v",)], sheet_name=bad
+            )
+
+
+def test_xlsx_rejects_non_finite_numbers(tmp_path):
+    import pytest
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="non-finite"):
+            xlsx_native.write_workbook(
+                str(tmp_path / "bad.xlsx"), ["h"], [(bad,)]
+            )
+
+
+def test_read_workbook_honors_row_and_cell_refs(tmp_path):
+    """External writers may omit empty rows, emit rows out of order, and
+    emit cells whose refs are out of order or duplicated — all legal
+    OOXML; the grid must honor the r attributes, not element order."""
+    import zipfile
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native
+
+    tmpl_path = str(tmp_path / "tmpl.xlsx")
+    xlsx_native.write_workbook(tmpl_path, ["a", "b"], [("x", "y")])
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{xlsx_native.SHEET_NS}"><sheetData>'
+        # header row, then row 3 BEFORE row 4, with row 2 omitted entirely;
+        # row 4's cells arrive out of order and B4 is duplicated (last wins).
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+        '<row r="4"><c r="B4"><v>9</v></c><c r="A4"><v>7</v></c>'
+        '<c r="B4"><v>8</v></c></row>'
+        '<row r="3"><c r="A3"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "ext.xlsx")
+    with zipfile.ZipFile(tmpl_path) as zin, zipfile.ZipFile(path, "w") as zout:
+        for item in zin.namelist():
+            data = sheet.encode() if item == "xl/worksheets/sheet1.xml" else zin.read(item)
+            zout.writestr(item, data)
+    header, rows, flags = xlsx_native.read_workbook(path)
+    assert header == ["a", "b"]
+    assert rows == [["", ""], ["1", ""], ["7", "8"]]
+    assert flags[1][0] is True and flags[0][0] is False
