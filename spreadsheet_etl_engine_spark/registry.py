@@ -397,6 +397,52 @@ def dsl_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmpdir)
 
 
+@register(
+    "dsl_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey AS OrderKey, o_orderstatus AS Status,
+           'orc' AS Source,
+           o_totalprice * 1.1 AS Uplift
+    FROM orders
+    WHERE o_totalprice > 100000
+    """,
+    doc="ORC ingest end-to-end (the second Spark-native columnar source "
+        "beside parquet — same pushdown/pruning story): orders exported "
+        "to ORC (distributed write), re-read through read_orc, and run "
+        "through the Map-rule engine; the oracle computes the same "
+        "result from the parquet view, so the ORC round-trip and the "
+        "DSL path are both under the hash.",
+)
+def dsl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.sources.readers import read_orc
+    from spreadsheet_etl_engine_spark.sources.writers import write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = f"{tmpdir}/orders_orc"
+        write_orc(orders, path)
+        src = read_orc(spark, path)
+        spec = parse_mapping(
+            [
+                ("_filter:big", "eval: src[o_totalprice] > 100000"),
+                ("OrderKey", "src[o_orderkey]"),
+                ("Status", "src[o_orderstatus]"),
+                ("Source", "constant:orc"),
+                ("Uplift", "formula:=src[o_totalprice]*1.1"),
+            ],
+            src.columns,
+        )
+        return run_mapping(src, spec).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).
@@ -1142,7 +1188,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_heavy_hitters_approx",
     oracle=None,  # sketch output is approximate by design; pytest pins
     # the sketch top-k against the exact two-phase agg
-    # (tests/test_ext_operators.py::test_heavy_hitters_sketch_vs_exact).
+    # (tests/test_ext_operators.py::test_heavy_hitters_sketch_vs_exact),
+    # and each output row embeds exact_n + err_frac computed in-query
+    # against the exact counts, so the rows-only driver row carries its
+    # own quality signal (the IVF-recall pattern).
     doc="Sketch-based heavy hitters: approx_top_k (Spark 4's bounded-"
         "memory frequent-items aggregate) over the token stream — the "
         "100 TB alternative to agg_heavy_hitters' exact two-phase agg. "
@@ -1151,15 +1200,25 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the sketch caps state at maxItemsTracked per partition, stays "
         "map-side combinable, and returns the top-k with approximate "
         "counts. Single pass, no shuffle of the token stream — only the "
-        "constant-size sketch merges.",
+        "constant-size sketch merges.  Each row carries the exact count "
+        "and the relative sketch error for self-auditing output.",
 )
 def agg_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
-    return (
+    approx = (
         toks.select(F.expr("approx_top_k(tok, 32, 65536)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("tok"), F.col("e.count").alias("n_approx"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    return (
+        approx.join(exact, "tok", "left")
+        .withColumn(
+            "err_frac",
+            F.abs(F.col("n_approx") - F.col("exact_n"))
+            / F.greatest(F.col("exact_n"), F.lit(1)),
+        )
         .orderBy(F.desc("n_approx"), F.asc("tok"))
     )
 
@@ -1602,6 +1661,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
     "dsl_json_source",
+    "dsl_orc_roundtrip",
     # [EXT] dedup family.  (r5 rotation: dedup_exact / dedup_simhash to
     # the tail — both multiply-verified and byte-unchanged; their family
     # stays covered by the 7 entries below.)
@@ -1620,10 +1680,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text_fingerprint to the tail — green r3/r4, byte-unchanged — making
     # room for the r2-green-but-never-re-verified relational four:
     # scalar_string_math, agg_quantiles, sample_stratified,
-    # reshape_unpivot.)
+    # reshape_unpivot.  text_wordcount_top rotated to the tail for the
+    # new dsl_orc_roundtrip — green r2/r3/r4, byte-unchanged.)
     "text_stats",
     "text_quality",
-    "text_wordcount_top",
     "text_repetition",
     "text_pii_scrub",
     "text_contamination",

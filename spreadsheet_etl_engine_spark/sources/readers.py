@@ -1,6 +1,6 @@
 """Source readers (the reference's only source is a Google Sheet scan,
-``main.gs:51-59``; here: parquet/CSV/JSON natively, Excel via a gated
-pandas bridge, with the driver's table layout as a convenience).
+``main.gs:51-59``; here: parquet/CSV/JSON/ORC natively, Excel via the
+stdlib OOXML codec, with the driver's table layout as a convenience).
 
 Scale notes: all readers return lazy DataFrames; never collect.  CSV in
 fidelity mode reads every column as a string, matching the reference's
@@ -93,6 +93,21 @@ def read_json(
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.json(path)
+    if fidelity:
+        df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    return df
+
+
+def read_orc(
+    spark: SparkSession, path: str, *, fidelity: bool = False, **options: str
+) -> DataFrame:
+    """ORC scan (Spark-native columnar source — same pushdown/pruning
+    story as parquet).  ``fidelity=True`` casts every column to its
+    display string, mirroring ``read_csv``/``read_json``."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.orc(path)
     if fidelity:
         df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
     return df

@@ -1,6 +1,7 @@
 """Sinks.  The reference's only sink overwrites a sheet wholesale
-(``main.gs:124-129``); here: parquet/CSV natively, xlsx via the
-stdlib-native OOXML codec with optional FORMULA pass-through.
+(``main.gs:124-129``); here: parquet/CSV/ORC (plus bucketed tables)
+natively, xlsx via the stdlib-native OOXML codec with optional FORMULA
+pass-through.
 
 Pass-through mode is where the reference's two deferred-evaluation quirks
 live (SURVEY §7.4 items 1-3): ``formula:`` output columns keep their
@@ -28,6 +29,13 @@ def write_parquet(df: DataFrame, path: str, *, partition_by: list[str] | None = 
 
 def write_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_orc(df: DataFrame, path: str, *, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
 
 
 def write_bucketed(

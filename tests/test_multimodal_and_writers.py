@@ -436,3 +436,19 @@ def test_read_workbook_honors_row_and_cell_refs(tmp_path):
     assert header == ["a", "b"]
     assert rows == [["", ""], ["1", ""], ["7", "8"]]
     assert flags[1][0] is True and flags[0][0] is False
+
+
+def test_read_write_orc_roundtrip(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.sources.readers import read_orc
+    from spreadsheet_etl_engine_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "k long, name string, v double"
+    )
+    path = str(tmp_path / "t_orc")
+    write_orc(df, path)
+    typed = read_orc(spark, path)
+    assert dict(typed.dtypes) == {"k": "bigint", "name": "string", "v": "double"}
+    assert {tuple(r) for r in typed.collect()} == {(1, "a", 1.5), (2, "b", None)}
+    fid = read_orc(spark, path, fidelity=True)
+    assert dict(fid.dtypes) == {"k": "string", "name": "string", "v": "string"}

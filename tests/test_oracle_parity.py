@@ -90,6 +90,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_flagship",
     "dsl_fidelity_strings",
     "dsl_json_source",
+    "dsl_orc_roundtrip",
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
     "dedup_components",
@@ -101,7 +102,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     "similarity_topk_ivf",
     "text_stats",
     "text_quality",
-    "text_wordcount_top",
     "multimodal_decode",
     "events_sessionize",
     "events_sliding_window",
