@@ -643,6 +643,55 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_view_click_join",
+    # availableNow over a static source is deterministic and the join is
+    # INNER (watermarks only bound state, never drop matches once all
+    # files are processed), so the batch range-join SQL is an exact
+    # oracle; pytest additionally pins stream == batch.
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(v.ts AS VARCHAR) AS view_ts,
+           CAST(c.ts AS VARCHAR) AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc="Watermarked stream-stream inner join executed as a real "
+        "Structured Streaming query (file source, availableNow): "
+        "view->click attribution per user within a 10-minute horizon. "
+        "The time-range predicate + both-side watermarks bound the join "
+        "state — the pattern that makes stream-stream joins viable at "
+        "100 TB/day (streaming/events.py:view_click_attribution).",
+)
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_in"
+        ev.write.mode("overwrite").parquet(src)
+        views = SE.read_event_stream(spark, src).filter(F.col("event_type") == "view")
+        clicks = SE.read_event_stream(spark, src).filter(F.col("event_type") == "click")
+        # Backfill watermark: file order is event-time-arbitrary, so the
+        # delay must span the replayed window (31 days covers the
+        # fixture's 30-day span) or "late" files silently lose matches —
+        # see view_click_attribution's docstring for the sizing rule.
+        joined = SE.view_click_attribution(views, clicks, watermark="31 days")
+        name = "streaming_view_click_join_sink"
+        SE.run_to_memory_sink(joined, name, output_mode="append")
+        out = spark.table(name)
+        return spark.createDataFrame(out.collect(), out.schema).select(
+            "user_id", "view_id", "click_id",
+            F.col("view_ts").cast("string").alias("view_ts"),
+            F.col("click_ts").cast("string").alias("click_ts"),
+        )
+
+
+@register(
     "text_wordcount_top",
     oracle="""
     SELECT t AS token, count(*) AS n FROM (

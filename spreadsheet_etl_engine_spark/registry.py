@@ -1693,13 +1693,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # [EXT] multimodal.
     "multimodal_decode",
     # Event-time / streaming.  (events_tumbling_window rotated to the
-    # tail in r4 — green r3, byte-unchanged; its real-streaming twin
-    # streaming_tumbling_counts stays pinned in the head.)
+    # tail in r4, events_sliding_window in r5 — both multiply-verified
+    # and byte-unchanged; streaming_view_click_join is new in r5 and
+    # must verify.)
     "events_sessionize",
-    "events_sliding_window",
     "events_rolling_window",
     "streaming_tumbling_counts",
     "streaming_session_counts",
+    "streaming_view_click_join",
     # Window functions.
     "window_rank_variants",
     # Joins.

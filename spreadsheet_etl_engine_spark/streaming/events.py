@@ -97,6 +97,51 @@ def session_counts(
     )
 
 
+def view_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each click to the
+    view(s) by the same user within ``horizon`` before it.
+
+    The time-range predicate (``click_ts`` in [``view_ts``, ``view_ts`` +
+    horizon]) plus watermarks on BOTH sides is what lets Spark bound the
+    join state: a buffered view can be evicted once the click-side
+    watermark passes ``view_ts + horizon`` — without it, stream-stream
+    join state grows forever.  At 100 TB/day this horizon/watermark pair
+    IS the memory budget.
+
+    Watermark sizing: the delay must cover the source's event-time
+    DISORDER, not just network lateness — a file-source backfill reads
+    files in arbitrary order, so rows arrive arbitrarily "late" and a
+    small delay silently drops matches; callers replaying history pass a
+    watermark spanning the backfill window (state stays bounded by the
+    run's total data), while live mostly-ordered streams use minutes."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        v.join(
+            c,
+            F.expr(
+                "user_id = click_user AND click_ts >= view_ts "
+                f"AND click_ts <= view_ts + interval {horizon}"
+            ),
+        )
+        .select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user event count and value sum
     maintained with ``applyInPandasWithState`` — the escape hatch when

@@ -104,9 +104,9 @@ MUST_BE_IN_CHECK_BUDGET = [
     "text_quality",
     "multimodal_decode",
     "events_sessionize",
-    "events_sliding_window",
     "streaming_tumbling_counts",
     "streaming_session_counts",
+    "streaming_view_click_join",
     "window_rank_variants",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",

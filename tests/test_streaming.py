@@ -173,3 +173,36 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
     # No event processed twice.
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_join_equals_batch(spark, event_dir):
+    """Watermarked stream-stream inner join (multi-micro-batch file
+    source): the full match set equals the same join run in batch —
+    watermarks bound state, they must never drop matches when every file
+    is processed (availableNow)."""
+    views_s = SE.read_event_stream(spark, event_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    clicks_s = SE.read_event_stream(spark, event_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    # Backfill watermark: one file per micro-batch in arbitrary event-time
+    # order, so the delay must span the fixture's 30-day window.
+    SE.run_to_memory_sink(
+        SE.view_click_attribution(views_s, clicks_s, watermark="31 days"),
+        "t_vc",
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.table("t_vc").collect()
+    }
+    batch = _batch_events(spark, event_dir)
+    exp = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in SE.view_click_attribution(
+            batch.filter(F.col("event_type") == "view"),
+            batch.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
