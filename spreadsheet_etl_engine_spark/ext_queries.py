@@ -106,6 +106,54 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
+    b AS (
+        SELECT doc_id,
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
+        FROM sig
+    ),
+    seen_b AS (SELECT * FROM b WHERE doc_id % 2 = 0),
+    new_b  AS (SELECT * FROM b WHERE doc_id % 2 = 1),
+    near AS (
+        SELECT DISTINCT n.doc_id FROM new_b n JOIN seen_b s
+          ON n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3
+    ),
+    exact AS (
+        SELECT DISTINCT d.doc_id FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND md5(d.text) IN (SELECT md5(text) FROM documents
+                              WHERE doc_id % 2 = 0)
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
+           d.doc_id IN (SELECT doc_id FROM near) AS is_near_dup
+    FROM documents d WHERE d.doc_id % 2 = 1
+    """,
+    doc="Incremental dedup — NEW batch (odd doc_id) probed against the "
+        "SEEN corpus (even doc_id): exact via content-hash semi join, "
+        "near via MinHash LSH band-bucket semi join.  The continuous-"
+        "ingestion shape at 100 TB: the seen side reduces to distinct "
+        "hashes + band keys (an incrementally maintainable index) and "
+        "the batch probes it — the seen corpus's raw text is never "
+        "re-scanned (operators/dedup.py:incremental_dedup).",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return DD.incremental_dedup(
+        batch, seen, "text", "doc_id", num_hashes=8, bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
     "dedup_components",
     oracle=f"""
     WITH {_SHINGLE_CTE},

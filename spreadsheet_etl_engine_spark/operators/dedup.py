@@ -117,6 +117,98 @@ def minhash_signature(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """``(id, band_id, band_hash)`` LSH bucket keys — the shared banding
+    step behind the self-join (:func:`minhash_lsh_pairs`) and the
+    vs-seen-corpus (:func:`incremental_dedup`) paths.  One row per
+    (document, band); signatures stay per-row, the explode is narrow."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, content_col, id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Annotate every NEW-batch document against the already-ingested
+    corpus: ``is_exact_dup`` (identical content exists in ``seen``) and
+    ``is_near_dup`` (shares ≥1 MinHash LSH band bucket with a seen doc).
+
+    The continuous-ingestion shape at 100 TB: the seen corpus never
+    re-scans its raw text against the batch — it reduces once to distinct
+    content hashes and distinct band keys (both orders of magnitude
+    smaller than the text, and incrementally maintainable as an index
+    table), and the batch probes them with two semi joins.  Documents too
+    short to shingle (< ``shingle_k`` tokens) have no band keys and can
+    only be exact dups — the same routing rule as
+    :func:`minhash_signature`.
+    """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes} "
+            "with at least one hash per band"
+        )
+    content_hash = F.md5(F.col(content_col).cast("string"))
+    seen_hashes = seen.select(content_hash.alias("_h")).distinct()
+    exact_ids = (
+        batch.select(F.col(id_col), content_hash.alias("_h"))
+        .join(seen_hashes, "_h", "left_semi")
+        .select(id_col)
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+              parallelism=parallelism)
+    seen_bands = minhash_band_keys(seen, content_col, id_col, **kw).select(
+        "band_id", "band_hash"
+    ).distinct()
+    near_ids = (
+        minhash_band_keys(batch, content_col, id_col, **kw)
+        .join(seen_bands, ["band_id", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return (
+        batch.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .na.fill({"is_exact_dup": False, "is_near_dup": False})
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str,
@@ -144,24 +236,10 @@ def minhash_lsh_pairs(
             f"bands={bands} must evenly divide num_hashes={num_hashes} "
             "with at least one hash per band"
         )
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(
+    bucketed = minhash_band_keys(
         df, content_col, id_col,
-        num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    bucketed = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
-        F.col(id_col), F.col("band.band_id"), F.col("band.band_hash")
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        parallelism=parallelism,
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")

@@ -1667,6 +1667,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stays covered by the 7 entries below.)
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental",
     "dedup_components",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -1680,9 +1681,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text_fingerprint to the tail — green r3/r4, byte-unchanged — making
     # room for the r2-green-but-never-re-verified relational four:
     # scalar_string_math, agg_quantiles, sample_stratified,
-    # reshape_unpivot.  text_wordcount_top rotated to the tail for the
-    # new dsl_orc_roundtrip — green r2/r3/r4, byte-unchanged.)
-    "text_stats",
+    # reshape_unpivot.  text_wordcount_top and text_stats rotated to the
+    # tail for dsl_orc_roundtrip / dedup_incremental — both green
+    # r2/r3/r4 and byte-unchanged.)
     "text_quality",
     "text_repetition",
     "text_pii_scrub",

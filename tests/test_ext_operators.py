@@ -398,3 +398,33 @@ def test_scd2_null_effective_date_raises(spark):
         [(1, "b", None)], "k long, attr string, eff string")
     with pytest.raises(Exception, match="scd2_apply"):
         scd2_apply(dim, changes, "k", ["attr"], effective_col="eff").collect()
+
+
+def test_incremental_dedup_flags(spark):
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+
+    seen = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+            (4, "hi"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # exact dup
+            (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+            (5, "entirely novel text with no overlap whatsoever here"),
+            (7, "hi"),  # short: no bands -> exact-only routing
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in DD.incremental_dedup(batch, seen, "text", "doc_id").collect()
+    }
+    assert out[1] == (True, True)
+    assert out[3] == (False, True)
+    assert out[5] == (False, False)
+    assert out[7] == (True, False)  # "hi" exists in seen; unshingleable

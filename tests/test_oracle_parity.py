@@ -93,6 +93,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_orc_roundtrip",
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental",
     "dedup_components",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
@@ -100,7 +101,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dedup_embedding_lsh_pairs",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "text_stats",
     "text_quality",
     "multimodal_decode",
     "events_sessionize",
