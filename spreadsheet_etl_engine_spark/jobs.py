@@ -42,6 +42,10 @@ def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> D
         from spreadsheet_etl_engine_spark.sources.readers import read_excel
 
         return read_excel(spark, name_or_path, fidelity=fidelity)
+    if name_or_path.endswith(".orc"):
+        from spreadsheet_etl_engine_spark.sources.readers import read_orc
+
+        return read_orc(spark, name_or_path, fidelity=fidelity)
     if name_or_path.endswith(".csv") or name_or_path.endswith("/"):
         return read_csv(spark, name_or_path, fidelity=fidelity)
     if os.path.isdir(name_or_path):
@@ -72,8 +76,8 @@ def run_job(
     common programmatic path).  ``map_table=None`` loads the rule table
     from ``config.map`` (a two-column path/view, sheet-shaped: header row
     first — the reference's Map sheet as a stored table).  ``config.output``
-    is the output path (parquet unless it ends with .csv); ``write=False``
-    skips the sink and just returns the DataFrame + count.
+    is the output path (parquet unless it ends with .csv or .orc);
+    ``write=False`` skips the sink and just returns the DataFrame + count.
     """
     cfg = config if isinstance(config, JobConfig) else load_config(config)
     source = source_df if source_df is not None else _load_source(
@@ -94,6 +98,11 @@ def run_job(
         if cfg.output.endswith(".csv"):
             write_csv(out, cfg.output)
             rows = spark.read.option("header", "true").csv(cfg.output).count()
+        elif cfg.output.endswith(".orc"):
+            from spreadsheet_etl_engine_spark.sources.writers import write_orc
+
+            write_orc(out, cfg.output)
+            rows = spark.read.orc(cfg.output).count()
         else:
             write_parquet(out, cfg.output)
             rows = spark.read.parquet(cfg.output).count()

@@ -153,3 +153,30 @@ def test_run_workbook_missing_sheet(spark, tmp_path):
     xlsx_native.write_workbook_multi(src, [("Source", ["x"], [("1",)])])
     with pytest.raises(MissingSheetError, match="Map"):
         run_workbook(spark, src, str(tmp_path / "out.xlsx"))
+
+
+def test_run_job_orc_source_and_sink(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.jobs import run_job
+    from spreadsheet_etl_engine_spark.sources.writers import write_orc
+
+    src_path = str(tmp_path / "src.orc")
+    out_path = str(tmp_path / "out.orc")
+    write_orc(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 40.0), (3, 25.0)], "k long, v double"
+        ),
+        src_path,
+    )
+    result = run_job(
+        spark,
+        config={"source": src_path, "output": out_path},
+        map_table=[
+            ["Rule", "Instruction"],
+            ["_filter:big", "eval: src[v] >= 20"],
+            ["K", "src[k]"],
+            ["Double", "formula:=src[v]*2"],
+        ],
+    )
+    assert result.rows_written == 2
+    back = spark.read.orc(out_path)
+    assert {tuple(r) for r in back.collect()} == {(2, 80.0), (3, 50.0)}
