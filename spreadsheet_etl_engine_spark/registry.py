@@ -990,15 +990,32 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_quantile",
-    oracle=None,  # sketch-based by design: rows-only check.
+    oracle=None,  # sketch-based by design: rows-only check — but each row
+    # embeds the exact quantiles and the relative sketch error, so the
+    # driver row carries its own quality signal (the IVF-recall pattern).
     doc="approx_percentile: the one-pass fixed-memory quantile sketch for "
-        "the 100 TB path.",
+        "the 100 TB path.  Each row carries the exact percentile twin "
+        "and the relative error for self-auditing output.",
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").alias("approx_p")
-    ).select("o_orderstatus", F.col("approx_p")[0].alias("p50"), F.col("approx_p")[1].alias("p90"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)")
+            .alias("approx_p"),
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("exact_p"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("approx_p")[0].alias("p50"),
+            F.col("approx_p")[1].alias("p90"),
+            (F.abs(F.col("approx_p")[0] - F.col("exact_p")[0])
+             / F.abs(F.col("exact_p")[0])).alias("p50_err_frac"),
+            (F.abs(F.col("approx_p")[1] - F.col("exact_p")[1])
+             / F.abs(F.col("exact_p")[1])).alias("p90_err_frac"),
+        )
+    )
 
 
 @register(
@@ -1650,10 +1667,11 @@ def get(name: str) -> RegisteredQuery:
 # hash-verified in an earlier round and is unchanged (see PLANS.md).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
-    # (r5 rotation: dsl_direct_constant to the tail — green r2/r3/r4,
-    # byte-unchanged; dsl_json_source is new in r5 and must verify.)
+    # (r5 rotation: dsl_direct_constant and dsl_filter_ops to the tail —
+    # both green r2/r3/r4, byte-unchanged, filter semantics still head-
+    # covered by dsl_flagship + dsl_fidelity_strings; dsl_json_source is
+    # new in r5 and must verify.)
     "dsl_flagship",
-    "dsl_filter_ops",
     "dsl_formula_chain",
     "dsl_a1_formula",
     "dsl_fidelity_strings",
@@ -1724,11 +1742,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Sort / top-k.
     "sort_topk",
     # r5 rotation: long-tail relational entries back through the head —
-    # green in r2, never re-verified since (round-4 verdict item 4).
+    # green in r2, never re-verified since (round-4 verdict item 4) —
+    # plus agg_approx_quantile, promoted because its output gained the
+    # embedded exact-twin/error columns in r5 (edited tail queries must
+    # re-verify).
     "scalar_string_math",
     "agg_quantiles",
     "sample_stratified",
     "reshape_unpivot",
+    "agg_approx_quantile",
 )
 
 DRIVER_CHECK_BUDGET = 50
