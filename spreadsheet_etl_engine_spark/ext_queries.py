@@ -740,6 +740,72 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_cap_per_source",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 30
+    """,
+    doc="Per-source document cap (domain-cap sampling): keep at most N "
+        "docs per source, chosen by deterministic salted-hash order — "
+        "the standard curation step that stops one domain dominating "
+        "the mix.  Reproducible under any partitioning (a bare limit() "
+        "per group is not); one shuffle on source; at 100 TB pair with "
+        "AQE skew splitting since source is the skewed column by "
+        "definition.",
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "text_encoding_quality",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '�')) AS n_replacement,
+           len(regexp_extract_all(text,
+               '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
+           CAST(length(regexp_replace(text, '[ -~\\x09\\x0a\\x0d]', '', 'g'))
+                AS DOUBLE) / length(text) AS non_ascii_frac
+    FROM documents WHERE length(text) > 0
+    """,
+    doc="Encoding-quality signals per document: U+FFFD replacement-char "
+        "count (mojibake from bad transcoding), C0 control chars "
+        "(binary-in-text), and the non-printable-ASCII fraction — the "
+        "cheap filters a web-scale ingest runs before any model-based "
+        "scoring.  Per-row built-ins, zero shuffles.",
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        # Python-level regexp_extract_all: the SQL-literal form would eat
+        # the \x escapes before the regex engine ever saw them.
+        F.size(F.regexp_extract_all(t, F.lit("�"), 0)).alias("n_replacement"),
+        F.size(
+            F.regexp_extract_all(t, F.lit(r"[\x01-\x08\x0b\x0c\x0e-\x1f]"), 0)
+        ).alias("n_control"),
+        (
+            F.length(F.regexp_replace(t, r"[ -~\x09\x0a\x0d]", "")).cast("double")
+            / F.length(t)
+        ).alias("non_ascii_frac"),
+    )
+
+
+@register(
     "text_wordcount_top",
     oracle="""
     SELECT t AS token, count(*) AS n FROM (

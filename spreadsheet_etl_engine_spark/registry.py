@@ -1019,6 +1019,36 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (ntile / percent_rank / "
+        "cume_dist) per status partition — the quantile-bucketing shape "
+        "used for stratified reporting; unique tiebreaker keeps every "
+        "rank deterministic. One shuffle on the partition key.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@register(
     "agg_moments",
     oracle="""
     WITH sums AS (
@@ -1663,8 +1693,12 @@ def get(name: str) -> RegisteredQuery:
 # the reference-parity DSL surface and the LLM-pipeline [EXT] operators
 # (dedup / similarity / text / multimodal / streaming) — the queries that
 # must never silently lose verification — come first, then one
-# representative per relational family.  Everything past slot 50 was
-# hash-verified in an earlier round and is unchanged (see PLANS.md).
+# representative per relational family.  Everything past slot 50 either
+# was hash-verified in an earlier round and is byte-unchanged, or (the
+# r5-new tail entries sample_cap_per_source / text_encoding_quality /
+# window_distribution) is verified by the local two-SF parity gate only
+# and queued for head promotion next round — the head was already full
+# of r5-changed queries that MUST re-verify.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     # (r5 rotation: dsl_direct_constant and dsl_filter_ops to the tail —
