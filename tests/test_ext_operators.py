@@ -428,3 +428,47 @@ def test_incremental_dedup_flags(spark):
     assert out[3] == (False, True)
     assert out[5] == (False, False)
     assert out[7] == (True, False)  # "hi" exists in seen; unshingleable
+
+
+def test_incremental_dedup_consistent_with_pairs_operator(spark):
+    """Cross-path check: a batch doc is near-dup-flagged iff the SELF-JOIN
+    pairs operator over the union corpus links it to a seen doc — two
+    independent code paths (semi join vs self join) over the same banding
+    must agree."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = []
+    for i in range(40):
+        if i >= 20 and rng.random() < 0.4:
+            base = texts[rng.randrange(len(texts))].split()
+            j = rng.randrange(len(base))
+            base[j] = rng.choice(vocab)  # near-dup: one token swapped
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(12)))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seen = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter(F.col("doc_id") >= 20)
+
+    flagged = {
+        r["doc_id"]
+        for r in DD.incremental_dedup(batch, seen, "text", "doc_id").collect()
+        if r["is_near_dup"]
+    }
+    pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    linked = set()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        if a < 20 <= b:
+            linked.add(b)
+        if b < 20 <= a:
+            linked.add(a)
+    assert flagged == linked
