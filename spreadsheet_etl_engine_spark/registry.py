@@ -443,6 +443,91 @@ def dsl_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmpdir)
 
 
+@register(
+    "dsl_csv_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS NationKey,
+           n_name AS Name, 'csv' AS Source
+    FROM nation
+    WHERE try_cast(CAST(n_regionkey AS VARCHAR) AS DOUBLE) >= 2
+    """,
+    doc="CSV ingest end-to-end in FIDELITY mode (the reference's "
+        "display-string data model over its native interchange format): "
+        "nation exported to headered CSV (distributed write), re-read "
+        "with every column a string, and run through the Map-rule engine "
+        "with a parseFloat-semantics filter.  The oracle recomputes from "
+        "the parquet view with the same display-string coercions, so CSV "
+        "serialization and fidelity typing are both under the hash.",
+)
+def dsl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.plans.runner import run_mapping as _run
+    from spreadsheet_etl_engine_spark.sources.readers import read_csv
+    from spreadsheet_etl_engine_spark.sources.writers import write_csv
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = f"{tmpdir}/nation_csv"
+        write_csv(nat, path)
+        src = read_csv(spark, path, fidelity=True)
+        spec = parse_mapping(
+            [
+                ("_filter:east", "eval: src[n_regionkey] >= 2"),
+                ("NationKey", "src[n_nationkey]"),
+                ("Name", "src[n_name]"),
+                ("Source", "constant:csv"),
+            ],
+            src.columns,
+        )
+        return _run(src, spec, mode="fidelity").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir)
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+    """,
+    doc="Partition-pruned scan: orders persisted partitioned by "
+        "o_orderstatus, then filtered on the partition column — the scan "
+        "touches ONLY the matching partition directory (the "
+        "PartitionFilters plan shape is asserted by tests/"
+        "test_scale_plans.py::test_partitioned_write_prunes_partitions; "
+        "this query puts the values under the driver's hash).  Partition "
+        "layout + pruning is the first-order lever at 100 TB: a time/"
+        "status-partitioned fact table turns full scans into "
+        "single-partition reads.",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.sources.writers import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = f"{tmpdir}/orders_part"
+        write_parquet(orders, path, partition_by=["o_orderstatus"])
+        part = spark.read.parquet(path)
+        return (
+            part.filter((F.col("o_orderstatus") == "F")
+                        & (F.col("o_totalprice") > 200000))
+            .select("o_orderkey", "o_totalprice")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmpdir)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).
@@ -1696,9 +1781,10 @@ def get(name: str) -> RegisteredQuery:
 # representative per relational family.  Everything past slot 50 either
 # was hash-verified in an earlier round and is byte-unchanged, or (the
 # r5-new tail entries sample_cap_per_source / text_encoding_quality /
-# window_distribution) is verified by the local two-SF parity gate only
-# and queued for head promotion next round — the head was already full
-# of r5-changed queries that MUST re-verify.
+# window_distribution / dsl_csv_roundtrip / scan_partition_pruned) is
+# verified by the local two-SF parity gate only and queued for head
+# promotion next round — the head was already full of r5-changed
+# queries that MUST re-verify.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     # (r5 rotation: dsl_direct_constant and dsl_filter_ops to the tail —
