@@ -463,7 +463,6 @@ def dsl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from spreadsheet_etl_engine_spark.plans.runner import run_mapping as _run
     from spreadsheet_etl_engine_spark.sources.readers import read_csv
     from spreadsheet_etl_engine_spark.sources.writers import write_csv
 
@@ -484,7 +483,7 @@ def dsl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             src.columns,
         )
-        return _run(src, spec, mode="fidelity").localCheckpoint(eager=True)
+        return run_mapping(src, spec, mode="fidelity").localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmpdir)
 
