@@ -21,6 +21,11 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
 * ``_sort:<name>``: ``by: src[col] [asc|desc], ...`` and
   ``_limit:<name>``: ``<n>`` — applied after projection/aggregation
   (together they plan as TakeOrderedAndProject, never a global sort).
+* ``_distinct:<name>`` (instruction empty): full-row DISTINCT over the
+  projected output, applied before sort/limit.  Only the full-row form
+  exists — subset-distinct keeps an arbitrary survivor per key, which is
+  nondeterministic on both engines (dedup-with-policy belongs to the
+  dedup operators / ``exact_dedup``).
 
 Everything else (filters, DIRECT/CONSTANT/FORMULA columns, comments,
 validation) is v1: after the joins run, all columns share one namespace and
@@ -50,6 +55,7 @@ GROUP_PREFIX = "_group:"
 HAVING_PREFIX = "_having:"
 SORT_PREFIX = "_sort:"
 LIMIT_PREFIX = "_limit:"
+DISTINCT_PREFIX = "_distinct:"
 AGG_PREFIX = "agg:"
 
 _JOIN_RE = re.compile(
@@ -94,6 +100,7 @@ class MappingSpecV2:
     having: tuple[str, ...] = ()  # post-agg filter expressions (v1 grammar)
     sort_keys: tuple[SortKey, ...] = ()
     limit: int | None = None
+    distinct: bool = False
 
 
 def _normalize_refs(text: str, aliases: Iterable[str]) -> str:
@@ -118,6 +125,7 @@ def parse_mapping_v2(
     having: list[str] = []
     sort_keys: list[SortKey] = []
     limit: int | None = None
+    distinct = False
     v1_rules: list[tuple[str, str]] = []
     aliases = [a for a in tables if a != source]
 
@@ -208,6 +216,16 @@ def parse_mapping_v2(
             limit = int(instruction)
             continue
 
+        if name.startswith(DISTINCT_PREFIX):
+            if instruction:
+                raise EngineError(
+                    f'_distinct takes no instruction in rule "{name}" — only '
+                    "full-row DISTINCT is supported (subset dedup-with-policy "
+                    "is nondeterministic; use the dedup operators instead)."
+                )
+            distinct = True
+            continue
+
         instruction = _normalize_refs(instruction, aliases)
         m = _AGG_RE.match(instruction)
         if m and not name.startswith(FILTER_PREFIX):
@@ -237,6 +255,7 @@ def parse_mapping_v2(
     return MappingSpecV2(
         joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base,
         having=tuple(having), sort_keys=tuple(sort_keys), limit=limit,
+        distinct=distinct,
     )
 
 
@@ -303,6 +322,10 @@ def run_mapping_v2(
                     out = out.filter(pred)
     else:
         out = df.select(*compiler.compile_columns(spec.base))
+    if spec.distinct:
+        # Full-row distinct: map-side-combinable hash agg on all output
+        # columns (Catalyst plans dropDuplicates as partial+final agg).
+        out = out.dropDuplicates()
     if spec.sort_keys:
         out = out.orderBy(
             *[F.desc(k.column) if k.descending else F.asc(k.column) for k in spec.sort_keys]

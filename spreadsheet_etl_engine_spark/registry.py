@@ -1684,6 +1684,35 @@ def dsl_v2_having_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsl_v2_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS Segment,
+           CAST(c_nationkey AS BIGINT) AS NationKey
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    doc="Map-DSL v2 _distinct: full-row DISTINCT over the projected "
+        "output (filter -> project -> dropDuplicates; plans as a "
+        "map-side-combinable hash agg).  Only the full-row form exists — "
+        "subset-distinct keeps an arbitrary survivor and is "
+        "nondeterministic on both engines.",
+)
+def dsl_v2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+
+    tables = {"src": load_table(spark, sf_dir, "customer")}
+    return run_mapping_v2(
+        tables,
+        [
+            ("_filter:pos", "eval: src[c_acctbal] > 0"),
+            ("Segment", "src[c_mktsegment]"),
+            ("NationKey", "src[c_nationkey]"),
+            ("_distinct:d", ""),
+        ],
+    )
+
+
+@register(
     "join_range_window",
     oracle="""
     SELECT p.event_id, p.user_id, count(e.ts) AS n_recent_errors
@@ -1780,10 +1809,10 @@ def get(name: str) -> RegisteredQuery:
 # representative per relational family.  Everything past slot 50 either
 # was hash-verified in an earlier round and is byte-unchanged, or (the
 # r5-new tail entries sample_cap_per_source / text_encoding_quality /
-# window_distribution / dsl_csv_roundtrip / scan_partition_pruned) is
-# verified by the local two-SF parity gate only and queued for head
-# promotion next round — the head was already full of r5-changed
-# queries that MUST re-verify.
+# window_distribution / dsl_csv_roundtrip / scan_partition_pruned /
+# dsl_v2_distinct) is verified by the local two-SF parity gate only and
+# queued for head promotion next round — the head was already full of
+# r5-changed queries that MUST re-verify.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     # (r5 rotation: dsl_direct_constant and dsl_filter_ops to the tail —

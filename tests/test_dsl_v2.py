@@ -182,3 +182,30 @@ def test_natural_key_join_same_column_name(spark):
         ],
     )
     assert [(r["Id"], r["Val"], r["Name"]) for r in out.collect()] == [(1, "a", "x")]
+
+
+def test_v2_distinct_full_row(spark):
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "a")],
+        "k long, seg string",
+    )
+    out = run_mapping_v2(
+        {"src": src},
+        [("Seg", "src[seg]"), ("_distinct:d", "")],
+    )
+    assert sorted(r["Seg"] for r in out.collect()) == ["a", "b"]
+
+
+def test_v2_distinct_rejects_instruction(spark):
+    import pytest
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.plans.extensions import parse_mapping_v2
+
+    with pytest.raises(EngineError, match="_distinct takes no instruction"):
+        parse_mapping_v2(
+            [("Seg", "src[seg]"), ("_distinct:d", "on: src[seg]")],
+            {"src": ["seg"]},
+        )
