@@ -1251,6 +1251,43 @@ def pack_sequences(
 
 
 @register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(hmin, hmax, INTERVAL '1 hour')) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, CAST(g.h AS VARCHAR) AS bucket_start,
+           COALESCE(hh.n, 0) AS n_events,
+           last_value(hh.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM grid g LEFT JOIN hourly hh
+      ON g.user_id = hh.user_id AND g.h = hh.h
+    """,
+    doc="Time-series resample + gap fill: hourly buckets per user, the "
+        "complete hour grid between each user's first and last bucket "
+        "(sequence + explode — per-row compute, no shuffle), zero-count "
+        "gap rows, and the bucket value sum forward-filled across gaps "
+        "(last IGNORE NULLS window).  The standard hypertable-rollup "
+        "shape (operators/relational.py:resample_gapfill).",
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    out = resample_gapfill(ev, key_col="user_id", ts_col="ts", value_col="value")
+    return out.withColumn("bucket_start", F.col("bucket_start").cast("string"))
+
+
+@register(
     "events_rolling_window",
     oracle="""
     SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,

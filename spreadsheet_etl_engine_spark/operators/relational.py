@@ -326,3 +326,58 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
         var.alias(f"{alias_prefix}_var"),
         F.sqrt(var).alias(f"{alias_prefix}_std"),
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample + gap fill: bucket events per key, generate
+    the complete bucket grid between each key's first and last bucket,
+    and forward-fill the aggregated value across empty buckets.
+
+    Output: ``(key, bucket_start, n_events, v_filled)`` with one row per
+    (key, bucket) in the key's observed span — ``n_events = 0`` marks a
+    gap, ``v_filled`` carries the last observed bucket sum forward.
+
+    Scale shape: one shuffle for the bucket agg and one for the
+    grid↔agg join + fill window, both keyed on ``key_col`` (AQE splits
+    skewed keys).  The grid generation (``sequence`` + ``explode``) is
+    per-row compute bounded by span/bucket per key — no shuffle, no
+    driver involvement; a 100 TB event table with bounded per-key spans
+    resamples in one pass over keys.  The value sum accumulates in
+    DECIMAL(18,2) so bucket totals are engine-reproducible.
+    """
+    h = F.window(F.col(ts_col), bucket)["start"]
+    hourly = df.groupBy(F.col(key_col), h.alias("_h")).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("_v"),
+    )
+    grid = (
+        hourly.groupBy(key_col)
+        .agg(F.min("_h").alias("_hmin"), F.max("_h").alias("_hmax"))
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(F.col("_hmin"), F.col("_hmax"), F.expr(f"interval {bucket}"))
+            ).alias("_h"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [key_col, "_h"], "left")
+        .select(
+            F.col(key_col),
+            F.col("_h").alias("bucket_start"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+            F.last("_v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )

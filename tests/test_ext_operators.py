@@ -472,3 +472,30 @@ def test_incremental_dedup_consistent_with_pairs_operator(spark):
         if b < 20 <= a:
             linked.add(a)
     assert flagged == linked
+
+
+def test_resample_gapfill_fills_planted_gap(spark):
+    import datetime as dt
+
+    from spreadsheet_etl_engine_spark.operators.relational import resample_gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0),                                   # hour 00
+        (1, t0 + dt.timedelta(hours=3), 7.0),            # hour 03 (gap 01,02)
+        (1, t0 + dt.timedelta(hours=3, minutes=10), 4.0),
+        (2, t0, 1.0),                                    # single-bucket key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["bucket_start"].hour): (r["n_events"], r["v_filled"])
+        for r in resample_gapfill(
+            df, key_col="user_id", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    assert out[(1, 0)] == (1, 10.0)
+    assert out[(1, 1)] == (0, 10.0)   # gap: count 0, value carried forward
+    assert out[(1, 2)] == (0, 10.0)
+    assert out[(1, 3)] == (2, 11.0)   # two events summed
+    assert out[(2, 0)] == (1, 1.0)
+    assert len(out) == 5              # grid spans exactly min..max per key
