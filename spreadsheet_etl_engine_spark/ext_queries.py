@@ -740,6 +740,62 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_constraint_report",
+    oracle="""
+    SELECT 'orderkey_not_null' AS constraint, 'not_null' AS kind,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           count(*) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'qty_in_range', 'in_range',
+           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND l_quantity NOT BETWEEN 1 AND 50
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_low', 'in_range',
+           CAST(sum(CASE WHEN l_discount IS NOT NULL
+                          AND l_discount NOT BETWEEN 0 AND 0.05
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'flag_accepted', 'accepted_values',
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A', 'N')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'line_pk', 'unique',
+           CAST(sum(c - 1) AS BIGINT), CAST(sum(c) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    """,
+    doc="Declarative data-quality constraint report (deequ-lite, "
+        "operators/quality.py): not_null / in_range / accepted_values "
+        "compile into ONE single-scan map-side-combinable aggregation; "
+        "the composite-key unique check adds one keyed agg.  Two "
+        "constraints are deliberately violated by the data (discount "
+        "beyond 0.05, returnflag 'R') so non-zero counts are under the "
+        "hash too.  assert_constraints raises the fail-loud form.",
+)
+def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators import quality as Q
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.check_constraints(li, [
+        Q.not_null("orderkey_not_null", "l_orderkey"),
+        Q.in_range("qty_in_range", "l_quantity", 1, 50),
+        Q.in_range("discount_low", "l_discount", 0, 0.05),
+        Q.accepted_values("flag_accepted", "l_returnflag", ["A", "N"]),
+        Q.unique("line_pk", "l_orderkey", "l_linenumber"),
+    ])
+
+
+@register(
     "sample_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (

@@ -1,0 +1,136 @@
+"""Declarative data-quality constraints (deequ-lite).
+
+The reference's error channel validates RULES (``main.gs:141-299``:
+unknown columns, bad operators fail loudly); this module extends the
+same fail-loud philosophy to the DATA: declare constraints, get a
+violation report, optionally raise when any are violated.
+
+Scale design: every row-local constraint (not_null / in_range / matches /
+accepted_values) compiles to a ``sum(CASE ...)`` inside ONE aggregation —
+a single scan, map-side combinable, no shuffle beyond the final one-row
+combine.  ``unique`` needs per-value counts, so it adds one shuffled
+aggregation per unique-constraint on the (hashed) key — still
+column-pruned and combinable.  Nulls violate only ``not_null``; range /
+regex / set constraints skip them (standard constraint semantics — add an
+explicit ``not_null`` when nulls are illegal).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.errors import EngineError
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One declarative check.  ``kind`` ∈ not_null | in_range | matches |
+    accepted_values | unique.  ``columns`` is one column for row-local
+    kinds; ``unique`` accepts a composite key."""
+
+    name: str
+    kind: str
+    columns: tuple[str, ...]
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None
+    values: tuple = field(default=())
+
+
+def not_null(name: str, column: str) -> Constraint:
+    return Constraint(name, "not_null", (column,))
+
+
+def in_range(name: str, column: str, lo: float, hi: float) -> Constraint:
+    return Constraint(name, "in_range", (column,), lo=lo, hi=hi)
+
+
+def matches(name: str, column: str, pattern: str) -> Constraint:
+    return Constraint(name, "matches", (column,), pattern=pattern)
+
+
+def accepted_values(name: str, column: str, values) -> Constraint:
+    return Constraint(name, "accepted_values", (column,), values=tuple(values))
+
+
+def unique(name: str, *columns: str) -> Constraint:
+    return Constraint(name, "unique", tuple(columns))
+
+
+def _violation_expr(c: Constraint) -> Column:
+    col = F.col(c.columns[0])
+    if c.kind == "not_null":
+        cond = col.isNull()
+    elif c.kind == "in_range":
+        cond = col.isNotNull() & ~col.between(F.lit(c.lo), F.lit(c.hi))
+    elif c.kind == "matches":
+        cond = col.isNotNull() & ~col.rlike(c.pattern)
+    elif c.kind == "accepted_values":
+        cond = col.isNotNull() & ~col.isin(list(c.values))
+    else:
+        raise EngineError(f'Unknown constraint kind "{c.kind}" in "{c.name}".')
+    return F.sum(cond.cast("long")).alias(c.name)
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate constraints → ``(constraint, kind, n_violations, n_rows)``.
+
+    Row-local constraints share one single-scan aggregation; each
+    ``unique`` constraint contributes one additional keyed aggregation
+    (violations = rows beyond the first per duplicated key value).
+    """
+    if not constraints:
+        raise EngineError("check_constraints needs at least one constraint.")
+    names = [c.name for c in constraints]
+    if len(set(names)) != len(names):
+        raise EngineError(f"duplicate constraint names: {names}")
+    row_local = [c for c in constraints if c.kind != "unique"]
+    uniques = [c for c in constraints if c.kind == "unique"]
+
+    reports: list[DataFrame] = []
+    if row_local:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_n_rows"),
+            *[_violation_expr(c) for c in row_local],
+        )
+        # One wide row -> one report row per constraint (stack unpivot).
+        pairs = ", ".join(f"'{c.name}', '{c.kind}', `{c.name}`" for c in row_local)
+        reports.append(
+            agg.selectExpr(
+                f"stack({len(row_local)}, {pairs}) AS "
+                "(constraint, kind, n_violations)",
+                "_n_rows AS n_rows",
+            )
+        )
+    for c in uniques:
+        key = (F.col(c.columns[0]) if len(c.columns) == 1
+               else F.struct(*[F.col(x) for x in c.columns]))
+        per_key = df.groupBy(key.alias("_k")).agg(F.count("*").alias("_cnt"))
+        reports.append(
+            per_key.agg(
+                F.lit(c.name).alias("constraint"),
+                F.lit("unique").alias("kind"),
+                F.sum(F.col("_cnt") - 1).cast("long").alias("n_violations"),
+                F.sum("_cnt").cast("long").alias("n_rows"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def assert_constraints(df: DataFrame, constraints: list[Constraint]) -> None:
+    """Raise :class:`EngineError` listing every violated constraint —
+    the data-level analogue of the reference's fail-loud rule errors."""
+    report = check_constraints(df, constraints).collect()
+    bad = [r for r in report if r["n_violations"] > 0]
+    if bad:
+        detail = "; ".join(
+            f'{r["constraint"]} ({r["kind"]}): {r["n_violations"]} violations'
+            for r in bad
+        )
+        raise EngineError(f"Data-quality constraints violated: {detail}.")

@@ -499,3 +499,43 @@ def test_resample_gapfill_fills_planted_gap(spark):
     assert out[(1, 3)] == (2, 11.0)   # two events summed
     assert out[(2, 0)] == (1, 1.0)
     assert len(out) == 5              # grid spans exactly min..max per key
+
+
+def test_check_constraints_kinds_and_assert(spark):
+    import pytest
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "A", "x1"),
+            (2, 99, "A", "x2"),      # out of range
+            (None, 20, "Z", "x3"),   # null key + bad flag
+            (4, 30, "N", "x1"),      # dup code x1
+            (4, None, "A", "x4"),    # dup k=4; null qty violates nothing but not_null
+        ],
+        "k int, qty int, flag string, code string",
+    )
+    rep = {
+        r["constraint"]: (r["kind"], r["n_violations"], r["n_rows"])
+        for r in Q.check_constraints(df, [
+            Q.not_null("k_nn", "k"),
+            Q.in_range("qty_rng", "qty", 1, 50),
+            Q.accepted_values("flag_ok", "flag", ["A", "N"]),
+            Q.matches("code_fmt", "code", r"^x\d$"),
+            Q.unique("k_uniq", "k"),
+            Q.unique("code_uniq", "code"),
+        ]).collect()
+    }
+    assert rep["k_nn"] == ("not_null", 1, 5)
+    assert rep["qty_rng"] == ("in_range", 1, 5)       # null qty ignored
+    assert rep["flag_ok"] == ("accepted_values", 1, 5)
+    assert rep["code_fmt"] == ("matches", 0, 5)
+    assert rep["k_uniq"] == ("unique", 1, 5)          # k=4 twice
+    assert rep["code_uniq"] == ("unique", 1, 5)       # x1 twice
+
+    with pytest.raises(EngineError, match="k_nn"):
+        Q.assert_constraints(df, [Q.not_null("k_nn", "k")])
+    # A clean table passes silently.
+    Q.assert_constraints(df.filter("k IS NOT NULL"), [Q.not_null("k_nn", "k")])
