@@ -1307,6 +1307,56 @@ def pack_sequences(
 
 
 @register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1
+    )
+    SELECT v.user_id,
+           CAST(v.v_ts AS VARCHAR) AS first_view,
+           CAST(c.c_ts AS VARCHAR) AS first_click,
+           CAST(p.p_ts AS VARCHAR) AS first_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): per-user "
+        "first-occurrence chain where each step must happen at or after "
+        "the previous one; users keep NULLs from the step they never "
+        "reached (operators/relational.py:funnel_steps — n keyed aggs "
+        "over shrinking stage populations, no whole-history windows).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_steps(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            ("first_view", F.col("event_type") == "view"),
+            ("first_click", F.col("event_type") == "click"),
+            ("first_purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.col("first_view").cast("string").alias("first_view"),
+        F.col("first_click").cast("string").alias("first_click"),
+        F.col("first_purchase").cast("string").alias("first_purchase"),
+    )
+
+
+@register(
     "events_resample_gapfill",
     oracle="""
     WITH hourly AS (

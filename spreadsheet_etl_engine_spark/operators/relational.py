@@ -381,3 +381,47 @@ def resample_gapfill(
             F.last("_v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    steps: list,
+) -> DataFrame:
+    """Ordered-funnel first-occurrence timestamps per key.
+
+    ``steps`` is an ordered list of ``(output_name, predicate Column)``.
+    Step i's timestamp is the MIN event time matching predicate i that is
+    >= the key's step-(i-1) timestamp; keys that never reach a step carry
+    NULL from that step on (LEFT joins preserve earlier progress).  One
+    row per key that completed step 0.
+
+    Scale shape: each stage is filter → shuffle-agg on the key → join
+    back on the key — n_steps keyed aggs over progressively *shrinking*
+    populations (stage filters prune at the scan; the inner join against
+    prior completers prunes the rest).  No windows over whole event
+    histories, so per-key event skew never concentrates in one task
+    beyond the agg combine.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    out = None
+    for i, (_, pred) in enumerate(steps):
+        stage = df.filter(pred)
+        if out is None:
+            out = stage.groupBy(key_col).agg(F.min(ts_col).alias("_ts0"))
+            continue
+        prev = f"_ts{i - 1}"
+        cur = (
+            stage.join(out.select(key_col, prev), key_col)
+            .filter(F.col(ts_col) >= F.col(prev))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(f"_ts{i}"))
+        )
+        out = out.join(cur, key_col, "left")
+    return out.select(
+        key_col,
+        *[F.col(f"_ts{i}").alias(name) for i, (name, _) in enumerate(steps)],
+    )

@@ -539,3 +539,37 @@ def test_check_constraints_kinds_and_assert(spark):
         Q.assert_constraints(df, [Q.not_null("k_nn", "k")])
     # A clean table passes silently.
     Q.assert_constraints(df.filter("k IS NOT NULL"), [Q.not_null("k_nn", "k")])
+
+
+def test_funnel_steps_ordering_and_nulls(spark):
+    import datetime as dt
+
+    from spreadsheet_etl_engine_spark.operators.relational import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "buy"),
+        # user 2: click BEFORE first view must not count; no click after
+        (2, t(3), "click"), (2, t(4), "view"),
+        # user 3: buy before click -> stops at click stage
+        (3, t(0), "view"), (3, t(1), "buy"), (3, t(2), "click"),
+        # user 4 never views -> absent entirely
+        (4, t(0), "click"), (4, t(1), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: (r["v"], r["c"], r["b"])
+        for r in funnel_steps(
+            df, key_col="user_id", ts_col="ts",
+            steps=[
+                ("v", F.col("event_type") == "view"),
+                ("c", F.col("event_type") == "click"),
+                ("b", F.col("event_type") == "buy"),
+            ],
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (t(0), t(5), t(9))
+    assert out[2] == (t(4), None, None)      # pre-view click ignored
+    assert out[3][1] == t(2) and out[3][2] is None  # buy pre-click ignored
