@@ -1357,6 +1357,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             -- // is floor division: a plain / 7 + CAST would ROUND to
+             -- nearest (DuckDB float->int cast), off by one near week
+             -- boundaries vs Spark's floor().
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1
+    )
+    SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-activity week, counted "
+        "per week-offset of return activity — the standard retention "
+        "triangle.  Distinct (user, week) activity first (collapses "
+        "event volume to user-weeks BEFORE any join), then a keyed join "
+        "against the per-user cohort and a low-cardinality agg.  Week "
+        "boundaries anchor to a fixed epoch date so bucketing is "
+        "engine-reproducible.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 7
+        ).alias("wk"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "events_resample_gapfill",
     oracle="""
     WITH hourly AS (
