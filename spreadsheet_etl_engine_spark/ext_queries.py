@@ -1357,6 +1357,49 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                 AS mu,
+             sqrt(greatest(
+               CAST(sum(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / count(*), 2), 0)) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - m.mu) / m.sigma AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE abs(e.value - m.mu) > 3 * m.sigma
+    """,
+    doc="Per-group z-score outliers: exact one-pass decimal moments per "
+        "event_type (operators/relational.py:exact_moments — associative "
+        "power sums, engine-reproducible), broadcast back onto the "
+        "events, keep |value - mean| > 3 sigma.  The anomaly-flagging "
+        "shape: stats are a tiny broadcast, the event scan stays one "
+        "pass, nothing shuffles the fact side.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators.relational import exact_moments
+
+    ev = load_table(spark, sf_dir, "events")
+    m = exact_moments(ev, ["event_type"], "value", alias_prefix="v")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .filter(F.abs(F.col("value") - F.col("v_mean")) > 3 * F.col("v_std"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            ((F.col("value") - F.col("v_mean")) / F.col("v_std")).alias("zscore"),
+        )
+    )
+
+
+@register(
     "events_cohort_retention",
     oracle="""
     WITH act AS (
