@@ -862,6 +862,148 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE doc_id < 100
+      ) GROUP BY doc_id, t
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT doc_id, term, tfidf, rnk
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             -- round(…, 6): ln() differs by 1 ULP across libm
+             -- implementations, so raw doubles would hash-mismatch and
+             -- could even flip rank order at ties.
+             round(CAST(tf.tf AS DOUBLE)
+                   * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(CAST(tf.tf AS DOUBLE)
+                        * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) DESC,
+                        tf.term) AS rnk
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed IDF ln((N+1)/(df+1))): "
+        "term frequencies and document frequencies are two map-side-"
+        "combinable aggs; the df table joins back on term (broadcast "
+        "when the vocabulary fits, shuffle otherwise) and a per-doc "
+        "window ranks.  The classic keyword-extraction shape; restricted "
+        "to doc_id < 100 to bound the driver compare.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tf = (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            # round(…, 6): ln() differs by 1 ULP across libm
+            # implementations, so raw doubles would hash-mismatch vs the
+            # oracle and could flip rank order at ties.
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks
+    ), uni AS (
+      SELECT unnest(ts) AS t FROM toks
+    ), bc AS (
+      SELECT bg, count(*) AS n_bg FROM big GROUP BY bg HAVING count(*) >= 20
+    ), uc AS (
+      SELECT t, count(*) AS n_t FROM uni GROUP BY t
+    ), tot AS (
+      SELECT (SELECT count(*) FROM big) AS n_big,
+             (SELECT count(*) FROM uni) AS n_uni
+    )
+    SELECT bg AS bigram, n_bg,
+           -- round(…, 6): cross-libm ln() ULP differences (see tfidf).
+           round(ln((CAST(n_bg AS DOUBLE) / n_big)
+              / ((CAST(a.n_t AS DOUBLE) / n_uni)
+                 * (CAST(b.n_t AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM bc CROSS JOIN tot
+    JOIN uc a ON a.t = string_split(bg, ' ')[1]
+    JOIN uc b ON b.t = string_split(bg, ' ')[2]
+    ORDER BY pmi DESC, bigram LIMIT 25
+    """,
+    doc="Collocation extraction: top-25 bigrams by pointwise mutual "
+        "information (min count 20 kills noise).  Bigram and unigram "
+        "counts are map-side-combinable aggs over per-row array "
+        "transforms; the unigram table joins twice on the word key "
+        "(broadcastable — vocabulary-sized).  The standard phrase-"
+        "mining signal for tokenizer/vocab construction.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(TXT.tokens(F.col("text")).alias("ts"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> "
+                   "concat(ts[i-1], ' ', ts[i]))")
+        ).alias("bg")
+    )
+    unigrams = toks.select(F.explode("ts").alias("t"))
+    bc = bigrams.groupBy("bg").agg(F.count("*").alias("n_bg")).filter("n_bg >= 20")
+    uc = unigrams.groupBy("t").agg(F.count("*").alias("n_t"))
+    tot = bigrams.select(F.count("*").alias("n_big")).crossJoin(
+        unigrams.select(F.count("*").alias("n_uni"))
+    )
+    a = uc.select(F.col("t").alias("_ta"), F.col("n_t").alias("n_a"))
+    b = uc.select(F.col("t").alias("_tb"), F.col("n_t").alias("n_b"))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(a), F.split("bg", " ")[0] == F.col("_ta"))
+        .join(F.broadcast(b), F.split("bg", " ")[1] == F.col("_tb"))
+        .select(
+            F.col("bg").alias("bigram"),
+            "n_bg",
+            F.round(
+                F.log(
+                    (F.col("n_bg").cast("double") / F.col("n_big"))
+                    / ((F.col("n_a").cast("double") / F.col("n_uni"))
+                       * (F.col("n_b").cast("double") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+@register(
     "text_wordcount_top",
     oracle="""
     SELECT t AS token, count(*) AS n FROM (

@@ -1811,7 +1811,8 @@ def get(name: str) -> RegisteredQuery:
 # r5-new tail entries sample_cap_per_source / text_encoding_quality /
 # window_distribution / dsl_csv_roundtrip / scan_partition_pruned /
 # dsl_v2_distinct / events_resample_gapfill / quality_constraint_report /
-# events_funnel / events_cohort_retention / events_value_outliers) is
+# events_funnel / events_cohort_retention / events_value_outliers /
+# text_tfidf_top_terms / text_collocations_pmi) is
 # verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
