@@ -203,6 +203,100 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline_decisions",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
+    bnd AS (
+        SELECT doc_id,
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bnd x JOIN bnd y
+          ON x.doc_id < y.doc_id
+         AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    rec AS (
+        WITH RECURSIVE reach(node, label) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.node
+        )
+        SELECT node, min(label) AS component FROM reach GROUP BY node
+    ),
+    d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+               CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
+                   % 100 AS h
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CASE WHEN r.component IS NOT NULL AND r.component <> d.doc_id
+                  THEN 'drop:near_dup'
+                WHEN d.n_tok < 5 THEN 'drop:short'
+                ELSE 'keep' END AS decision,
+           CASE WHEN (r.component IS NULL OR r.component = d.doc_id)
+                  AND d.n_tok >= 5
+                THEN CASE WHEN h < 80 THEN 'train'
+                          WHEN h < 90 THEN 'val' ELSE 'test' END
+           END AS split
+    FROM d LEFT JOIN rec r ON d.doc_id = r.node
+    """,
+    doc="The composed curation pipeline as ONE decision table: per "
+        "document, drop near-dups (MinHash-LSH connected components — "
+        "only the min-id canonical representative of each cluster "
+        "survives), drop too-short docs, and assign the salted-hash "
+        "train/val/test split to the keepers.  This is the end-to-end "
+        "flow a user runs: every stage is the already-verified operator "
+        "(dedup_components, text_stats, train_split_assign) composed in "
+        "one plan — the components output is key-joined once, nothing "
+        "rescans the corpus per stage.",
+)
+def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    comp = DD.connected_components(pairs)
+    key = F.col("doc_id").cast("string")
+    d = docs.select(
+        "doc_id",
+        F.size(TXT.tokens(F.col("text"))).alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("split:"), key)), 1, 8), 16, 10)
+            .cast("long") % 100
+        ).alias("h"),
+    )
+    j = d.join(comp, d.doc_id == comp.node, "left")
+    is_dup = F.col("component").isNotNull() & (F.col("component") != F.col("doc_id"))
+    decision = (
+        F.when(is_dup, "drop:near_dup")
+        .when(F.col("n_tok") < 5, "drop:short")
+        .otherwise("keep")
+    )
+    split = F.when(
+        ~is_dup & (F.col("n_tok") >= 5),
+        F.when(F.col("h") < 80, "train")
+        .when(F.col("h") < 90, "val")
+        .otherwise("test"),
+    )
+    return j.select(
+        "doc_id", decision.alias("decision"), split.alias("split")
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
     SELECT doc_id,

@@ -1812,8 +1812,8 @@ def get(name: str) -> RegisteredQuery:
 # window_distribution / dsl_csv_roundtrip / scan_partition_pruned /
 # dsl_v2_distinct / events_resample_gapfill / quality_constraint_report /
 # events_funnel / events_cohort_retention / events_value_outliers /
-# text_tfidf_top_terms / text_collocations_pmi) is
-# verified by the local
+# text_tfidf_top_terms / text_collocations_pmi /
+# curation_pipeline_decisions) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
