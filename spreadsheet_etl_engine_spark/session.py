@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOT set: spark.sql.parquet.aggregatePushdown (footer-metadata
+        # MIN/MAX/COUNT) — it only takes effect on the DSv2 parquet path,
+        # and moving parquet off the V1 source list would drop bucketed
+        # tables (DSv2 has no bucketing), killing the zero-Exchange
+        # bucketed-join path.  Bucketing wins more at 100 TB than
+        # metadata-only profiling scans.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
