@@ -1103,6 +1103,43 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+           - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              / count(*))
+             * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*)) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact population covariance per group from decimal power sums "
+        "(Σxy, Σx, Σy) — one pass, associative combine, engine-"
+        "reproducible to the bit (the builtin covar_pop uses Welford-"
+        "style updates whose float order differs between engines; power "
+        "sums in decimal sidestep that entirely, same trick as "
+        "exact_moments).  Correlation = covar / (σx σy) divides two such "
+        "exact quantities.",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    n = F.count("*")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (
+            F.sum(x * y).cast("double") / n
+            - (F.sum(x).cast("double") / n) * (F.sum(y).cast("double") / n)
+        ).alias("covar_qty_price"),
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
@@ -1813,7 +1850,7 @@ def get(name: str) -> RegisteredQuery:
 # dsl_v2_distinct / events_resample_gapfill / quality_constraint_report /
 # events_funnel / events_cohort_retention / events_value_outliers /
 # text_tfidf_top_terms / text_collocations_pmi /
-# curation_pipeline_decisions) is verified by the local
+# curation_pipeline_decisions / agg_corr_covar) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
