@@ -1593,6 +1593,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n,
+           count(*) / (sum(count(*)) OVER (PARTITION BY prev_type))
+               AS p_next_given_prev
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="Markov transition matrix over per-user event sequences: lag() "
+        "inside each user's timeline pairs consecutive event types, then "
+        "counts and conditional probabilities per (prev -> next).  One "
+        "shuffle on user_id (the same partitioning sessionize uses — at "
+        "scale these stages share the exchange), the transition agg is "
+        "map-side combinable down to |types|^2 rows, and the "
+        "probability window runs over that tiny aggregate, not the "
+        "events.",
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    agg = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    w_prev = Window.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / F.sum("n").over(w_prev)).alias("p_next_given_prev"),
+    )
+
+
+@register(
     "events_value_outliers",
     oracle="""
     WITH m AS (

@@ -1140,6 +1140,52 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_linear_fit",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy / n - (sx / n) * (sy / n))
+             / (sxx / n - (sx / n) * (sx / n)) AS slope,
+           sy / n - ((sxy / n - (sx / n) * (sy / n))
+                     / (sxx / n - (sx / n) * (sx / n))) * (sx / n)
+               AS intercept
+    FROM s
+    """,
+    doc="Per-group least-squares fit (extendedprice ~ quantity) from the "
+        "same exact decimal power sums as agg_corr_covar: slope = "
+        "covar/var, intercept = ybar - slope*xbar.  One pass, "
+        "associative combine, bit-reproducible across engines because "
+        "every float op happens in the same order on exact decimal "
+        "sums — the builtin regr_slope's streaming update order is not.",
+)
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    n = F.count("*")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    slope = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        slope.alias("slope"),
+        (sy / n - slope * (sx / n)).alias("intercept"),
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
@@ -1323,6 +1369,45 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one("l_quantity").unionByName(one("l_discount")).unionByName(one("l_tax"))
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    t AS (SELECT sum(cnt) AS tot, count(*) AS nkeys FROM c)
+    SELECT c.user_id, c.cnt,
+           c.cnt / t.tot AS share,
+           c.cnt / (t.tot / t.nkeys) AS skew_vs_avg
+    FROM c, t
+    ORDER BY c.cnt DESC, c.user_id
+    LIMIT 20
+    """,
+    doc="Join/group-key skew profiler: per-key counts with each key's "
+        "share of total rows and its ratio to the mean key load — the "
+        "pre-flight diagnostic that decides broadcast vs salt vs AQE "
+        "skew-join before running a 100 TB join.  One map-side-combined "
+        "shuffle on the key, a broadcast one-row total, and a "
+        "TakeOrderedAndProject top-20; nothing scales with key "
+        "cardinality on the driver.",
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_tot"), F.count("*").alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt") / F.col("_tot")).alias("share"),
+            (F.col("cnt") / (F.col("_tot") / F.col("_nkeys"))).alias("skew_vs_avg"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
 
 
 @register(
@@ -1850,7 +1935,8 @@ def get(name: str) -> RegisteredQuery:
 # dsl_v2_distinct / events_resample_gapfill / quality_constraint_report /
 # events_funnel / events_cohort_retention / events_value_outliers /
 # text_tfidf_top_terms / text_collocations_pmi /
-# curation_pipeline_decisions / agg_corr_covar) is verified by the local
+# curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
+# profile_key_skew / events_transitions) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
