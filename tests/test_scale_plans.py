@@ -191,3 +191,29 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     got = scan.count()
     exp = ev.filter(F.col("event_type") == "click").count()
     assert got == exp > 0
+
+
+def test_key_skew_profiler_plan(spark, sf_dir):
+    """The skew diagnostic must itself be skew-proof: the scan reads only
+    the key column, top-20 runs as TakeOrderedAndProject (per-partition
+    heaps, no global sort), and the one-row totals attach by broadcast."""
+    plan = _plan(registry.get("profile_key_skew").fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", "")
+    assert "BroadcastNestedLoopJoin" in plan  # tiny totals side, not a shuffle
+    for schema in plan.split("ReadSchema: ")[1:]:
+        assert schema.splitlines()[0].strip() == "struct<user_id:bigint>"
+
+
+def test_transitions_single_event_sized_shuffle(spark, sf_dir):
+    """The transition matrix moves full event rows across the wire exactly
+    once (the per-user sequence window); everything after the map-side
+    partial agg is |event_types|^2-sized.  The scan must also prune the
+    unused value/props columns."""
+    plan = _plan(registry.get("events_transitions").fn(spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    event_sized = [l for l in exchanges if "user_id" in l]
+    assert len(event_sized) == 1, exchanges
+    assert "partial_count" in plan  # map-side combine before the agg shuffle
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "value" not in read_schema and "props" not in read_schema
