@@ -1593,6 +1593,39 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_decayed_engagement",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(pow(2, 40 - least(
+                 date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7,
+                 40)) AS DECIMAL(38,0))) AS DOUBLE)
+             / pow(2, 40) AS decayed_score
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Freshness-decayed engagement: each event weighs 1/2^k where k = "
+        "age in 7-day half-lives (capped at 40), summed per user — the "
+        "recency-weighting signal a curation pipeline uses to mix fresh "
+        "vs stale sources.  The weights are integer-scaled powers of two "
+        "summed in DECIMAL, so the aggregate is EXACT and "
+        "partition-order-independent (a double sum of exp() decays "
+        "rounds differently per shuffle layout and can never "
+        "hash-match an oracle); one map-side-combinable shuffle.",
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    age_days = F.datediff(
+        F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
+    )
+    k = F.least(F.floor(age_days / 7).cast("int"), F.lit(40))
+    w = F.pow(F.lit(2.0), (F.lit(40) - k).cast("double")).cast("decimal(38,0)")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(w).cast("double") / F.lit(float(2**40))).alias("decayed_score"),
+    )
+
+
+@register(
     "events_transitions",
     oracle="""
     WITH seq AS (

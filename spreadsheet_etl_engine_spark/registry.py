@@ -527,6 +527,52 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmpdir)
 
 
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           NULL AS o_orderpriority, 1 AS b
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 2
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    """,
+    doc="Schema-evolution scan: two ingest batches land with different "
+        "schemas (the newer one adds o_orderpriority), written as "
+        "key=value partition directories; one mergeSchema read unifies "
+        "them, back-filling NULL for the column the old batch never had. "
+        "This is how a 100 TB table absorbs schema drift without "
+        "rewriting history — per-file footer schemas merge at planning "
+        "time, old files are never touched, and the partition column "
+        "(batch id) stays prunable.",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    tmpdir = tempfile.mkdtemp()
+    try:
+        root = f"{tmpdir}/orders_evolving"
+        orders.filter(F.col("o_orderdate") < cutoff).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.parquet(f"{root}/b=1")
+        orders.filter(F.col("o_orderdate") >= cutoff).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(f"{root}/b=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        return merged.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+            F.col("b").cast("int").alias("b"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmpdir)
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (reference roadmap README.md:121-122: joins, advanced
 # expressions — expressed as idiomatic Spark, each with a SQL oracle).
@@ -1936,7 +1982,8 @@ def get(name: str) -> RegisteredQuery:
 # events_funnel / events_cohort_retention / events_value_outliers /
 # text_tfidf_top_terms / text_collocations_pmi /
 # curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
-# profile_key_skew / events_transitions) is verified by the local
+# profile_key_skew / events_transitions / scan_schema_evolution /
+# events_decayed_engagement) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
