@@ -57,6 +57,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+      SELECT md5(text) AS content_hash, doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    )
+    SELECT content_hash, doc_id AS kept_doc_id,
+           n_chars AS kept_n_chars, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Survivorship dedup: keep the BEST copy per content hash (longest "
+        "text, then lowest id) instead of an arbitrary one — the "
+        "canonicalization step after near-dup clustering.  The argmax is "
+        "a map-side-combinable struct-max AGGREGATE, not a row_number "
+        "window: the window formulation sorts every group, while the "
+        "struct-max reduces tree-wise, so a pathological hash with "
+        "millions of copies (boilerplate pages) combines partials "
+        "instead of funneling one partition through a sort.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("content_hash"), "doc_id", "n_chars"
+    )
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nid"))
+    ).alias("_best")
+    return (
+        docs.groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), best)
+        .select(
+            "content_hash",
+            (-F.col("_best._nid")).alias("kept_doc_id"),
+            F.col("_best.n_chars").alias("kept_n_chars"),
+            "n_copies",
+        )
+    )
+
+
+@register(
     "dedup_minhash_signature",
     oracle=f"""
     WITH {_SHINGLE_CTE}

@@ -1983,7 +1983,7 @@ def get(name: str) -> RegisteredQuery:
 # text_tfidf_top_terms / text_collocations_pmi /
 # curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
 # profile_key_skew / events_transitions / scan_schema_evolution /
-# events_decayed_engagement) is verified by the local
+# events_decayed_engagement / dedup_keep_best) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
