@@ -726,6 +726,47 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7000
+    ), o AS (
+      SELECT o_custkey, count(*) AS n_urgent FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name, o.n_urgent
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full-outer reconciliation join: high-balance customers vs urgent-"
+        "order counts, keeping unmatched rows from BOTH sides (NULL "
+        "name = orders from a customer outside the filter; NULL count = "
+        "customer with no urgent orders) — the two-system reconciliation "
+        "shape.  Full outer cannot broadcast (both sides must surface "
+        "unmatched rows), so it shuffle-joins on the key; the order side "
+        "pre-aggregates to one row per customer BEFORE the join, which "
+        "is what keeps the shuffled volume at |keys|, not |orders|.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_urgent",
+    )
+
+
+@register(
     "agg_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
@@ -1983,7 +2024,8 @@ def get(name: str) -> RegisteredQuery:
 # text_tfidf_top_terms / text_collocations_pmi /
 # curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
 # profile_key_skew / events_transitions / scan_schema_evolution /
-# events_decayed_engagement / dedup_keep_best) is verified by the local
+# events_decayed_engagement / dedup_keep_best / join_full_outer) is
+# verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
