@@ -111,3 +111,23 @@ class UnknownSelfRefError(EngineError):
         )
         self.column = column
         self.rule = rule
+
+
+class CircularSelfRefError(EngineError):
+    """Output-column formulas reference each other in a cycle.
+
+    A1 letters bind to output columns by declaration position and may
+    point FORWARD (the reference's formula text is evaluated by the
+    spreadsheet against the full output grid, so ``=D2`` works from
+    column A); the compiled path resolves such forward references
+    topologically.  A cycle (``A2`` referencing itself, or A->B->A) is
+    what the spreadsheet reports as a circular-reference error — the
+    compiled path fails loud with the rules involved.
+    """
+
+    def __init__(self, rules: list[str]) -> None:
+        super().__init__(
+            "circular A1/self reference between output columns: "
+            + ", ".join(f'"{r}"' for r in rules)
+        )
+        self.rules = rules

@@ -41,7 +41,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from spreadsheet_etl_engine_spark.errors import UnknownSelfRefError
+from spreadsheet_etl_engine_spark.errors import (
+    CircularSelfRefError,
+    UnknownSelfRefError,
+)
 from spreadsheet_etl_engine_spark.plans import formula as formula_mod
 from spreadsheet_etl_engine_spark.plans.parser import (
     SRC_REF_RE,
@@ -308,15 +311,35 @@ class MappingCompiler:
         return result
 
     def compile_columns(self, spec: MappingSpec) -> list[Column]:
-        """Ordered projection list; ``self[X]`` (by name) and A1 letters
-        (by declaration position) both resolve to the already-compiled
-        expression of an earlier OUTPUT column (value semantics — see
-        SURVEY §7 on why address semantics only exist in the xlsx
-        pass-through sink)."""
+        """Ordered projection list with topological resolution.
+
+        ``self[X]`` (by name) resolves to the compiled expression of an
+        EARLIER-declared output column only — matching the reference's
+        substitution pass, which replaces refs from the incrementally
+        built ``outputRowRefs`` (``main.gs:99-114``); a forward
+        ``self[...]`` there survives as literal text the spreadsheet
+        cannot evaluate, so the compiled path keeps it fail-loud.
+
+        A1 letters bind to output columns by declaration position and
+        MAY point forward: the reference's formula text lands in the
+        output sheet (``main.gs:107-108``) where the spreadsheet
+        evaluates it against the full grid, so ``=D2`` from column A
+        resolves there.  The compiled path reproduces that with a
+        multi-pass topological compile; cycles (which the spreadsheet
+        flags as circular references) raise ``CircularSelfRefError``.
+        Value semantics throughout — address semantics exist only in
+        the xlsx pass-through sink (SURVEY §7)."""
+        cols = spec.columns
+        n = len(cols)
+        decl_pos = {c.name: i for i, c in enumerate(cols)}
         compiled: dict[str, Column] = {}
-        out_exprs: list[Column] = []  # declaration order, for A1 letters
-        out: list[Column] = []
-        for col in spec.columns:
+        slots: dict[int, Column] = {}
+
+        class _Deferred(Exception):
+            """The referenced column appears later in declaration order
+            and is not compiled yet — retry this column next pass."""
+
+        def compile_one(idx: int, col) -> Column:
             if col.kind == ColumnKind.CONSTANT:
                 # The reference's substitution pass runs for every column
                 # type (main.gs:85-97): src[...] inside a constant splices
@@ -326,48 +349,57 @@ class MappingCompiler:
                 # of an earlier output column, which only exists in the
                 # xlsx pass-through sink where surviving-row numbering is
                 # materialized.
-                expr = self._substituted_string(col.instruction) \
+                return self._substituted_string(col.instruction) \
                     if SRC_REF_RE.search(col.instruction) else F.lit(col.instruction)
-            elif col.kind == ColumnKind.FORMULA:
+            if col.kind == ColumnKind.FORMULA:
                 def resolve_src(name: str) -> Column:
                     return F.col(name)
 
                 def resolve_self(name: str, _rule: str = col.name,
-                                 _compiled: dict[str, Column] = compiled) -> Column:
-                    if name not in _compiled:
+                                 _idx: int = idx) -> Column:
+                    if name not in decl_pos or decl_pos[name] >= _idx:
                         raise UnknownSelfRefError(name, _rule)
-                    return _compiled[name]
+                    if name not in compiled:
+                        raise _Deferred()  # earlier column itself pending
+                    return compiled[name]
 
                 def resolve_a1(ordinal: int, _rule: str = col.name,
-                               _out: list[Column] = out_exprs) -> Column:
-                    # A1 letters address OUTPUT columns by declaration
-                    # position: in the reference the formula text lands in
-                    # the output sheet (main.gs:107-108), where =A2+B2
-                    # reads the output grid — the same binding the xlsx
-                    # pass-through writer uses for self[...] addresses.
-                    # Like self[...] (and like the reference's
-                    # incrementally-built outputRowRefs, main.gs:99-114),
-                    # only earlier-declared columns are addressable: a
-                    # forward or self-positional reference has no compiled
-                    # value yet.
-                    if ordinal > len(_out):
+                               _idx: int = idx) -> Column:
+                    if ordinal > n:
                         raise UnknownSelfRefError(
-                            f"output column #{ordinal} (only "
-                            f"{len(_out)} declared so far; A1 letters "
-                            "bind to earlier-declared output columns)",
+                            f"output column #{ordinal} (only {n} output "
+                            "columns declared; A1 letters bind to output "
+                            "columns by declaration position)",
                             _rule)
-                    return _out[ordinal - 1]
+                    if ordinal - 1 == _idx:
+                        raise CircularSelfRefError([_rule])
+                    if ordinal - 1 not in slots:
+                        raise _Deferred()
+                    return slots[ordinal - 1]
 
-                expr = formula_mod.compile_formula(
+                return formula_mod.compile_formula(
                     col.instruction, col.name, resolve_src, resolve_self,
                     resolve_a1,
                 )
-            else:
-                expr = self._direct(col.instruction)
-            compiled[col.name] = expr
-            out_exprs.append(expr)
-            out.append(expr.alias(col.name))
-        return out
+            return self._direct(col.instruction)
+
+        pending = list(enumerate(cols))
+        while pending:
+            progressed = False
+            still: list = []
+            for idx, col in pending:
+                try:
+                    expr = compile_one(idx, col)
+                except _Deferred:
+                    still.append((idx, col))
+                    continue
+                compiled[col.name] = expr
+                slots[idx] = expr
+                progressed = True
+            if not progressed:
+                raise CircularSelfRefError([c.name for _, c in still])
+            pending = still
+        return [slots[i].alias(cols[i].name) for i in range(n)]
 
 
 def compile_mapping(

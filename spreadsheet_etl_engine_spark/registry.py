@@ -240,6 +240,40 @@ def dsl_a1_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsl_a1_forward",
+    oracle="""
+    SELECT l_orderkey AS OrderKey,
+           (l_extendedprice * (1 - l_discount)) * 2 AS WithMarkup,
+           l_extendedprice * (1 - l_discount) AS Net,
+           (l_extendedprice * (1 - l_discount)) * 2
+             - (l_extendedprice * (1 - l_discount)) AS Audit
+    FROM lineitem
+    """,
+    doc="Forward A1 references (r5 capability-gap close): in the "
+        "reference the emitted formula text is evaluated by the "
+        "spreadsheet against the FULL output grid (main.gs:107-108), so "
+        "=C2 from column B resolves even though C is declared later.  "
+        "The compiled path reproduces that with a topological "
+        "multi-pass compile (plans/compiler.py:compile_columns); "
+        "WithMarkup reads the later-declared Net (forward), Audit then "
+        "chains backward off both.  Cycles raise CircularSelfRefError — "
+        "the spreadsheet's circular-reference error, fail-loud.",
+)
+def dsl_a1_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = parse_mapping(
+        [
+            ("OrderKey", "src[l_orderkey]"),
+            ("WithMarkup", "formula:=C2*2"),  # forward: C=Net is declared next
+            ("Net", "formula:=src[l_extendedprice]*(1-src[l_discount])"),
+            ("Audit", "formula:=B2-C2"),      # backward off the forward chain
+        ],
+        li.columns,
+    )
+    return run_mapping(li, spec)
+
+
+@register(
     "dsl_xlsx_roundtrip",
     oracle="""
     SELECT CAST(s_suppkey AS VARCHAR) AS SuppKey,
@@ -2038,15 +2072,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_flagship",
     "dsl_formula_chain",
     "dsl_a1_formula",
+    "dsl_a1_forward",  # new in r5: compile_columns went topological — MUST verify
     "dsl_fidelity_strings",
     "dsl_v2_join_agg",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
     "dsl_json_source",
     "dsl_orc_roundtrip",
-    # [EXT] dedup family.  (r5 rotation: dedup_exact / dedup_simhash to
-    # the tail — both multiply-verified and byte-unchanged; their family
-    # stays covered by the 7 entries below.)
+    # [EXT] dedup family.  (r5 rotation: dedup_exact / dedup_simhash /
+    # dedup_embedding_lsh_pairs to the tail — all multiply-verified and
+    # byte-unchanged (embedding LSH stays covered by
+    # dedup_embedding_neardup, whose verify step consumes the same LSH
+    # candidates); their family stays covered by the entries below.)
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
     "dedup_incremental",
@@ -2054,7 +2091,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
-    "dedup_embedding_lsh_pairs",
     # [EXT] similarity search + vector analytics.
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",

@@ -159,19 +159,76 @@ def test_a1_binds_to_output_declaration_positions(spark):
     assert run_mapping(df, spec).collect()[0]["T"] == 28.0  # source binding would give -28
 
 
-def test_a1_forward_reference_rejected(spark):
-    """Like self[...] (and the reference's incrementally-built
-    outputRowRefs, main.gs:99-114), A1 letters can only address
-    earlier-declared output columns; forward/self positions raise with
-    rule context."""
+def test_a1_forward_reference_resolves(spark):
+    """The reference's formula text is evaluated by the spreadsheet
+    against the FULL output grid (main.gs:107-108), so =B2 from column A
+    resolves even though B is declared later.  The compiled path
+    reproduces that with a topological multi-pass compile."""
+    df = spark.createDataFrame([(3.0,)], ["x"])
+    spec = parse_mapping(
+        [("T", "formula:=B2+1"), ("X", "formula:=src[x]*10")],
+        df.columns,
+    )
+    row = run_mapping(df, spec).collect()[0]
+    assert row["X"] == 30.0
+    assert row["T"] == 31.0  # forward A1 chain: T = X + 1
+
+
+def test_a1_forward_chain_through_backward_self(spark):
+    """A deferred column (forward A1) can itself be the target of a
+    backward self[...] from a later rule — the later rule waits for it."""
+    df = spark.createDataFrame([(2.0,)], ["x"])
+    spec = parse_mapping(
+        [
+            ("A", "formula:=C2*2"),      # forward: waits for C
+            ("B", "formula:=self[A]+1"),  # backward self of a deferred col
+            ("C", "formula:=src[x]+3"),
+        ],
+        df.columns,
+    )
+    row = run_mapping(df, spec).collect()[0]
+    assert (row["A"], row["B"], row["C"]) == (10.0, 11.0, 5.0)
+
+
+def test_a1_circular_reference_rejected(spark):
+    """Cycles — what the spreadsheet flags as circular references — fail
+    loud with the rules involved, both self-position and mutual."""
+    from spreadsheet_etl_engine_spark.errors import CircularSelfRefError
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with pytest.raises(CircularSelfRefError, match="T"):
+        run_mapping(df, parse_mapping([("T", "formula:=A2+1")], df.columns))
+    spec = parse_mapping(
+        [("P", "formula:=B2+1"), ("Q", "formula:=A2+1")],
+        df.columns,
+    )
+    with pytest.raises(CircularSelfRefError, match='"P", "Q"'):
+        run_mapping(df, spec)
+
+
+def test_a1_out_of_range_rejected(spark):
+    """An A1 letter past the declared output width can never resolve."""
+    from spreadsheet_etl_engine_spark.errors import UnknownSelfRefError
+
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    spec = parse_mapping([("T", "formula:=D2+1")], df.columns)
+    with pytest.raises(UnknownSelfRefError, match="declaration position"):
+        run_mapping(df, spec)
+
+
+def test_self_forward_reference_still_rejected(spark):
+    """self[...] (unlike A1) follows the reference's substitution pass,
+    which only sees already-produced columns (main.gs:99-114): a forward
+    self[...] there survives as literal text the spreadsheet cannot
+    evaluate, so the compiled path keeps it fail-loud."""
     from spreadsheet_etl_engine_spark.errors import UnknownSelfRefError
 
     df = spark.createDataFrame([(1.0,)], ["x"])
     spec = parse_mapping(
-        [("T", "formula:=B2+1"), ("X", "src[x]")],
+        [("T", "formula:=self[Later]+1"), ("Later", "src[x]")],
         df.columns,
     )
-    with pytest.raises(UnknownSelfRefError, match="earlier-declared"):
+    with pytest.raises(UnknownSelfRefError):
         run_mapping(df, spec)
 
 

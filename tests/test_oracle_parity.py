@@ -91,6 +91,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_fidelity_strings",
     "dsl_json_source",
     "dsl_orc_roundtrip",
+    "dsl_a1_forward",
     "dedup_minhash_signature",
     "dedup_minhash_lsh_pairs",
     "dedup_incremental",
@@ -98,7 +99,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
-    "dedup_embedding_lsh_pairs",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "text_quality",
