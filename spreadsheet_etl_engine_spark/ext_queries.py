@@ -1635,6 +1635,50 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_mode_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type) AS rn,
+             sum(cnt) OVER (PARTITION BY user_id) AS n_events
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, cnt AS mode_count,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM r WHERE rn = 1
+    """,
+    doc="Statistical mode per group (each user's most frequent event "
+        "type, ties to the lexicographically smallest) via two map-side-"
+        "combinable aggs: count per (user, type), then an associative "
+        "struct-min argmax — Spark's builtin mode() is tie-"
+        "nondeterministic, and a row_number window would sort per group "
+        "instead of combining partials.  Both shuffles carry at most "
+        "\\|users x types\\| rows.",
+)
+def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    best = F.min(
+        F.struct((-F.col("cnt")).alias("_negcnt"),
+                 F.col("event_type").alias("_val"))
+    ).alias("_m")
+    return (
+        counts.groupBy("user_id")
+        .agg(best, F.sum("cnt").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_m._val").alias("mode_event_type"),
+            (-F.col("_m._negcnt")).alias("mode_count"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_decayed_engagement",
     oracle="""
     SELECT user_id, count(*) AS n_events,
