@@ -1196,6 +1196,54 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_rank",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1))
+               + 0.5 * (CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
+                        / 100.0) AS quality_score
+      FROM documents
+    )
+    SELECT doc_id, lang, quality_score,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY quality_score, doc_id)
+               AS lang_pct_rank,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY quality_score, doc_id) >= 0.2
+               AS keep_top80
+    FROM q
+    """,
+    doc="Per-language quality normalization: percent_rank of the quality "
+        "score WITHIN each language (raw scores are not comparable "
+        "across languages — stopword lists, tokenization and length "
+        "norms differ), plus the keep/drop decision at the bottom-20% "
+        "cut.  Deterministic: rank orders by (score, doc_id) and "
+        "percent_rank is an exact integer ratio.  Scale note: this "
+        "shuffles one language into one sort — fine for the long tail, "
+        "but the dominant language (half the web) should use the "
+        "approx-quantile threshold variant instead of a full in-language "
+        "rank; both paths are documented in SCALE.md.",
+)
+def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TXT.quality_score(F.col("text")).alias("quality_score")
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    pct = F.percent_rank().over(w)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        pct.alias("lang_pct_rank"),
+        (pct >= 0.2).alias("keep_top80"),
+    )
+
+
+@register(
     "window_rank_variants",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -2059,8 +2059,8 @@ def get(name: str) -> RegisteredQuery:
 # curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
 # profile_key_skew / events_transitions / scan_schema_evolution /
 # events_decayed_engagement / dedup_keep_best / join_full_outer /
-# events_mode_per_user / dedup_embedding_lsh_pairs [demoted r5 for
-# dsl_a1_forward]) is verified by the local
+# events_mode_per_user / text_quality_rank / dedup_embedding_lsh_pairs
+# [demoted r5 for dsl_a1_forward]) is verified by the local
 # two-SF parity gate only and
 # queued for head promotion next round — the head was already full of
 # r5-changed queries that MUST re-verify.
