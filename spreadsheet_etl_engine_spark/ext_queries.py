@@ -181,9 +181,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SEEN corpus (even doc_id): exact via content-hash semi join, "
         "near via MinHash LSH band-bucket semi join.  The continuous-"
         "ingestion shape at 100 TB: the seen side reduces to distinct "
-        "hashes + band keys (an incrementally maintainable index) and "
-        "the batch probes it — the seen corpus's raw text is never "
-        "re-scanned (operators/dedup.py:incremental_dedup).",
+        "hashes + band keys and the batch probes it via two semi joins.  "
+        "This query rebuilds that reduction per run (self-contained "
+        "oracle); a production pipeline persists it once via "
+        "seen_dedup_index() and passes seen_index=, so the seen corpus's "
+        "raw text is never re-scanned "
+        "(operators/dedup.py:incremental_dedup).",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -684,11 +687,13 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic media table is a pure function of the row index i
     # (operators/multimodal.py:synth_media), so DuckDB can recompute the
     # EXPECTED metadata — dimensions and exact container byte sizes (BMP
-    # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, WAV 44+2n,
-    # fake VID header) — from range(96) without parsing binary.  The
-    # Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/WAV
-    # kernels via Arrow-batched mapInPandas), so both the encoder and the
-    # decoder sit under the hash; a one-byte layout bug breaks the match.
+    # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, PNG with
+    # level-0 zlib = 68 fixed bytes + h*(1+3w) stored scanlines, WAV
+    # 44+2n, fake VID header) — from range(96) without parsing binary.
+    # The Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/PNG/
+    # WAV kernels via Arrow-batched mapInPandas), so both the encoder and
+    # the decoder sit under the hash; a one-byte layout bug (or a wrong
+    # zlib framing assumption) breaks the match.
     oracle="""
     WITH m AS (
       SELECT i,
@@ -707,10 +712,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 48 END AS height,
              CASE kind WHEN 'video' THEN nf ELSE 1 END AS n_frames,
              CASE kind
-               WHEN 'image' THEN CASE WHEN i % 2 = 0
-                 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
-                 ELSE 9 + len(CAST(iw AS VARCHAR)) + len(CAST(ih AS VARCHAR))
-                      + 3 * iw * ih
+               WHEN 'image' THEN CASE (i // 3) % 3
+                 WHEN 0 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
+                 WHEN 1 THEN 9 + len(CAST(iw AS VARCHAR))
+                      + len(CAST(ih AS VARCHAR)) + 3 * iw * ih
+                 ELSE 68 + ih * (1 + 3 * iw)
                END
                WHEN 'audio' THEN 44 + 2 * ns
                ELSE 11 + len(CAST(nf AS VARCHAR)) + plen
@@ -725,9 +731,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM meta GROUP BY kind
     """,
     doc="Multimodal columns: binary media + typed metadata decoded via "
-        "Arrow-batched mapInPandas — REAL numpy BMP/PPM/WAV decode "
-        "(functions/media_codecs.py), fake header for video; per-format "
-        "size/dimension rollup, oracled against the generative formula.",
+        "Arrow-batched mapInPandas — REAL numpy BMP/PPM/PNG/WAV decode "
+        "(functions/media_codecs.py; PNG via stdlib zlib + numpy "
+        "unfiltering), fake header for video; per-format size/dimension "
+        "rollup, oracled against the generative formula.",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators import multimodal as MM
@@ -906,8 +913,10 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     UNION ALL
     SELECT 'line_pk', 'unique',
-           CAST(sum(c - 1) AS BIGINT), CAST(sum(c) AS BIGINT)
+           CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+           CAST(coalesce(sum(c), 0) AS BIGINT)
     FROM (SELECT count(*) AS c FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
           GROUP BY l_orderkey, l_linenumber)
     """,
     doc="Declarative data-quality constraint report (deequ-lite, "
@@ -1224,7 +1233,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffles one language into one sort — fine for the long tail, "
         "but the dominant language (half the web) should use the "
         "approx-quantile threshold variant instead of a full in-language "
-        "rank; both paths are documented in SCALE.md.",
+        "rank — registered as text_quality_rank_approx; see SCALE.md.",
 )
 def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1240,6 +1249,59 @@ def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         pct.alias("lang_pct_rank"),
         (pct >= 0.2).alias("keep_top80"),
+    )
+
+
+@register(
+    "text_quality_rank_approx",
+    oracle=None,  # approximate by design: t-digest thresholds are
+    # sketch-merge-order dependent, so the driver records rows-only; the
+    # output embeds per-language agreement vs the exact-rank twin (the
+    # self-audit pattern) and pytest pins it.
+    doc="The 100 TB path for per-language quality filtering (SCALE.md): "
+        "approx_percentile (t-digest) of the quality score per language "
+        "-> one tiny broadcastable threshold table -> shuffle-free "
+        "keep/drop filter.  The exact twin (text_quality_rank) sorts "
+        "each language's documents inside one partition, which the "
+        "dominant language (half the corpus) cannot afford; this variant "
+        "never sorts documents at all.  Output: per-language threshold, "
+        "keep counts from BOTH paths, and the per-doc decision agreement "
+        "fraction (exact twin computed here as the embedded audit; at "
+        "scale you'd run it on a sample).",
+)
+def text_quality_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TXT.quality_score(F.col("text")).alias("quality_score")
+    )
+    # Scale path: one map-side-combinable sketch agg per language, then a
+    # broadcast threshold join — no in-language sort anywhere.
+    thresholds = docs.groupBy("lang").agg(
+        F.percentile_approx("quality_score", 0.2, 10000).alias("q20_approx")
+    )
+    approx = docs.join(F.broadcast(thresholds), "lang").withColumn(
+        "keep_approx", F.col("quality_score") >= F.col("q20_approx")
+    )
+    # Driver-scale audit twin: the exact bottom-20% rank decision.
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    exact = docs.select(
+        "doc_id", "lang", (F.percent_rank().over(w) >= 0.2).alias("keep_exact")
+    )
+    return (
+        approx.join(exact, ["doc_id", "lang"])
+        .groupBy("lang")
+        .agg(
+            F.round(F.max("q20_approx"), 6).alias("q20_approx"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep_approx").cast("long")).alias("n_keep_approx"),
+            F.sum(F.col("keep_exact").cast("long")).alias("n_keep_exact"),
+            F.round(
+                F.avg((F.col("keep_approx") == F.col("keep_exact")).cast("double")),
+                6,
+            ).alias("agreement_frac"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -1730,9 +1792,9 @@ def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_decayed_engagement",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           CAST(sum(CAST(pow(2, 40 - least(
+           CAST(sum(CAST(pow(2, 40 - greatest(least(
                  date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7,
-                 40)) AS DECIMAL(38,0))) AS DOUBLE)
+                 40), 0)) AS DECIMAL(38,0))) AS DOUBLE)
              / pow(2, 40) AS decayed_score
     FROM events
     GROUP BY user_id
@@ -1744,14 +1806,20 @@ def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "summed in DECIMAL, so the aggregate is EXACT and "
         "partition-order-independent (a double sum of exp() decays "
         "rounds differently per shuffle layout and can never "
-        "hash-match an oracle); one map-side-combinable shuffle.",
+        "hash-match an oracle); one map-side-combinable shuffle.  k is "
+        "clamped on BOTH sides: events after the anchor date decay as "
+        "k=0 (weight 1) instead of producing weights > 1 and, ~86 weeks "
+        "past the anchor, overflowing DECIMAL(38,0) into a NULL "
+        "aggregate.",
 )
 def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     age_days = F.datediff(
         F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
     )
-    k = F.least(F.floor(age_days / 7).cast("int"), F.lit(40))
+    k = F.greatest(
+        F.least(F.floor(age_days / 7).cast("int"), F.lit(40)), F.lit(0)
+    )
     w = F.pow(F.lit(2.0), (F.lit(40) - k).cast("double")).cast("decimal(38,0)")
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),

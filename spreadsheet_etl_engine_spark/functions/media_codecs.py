@@ -1,24 +1,28 @@
-"""Pure-numpy codecs for uncompressed media formats.
+"""Pure-numpy codecs for simple media formats.
 
-Real decode/encode for formats whose layout is a header plus a raw sample
-grid — no media libraries needed:
+Real decode/encode with no media libraries needed:
 
 * **BMP** (24-bit uncompressed ``BITMAPINFOHEADER``) — bottom-up BGR rows,
   4-byte row padding;
 * **PPM** (binary ``P6``) — ASCII header then RGB bytes;
-* **WAV** (PCM16 mono/stereo RIFF) — canonical 44-byte header.
+* **WAV** (PCM16 mono/stereo RIFF) — canonical 44-byte header;
+* **PNG** (non-interlaced 8-bit gray/RGB/RGBA) — stdlib ``zlib`` inflate
+  plus numpy unfiltering of all five scanline filters (None/Sub/Up/
+  Average/Paeth); the encoder can emit any filter type, so the decoder's
+  reconstruction paths are round-trip testable.
 
-Compressed formats (JPEG/PNG/MP3/H.264) genuinely need PIL/cv2/ffmpeg —
-those stay behind the marked import-try extension points in
-``operators.multimodal``.  These codecs make the decode / resize /
-feature-extract pipeline REAL end-to-end for uncompressed bytes, which is
-all the plumbing contract needs: at scale the kernel body is swapped, the
-Arrow batch shape is identical.
+Still genuinely out of reach without PIL/cv2/ffmpeg: JPEG (DCT +
+Huffman), palette/16-bit/interlaced PNG, MP3, H.264 — those stay behind
+the marked extension points in ``operators.multimodal``.  These codecs
+make the decode / resize / feature-extract pipeline REAL end-to-end for
+the formats above, which is all the plumbing contract needs: at scale the
+kernel body is swapped, the Arrow batch shape is identical.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -141,15 +145,170 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG → (h, w, channels) uint8 array.
+
+    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
+    bit depth 8.  Palette (type 3), 1/2/4/16-bit depths and Adam7
+    interlacing raise ``ValueError`` — they'd be silent wrong-pixels bugs
+    if half-supported, and real corpora re-encode those through the same
+    extension point as JPEG."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    ihdr: bytes | None = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG IHDR missing or malformed")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w == 0 or h == 0 or not idat:
+        raise ValueError("empty PNG")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * ch  # filter byte + samples
+    if raw.size != h * stride:
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ft == 0:      # None
+            rec = line.copy()
+        elif ft == 1:    # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(
+                line.reshape(w, ch).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif ft == 2:    # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ft == 3:    # Average: left term is sequential
+            rec = np.empty_like(line)
+            up = prev.astype(np.int32)
+            for x in range(w * ch):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(up[x])) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth: predictor depends on reconstructed left
+            rec = np.empty_like(line)
+            up = prev.astype(np.int32)
+            for x in range(w * ch):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, ch).copy()
+
+
+def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0) -> bytes:
+    """(h, w[, channels]) uint8 array → non-interlaced 8-bit PNG bytes.
+
+    ``filter_type`` applies one filter to every scanline (0=None, 1=Sub,
+    2=Up, 3=Average, 4=Paeth) — forward filtering is closed-form over the
+    ORIGINAL pixels, so every decoder reconstruction path is exercisable.
+    ``level=0`` emits zlib stored blocks, making the byte size a closed
+    formula (the generative-oracle property the driver check hashes)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png needs a uint8 array")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    up_left = np.zeros_like(flat)
+    up_left[1:, ch:] = flat[:-1, :-ch]
+    if filter_type == 0:
+        filtered = flat
+    elif filter_type == 1:
+        filtered = flat - left
+    elif filter_type == 2:
+        filtered = flat - up
+    elif filter_type == 3:
+        filtered = flat - ((left + up) >> 1)
+    else:
+        p = left + up - up_left
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, up_left))
+        filtered = flat - pred
+    scanlines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filtered & 0xFF).astype(np.uint8)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines, level))
+            + chunk(b"IEND", b""))
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """(h, w, c) → (h, w, 3): gray replicates, alpha drops — the
+    normalization the feature kernels use so every image yields the same
+    embedding width regardless of source color type."""
+    ch = img.shape[2]
+    if ch == 3:
+        return img
+    if ch == 4:
+        return img[:, :, :3]
+    return np.repeat(img[:, :, :1], 3, axis=2)
+
+
 def sniff(data: bytes) -> str:
-    """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'fake' |
-    'unknown'.  RIFF alone is not enough for WAV — WebP/AVI are RIFF
-    containers too, so the WAVE fourcc is required."""
+    """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'png' |
+    'fake' | 'unknown'.  RIFF alone is not enough for WAV — WebP/AVI are
+    RIFF containers too, so the WAVE fourcc is required."""
     head = bytes(data[:12])
     if head[:2] == b"BM":
         return "bmp"
     if head[:2] == b"P6":
         return "ppm"
+    if head[:8] == _PNG_SIG:
+        return "png"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):

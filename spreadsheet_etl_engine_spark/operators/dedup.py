@@ -152,8 +152,7 @@ def minhash_band_keys(
     )
 
 
-def incremental_dedup(
-    batch: DataFrame,
+def seen_dedup_index(
     seen: DataFrame,
     content_col: str,
     id_col: str,
@@ -162,18 +161,48 @@ def incremental_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     parallelism: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Reduce an ingested corpus to its dedup index: ``(distinct content
+    hashes [_h], distinct LSH band keys [band_id, band_hash])`` — both
+    orders of magnitude smaller than the raw text.  Persist these as
+    tables and union each accepted batch's own hashes/keys in, and
+    :func:`incremental_dedup` never touches the seen corpus's raw text
+    again (pass them via ``seen_index``)."""
+    content_hash = F.md5(F.col(content_col).cast("string"))
+    hashes = seen.select(content_hash.alias("_h")).distinct()
+    band_keys = minhash_band_keys(
+        seen, content_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        parallelism=parallelism,
+    ).select("band_id", "band_hash").distinct()
+    return hashes, band_keys
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+    seen_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Annotate every NEW-batch document against the already-ingested
     corpus: ``is_exact_dup`` (identical content exists in ``seen``) and
     ``is_near_dup`` (shares ≥1 MinHash LSH band bucket with a seen doc).
 
-    The continuous-ingestion shape at 100 TB: the seen corpus never
-    re-scans its raw text against the batch — it reduces once to distinct
-    content hashes and distinct band keys (both orders of magnitude
-    smaller than the text, and incrementally maintainable as an index
-    table), and the batch probes them with two semi joins.  Documents too
-    short to shingle (< ``shingle_k`` tokens) have no band keys and can
-    only be exact dups — the same routing rule as
+    The continuous-ingestion shape at 100 TB: the seen corpus reduces to
+    distinct content hashes and distinct band keys, and the batch probes
+    them with two semi joins — per-batch cost scales with the batch, not
+    the corpus.  Passing ``seen`` recomputes that reduction from raw text
+    each call; to maintain it incrementally instead, build it once with
+    :func:`seen_dedup_index`, persist, and pass it as ``seen_index``
+    (with ``seen=None``) — then the raw seen text is never re-scanned.
+    Documents too short to shingle (< ``shingle_k`` tokens) have no band
+    keys and can only be exact dups — the same routing rule as
     :func:`minhash_signature`.
     """
     if bands < 1 or num_hashes % bands != 0:
@@ -181,19 +210,23 @@ def incremental_dedup(
             f"bands={bands} must evenly divide num_hashes={num_hashes} "
             "with at least one hash per band"
         )
+    if (seen is None) == (seen_index is None):
+        raise ValueError(
+            "pass exactly one of seen= (raw corpus) or seen_index= "
+            "(precomputed seen_dedup_index result)"
+        )
+    kw = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+              parallelism=parallelism)
+    if seen_index is None:
+        seen_index = seen_dedup_index(seen, content_col, id_col, **kw)
+    seen_hashes, seen_bands = seen_index
     content_hash = F.md5(F.col(content_col).cast("string"))
-    seen_hashes = seen.select(content_hash.alias("_h")).distinct()
     exact_ids = (
         batch.select(F.col(id_col), content_hash.alias("_h"))
         .join(seen_hashes, "_h", "left_semi")
         .select(id_col)
         .withColumn("is_exact_dup", F.lit(True))
     )
-    kw = dict(num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
-              parallelism=parallelism)
-    seen_bands = minhash_band_keys(seen, content_col, id_col, **kw).select(
-        "band_id", "band_hash"
-    ).distinct()
     near_ids = (
         minhash_band_keys(batch, content_col, id_col, **kw)
         .join(seen_bands, ["band_id", "band_hash"], "left_semi")

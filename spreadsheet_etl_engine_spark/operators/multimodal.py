@@ -1,12 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Decode / resize / feature-extract are REAL for uncompressed containers —
-24-bit BMP, binary PPM, PCM16 WAV — via the pure-numpy codecs in
-``functions.media_codecs`` (header parse + array reshape, no media libs).
-Compressed formats (JPEG/PNG/MP3/H.264) genuinely require PIL/cv2/ffmpeg,
-which this container lacks: those route through the marked import-try
-extension points and otherwise fall back to the deterministic fake
-header format, so the Arrow plumbing is exercised for every kind.
+Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
+PCM16 WAV, and non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering)
+via the pure-numpy codecs in ``functions.media_codecs`` — no media libs.
+The remaining compressed formats (JPEG/MP3/H.264, palette/16-bit PNG)
+genuinely require PIL/cv2/ffmpeg, which this container lacks: those route
+through the marked import-try extension points and otherwise fall back to
+the deterministic fake header format, so the Arrow plumbing is exercised
+for every kind.
 
 Scale design: media bytes stay in a ``binary`` column co-located with
 metadata; decode/feature-extract run as Arrow-batched ``mapInPandas``
@@ -23,6 +24,7 @@ Fake formats (deterministic, self-describing):
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,10 +60,13 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     """Deterministic synthetic media table (the driver testdata has no
     media column — this feeds the plumbing tests and the registry query).
 
-    ``real=True`` emits genuine uncompressed containers (24-bit BMP /
-    binary PPM gradients for images, PCM16 sine WAVs for audio) so the
-    numpy decode kernels run end-to-end; video rows keep the fake header
-    (an uncompressed video container would just be a frame list)."""
+    ``real=True`` emits genuine containers (24-bit BMP / binary PPM /
+    zlib-stored PNG gradients cycling per image row, PCM16 sine WAVs for
+    audio) so the numpy decode kernels run end-to-end; video rows keep
+    the fake header (an uncompressed video container would just be a
+    frame list).  PNG rows use ``level=0`` (stored deflate blocks) so
+    their byte size stays a closed formula the generative oracle can
+    recompute."""
     import numpy as np
 
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
@@ -73,7 +78,10 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 w, h = 8 + i % 16, 6 + i % 8
                 img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256
                        ).astype(np.uint8)
-                payload = MC.encode_bmp(img) if i % 2 == 0 else MC.encode_ppm(img)
+                container = (i // 3) % 3
+                payload = (MC.encode_bmp(img) if container == 0
+                           else MC.encode_ppm(img) if container == 1
+                           else MC.encode_png(img, level=0))
             else:
                 payload = (f"IMG:{32 + i % 64}x{16 + i % 32}:" + "p" * (i % 17 + 1)).encode()
         elif kind == "audio":
@@ -91,11 +99,14 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
 
 
 def _decode_compressed(data: bytes) -> tuple[int, int, int]:
-    """Extension point for compressed containers (JPEG/PNG/...): requires
-    PIL/cv2, absent here."""
+    """Extension point for the containers the numpy codecs can't express:
+    JPEG (DCT+Huffman), palette/16-bit/interlaced PNG, MP3, H.264 —
+    requires PIL/cv2, absent here.  Plain non-interlaced 8-bit PNG decodes
+    for real via ``media_codecs.decode_png``."""
     raise NotImplementedError(
-        "compressed image/audio/video decoding requires PIL/cv2/librosa, "
-        "which are not installed; uncompressed BMP/PPM/WAV decode is real "
+        "JPEG/MP3/H.264 (and palette/16-bit/interlaced PNG) decoding "
+        "requires PIL/cv2/librosa, which are not installed; BMP/PPM/WAV "
+        "and non-interlaced 8-bit PNG decode is real "
         "(functions.media_codecs)"
     )
 
@@ -135,11 +146,14 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
         if kind == "ppm":
             img = MC.decode_ppm(raw)
             return img.shape[1], img.shape[0], 1
+        if kind == "png":
+            img = MC.decode_png(raw)
+            return img.shape[1], img.shape[0], 1
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1
         return _decode_fake(raw)
-    except (ValueError, IndexError, struct.error):
+    except (ValueError, IndexError, struct.error, zlib.error):
         return 0, 0, 0
 
 
@@ -202,9 +216,11 @@ def extract_features(df: DataFrame) -> DataFrame:
         raw = bytes(data)
         container = MC.sniff(raw)
         try:
-            if container in ("bmp", "ppm"):
-                img = (MC.decode_bmp(raw) if container == "bmp"
-                       else MC.decode_ppm(raw)).astype(np.float32) / 255.0
+            if container in ("bmp", "ppm", "png"):
+                decoded = (MC.decode_bmp(raw) if container == "bmp"
+                           else MC.decode_ppm(raw) if container == "ppm"
+                           else MC.to_rgb(MC.decode_png(raw)))
+                img = decoded.astype(np.float32) / 255.0
                 h, w = img.shape[:2]
                 return [*img.mean(axis=(0, 1)).tolist(),
                         *img.std(axis=(0, 1)).tolist(),
@@ -216,7 +232,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                         float(np.abs(x).mean()), float(x.max()), float(x.min()),
                         float(np.sqrt((x ** 2).mean())),
                         x.shape[0] / 1e6, rate / 1e5]
-        except (ValueError, IndexError, struct.error):
+        except (ValueError, IndexError, struct.error, zlib.error):
             pass  # undecodable despite the magic bytes: md5 fallback below
         digest = hashlib.md5(raw).digest()
         vec = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
@@ -255,10 +271,13 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         raw = MC.encode_bmp(MC.resize_nearest(MC.decode_bmp(raw), width, height))
                     elif container == "ppm":
                         raw = MC.encode_ppm(MC.resize_nearest(MC.decode_ppm(raw), width, height))
+                    elif container == "png":
+                        # color type survives the round trip (RGBA stays RGBA)
+                        raw = MC.encode_png(MC.resize_nearest(MC.decode_png(raw), width, height))
                     elif raw[:4] == b"IMG:":
                         _tag, _dims, payload = raw.split(b":", 2)
                         raw = b"IMG:%dx%d:" % (width, height) + payload
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, struct.error, zlib.error):
                     pass  # corrupt bytes pass through unchanged
                 out.append(raw)
             pdf = pdf.copy()

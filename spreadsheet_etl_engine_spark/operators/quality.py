@@ -11,12 +11,16 @@ a single scan, map-side combinable, no shuffle beyond the final one-row
 combine.  ``unique`` needs per-value counts, so it adds one shuffled
 aggregation per unique-constraint on the (hashed) key — still
 column-pruned and combinable.  Nulls violate only ``not_null``; range /
-regex / set constraints skip them (standard constraint semantics — add an
-explicit ``not_null`` when nulls are illegal).
+regex / set constraints skip them, and ``unique`` follows SQL UNIQUE
+semantics: rows with a NULL key component never conflict and are
+excluded from that constraint's count entirely (standard constraint
+semantics — add an explicit ``not_null`` when nulls are illegal).
+An empty input violates nothing: every count reports 0.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -72,7 +76,14 @@ def _violation_expr(c: Constraint) -> Column:
         cond = col.isNotNull() & ~col.isin(list(c.values))
     else:
         raise EngineError(f'Unknown constraint kind "{c.kind}" in "{c.name}".')
-    return F.sum(cond.cast("long")).alias(c.name)
+    # coalesce: sum() over zero rows is NULL; an empty input has 0 violations.
+    return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long")).alias(c.name)
+
+
+# Constraint names are spliced into a stack() selectExpr as SQL literals /
+# backtick identifiers; restrict them so a quote or backtick can't turn a
+# declaration typo into a runtime parse error.
+_SAFE_NAME = re.compile(r"^[A-Za-z0-9_.:\- ]+$")
 
 
 def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
@@ -87,6 +98,13 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     names = [c.name for c in constraints]
     if len(set(names)) != len(names):
         raise EngineError(f"duplicate constraint names: {names}")
+    for c in constraints:
+        if not _SAFE_NAME.match(c.name):
+            raise EngineError(
+                f'Constraint name "{c.name}" contains characters outside '
+                "[A-Za-z0-9_.:- ] — rename it (names are embedded in the "
+                "report SQL)."
+            )
     row_local = [c for c in constraints if c.kind != "unique"]
     uniques = [c for c in constraints if c.kind == "unique"]
 
@@ -108,13 +126,21 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
     for c in uniques:
         key = (F.col(c.columns[0]) if len(c.columns) == 1
                else F.struct(*[F.col(x) for x in c.columns]))
-        per_key = df.groupBy(key.alias("_k")).agg(F.count("*").alias("_cnt"))
+        # SQL UNIQUE semantics: a NULL key component never conflicts —
+        # drop those rows here (not_null covers missing keys) so n_rows
+        # reports how many rows the uniqueness check actually saw.
+        non_null = df
+        for x in c.columns:
+            non_null = non_null.filter(F.col(x).isNotNull())
+        per_key = non_null.groupBy(key.alias("_k")).agg(F.count("*").alias("_cnt"))
         reports.append(
             per_key.agg(
                 F.lit(c.name).alias("constraint"),
                 F.lit("unique").alias("kind"),
-                F.sum(F.col("_cnt") - 1).cast("long").alias("n_violations"),
-                F.sum("_cnt").cast("long").alias("n_rows"),
+                F.coalesce(F.sum(F.col("_cnt") - 1), F.lit(0))
+                .cast("long").alias("n_violations"),
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("long").alias("n_rows"),
             )
         )
     out = reports[0]

@@ -2049,109 +2049,93 @@ def get(name: str) -> RegisteredQuery:
 # the reference-parity DSL surface and the LLM-pipeline [EXT] operators
 # (dedup / similarity / text / multimodal / streaming) — the queries that
 # must never silently lose verification — come first, then one
-# representative per relational family.  Everything past slot 50 either
-# was hash-verified in an earlier round and is byte-unchanged, or (the
-# r5-new tail entries sample_cap_per_source / text_encoding_quality /
-# window_distribution / dsl_csv_roundtrip / scan_partition_pruned /
-# dsl_v2_distinct / events_resample_gapfill / quality_constraint_report /
-# events_funnel / events_cohort_retention / events_value_outliers /
-# text_tfidf_top_terms / text_collocations_pmi /
-# curation_pipeline_decisions / agg_corr_covar / agg_linear_fit /
-# profile_key_skew / events_transitions / scan_schema_evolution /
-# events_decayed_engagement / dedup_keep_best / join_full_outer /
-# events_mode_per_user / text_quality_rank / dedup_embedding_lsh_pairs
-# [demoted r5 for dsl_a1_forward]) is verified by the local
-# two-SF parity gate only and
-# queued for head promotion next round — the head was already full of
-# r5-changed queries that MUST re-verify.
+# representative per relational family.  Everything past slot 50 was
+# hash-verified by the driver in an earlier round and is byte-unchanged
+# (pinned by the tail fingerprint guard), EXCEPT the residual
+# never-driver-verified r5 entries sample_cap_per_source /
+# text_encoding_quality / dsl_csv_roundtrip /
+# scan_partition_pruned / dsl_v2_distinct / events_value_outliers /
+# text_tfidf_top_terms / text_collocations_pmi, which ride the local
+# two-SF parity gate only and are queued for r7 promotion.
+#
+# r6 rotation (the round's headline job — the r5 verdict's item 1): 17
+# never-driver-verified tail entries promoted into the head (15 from the
+# verdict's list + window_distribution + the new text_quality_rank_approx);
+# 17 multiply-verified byte-unchanged head entries demoted to the tail
+# (dsl_formula_chain, dsl_a1_formula [green r2-r5], dedup_minhash_lsh_pairs,
+# dedup_simhash_pairs, text_quality, events_rolling_window,
+# window_rank_variants, agg_rollup, sort_topk, join_asof,
+# join_dims_broadcast, etl_upsert,
+# etl_scd2 [green r4+r5], scalar_string_math, agg_quantiles,
+# sample_stratified, reshape_unpivot [green r2+r5]).  Promotion gate:
+# every promoted entry re-ran the local parity test at BOTH sf0.001 and
+# sf0.01 first (scripts/check_promotions.py — the driver's scale).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
-    # (r5 rotation: dsl_direct_constant and dsl_filter_ops to the tail —
-    # both green r2/r3/r4, byte-unchanged, filter semantics still head-
-    # covered by dsl_flagship + dsl_fidelity_strings; dsl_json_source is
-    # new in r5 and must verify.)
     "dsl_flagship",
-    "dsl_formula_chain",
-    "dsl_a1_formula",
-    "dsl_a1_forward",  # new in r5: compile_columns went topological — MUST verify
+    "dsl_a1_forward",
     "dsl_fidelity_strings",
     "dsl_v2_join_agg",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
     "dsl_json_source",
     "dsl_orc_roundtrip",
-    # [EXT] dedup family.  (r5 rotation: dedup_exact / dedup_simhash /
-    # dedup_embedding_lsh_pairs to the tail — all multiply-verified and
-    # byte-unchanged (embedding LSH stays covered by
-    # dedup_embedding_neardup, whose verify step consumes the same LSH
-    # candidates); their family stays covered by the entries below.)
+    # [EXT] dedup family.  dedup_incremental's operator gained the
+    # maintained-index path (seen_dedup_index) in r6 — MUST re-verify.
     "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs",
     "dedup_incremental",
     "dedup_components",
-    "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
+    "dedup_keep_best",            # r6 promotion: survivorship dedup (r5-new)
     # [EXT] similarity search + vector analytics.
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
-    # [EXT] text analysis + curation.  (r5 rotation: text_langid /
-    # text_fingerprint to the tail — green r3/r4, byte-unchanged — making
-    # room for the r2-green-but-never-re-verified relational four:
-    # scalar_string_math, agg_quantiles, sample_stratified,
-    # reshape_unpivot.  text_wordcount_top and text_stats rotated to the
-    # tail for dsl_orc_roundtrip / dedup_incremental — both green
-    # r2/r3/r4 and byte-unchanged.)
-    "text_quality",
+    # [EXT] text analysis + curation.
     "text_repetition",
     "text_pii_scrub",
     "text_contamination",
+    "text_quality_rank",          # r6 promotion (r5-new)
+    "text_quality_rank_approx",   # NEW r6: the dominant-language scale path
     "train_split_assign",
     "train_pack_sequences",
     "mix_weights_by_source",
-    # [EXT] multimodal.
+    "curation_pipeline_decisions",  # r6 promotion: composed pipeline (r5-new)
+    "quality_constraint_report",  # r6: quality.py fixed (empty input, NULL
+    #                               keys, name validation) — MUST re-verify
+    # [EXT] multimodal.  PNG decode added r6 — MUST re-verify.
     "multimodal_decode",
-    # Event-time / streaming.  (events_tumbling_window rotated to the
-    # tail in r4, events_sliding_window in r5 — both multiply-verified
-    # and byte-unchanged; streaming_view_click_join is new in r5 and
-    # must verify.)
+    # Event-time / streaming.
     "events_sessionize",
-    "events_rolling_window",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
+    "events_mode_per_user",       # r6 promotion (r5-new)
+    "events_transitions",         # r6 promotion (r5-new)
+    "events_decayed_engagement",  # r6: k clamped both sides — MUST re-verify
+    "events_funnel",              # r6 promotion (r5-new)
+    "events_cohort_retention",    # r6 promotion (r5-new)
+    "events_resample_gapfill",    # r6 promotion (r5-new)
     # Window functions.
-    "window_rank_variants",
-    # Joins.
-    "join_dims_broadcast",
+    "window_distribution",        # r6 promotion (r5-new; replaces the
+    #                               multiply-verified window_rank_variants
+    #                               as the family's head representative)
+    # Joins.  (join_dims_broadcast demoted r6 — green r2-r5, byte-
+    # unchanged; broadcast-join coverage stays via dsl_v2_join_agg.)
     "join_fact_fact_bucketed",
-    "join_asof",
     "join_skew_salted",
-    # Aggregations.  (r4 rotation: agg_cube / agg_grouping_sets / agg_pivot
-    # to the tail — all green in r3 and byte-unchanged since, with
-    # agg_rollup keeping the GROUPING-SETS family covered in the head —
-    # making room for agg_heavy_hitters and for etl_upsert/etl_scd2,
-    # whose underlying operators changed in r4 and so MUST re-verify.)
+    "join_full_outer",            # r6 promotion (r5-new)
+    # Aggregations.
     "agg_pricing_summary",
-    "agg_rollup",
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
-    # Incremental ETL — operator code (upsert/scd2_apply) edited in r4.
-    "etl_upsert",
-    "etl_scd2",
-    # Sort / top-k.
-    "sort_topk",
-    # r5 rotation: long-tail relational entries back through the head —
-    # green in r2, never re-verified since (round-4 verdict item 4) —
-    # plus agg_approx_quantile, promoted because its output gained the
-    # embedded exact-twin/error columns in r5 (edited tail queries must
-    # re-verify).
-    "scalar_string_math",
-    "agg_quantiles",
-    "sample_stratified",
-    "reshape_unpivot",
+    "agg_corr_covar",             # r6 promotion (r5-new, decimal power sums)
+    "agg_linear_fit",             # r6 promotion (r5-new)
     "agg_approx_quantile",
+    # Scans / profiling.
+    "scan_schema_evolution",      # r6 promotion (r5-new)
+    "profile_key_skew",           # r6 promotion (r5-new)
 )
 
 DRIVER_CHECK_BUDGET = 50

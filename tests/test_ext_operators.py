@@ -372,6 +372,24 @@ def test_heavy_hitters_sketch_vs_exact(spark, sf_dir):
         assert abs(sketch[tok] - n) <= max(1, 0.05 * n), (tok, n, sketch[tok])
 
 
+def test_quality_rank_approx_agreement(spark, sf_dir):
+    """The approx-quantile keep/drop decision (the dominant-language scale
+    path) must agree with the exact in-language percent_rank decision on
+    nearly every document — the embedded self-audit columns are the
+    contract, so pin them."""
+    from spreadsheet_etl_engine_spark import registry
+
+    rows = registry.get("text_quality_rank_approx").fn(spark, sf_dir).collect()
+    assert rows, "expected one row per language"
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert r["agreement_frac"] >= 0.9, (r["lang"], r["agreement_frac"])
+        # keep-rates land near the 80% target from both paths
+        assert abs(r["n_keep_approx"] - r["n_keep_exact"]) <= max(
+            5, 0.1 * r["n_docs"]
+        ), (r["lang"], r["n_keep_approx"], r["n_keep_exact"])
+
+
 def test_upsert_key_only_updates(spark):
     """An update feed carrying ONLY key columns (e.g. a tombstone-refresh
     feed) must work with dedup_updates=True: duplicate keys are identical
@@ -428,6 +446,23 @@ def test_incremental_dedup_flags(spark):
     assert out[3] == (False, True)
     assert out[5] == (False, False)
     assert out[7] == (True, False)  # "hi" exists in seen; unshingleable
+
+    # The maintained-index path must agree with the raw-corpus path.
+    idx = DD.seen_dedup_index(seen, "text", "doc_id")
+    out_idx = {
+        r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+        for r in DD.incremental_dedup(
+            batch, None, "text", "doc_id", seen_index=idx
+        ).collect()
+    }
+    assert out_idx == out
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        DD.incremental_dedup(batch, seen, "text", "doc_id", seen_index=idx)
+    with pytest.raises(ValueError, match="exactly one"):
+        DD.incremental_dedup(batch, None, "text", "doc_id")
 
 
 def test_incremental_dedup_consistent_with_pairs_operator(spark):
@@ -532,13 +567,46 @@ def test_check_constraints_kinds_and_assert(spark):
     assert rep["qty_rng"] == ("in_range", 1, 5)       # null qty ignored
     assert rep["flag_ok"] == ("accepted_values", 1, 5)
     assert rep["code_fmt"] == ("matches", 0, 5)
-    assert rep["k_uniq"] == ("unique", 1, 5)          # k=4 twice
+    # SQL UNIQUE semantics: the NULL-k row is excluded from the check
+    # (n_rows drops to 4); not_null is the constraint that flags it.
+    assert rep["k_uniq"] == ("unique", 1, 4)          # k=4 twice
     assert rep["code_uniq"] == ("unique", 1, 5)       # x1 twice
 
     with pytest.raises(EngineError, match="k_nn"):
         Q.assert_constraints(df, [Q.not_null("k_nn", "k")])
     # A clean table passes silently.
     Q.assert_constraints(df.filter("k IS NOT NULL"), [Q.not_null("k_nn", "k")])
+
+
+def test_check_constraints_empty_input_and_name_validation(spark):
+    import pytest
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "k int, qty int")
+    cs = [
+        Q.not_null("k_nn", "k"),
+        Q.in_range("qty_rng", "qty", 1, 50),
+        Q.unique("k_uniq", "k"),
+    ]
+    rep = {r["constraint"]: (r["n_violations"], r["n_rows"])
+           for r in Q.check_constraints(empty, cs).collect()}
+    assert rep == {"k_nn": (0, 0), "qty_rng": (0, 0), "k_uniq": (0, 0)}
+    # An empty batch passes the gate instead of crashing on NULL counts.
+    Q.assert_constraints(empty, cs)
+
+    # Two NULL composite-key components never conflict with each other.
+    nulls = spark.createDataFrame(
+        [(None, 1), (None, 2), (3, 1), (3, 1)], "a int, b int")
+    rep2 = {r["constraint"]: (r["n_violations"], r["n_rows"])
+            for r in Q.check_constraints(nulls, [Q.unique("pk", "a", "b")]).collect()}
+    assert rep2 == {"pk": (1, 2)}
+
+    with pytest.raises(EngineError, match="characters outside"):
+        Q.check_constraints(empty, [Q.not_null("bad'name", "k")])
+    with pytest.raises(EngineError, match="characters outside"):
+        Q.check_constraints(empty, [Q.not_null("bad`tick", "k")])
 
 
 def test_funnel_steps_ordering_and_nulls(spark):

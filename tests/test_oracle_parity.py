@@ -79,48 +79,52 @@ def test_entry_contract(spark):
     assert len(qs) >= 10
 
 
-# Queries the driver must re-verify every round: the reference DSL surface
-# and the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
+# Queries the driver must re-verify every round: the reference DSL surface,
+# the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
 # past the driver's 50-entry check budget when relational extras were
-# registered ahead of them).  r5 rotation: dedup_exact / dedup_simhash /
-# text_langid / text_fingerprint moved to the tail (multiply-verified,
-# byte-unchanged — pinned by the tail snapshot guard below) to make room
-# for never-re-verified r2 entries and the new dsl_json_source.
+# registered ahead of them), and everything whose code or oracle changed
+# this round.  r6 rotation: dedup_minhash_lsh_pairs / dedup_simhash_pairs /
+# text_quality / events_rolling_window / window_rank_variants moved to the
+# tail (multiply-verified, byte-unchanged — pinned by the tail snapshot
+# guard below) to make room for the 17 never-driver-verified promotions.
 MUST_BE_IN_CHECK_BUDGET = [
+    # Reference DSL surface.
     "dsl_flagship",
     "dsl_fidelity_strings",
     "dsl_json_source",
     "dsl_orc_roundtrip",
     "dsl_a1_forward",
+    "dsl_xlsx_roundtrip",
+    "dsl_workbook_job",
+    # [EXT] operators + r6-edited code paths.
     "dedup_minhash_signature",
-    "dedup_minhash_lsh_pairs",
-    "dedup_incremental",
+    "dedup_incremental",      # operator gained seen_dedup_index in r6
     "dedup_components",
-    "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
+    "dedup_keep_best",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "text_quality",
-    "multimodal_decode",
+    "embedding_cluster_stats",
+    "multimodal_decode",      # PNG decode added r6
+    "text_repetition",
+    "text_pii_scrub",
+    "text_contamination",
+    "text_quality_rank",
+    "text_quality_rank_approx",
+    "train_split_assign",
+    "train_pack_sequences",
+    "mix_weights_by_source",
+    "curation_pipeline_decisions",
+    "quality_constraint_report",   # quality.py fixed r6
     "events_sessionize",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
-    "window_rank_variants",
-    "dsl_xlsx_roundtrip",
-    "dsl_workbook_job",
+    "events_decayed_engagement",   # clamp fixed r6
     "join_fact_fact_bucketed",
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_contamination",
-    "train_split_assign",
-    "train_pack_sequences",
-    "mix_weights_by_source",
-    "events_rolling_window",
-    "embedding_cluster_stats",
 ]
 
 
