@@ -16,8 +16,18 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
   ``agg:<fn>:src[col]`` with fn ∈ count, countd, sum, sumd, min, max,
   avgd.  ``sumd``/``avgd`` accumulate in DECIMAL(18,2) and cast back to
   double — the engine-reproducible form for unordered money sums.
-* ``_having:<name>`` rules: post-aggregation filters in the v1 expression
+* ``_having:<name>`` rules: post-aggregation filters in the v2 expression
   grammar, referencing aggregate output columns (``src[n_customers] >= 10``).
+* the roadmap's "Advanced expression parser": ``&&`` inside ``eval:``
+  expressions (filters and having), binding tighter than ``||`` — JS
+  precedence, still no parentheses.  v1 entry points are untouched: the
+  v1 grammar deliberately excludes AND
+  (``docs/expression-language.md:170-176``), where ``&&`` text falls into
+  the silent-false / parseFloat-prefix semantics of the reference
+  evaluator.  A run of 3+ ``&`` fails loud, matching the v1
+  malformed-operator guard; operand semantics (parseFloat, JS trim,
+  quote strip, silent-false conditions) are shared with v1 because every
+  comparison compiles through the same condition compiler.
 * ``_sort:<name>``: ``by: src[col] [asc|desc], ...`` and
   ``_limit:<name>``: ``<n>`` — applied after projection/aggregation
   (together they plan as TakeOrderedAndProject, never a global sort).
@@ -45,8 +55,11 @@ from spreadsheet_etl_engine_spark.errors import EngineError, MissingColumnError
 from spreadsheet_etl_engine_spark.plans.compiler import MappingCompiler
 from spreadsheet_etl_engine_spark.plans.parser import (
     COMMENT_PREFIX,
+    EVAL_PREFIX,
     FILTER_PREFIX,
+    Comparison,
     MappingSpec,
+    parse_filter_expression_v2,
     parse_mapping,
 )
 
@@ -96,11 +109,16 @@ class MappingSpecV2:
     joins: tuple[JoinRule, ...]
     group_by: tuple[str, ...]
     aggs: tuple[AggColumn, ...]
-    base: MappingSpec  # v1 filters + non-agg output columns
-    having: tuple[str, ...] = ()  # post-agg filter expressions (v1 grammar)
+    base: MappingSpec  # v1-parsed rules (filters kept for validation only)
+    having: tuple[str, ...] = ()  # post-agg filter expressions (v2 grammar)
     sort_keys: tuple[SortKey, ...] = ()
     limit: int | None = None
     distinct: bool = False
+    # v2-parsed eval filters: per rule, OR of AND-groups of comparisons
+    # (``&&`` enabled — the roadmap's "Advanced expression parser").
+    # ``base.filters`` holds the same rules under v1 parsing for the
+    # shared delimiter/operator/src-ref validation; execution uses THESE.
+    filters_v2: tuple[tuple[tuple[Comparison, ...], ...], ...] = ()
 
 
 def _normalize_refs(text: str, aliases: Iterable[str]) -> str:
@@ -126,6 +144,7 @@ def parse_mapping_v2(
     sort_keys: list[SortKey] = []
     limit: int | None = None
     distinct = False
+    filters_v2: list[tuple[tuple[Comparison, ...], ...]] = []
     v1_rules: list[tuple[str, str]] = []
     aliases = [a for a in tables if a != source]
 
@@ -227,6 +246,15 @@ def parse_mapping_v2(
             continue
 
         instruction = _normalize_refs(instruction, aliases)
+        if name.startswith(FILTER_PREFIX) and instruction.startswith(EVAL_PREFIX):
+            # v2 grammar (``&&`` enabled) drives execution; the rule also
+            # rides through the v1 parse below for the shared delimiter /
+            # malformed-operator / src-ref validation.
+            filters_v2.append(
+                parse_filter_expression_v2(instruction[len(EVAL_PREFIX):], name)
+            )
+            v1_rules.append((name, instruction))
+            continue
         m = _AGG_RE.match(instruction)
         if m and not name.startswith(FILTER_PREFIX):
             arg = m.group("arg")
@@ -255,8 +283,26 @@ def parse_mapping_v2(
     return MappingSpecV2(
         joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base,
         having=tuple(having), sort_keys=tuple(sort_keys), limit=limit,
-        distinct=distinct,
+        distinct=distinct, filters_v2=tuple(filters_v2),
     )
+
+
+def _compile_expression_v2(
+    compiler: MappingCompiler, groups: tuple[tuple[Comparison, ...], ...]
+) -> Column | None:
+    """OR over AND-groups (v2 precedence: ``&&`` binds tighter than
+    ``||``); each comparison compiles through the v1 condition compiler,
+    so operand semantics (parseFloat, JS trim, quote strip, silent-false)
+    are identical in both grammars."""
+    pred: Column | None = None
+    for group in groups:
+        gp: Column | None = None
+        for cond in group:
+            c = compiler.compile_condition(cond)
+            gp = c if gp is None else (gp & c)
+        if gp is not None:
+            pred = gp if pred is None else (pred | gp)
+    return pred
 
 
 def _agg_expr(a: AggColumn) -> Column:
@@ -301,7 +347,14 @@ def run_mapping_v2(
         df = joined
 
     compiler = MappingCompiler(df, mode=mode)
-    predicate = compiler.compile_predicate(spec.base)
+    # Filters run under the v2 grammar (``&&`` enabled); AND across rules
+    # as in v1.  spec.base.filters carries the same rules v1-parsed for
+    # validation only.
+    predicate: Column | None = None
+    for groups in spec.filters_v2:
+        p = _compile_expression_v2(compiler, groups)
+        if p is not None:
+            predicate = p if predicate is None else (predicate & p)
     if predicate is not None:
         df = df.filter(predicate)
 
@@ -309,15 +362,10 @@ def run_mapping_v2(
         keys = [F.col(k) for k in spec.group_by]
         out = df.groupBy(*keys).agg(*[_agg_expr(a) for a in spec.aggs])
         if spec.having:
-            from spreadsheet_etl_engine_spark.plans.parser import parse_filter_expression
-
             having_compiler = MappingCompiler(out, mode=mode)
             for i, expr_text in enumerate(spec.having):
-                conditions = parse_filter_expression(expr_text, f"_having:{i}")
-                pred = None
-                for cond in conditions:
-                    c = having_compiler.compile_condition(cond)
-                    pred = c if pred is None else (pred | c)
+                groups = parse_filter_expression_v2(expr_text, f"_having:{i}")
+                pred = _compile_expression_v2(having_compiler, groups)
                 if pred is not None:
                     out = out.filter(pred)
     else:

@@ -176,6 +176,38 @@ def parse_filter_expression(instruction: str, rule: str) -> tuple[Comparison, ..
     return tuple(parse_condition(c, rule) for c in instruction.split("||"))
 
 
+# DSL v2 only: the v1 grammar deliberately excludes AND
+# (``docs/expression-language.md:170-176``); the reference roadmap's
+# "Advanced expression parser" (``README.md:121``) names it without
+# defining syntax, so v2 keeps the v1 split-then-classify idiom.
+AND_OPERATOR = "&&"
+# Same malformed-operator discipline as ``_INVALID_OP_RE``'s
+# ``[=><!]{3,}`` guard: a run of 3+ ``&`` is ambiguous and fails loud.
+_INVALID_AND_RE = re.compile(r"&{3,}")
+
+
+def parse_filter_expression_v2(
+    instruction: str, rule: str
+) -> tuple[tuple[Comparison, ...], ...]:
+    """DSL v2 expression: ``||``-disjunction of ``&&``-conjunctions.
+
+    ``&&`` binds tighter than ``||`` (JS precedence): ``a || b && c``
+    means ``a || (b && c)``.  Parentheses stay undefined, as in v1.  A
+    lone ``&`` is NOT an operator — it stays literal operand text exactly
+    as v1 treats it; ``&&&``+ fails loud.  An empty conjunct (``a &&``)
+    parses to the operator-less silently-false comparison, making its
+    whole AND-group false — the v1 silent-false discipline
+    (``main.gs:282``) composed over the new level.
+    """
+    bad = _INVALID_AND_RE.search(instruction)
+    if bad:
+        raise InvalidOperatorError(bad.group(0), rule)
+    return tuple(
+        tuple(parse_condition(c, rule) for c in branch.split(AND_OPERATOR))
+        for branch in instruction.split("||")
+    )
+
+
 def parse_mapping(
     rules: Iterable[tuple[str, str]],
     source_columns: Sequence[str],

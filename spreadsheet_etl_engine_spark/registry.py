@@ -1856,6 +1856,38 @@ def dsl_v2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsl_v2_and_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_quantity >= 45 AND l_returnflag = 'A')
+       OR (l_discount <= 0.01 AND l_tax >= 0.07)
+    """,
+    doc="Map-DSL v2 'Advanced expression parser' (reference roadmap "
+        "README.md:121): && inside eval:, binding tighter than || (JS "
+        "precedence, no parens) — one Catalyst predicate in the scan "
+        "stage, so pushdown/codegen are identical to the v1 grammar "
+        "(plans/parser.py:parse_filter_expression_v2).",
+)
+def dsl_v2_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+
+    return run_mapping_v2(
+        {"src": load_table(spark, sf_dir, "lineitem")},
+        [
+            ("// big A-flag lines, or near-free high-tax lines", ""),
+            ("_filter:f",
+             'eval: src[l_quantity] >= 45 && src[l_returnflag] == "A" '
+             '|| src[l_discount] <= 0.01 && src[l_tax] >= 0.07'),
+            ("l_orderkey", "src[l_orderkey]"),
+            ("l_linenumber", "src[l_linenumber]"),
+            ("l_quantity", "src[l_quantity]"),
+            ("l_returnflag", "src[l_returnflag]"),
+        ],
+    )
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
@@ -2076,6 +2108,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_a1_forward",
     "dsl_fidelity_strings",
     "dsl_v2_join_agg",
+    "dsl_v2_and_filter",  # NEW r6: && in eval: (v2 grammar) — must verify;
+    #                       agg_approx_quantile demoted to make room
+    #                       (green r5, byte-unchanged, rows-only check)
+    "dsl_v2_having_topn",  # r6: run_mapping_v2 filter/having compile moved
+    #                        to the v2 grammar — execution path changed, so
+    #                        it re-verifies even though its own source is
+    #                        byte-identical; events_sessionize demoted
+    #                        (green r2/r4/r5; the same sessionization stays
+    #                        head-covered by streaming_session_counts,
+    #                        which shares its oracle)
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
     "dsl_json_source",
@@ -2107,7 +2149,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # [EXT] multimodal.  PNG decode added r6 — MUST re-verify.
     "multimodal_decode",
     # Event-time / streaming.
-    "events_sessionize",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
@@ -2132,7 +2173,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters_approx",
     "agg_corr_covar",             # r6 promotion (r5-new, decimal power sums)
     "agg_linear_fit",             # r6 promotion (r5-new)
-    "agg_approx_quantile",
     # Scans / profiling.
     "scan_schema_evolution",      # r6 promotion (r5-new)
     "profile_key_skew",           # r6 promotion (r5-new)

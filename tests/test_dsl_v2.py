@@ -209,3 +209,94 @@ def test_v2_distinct_rejects_instruction(spark):
             [("Seg", "src[seg]"), ("_distinct:d", "on: src[seg]")],
             {"src": ["seg"]},
         )
+
+
+def test_v2_and_in_eval_precedence(spark):
+    """`&&` binds tighter than `||`: `a || b && c` keeps rows matching a
+    OR (b AND c)."""
+    src = spark.createDataFrame(
+        [(1, 10, "A"), (2, 40, "A"), (3, 40, "B"), (4, 5, "B")],
+        "k long, qty long, flag string",
+    )
+    out = run_mapping_v2(
+        {"src": src},
+        [
+            ("_filter:f",
+             'eval: src[k] == 1 || src[qty] >= 30 && src[flag] == "B"'),
+            ("K", "src[k]"),
+        ],
+    )
+    assert sorted(r["K"] for r in out.collect()) == [1, 3]
+
+
+def test_v2_and_across_rules_and_having(spark):
+    src = spark.createDataFrame(
+        [(1, 10, "A"), (2, 40, "A"), (3, 40, "B"), (4, 45, "B"), (5, 45, "B")],
+        "k long, qty long, flag string",
+    )
+    # Conjunction inside one rule == the v1 two-rule AND.
+    one_rule = run_mapping_v2(
+        {"src": src},
+        [("_filter:f", 'eval: src[qty] >= 30 && src[flag] == "B"'),
+         ("K", "src[k]")],
+    )
+    two_rules = run_mapping_v2(
+        {"src": src},
+        [("_filter:a", "eval: src[qty] >= 30"),
+         ("_filter:b", 'eval: src[flag] == "B"'),
+         ("K", "src[k]")],
+    )
+    assert (sorted(r["K"] for r in one_rule.collect())
+            == sorted(r["K"] for r in two_rules.collect()) == [3, 4, 5])
+
+    # _having: accepts the v2 grammar too.
+    agg = run_mapping_v2(
+        {"src": src},
+        [
+            ("_group:g", "by: src[flag]"),
+            ("N", "agg:count"),
+            ("Total", "agg:sum:src[qty]"),
+            ("_having:h", "eval: src[N] >= 2 && src[Total] >= 130"),
+        ],
+    )
+    assert [(r["flag"], r["N"]) for r in agg.collect()] == [("B", 3)]
+
+
+def test_v2_and_malformed_and_silent_false(spark):
+    from spreadsheet_etl_engine_spark.errors import InvalidOperatorError
+    from spreadsheet_etl_engine_spark.plans.parser import (
+        parse_filter_expression,
+        parse_filter_expression_v2,
+    )
+
+    src = spark.createDataFrame([(1, "x&y"), (2, "b")], "k long, s string")
+
+    # Run of 3+ '&' fails loud at parse time (v2 malformed-operator guard).
+    with pytest.raises(InvalidOperatorError):
+        run_mapping_v2(
+            {"src": src},
+            [("_filter:f", "eval: src[k] == 1 &&& src[k] == 2"), ("K", "src[k]")],
+        )
+
+    # A lone '&' is literal operand text, exactly as in v1.
+    out = run_mapping_v2(
+        {"src": src},
+        [("_filter:f", 'eval: src[s] == "x&y"'), ("K", "src[k]")],
+    )
+    assert [r["K"] for r in out.collect()] == [1]
+
+    # Trailing '&&' leaves an operator-less conjunct: silently false,
+    # killing its AND-group (composed v1 silent-false discipline).
+    out2 = run_mapping_v2(
+        {"src": src},
+        [("_filter:f", "eval: src[k] == 1 && "), ("K", "src[k]")],
+    )
+    assert out2.count() == 0
+
+    # v1 grammar untouched: '&&' inside a v1 condition still parses to a
+    # malformed/garbage comparison, not a conjunction.
+    (cond,) = parse_filter_expression("src[a] == 1 && src[b] == 2", "r")
+    assert cond.malformed  # '==' split produced 3 operands
+    groups = parse_filter_expression_v2("src[a] == 1 && src[b] == 2", "r")
+    assert len(groups) == 1 and len(groups[0]) == 2
+    assert not any(c.malformed for c in groups[0])

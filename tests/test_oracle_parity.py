@@ -96,6 +96,8 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_a1_forward",
     "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
+    "dsl_v2_and_filter",      # && in eval: — new r6
+    "dsl_v2_having_topn",     # execution path changed r6 (v2 having compile)
     # [EXT] operators + r6-edited code paths.
     "dedup_minhash_signature",
     "dedup_incremental",      # operator gained seen_dedup_index in r6
@@ -117,7 +119,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     "mix_weights_by_source",
     "curation_pipeline_decisions",
     "quality_constraint_report",   # quality.py fixed r6
-    "events_sessionize",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
