@@ -50,32 +50,55 @@ def strip_quotes(s: str) -> str:
     return s
 
 
+_OPS_TABLE = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">=": lambda a, b: parse_float(a) >= parse_float(b),
+    "<=": lambda a, b: parse_float(a) <= parse_float(b),
+    ">": lambda a, b: parse_float(a) > parse_float(b),
+    "<": lambda a, b: parse_float(a) < parse_float(b),
+}
+
+
+def eval_condition(cond: str, rule: str = "Filtro") -> bool:
+    """One binary comparison: operator detection in fixed order, JS-trim
+    + quote-strip each operand, silent false on missing/malformed."""
+    trimmed = cond.strip(_STR_WHITESPACE)
+    bad = _INVALID_OP_RE.search(trimmed)
+    if bad:
+        raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
+    op = next((o for o in OPERATORS if o in trimmed), None)
+    if op is None:
+        return False
+    # JS String.trim() semantics (the reference trims each operand,
+    # main.gs:284): strip the full ECMA-262 whitespace set, which is
+    # wider than Python's default (BOM) — mirror of the compiled
+    # js_trim_col.
+    parts = [strip_quotes(p.strip(_STR_WHITESPACE)) for p in trimmed.split(op)]
+    if len(parts) != 2:
+        return False
+    return _OPS_TABLE[op](parts[0], parts[1])
+
+
 def safe_eval(expression: str, rule: str = "Filtro") -> bool:
-    """Evaluate a fully substituted filter expression."""
-    ops = {
-        "==": lambda a, b: a == b,
-        "!=": lambda a, b: a != b,
-        ">=": lambda a, b: parse_float(a) >= parse_float(b),
-        "<=": lambda a, b: parse_float(a) <= parse_float(b),
-        ">": lambda a, b: parse_float(a) > parse_float(b),
-        "<": lambda a, b: parse_float(a) < parse_float(b),
-    }
+    """Evaluate a fully substituted v1 filter expression (OR only)."""
     for cond in expression.split("||"):
-        trimmed = cond.strip(_STR_WHITESPACE)
-        bad = _INVALID_OP_RE.search(trimmed)
-        if bad:
-            raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
-        op = next((o for o in OPERATORS if o in trimmed), None)
-        if op is None:
-            continue
-        # JS String.trim() semantics (the reference trims each operand,
-        # main.gs:284): strip the full ECMA-262 whitespace set, which is
-        # wider than Python's default (BOM) — mirror of the compiled
-        # js_trim_col.
-        parts = [strip_quotes(p.strip(_STR_WHITESPACE)) for p in trimmed.split(op)]
-        if len(parts) != 2:
-            continue
-        if ops[op](parts[0], parts[1]):
+        if eval_condition(cond, rule):
+            return True
+    return False
+
+
+_INVALID_AND_RE = re.compile(r"&{3,}")
+
+
+def safe_eval_v2(expression: str, rule: str = "Filtro") -> bool:
+    """DSL v2 expression: ``||`` over ``&&``-conjunctions, ``&&`` binding
+    tighter (mirror of plans/parser.py::parse_filter_expression_v2)."""
+    bad = _INVALID_AND_RE.search(expression)
+    if bad:
+        raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
+    for branch in expression.split("||"):
+        if all(eval_condition(c, rule) for c in branch.split("&&")):
             return True
     return False
 
@@ -90,12 +113,15 @@ def run_mapping_reference(
     headers: list[str],
     rows: list[list[str]],
     rules: list[tuple[str, str]],
+    *,
+    evaluator=safe_eval,
 ) -> tuple[list[str], list[list[str]]]:
     """Row-at-a-time reference semantics over an all-string table.
 
     Only DIRECT/CONSTANT output columns and eval filters are modeled (the
     formula path emits text and is pinned by dedicated unit tests instead).
-    Returns (output_headers, output_rows).
+    Pass ``evaluator=safe_eval_v2`` to model the DSL v2 expression grammar
+    (``&&`` enabled).  Returns (output_headers, output_rows).
     """
     filters: list[tuple[str, bool, str]] = []
     columns: list[tuple[str, str, str]] = []
@@ -122,7 +148,7 @@ def run_mapping_reference(
         for name, is_eval, body in filters:
             if not is_eval:
                 continue
-            if not safe_eval(substitute_src(body, headers, row), name):
+            if not evaluator(substitute_src(body, headers, row), name):
                 passes = False
                 break
         if not passes:

@@ -69,3 +69,41 @@ def test_fidelity_matches_reference(spark, data, fexprs, directs):
     assert got.columns == exp_headers
     got_rows = sorted([list(r) for r in got.collect()])
     assert got_rows == sorted(exp_rows)
+
+
+# v2 grammar: conditions joined by a random mix of && and ||.  The model
+# applies JS precedence (&& binds tighter), so any compiled divergence in
+# grouping, short-circuit equivalence, or empty-conjunct handling breaks
+# the comparison.
+v2_expr = st.lists(condition, min_size=1, max_size=4).flatmap(
+    lambda conds: st.lists(
+        st.sampled_from([" || ", " && "]),
+        min_size=len(conds) - 1, max_size=len(conds) - 1,
+    ).map(lambda seps: "".join(
+        c + s for c, s in zip(conds, seps + [""])
+    ))
+)
+
+
+@settings(max_examples=24, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(data=rows, fexprs=st.lists(v2_expr, min_size=1, max_size=2),
+       directs=st.lists(direct_instruction, min_size=1, max_size=3))
+def test_v2_and_grammar_matches_reference(spark, data, fexprs, directs):
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+    from tests.reference_impl import safe_eval_v2
+
+    rules = [(f"_filter:f{i}", f"eval: {e}") for i, e in enumerate(fexprs)]
+    rules += [(f"Out{i}", ins) for i, ins in enumerate(directs)]
+
+    exp_headers, exp_rows = run_mapping_reference(
+        HEADERS, data, rules, evaluator=safe_eval_v2)
+
+    if data:
+        df = spark.createDataFrame([tuple(r) for r in data], HEADERS)
+    else:
+        df = spark.createDataFrame([], "A string, B string, C string")
+    got = run_mapping_v2({"src": df}, rules, mode="fidelity")
+    assert got.columns == exp_headers
+    got_rows = sorted([list(r) for r in got.collect()])
+    assert got_rows == sorted(exp_rows)
