@@ -217,3 +217,24 @@ def test_transitions_single_event_sized_shuffle(spark, sf_dir):
     assert "partial_count" in plan  # map-side combine before the agg shuffle
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "value" not in read_schema and "props" not in read_schema
+
+
+def test_v2_and_predicate_pushdown(spark, sf_dir):
+    """The v2 &&/|| expression must compile to ONE Catalyst predicate that
+    reaches the parquet scan as a composite pushed filter — the grammar
+    addition cannot cost a post-scan Filter-only plan."""
+    plan = _plan(registry.get("dsl_v2_and_filter").fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "Or(And(" in pushed or "And(" in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema  # unused column pruned
+
+
+def test_quality_rank_approx_threshold_is_broadcast(spark, sf_dir):
+    """The approx-quantile path's per-language threshold table must join
+    back by broadcast (it is |languages| rows) — a SortMergeJoin here
+    would shuffle the whole corpus and defeat the point of the scale
+    variant."""
+    plan = _plan(registry.get("text_quality_rank_approx").fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
