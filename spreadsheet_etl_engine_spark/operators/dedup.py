@@ -128,9 +128,18 @@ def minhash_band_keys(
     parallelism: int | None = None,
 ) -> DataFrame:
     """``(id, band_id, band_hash)`` LSH bucket keys — the shared banding
-    step behind the self-join (:func:`minhash_lsh_pairs`) and the
-    vs-seen-corpus (:func:`incremental_dedup`) paths.  One row per
-    (document, band); signatures stay per-row, the explode is narrow."""
+    step behind the self-join (:func:`minhash_lsh_pairs`), the
+    vs-seen-corpus (:func:`incremental_dedup`) and the maintained-index
+    (:func:`seen_dedup_index`) paths.  One row per (document, band);
+    signatures stay per-row, the explode is narrow."""
+    if bands < 1 or num_hashes % bands != 0:
+        # Validated here so every caller (incl. direct seen_dedup_index
+        # use) inherits it: a silent remainder drops hashes — recall
+        # below the configured (bands, rows) operating point.
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes} "
+            "with at least one hash per band"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(
         df, content_col, id_col,

@@ -61,6 +61,10 @@ def accepted_values(name: str, column: str, values) -> Constraint:
 
 
 def unique(name: str, *columns: str) -> Constraint:
+    if not columns:
+        raise EngineError(
+            f'unique constraint "{name}" needs at least one key column.'
+        )
     return Constraint(name, "unique", tuple(columns))
 
 

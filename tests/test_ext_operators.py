@@ -463,6 +463,8 @@ def test_incremental_dedup_flags(spark):
         DD.incremental_dedup(batch, seen, "text", "doc_id", seen_index=idx)
     with pytest.raises(ValueError, match="exactly one"):
         DD.incremental_dedup(batch, None, "text", "doc_id")
+    with pytest.raises(ValueError, match="evenly divide"):
+        DD.seen_dedup_index(seen, "text", "doc_id", bands=3)
 
 
 def test_incremental_dedup_consistent_with_pairs_operator(spark):
@@ -607,6 +609,8 @@ def test_check_constraints_empty_input_and_name_validation(spark):
         Q.check_constraints(empty, [Q.not_null("bad'name", "k")])
     with pytest.raises(EngineError, match="characters outside"):
         Q.check_constraints(empty, [Q.not_null("bad`tick", "k")])
+    with pytest.raises(EngineError, match="at least one key column"):
+        Q.unique("empty_key")
 
 
 def test_funnel_steps_ordering_and_nulls(spark):
