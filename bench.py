@@ -62,15 +62,17 @@ def main() -> None:
     registry.get("dsl_flagship").fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     names = HEADLINE + [n for n in OPTIONAL if n in registry.REGISTRY]
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.get(name).fn
-        # Median of `reps`: the first run pays one-time codegen/JIT for
-        # this query's generated classes, and single-shot timings on
-        # local[32] swing ±40% on sub-second queries (round-3 lesson:
-        # phantom regressions on untouched code); the median is robust to
-        # one slow outlier AND one suspiciously fast cache hit.
+        # Median of `reps` (default 5): the first run pays one-time
+        # codegen/JIT for this query's generated classes, and single-shot
+        # timings on local[32] swing ±40% on sub-second queries (round-3
+        # lesson: phantom regressions on untouched code); a freshly booted
+        # sandbox swings worse — a round-6 7-rep probe recorded 2.4s-7.1s
+        # for the SAME query in one process (BENCH_NOTES.md).  Median of 5
+        # survives two slow outliers; median of 3 does not.
         runs = []
         for _ in range(reps):
             start = time.perf_counter()
