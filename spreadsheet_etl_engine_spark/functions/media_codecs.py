@@ -10,9 +10,12 @@ Real decode/encode with no media libraries needed:
   plus numpy unfiltering of all five scanline filters (None/Sub/Up/
   Average/Paeth); the encoder can emit any filter type, so the decoder's
   reconstruction paths are round-trip testable.
+* **JPEG** (baseline sequential DCT, Huffman, 4:4:4 / 4:2:0, restart
+  markers) — full pure-numpy pipeline in ``jpeg_codec``, re-exported
+  here as ``decode_jpeg`` / ``encode_jpeg``.
 
-Still genuinely out of reach without PIL/cv2/ffmpeg: JPEG (DCT +
-Huffman), palette/16-bit/interlaced PNG, MP3, H.264 — those stay behind
+Still genuinely out of reach without PIL/cv2/ffmpeg: progressive JPEG,
+palette/16-bit/interlaced PNG, MP3, H.264 — those stay behind
 the marked extension points in ``operators.multimodal``.  These codecs
 make the decode / resize / feature-extract pipeline REAL end-to-end for
 the formats above, which is all the plumbing contract needs: at scale the
@@ -25,6 +28,11 @@ import struct
 import zlib
 
 import numpy as np
+
+from spreadsheet_etl_engine_spark.functions.jpeg_codec import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
@@ -309,8 +317,10 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 def sniff(data: bytes) -> str:
     """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'png' |
-    'fake' | 'unknown'.  RIFF alone is not enough for WAV — WebP/AVI are
-    RIFF containers too, so the WAVE fourcc is required."""
+    'jpeg' | 'fake' | 'unknown'.  RIFF alone is not enough for WAV —
+    WebP/AVI are RIFF containers too, so the WAVE fourcc is required.
+    JPEG is SOI followed by another marker (all JFIF/EXIF/raw baseline
+    streams start FF D8 FF)."""
     head = bytes(data[:12])
     if head[:2] == b"BM":
         return "bmp"
@@ -318,6 +328,8 @@ def sniff(data: bytes) -> str:
         return "ppm"
     if head[:8] == _PNG_SIG:
         return "png"
+    if head[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):

@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
-PCM16 WAV, and non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering)
-via the pure-numpy codecs in ``functions.media_codecs`` — no media libs.
-The remaining compressed formats (JPEG/MP3/H.264, palette/16-bit PNG)
-genuinely require PIL/cv2/ffmpeg, which this container lacks: those route
-through the marked import-try extension points and otherwise fall back to
-the deterministic fake header format, so the Arrow plumbing is exercised
-for every kind.
+PCM16 WAV, non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering),
+and baseline JPEG (pure-numpy DCT + Huffman, 4:4:4/4:2:0, restart
+markers) via the codecs in ``functions.media_codecs`` — no media libs.
+The remaining compressed formats (progressive JPEG, MP3, H.264,
+palette/16-bit PNG) genuinely require PIL/cv2/ffmpeg, which this
+container lacks: those route through the marked import-try extension
+points and otherwise fall back to the deterministic fake header format,
+so the Arrow plumbing is exercised for every kind.
 
 Scale design: media bytes stay in a ``binary`` column co-located with
 metadata; decode/feature-extract run as Arrow-batched ``mapInPandas``
@@ -100,14 +101,15 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
 
 def _decode_compressed(data: bytes) -> tuple[int, int, int]:
     """Extension point for the containers the numpy codecs can't express:
-    JPEG (DCT+Huffman), palette/16-bit/interlaced PNG, MP3, H.264 —
-    requires PIL/cv2, absent here.  Plain non-interlaced 8-bit PNG decodes
-    for real via ``media_codecs.decode_png``."""
+    progressive JPEG, palette/16-bit/interlaced PNG, MP3, H.264 —
+    requires PIL/cv2/ffmpeg, absent here.  Non-interlaced 8-bit PNG
+    (``media_codecs.decode_png``) and baseline JPEG
+    (``media_codecs.decode_jpeg``) decode for real."""
     raise NotImplementedError(
-        "JPEG/MP3/H.264 (and palette/16-bit/interlaced PNG) decoding "
-        "requires PIL/cv2/librosa, which are not installed; BMP/PPM/WAV "
-        "and non-interlaced 8-bit PNG decode is real "
-        "(functions.media_codecs)"
+        "MP3/H.264 (and progressive JPEG, palette/16-bit/interlaced PNG) "
+        "decoding requires PIL/cv2/librosa/ffmpeg, which are not "
+        "installed; BMP/PPM/WAV, non-interlaced 8-bit PNG and baseline "
+        "JPEG decode is real (functions.media_codecs)"
     )
 
 
@@ -148,6 +150,9 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
             return img.shape[1], img.shape[0], 1
         if kind == "png":
             img = MC.decode_png(raw)
+            return img.shape[1], img.shape[0], 1
+        if kind == "jpeg":
+            img = MC.decode_jpeg(raw)
             return img.shape[1], img.shape[0], 1
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
@@ -216,10 +221,11 @@ def extract_features(df: DataFrame) -> DataFrame:
         raw = bytes(data)
         container = MC.sniff(raw)
         try:
-            if container in ("bmp", "ppm", "png"):
+            if container in ("bmp", "ppm", "png", "jpeg"):
                 decoded = (MC.decode_bmp(raw) if container == "bmp"
                            else MC.decode_ppm(raw) if container == "ppm"
-                           else MC.to_rgb(MC.decode_png(raw)))
+                           else MC.to_rgb(MC.decode_png(raw)) if container == "png"
+                           else MC.to_rgb(MC.decode_jpeg(raw)))
                 img = decoded.astype(np.float32) / 255.0
                 h, w = img.shape[:2]
                 return [*img.mean(axis=(0, 1)).tolist(),
@@ -252,10 +258,10 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
     """Image resize via Arrow-batched ``mapInPandas``.
 
     REAL nearest-neighbor resize (pure numpy index arithmetic) for
-    BMP/PPM bytes, re-encoded in the same container; fake-format rows get
-    their header rewritten (payload untouched); compressed formats would
-    route through the PIL extension point.  Non-image kinds pass through
-    unchanged."""
+    BMP/PPM/PNG/JPEG bytes, re-encoded in the same container; fake-format
+    rows get their header rewritten (payload untouched); the remaining
+    compressed formats would route through the PIL extension point.
+    Non-image kinds pass through unchanged."""
     import pandas as pd
 
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
@@ -274,6 +280,11 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                     elif container == "png":
                         # color type survives the round trip (RGBA stays RGBA)
                         raw = MC.encode_png(MC.resize_nearest(MC.decode_png(raw), width, height))
+                    elif container == "jpeg":
+                        # gray stays single-component ((h, w, 1) squeezes
+                        # back through encode_jpeg); color re-encodes 4:4:4
+                        raw = MC.encode_jpeg(
+                            MC.resize_nearest(MC.decode_jpeg(raw), width, height))
                     elif raw[:4] == b"IMG:":
                         _tag, _dims, payload = raw.split(b":", 2)
                         raw = b"IMG:%dx%d:" % (width, height) + payload

@@ -1,0 +1,224 @@
+"""Baseline JPEG codec: round-trip bounds, spec-structure checks, error
+paths, and the Spark multimodal pipeline integration.
+
+No libjpeg/PIL exists in the container to cross-validate against, so the
+conformance argument is layered (see the ``jpeg_codec`` module docstring):
+the DCT pair is verified as an inverse independently of the entropy coder,
+round-trip error is bounded by the quantization step, and the emitted
+marker structure is checked byte-level.  The DHT tables written to the
+stream are the tables read back, so even a transcription slip in the
+Annex-K constants could not corrupt a round trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+    _DCT_M,
+    QUANT_CHROMA,
+    QUANT_LUMA,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    scaled_quant_tables,
+)
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    """A genuinely smooth RGB ramp (no mod-256 sawtooth wraps, which would
+    legitimately ring at any quality below 100)."""
+    y = np.linspace(40, 200, h)[:, None]
+    x = np.linspace(30, 90, w)[None, :]
+    return np.stack(
+        [y + x * 0.3, 255 - (y * 0.5 + x * 0.2), y * 0.2 + x], axis=-1
+    ).clip(0, 255).astype(np.uint8)
+
+
+def test_dct_matrix_is_orthonormal():
+    # Inverse property independent of the entropy coder: a shared zigzag
+    # or Huffman mistake cancels in a round trip, an unorthonormal DCT
+    # cannot.
+    assert np.allclose(_DCT_M @ _DCT_M.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(0)
+    block = rng.uniform(-128, 127, (8, 8))
+    freq = _DCT_M @ block @ _DCT_M.T
+    assert np.allclose(_DCT_M.T @ freq @ _DCT_M, block, atol=1e-9)
+
+
+def test_quality_scaling_is_identity_at_50():
+    qy, qc = scaled_quant_tables(50)
+    assert np.array_equal(qy, QUANT_LUMA)
+    assert np.array_equal(qc, QUANT_CHROMA)
+    qy100, _ = scaled_quant_tables(100)
+    assert np.array_equal(qy100, np.ones(64, dtype=np.int64))
+    with pytest.raises(ValueError, match="quality"):
+        scaled_quant_tables(0)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # Spot-check the published corners: scan starts 0,1,8,16,9,2 and ends
+    # at the bottom-right coefficient.
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[63] == 63
+
+
+@pytest.mark.parametrize(
+    "quality,subsampling,tol",
+    [(100, "444", 3), (95, "444", 6), (85, "420", 12), (50, "420", 24)],
+)
+def test_roundtrip_error_bounded_by_quant_step(quality, subsampling, tol):
+    img = _smooth(24, 33)  # non-multiple-of-MCU on both axes
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= tol, f"q{quality}/{subsampling}: max |err| {err} > {tol}"
+
+
+def test_q100_is_near_exact_even_on_noise():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 3
+
+
+def test_grayscale_single_component_roundtrip():
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (17, 13), dtype=np.uint8)
+    enc = encode_jpeg(g, quality=100)
+    dec = decode_jpeg(enc)
+    assert dec.shape == (17, 13, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    # (h, w, 1) input encodes identically to (h, w)
+    assert encode_jpeg(g[:, :, None], quality=100) == enc
+
+
+def test_420_is_lossless_for_constant_chroma():
+    # R=G=B makes Cb=Cr exactly 128 (the BT.601 chroma rows sum to 0), so
+    # 2x2 subsampling discards nothing and 4:2:0 matches 4:4:4's Y error.
+    g = _smooth(20, 28)[:, :, :1]
+    img = np.repeat(g, 3, axis=2)
+    d420 = decode_jpeg(encode_jpeg(img, quality=100, subsampling="420"))
+    assert np.abs(d420.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_restart_interval_roundtrip_and_marker():
+    img = _smooth(24, 33)
+    with_rst = encode_jpeg(img, quality=90, subsampling="420", restart_interval=2)
+    without = encode_jpeg(img, quality=90, subsampling="420")
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst  # DRI + RST0
+    assert b"\xff\xdd" not in without
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(without))
+
+
+def test_marker_structure():
+    enc = encode_jpeg(_smooth(8, 8), quality=85)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert enc[2:4] == b"\xff\xe0" and enc[6:11] == b"JFIF\x00"
+    assert b"\xff\xc0" in enc  # baseline SOF0, never SOF2
+    assert b"\xff\xc2" not in enc
+    # Deterministic: byte-identical on re-encode.
+    assert encode_jpeg(_smooth(8, 8), quality=85) == enc
+
+
+def test_error_paths():
+    img = _smooth(16, 16)
+    enc = encode_jpeg(img, quality=85)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="progressive"):
+        sof = enc.index(b"\xff\xc0")
+        decode_jpeg(enc[:sof] + b"\xff\xc2" + enc[sof + 2:])
+    with pytest.raises(ValueError, match="16-bit quant"):
+        dqt = enc.index(b"\xff\xdb")
+        bad = bytearray(enc)
+        bad[dqt + 4] |= 0x10  # Pq nibble -> 16-bit
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(enc[:-40])  # cut inside the entropy stream
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(img.astype(np.int32))
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img, subsampling="422")
+    with pytest.raises(ValueError, match="empty"):
+        encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, restart_interval=0)
+
+
+def test_sniff_detects_jpeg():
+    enc = encode_jpeg(_smooth(8, 8))
+    assert MC.sniff(enc) == "jpeg"
+    assert MC.sniff(b"\xff\xd8\x00") == "unknown"  # SOI alone isn't enough
+
+
+def test_property_q100_roundtrip_random_images():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31),
+        sub=st.sampled_from(["444", "420"]),
+    )
+    def check(h, w, seed, sub):
+        rng = np.random.default_rng(seed)
+        if sub == "444":
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        else:
+            # 4:2:0 discards chroma detail by design, and on saturated
+            # noise the resulting out-of-gamut RGB clips (shifting Y too)
+            # — that is correct lossy behavior, not a bug, so the 4:2:0
+            # property uses constant-chroma noise (R=G=B -> Cb=Cr=128,
+            # nothing to discard, no clipping).
+            img = np.repeat(
+                rng.integers(0, 256, (h, w, 1), dtype=np.uint8), 3, axis=2)
+        dec = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+    check()
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    """JPEG rows decode/resize/feature-extract through the Arrow-batched
+    operators exactly like the lossless containers."""
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+
+    img = _smooth(12, 18)
+    gray = _smooth(9, 7)[:, :, 0]
+    rows = [
+        (1, "image", encode_jpeg(img, quality=95), 0),
+        (2, "image", encode_jpeg(img, quality=85, subsampling="420"), 0),
+        (3, "image", encode_jpeg(gray, quality=90), 0),
+        (4, "image", b"\xff\xd8\xff\xe0corrupt", 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    got = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (18, 12)
+    assert (got[2]["width"], got[2]["height"]) == (18, 12)
+    assert (got[3]["width"], got[3]["height"]) == (7, 9)
+    assert (got[4]["width"], got[4]["height"]) == (0, 0)  # total, never raises
+
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=6, height=4).collect()}
+    for mid in (1, 2):
+        out = decode_jpeg(resized[mid])
+        assert out.shape == (4, 6, 3)
+        # resized content ~= numpy nearest-neighbor of the decoded source
+        expect = MC.resize_nearest(decode_jpeg(bytes(rows[mid - 1][2])), 6, 4)
+        assert np.abs(out.astype(int) - expect.astype(int)).max() <= 16
+    assert decode_jpeg(resized[3]).shape == (4, 6, 1)  # gray stays gray
+    assert resized[4] == bytes(rows[3][2])  # corrupt bytes pass through
+
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    imgf = decode_jpeg(bytes(rows[0][2])).astype(np.float32) / 255.0
+    assert np.allclose(feats[1][:3], imgf.mean(axis=(0, 1)), atol=1e-5)
+    assert len(feats[4]) == MM.FEATURE_DIM  # md5 fallback embedding
