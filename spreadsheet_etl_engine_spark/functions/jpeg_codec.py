@@ -450,6 +450,50 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     return bytes(out)
 
 
+def probe_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF header without touching the entropy
+    stream — O(marker segments), not O(pixels).  Rejects exactly the
+    coding processes ``decode_jpeg`` rejects so a probe-then-decode
+    pipeline never disagrees with itself."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file")
+    pos = 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        length = struct.unpack_from(">H", data, pos)[0]
+        if pos + length > n:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1):
+            precision, fh_, fw_ = struct.unpack_from(">BHH", data, pos + 2)
+            if precision != 8:
+                raise ValueError("only 8-bit JPEG precision supported")
+            if fh_ == 0:
+                raise ValueError("DNL-deferred height not supported")
+            return int(fw_), int(fh_)
+        if marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported; "
+                             "baseline only — re-encode or use the PIL "
+                             "extension point")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process "
+                             f"(SOF marker 0x{marker:02X})")
+        if marker == 0xDA:
+            break       # scan reached without a frame header
+        pos += length
+    raise ValueError("JPEG SOF missing")
+
+
 # --- decoder -----------------------------------------------------------------
 
 

@@ -303,6 +303,43 @@ def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0) -> byte
             + chunk(b"IEND", b""))
 
 
+def probe_png_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the PNG IHDR alone — no inflate, no
+    unfiltering.  O(header) vs ``decode_png``'s O(pixels): the right
+    kernel for a metadata sweep over a 100 TB corpus, where full decode
+    belongs to the feature-extract stage, not the stats probe.  Validates
+    the same IHDR constraints decode_png enforces (8-bit, non-palette,
+    non-interlaced) so the probe and the decoder agree on what is
+    supported."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    if data[12:16] != b"IHDR" or len(data) < 29:
+        raise ValueError("PNG IHDR missing or malformed")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack_from(
+        ">IIBBBBB", data, 16)
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+    return int(w), int(h)
+
+
+def probe_jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) from the JPEG SOF header alone — the entropy
+    stream (the O(pixels) part) is never touched.  Walks the marker
+    segments to SOF0/SOF1, rejecting the processes ``decode_jpeg``
+    rejects (progressive, 12-bit), so probe and decoder agree."""
+    from spreadsheet_etl_engine_spark.functions import jpeg_codec as JC
+
+    return JC.probe_dims(data)
+
+
 def to_rgb(img: np.ndarray) -> np.ndarray:
     """(h, w, c) → (h, w, 3): gray replicates, alpha drops — the
     normalization the feature kernels use so every image yields the same

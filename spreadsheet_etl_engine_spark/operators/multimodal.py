@@ -131,12 +131,20 @@ def _decode_fake(data: bytes) -> tuple[int, int, int]:
 
 
 def _decode_any(data: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames) for any supported container: real numpy
-    decode for BMP/PPM/WAV, fake-header parse otherwise.  For audio,
+    """(width, height, n_frames) for any supported container.  For audio,
     width = n_samples, height = n_channels (mirroring the fake format's
     convention).  TOTAL by contract: corrupt/unsupported bytes (truncated
     BMP, unsupported bpp, non-WAVE RIFF) decode to (0, 0, 0) instead of
-    raising — one bad row must never kill a 100 TB job."""
+    raising — one bad row must never kill a 100 TB job.
+
+    Compressed containers (PNG/JPEG) are probed from their headers alone
+    (``probe_png_dims`` / ``probe_jpeg_dims``) — O(header), never
+    O(pixels).  That is the production split: the metadata sweep
+    validates container structure cheaply; full pixel decode (which
+    would catch a corrupt entropy stream) belongs to the feature-extract
+    stage, which is the first stage that actually needs the pixels.
+    BMP/PPM/WAV "decode" is already a header parse + buffer view, so
+    those keep the full path."""
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
 
     raw = bytes(data)
@@ -149,11 +157,11 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
             img = MC.decode_ppm(raw)
             return img.shape[1], img.shape[0], 1
         if kind == "png":
-            img = MC.decode_png(raw)
-            return img.shape[1], img.shape[0], 1
+            w, h = MC.probe_png_dims(raw)
+            return w, h, 1
         if kind == "jpeg":
-            img = MC.decode_jpeg(raw)
-            return img.shape[1], img.shape[0], 1
+            w, h = MC.probe_jpeg_dims(raw)
+            return w, h, 1
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1

@@ -149,6 +149,36 @@ def test_error_paths():
         encode_jpeg(img, restart_interval=0)
 
 
+def test_header_probes_agree_with_decoders():
+    """probe_*_dims must report exactly what the full decoder would,
+    reject exactly the variants it rejects, and never touch the entropy
+    stream (a probe on an entropy-truncated stream still succeeds)."""
+    img = _smooth(12, 18)
+    for sub in ("444", "420"):
+        enc = encode_jpeg(img, quality=85, subsampling=sub)
+        assert MC.probe_jpeg_dims(enc) == (18, 12)
+        # entropy stream truncated -> probe still fine, full decode raises
+        assert MC.probe_jpeg_dims(enc[:-40]) == (18, 12)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(enc[:-40])
+    enc = encode_jpeg(img)
+    sof = enc.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="progressive"):
+        MC.probe_jpeg_dims(enc[:sof] + b"\xff\xc2" + enc[sof + 2:])
+    with pytest.raises(ValueError, match="not a JPEG"):
+        MC.probe_jpeg_dims(b"nope")
+
+    png = MC.encode_png(img)
+    assert MC.probe_png_dims(png) == (18, 12)
+    assert MC.probe_png_dims(png[:33]) == (18, 12)  # IDAT gone, IHDR enough
+    bad = bytearray(png)
+    bad[8 + 4 + 4 + 12] = 1  # interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        MC.probe_png_dims(bytes(bad))
+    with pytest.raises(ValueError, match="IHDR"):
+        MC.probe_png_dims(png[:20])
+
+
 def test_sniff_detects_jpeg():
     enc = encode_jpeg(_smooth(8, 8))
     assert MC.sniff(enc) == "jpeg"

@@ -173,11 +173,21 @@ def test_png_through_spark_pipeline(spark):
     # Color type survives: the RGBA row stays 4-channel.
     assert MC.decode_png(resized[2]).shape == (3, 5, 4)
 
-    # Corrupt deflate stream: totality contract holds (0,0,0 + passthrough).
-    broken = MC.encode_png(img)[:60] + b"\x00" * 8
-    bad = spark.createDataFrame([(9, "image", broken, 0)], MM.MEDIA_SCHEMA)
-    dec = MM.decode_media(bad).collect()[0]
-    assert (dec["width"], dec["height"], dec["n_frames"]) == (0, 0, 0)
+    # Probe-vs-validate split: decode_media reads the IHDR only, so a
+    # corrupt DEFLATE stream still probes its true dims (pixel validation
+    # belongs to the feature stage, which falls back to the md5 embedding);
+    # a corrupt HEADER hits the totality contract (0,0,0 + passthrough).
+    bad_idat = MC.encode_png(img)[:60] + b"\x00" * 8
+    bad_ihdr = MC.encode_png(img)[:20]
+    bad = spark.createDataFrame(
+        [(9, "image", bad_idat, 0), (10, "image", bad_ihdr, 0)],
+        MM.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in MM.decode_media(bad).collect()}
+    assert (dec[9]["width"], dec[9]["height"]) == (10, 6)
+    assert (dec[10]["width"], dec[10]["height"], dec[10]["n_frames"]) == (0, 0, 0)
+    bad_feats = {r["media_id"]: r["feature"]
+                 for r in MM.extract_features(bad).collect()}
+    assert all(len(v) == MM.FEATURE_DIM for v in bad_feats.values())
 
 
 def test_frame_sample(spark):
