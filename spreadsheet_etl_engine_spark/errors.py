@@ -86,6 +86,25 @@ class InvalidOperatorError(EngineError):
         self.rule = rule
 
 
+class ExpressionSyntaxError(EngineError):
+    """A DSL v2 expression is structurally malformed (unbalanced
+    parentheses, or operand text butted against a group with no
+    ``&&``/``||`` between them).
+
+    v2-only: the v1 grammar has no parentheses
+    (``docs/expression-language.md:170-176``), so this error cannot
+    surface from a v1 mapping.  Unlike the silently-false condition
+    discipline (``main.gs:282``), structural mistakes can never be a
+    row-level data issue, so they fail loud at parse time like the
+    delimiter and operator guards.
+    """
+
+    def __init__(self, detail: str, rule: str) -> None:
+        super().__init__(f'Invalid expression in rule "{rule}": {detail}')
+        self.rule = rule
+        self.detail = detail
+
+
 class FormulaSyntaxError(EngineError):
     """The compiled-formula subset could not parse a ``formula:`` body."""
 

@@ -18,16 +18,19 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
   double — the engine-reproducible form for unordered money sums.
 * ``_having:<name>`` rules: post-aggregation filters in the v2 expression
   grammar, referencing aggregate output columns (``src[n_customers] >= 10``).
-* the roadmap's "Advanced expression parser": ``&&`` inside ``eval:``
-  expressions (filters and having), binding tighter than ``||`` — JS
-  precedence, still no parentheses.  v1 entry points are untouched: the
-  v1 grammar deliberately excludes AND
-  (``docs/expression-language.md:170-176``), where ``&&`` text falls into
-  the silent-false / parseFloat-prefix semantics of the reference
-  evaluator.  A run of 3+ ``&`` fails loud, matching the v1
-  malformed-operator guard; operand semantics (parseFloat, JS trim,
+* the roadmap's "Advanced expression parser": ``&&`` and parenthesized
+  grouping inside ``eval:`` expressions (filters and having).  ``&&``
+  binds tighter than ``||`` (JS precedence); ``( )`` overrides grouping
+  with arbitrary nesting.  v1 entry points are untouched: the v1 grammar
+  deliberately excludes both constructs
+  (``docs/expression-language.md:170-176``), where ``&&``/paren text
+  falls into the silent-false / parseFloat-prefix semantics of the
+  reference evaluator.  A run of 3+ ``&`` fails loud, matching the v1
+  malformed-operator guard; unbalanced parens and text butted against a
+  group (``a == (1)``) raise ``ExpressionSyntaxError`` — structural
+  mistakes are never silent.  Operand semantics (parseFloat, JS trim,
   quote strip, silent-false conditions) are shared with v1 because every
-  comparison compiles through the same condition compiler.
+  leaf compiles through the same condition compiler.
 * ``_sort:<name>``: ``by: src[col] [asc|desc], ...`` and
   ``_limit:<name>``: ``<n>`` — applied after projection/aggregation
   (together they plan as TakeOrderedAndProject, never a global sort).
@@ -57,7 +60,8 @@ from spreadsheet_etl_engine_spark.plans.parser import (
     COMMENT_PREFIX,
     EVAL_PREFIX,
     FILTER_PREFIX,
-    Comparison,
+    BoolAnd,
+    BoolOr,
     MappingSpec,
     parse_filter_expression_v2,
     parse_mapping,
@@ -114,11 +118,12 @@ class MappingSpecV2:
     sort_keys: tuple[SortKey, ...] = ()
     limit: int | None = None
     distinct: bool = False
-    # v2-parsed eval filters: per rule, OR of AND-groups of comparisons
-    # (``&&`` enabled — the roadmap's "Advanced expression parser").
-    # ``base.filters`` holds the same rules under v1 parsing for the
-    # shared delimiter/operator/src-ref validation; execution uses THESE.
-    filters_v2: tuple[tuple[tuple[Comparison, ...], ...], ...] = ()
+    # v2-parsed eval filters: one boolean tree per rule (``&&`` + parens
+    # — the roadmap's "Advanced expression parser"; leaves are v1
+    # Comparisons).  ``base.filters`` holds the same rules under v1
+    # parsing for the shared delimiter/operator/src-ref validation;
+    # execution uses THESE.
+    filters_v2: tuple = ()  # one BoolNode tree per _filter: eval rule
 
 
 def _normalize_refs(text: str, aliases: Iterable[str]) -> str:
@@ -144,7 +149,7 @@ def parse_mapping_v2(
     sort_keys: list[SortKey] = []
     limit: int | None = None
     distinct = False
-    filters_v2: list[tuple[tuple[Comparison, ...], ...]] = []
+    filters_v2: list = []  # BoolNode trees (parser.parse_filter_expression_v2)
     v1_rules: list[tuple[str, str]] = []
     aliases = [a for a in tables if a != source]
 
@@ -287,22 +292,26 @@ def parse_mapping_v2(
     )
 
 
-def _compile_expression_v2(
-    compiler: MappingCompiler, groups: tuple[tuple[Comparison, ...], ...]
-) -> Column | None:
-    """OR over AND-groups (v2 precedence: ``&&`` binds tighter than
-    ``||``); each comparison compiles through the v1 condition compiler,
-    so operand semantics (parseFloat, JS trim, quote strip, silent-false)
-    are identical in both grammars."""
-    pred: Column | None = None
-    for group in groups:
-        gp: Column | None = None
-        for cond in group:
-            c = compiler.compile_condition(cond)
-            gp = c if gp is None else (gp & c)
-        if gp is not None:
-            pred = gp if pred is None else (pred | gp)
-    return pred
+def _compile_expression_v2(compiler: MappingCompiler, node) -> Column | None:
+    """Recursive compile of the v2 boolean tree (``&&`` binds tighter
+    than ``||``, parens override).  Every leaf compiles through the v1
+    condition compiler, so operand semantics (parseFloat, JS trim, quote
+    strip, silent-false) are identical in both grammars — and Catalyst
+    folds the whole tree into one scan-stage predicate exactly as it
+    does for the flat grammar."""
+    if isinstance(node, BoolOr):
+        pred: Column | None = None
+        for child in node.children:
+            c = _compile_expression_v2(compiler, child)
+            pred = c if pred is None else (pred | c)
+        return pred
+    if isinstance(node, BoolAnd):
+        pred = None
+        for child in node.children:
+            c = _compile_expression_v2(compiler, child)
+            pred = c if pred is None else (pred & c)
+        return pred
+    return compiler.compile_condition(node)
 
 
 def _agg_expr(a: AggColumn) -> Column:
@@ -351,8 +360,8 @@ def run_mapping_v2(
     # as in v1.  spec.base.filters carries the same rules v1-parsed for
     # validation only.
     predicate: Column | None = None
-    for groups in spec.filters_v2:
-        p = _compile_expression_v2(compiler, groups)
+    for tree in spec.filters_v2:
+        p = _compile_expression_v2(compiler, tree)
         if p is not None:
             predicate = p if predicate is None else (predicate & p)
     if predicate is not None:
@@ -364,8 +373,8 @@ def run_mapping_v2(
         if spec.having:
             having_compiler = MappingCompiler(out, mode=mode)
             for i, expr_text in enumerate(spec.having):
-                groups = parse_filter_expression_v2(expr_text, f"_having:{i}")
-                pred = _compile_expression_v2(having_compiler, groups)
+                tree = parse_filter_expression_v2(expr_text, f"_having:{i}")
+                pred = _compile_expression_v2(having_compiler, tree)
                 if pred is not None:
                     out = out.filter(pred)
     else:

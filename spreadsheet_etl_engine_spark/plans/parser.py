@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 from spreadsheet_etl_engine_spark.errors import (
+    ExpressionSyntaxError,
     InvalidOperatorError,
     MissingColumnError,
     NoOutputColumnsError,
@@ -176,36 +177,157 @@ def parse_filter_expression(instruction: str, rule: str) -> tuple[Comparison, ..
     return tuple(parse_condition(c, rule) for c in instruction.split("||"))
 
 
-# DSL v2 only: the v1 grammar deliberately excludes AND
+# DSL v2 only: the v1 grammar deliberately excludes AND and parentheses
 # (``docs/expression-language.md:170-176``); the reference roadmap's
 # "Advanced expression parser" (``README.md:121``) names it without
-# defining syntax, so v2 keeps the v1 split-then-classify idiom.
+# defining syntax, so v2 keeps the v1 split-then-classify idiom and adds
+# the two constructs the exclusion list names: ``&&`` (r6) and ``( )``
+# grouping (r6).
 AND_OPERATOR = "&&"
 # Same malformed-operator discipline as ``_INVALID_OP_RE``'s
 # ``[=><!]{3,}`` guard: a run of 3+ ``&`` is ambiguous and fails loud.
 _INVALID_AND_RE = re.compile(r"&{3,}")
 
 
-def parse_filter_expression_v2(
-    instruction: str, rule: str
-) -> tuple[tuple[Comparison, ...], ...]:
-    """DSL v2 expression: ``||``-disjunction of ``&&``-conjunctions.
+@dataclass(frozen=True)
+class BoolAnd:
+    """Conjunction node of the v2 expression tree."""
+
+    children: tuple["BoolNode", ...]
+
+
+@dataclass(frozen=True)
+class BoolOr:
+    """Disjunction node of the v2 expression tree."""
+
+    children: tuple["BoolNode", ...]
+
+
+# Leaves are plain :class:`Comparison` objects, so operand semantics
+# (parseFloat, JS trim, quote strip, silent-false) stay the v1 compiler's.
+BoolNode = "Comparison | BoolAnd | BoolOr"
+
+# Structural tokens of the v2 grammar.  The scan is BLIND — quotes do not
+# protect ``||``/``&&``/parens, matching the reference's blind
+# ``split("||")`` (``main.gs:261``).  The difference: a paren that was
+# meant as operand text fails LOUD (adjacency/balance checks below)
+# instead of silently misparsing.
+_V2_TOKEN_RE = re.compile(r"\|\||&&|[()]")
+_V2_TOKEN_NAME = {"||": "OR", "&&": "AND", "(": "LPAREN", ")": "RPAREN"}
+
+
+def _tokenize_v2(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    for m in _V2_TOKEN_RE.finditer(text):
+        chunk = text[pos:m.start()]
+        if chunk.strip():
+            tokens.append(("TEXT", chunk))
+        tokens.append((_V2_TOKEN_NAME[m.group(0)], m.group(0)))
+        pos = m.end()
+    tail = text[pos:]
+    if tail.strip():
+        tokens.append(("TEXT", tail))
+    return tokens
+
+
+class _V2ExprParser:
+    """Recursive descent over the token stream:
+
+    ``expr := and ("||" and)* ; and := primary ("&&" primary)* ;
+    primary := "(" expr ")" | condition-text``
+
+    A missing primary (``a &&``, ``|| b``, ``()``) is an empty condition
+    — the silently-false discipline (``main.gs:282``) composed over the
+    grammar.  Structural mistakes (unbalanced parens, text butted against
+    a group like ``a == (1)`` or ``(a) (b)``) raise
+    :class:`ExpressionSyntaxError` — fail-loud, because unlike a
+    silently-false condition these can never be a row-level data issue.
+    """
+
+    def __init__(self, tokens: list[tuple[str, str]], rule: str) -> None:
+        self.tokens = tokens
+        self.rule = rule
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos][0] if self.pos < len(self.tokens) else None
+
+    def _advance(self) -> tuple[str, str]:
+        tok = self.tokens[self.pos]
+        self.pos += 1
+        return tok
+
+    def parse_or(self) -> "BoolNode":
+        children = [self.parse_and()]
+        while self.peek() == "OR":
+            self._advance()
+            children.append(self.parse_and())
+        return children[0] if len(children) == 1 else BoolOr(tuple(children))
+
+    def parse_and(self) -> "BoolNode":
+        children = [self.parse_primary()]
+        while self.peek() == "AND":
+            self._advance()
+            children.append(self.parse_primary())
+        return children[0] if len(children) == 1 else BoolAnd(tuple(children))
+
+    def _check_adjacency(self) -> None:
+        nxt = self.peek()
+        if nxt in ("TEXT", "LPAREN"):
+            raise ExpressionSyntaxError(
+                "operand text and a parenthesized group must be joined by "
+                "&& or ||",
+                self.rule,
+            )
+
+    def parse_primary(self) -> "BoolNode":
+        tok = self.peek()
+        if tok == "LPAREN":
+            self._advance()
+            if self.peek() == "RPAREN":
+                self._advance()
+                node: BoolNode = parse_condition("", self.rule)  # () -> false
+            else:
+                node = self.parse_or()
+                if self.peek() != "RPAREN":
+                    raise ExpressionSyntaxError('unclosed "("', self.rule)
+                self._advance()
+            self._check_adjacency()
+            return node
+        if tok == "TEXT":
+            _, text = self._advance()
+            self._check_adjacency()
+            return parse_condition(text, self.rule)
+        # OR / AND / RPAREN / end-of-input with no operand in front:
+        # the empty condition — silently false, group semantics intact.
+        return parse_condition("", self.rule)
+
+
+def parse_filter_expression_v2(instruction: str, rule: str) -> "BoolNode":
+    """DSL v2 expression → boolean tree (leaves are :class:`Comparison`).
 
     ``&&`` binds tighter than ``||`` (JS precedence): ``a || b && c``
-    means ``a || (b && c)``.  Parentheses stay undefined, as in v1.  A
-    lone ``&`` is NOT an operator — it stays literal operand text exactly
-    as v1 treats it; ``&&&``+ fails loud.  An empty conjunct (``a &&``)
-    parses to the operator-less silently-false comparison, making its
-    whole AND-group false — the v1 silent-false discipline
-    (``main.gs:282``) composed over the new level.
+    means ``a || (b && c)``; parentheses override grouping
+    (``(a || b) && c``).  A lone ``&`` is NOT an operator — it stays
+    literal operand text exactly as v1 treats it; ``&&&``+ fails loud.
+    An empty conjunct (``a &&``), empty branch (``|| a``) or empty group
+    (``()``) parses to the operator-less silently-false comparison — the
+    v1 silent-false discipline (``main.gs:282``) composed over the new
+    levels.  Parens are structural tokens everywhere (the scan is blind,
+    like the reference's ``split("||")``), so a paren inside an operand
+    or quoted literal is a loud :class:`ExpressionSyntaxError`, never a
+    silent misparse.  Without parens the tree is exactly the
+    OR-of-AND-groups the pre-paren grammar produced.
     """
     bad = _INVALID_AND_RE.search(instruction)
     if bad:
         raise InvalidOperatorError(bad.group(0), rule)
-    return tuple(
-        tuple(parse_condition(c, rule) for c in branch.split(AND_OPERATOR))
-        for branch in instruction.split("||")
-    )
+    parser = _V2ExprParser(_tokenize_v2(instruction), rule)
+    node = parser.parse_or()
+    if parser.peek() is not None:       # only a stray ')' can remain
+        raise ExpressionSyntaxError('extra closing ")"', rule)
+    return node
 
 
 def parse_mapping(

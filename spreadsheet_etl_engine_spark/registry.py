@@ -1860,14 +1860,18 @@ def dsl_v2_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
     FROM lineitem
-    WHERE (l_quantity >= 45 AND l_returnflag = 'A')
-       OR (l_discount <= 0.01 AND l_tax >= 0.07)
+    WHERE ((l_quantity >= 45 AND l_returnflag = 'A')
+       OR (l_discount <= 0.01 AND l_tax >= 0.07))
+      AND ((l_linestatus = 'F' OR l_tax >= 0.05) AND l_quantity >= 2)
     """,
     doc="Map-DSL v2 'Advanced expression parser' (reference roadmap "
-        "README.md:121): && inside eval:, binding tighter than || (JS "
-        "precedence, no parens) — one Catalyst predicate in the scan "
-        "stage, so pushdown/codegen are identical to the v1 grammar "
-        "(plans/parser.py:parse_filter_expression_v2).",
+        "README.md:121), both constructs the v1 grammar excludes "
+        "(docs/expression-language.md:170-176): rule f1 uses bare && "
+        "binding tighter than || (JS precedence); rule f2 uses "
+        "parenthesized grouping overriding that precedence; AND across "
+        "rules as in v1.  Everything folds into one Catalyst predicate "
+        "in the scan stage, so pushdown/codegen are identical to the v1 "
+        "grammar (plans/parser.py:parse_filter_expression_v2).",
 )
 def dsl_v2_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
@@ -1876,9 +1880,14 @@ def dsl_v2_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src": load_table(spark, sf_dir, "lineitem")},
         [
             ("// big A-flag lines, or near-free high-tax lines", ""),
-            ("_filter:f",
+            ("_filter:f1",
              'eval: src[l_quantity] >= 45 && src[l_returnflag] == "A" '
              '|| src[l_discount] <= 0.01 && src[l_tax] >= 0.07'),
+            ("// ...that are finished-or-taxed AND non-trivial (parens "
+             "regroup what JS precedence would split)", ""),
+            ("_filter:f2",
+             'eval: (src[l_linestatus] == "F" || src[l_tax] >= 0.05) '
+             "&& src[l_quantity] >= 2"),
             ("l_orderkey", "src[l_orderkey]"),
             ("l_linenumber", "src[l_linenumber]"),
             ("l_quantity", "src[l_quantity]"),

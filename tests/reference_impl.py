@@ -89,18 +89,85 @@ def safe_eval(expression: str, rule: str = "Filtro") -> bool:
 
 
 _INVALID_AND_RE = re.compile(r"&{3,}")
+_V2_TOKEN_RE = re.compile(r"\|\||&&|[()]")
+
+
+def _tokenize_v2(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    names = {"||": "OR", "&&": "AND", "(": "LPAREN", ")": "RPAREN"}
+    pos = 0
+    for m in _V2_TOKEN_RE.finditer(text):
+        chunk = text[pos:m.start()]
+        if chunk.strip():
+            tokens.append(("TEXT", chunk))
+        tokens.append((names[m.group(0)], m.group(0)))
+        pos = m.end()
+    if text[pos:].strip():
+        tokens.append(("TEXT", text[pos:]))
+    return tokens
 
 
 def safe_eval_v2(expression: str, rule: str = "Filtro") -> bool:
-    """DSL v2 expression: ``||`` over ``&&``-conjunctions, ``&&`` binding
-    tighter (mirror of plans/parser.py::parse_filter_expression_v2)."""
+    """DSL v2 expression: ``||`` over ``&&``-conjunctions (``&&`` binds
+    tighter), parens override grouping — independent row-at-a-time mirror
+    of plans/parser.py::parse_filter_expression_v2 + the recursive
+    compile, sharing only the v1 ``eval_condition`` leaf."""
     bad = _INVALID_AND_RE.search(expression)
     if bad:
         raise ValueError(f'Invalid operator "{bad.group(0)}" in "{rule}".')
-    for branch in expression.split("||"):
-        if all(eval_condition(c, rule) for c in branch.split("&&")):
-            return True
-    return False
+    tokens = _tokenize_v2(expression)
+    pos = 0
+
+    def peek() -> str | None:
+        return tokens[pos][0] if pos < len(tokens) else None
+
+    def check_adjacency() -> None:
+        if peek() in ("TEXT", "LPAREN"):
+            raise ValueError(f'Invalid expression in rule "{rule}": adjacency')
+
+    def parse_primary() -> bool:
+        nonlocal pos
+        if peek() == "LPAREN":
+            pos += 1
+            if peek() == "RPAREN":
+                pos += 1
+                value = eval_condition("", rule)    # () -> silently false
+            else:
+                value = parse_or()
+                if peek() != "RPAREN":
+                    raise ValueError(f'Invalid expression in rule "{rule}": unclosed (')
+                pos += 1
+            check_adjacency()
+            return value
+        if peek() == "TEXT":
+            text = tokens[pos][1]
+            pos += 1
+            check_adjacency()
+            return eval_condition(text, rule)
+        return eval_condition("", rule)             # missing operand
+
+    def parse_and() -> bool:
+        value = parse_primary()
+        while peek() == "AND":
+            nonlocal_pos_advance()
+            value = parse_primary() and value       # no short-circuit: every
+        return value                                # operand must still parse
+
+    def parse_or() -> bool:
+        value = parse_and()
+        while peek() == "OR":
+            nonlocal_pos_advance()
+            value = parse_and() or value
+        return value
+
+    def nonlocal_pos_advance() -> None:
+        nonlocal pos
+        pos += 1
+
+    result = parse_or()
+    if pos < len(tokens):
+        raise ValueError(f'Invalid expression in rule "{rule}": extra )')
+    return result
 
 
 def substitute_src(text: str, headers: list[str], row: list[str]) -> str:

@@ -295,8 +295,74 @@ def test_v2_and_malformed_and_silent_false(spark):
 
     # v1 grammar untouched: '&&' inside a v1 condition still parses to a
     # malformed/garbage comparison, not a conjunction.
+    from spreadsheet_etl_engine_spark.plans.parser import BoolAnd
+
     (cond,) = parse_filter_expression("src[a] == 1 && src[b] == 2", "r")
     assert cond.malformed  # '==' split produced 3 operands
-    groups = parse_filter_expression_v2("src[a] == 1 && src[b] == 2", "r")
-    assert len(groups) == 1 and len(groups[0]) == 2
-    assert not any(c.malformed for c in groups[0])
+    tree = parse_filter_expression_v2("src[a] == 1 && src[b] == 2", "r")
+    assert isinstance(tree, BoolAnd) and len(tree.children) == 2
+    assert not any(c.malformed for c in tree.children)
+
+
+def test_v2_parens_override_precedence(spark):
+    """(a || b) && c — parens regroup what JS precedence would read as
+    a || (b && c)."""
+    src = spark.createDataFrame(
+        [(1, 10, "A"), (2, 40, "A"), (3, 40, "B"), (4, 5, "B")],
+        "k long, qty long, flag string",
+    )
+    grouped = run_mapping_v2(
+        {"src": src},
+        [
+            ("_filter:f",
+             'eval: (src[k] == 1 || src[qty] >= 30) && src[flag] == "B"'),
+            ("K", "src[k]"),
+        ],
+    )
+    assert sorted(r["K"] for r in grouped.collect()) == [3]
+    # Same comparisons without parens: JS precedence keeps k==1 rows too.
+    bare = run_mapping_v2(
+        {"src": src},
+        [
+            ("_filter:f",
+             'eval: src[k] == 1 || src[qty] >= 30 && src[flag] == "B"'),
+            ("K", "src[k]"),
+        ],
+    )
+    assert sorted(r["K"] for r in bare.collect()) == [1, 3]
+    # Nesting: ((a) || (b && c)) — redundant parens are harmless.
+    nested = run_mapping_v2(
+        {"src": src},
+        [
+            ("_filter:f",
+             'eval: ((src[k] == 1) || (src[qty] >= 30 && src[flag] == "B"))'),
+            ("K", "src[k]"),
+        ],
+    )
+    assert sorted(r["K"] for r in nested.collect()) == [1, 3]
+
+
+def test_v2_parens_structural_errors_and_empty_group(spark):
+    from spreadsheet_etl_engine_spark.errors import ExpressionSyntaxError
+
+    src = spark.createDataFrame([(1,)], "k long")
+
+    def run(expr):
+        return run_mapping_v2(
+            {"src": src}, [("_filter:f", f"eval: {expr}"), ("K", "src[k]")]
+        )
+
+    with pytest.raises(ExpressionSyntaxError, match="unclosed"):
+        run("(src[k] == 1")
+    with pytest.raises(ExpressionSyntaxError, match="closing"):
+        run("src[k] == 1)")
+    # Operand text butted against a group: loud, never a silent misparse
+    # (parens are structural everywhere — the scan is blind, like the
+    # reference's split on ||).
+    with pytest.raises(ExpressionSyntaxError, match="joined by"):
+        run("src[k] == (1)")
+    with pytest.raises(ExpressionSyntaxError, match="joined by"):
+        run("(src[k] == 1) (src[k] == 2)")
+    # Empty group: silently false, composing the v1 discipline.
+    assert run("() || src[k] == 1").count() == 1
+    assert run("() && src[k] == 1").count() == 0

@@ -107,3 +107,45 @@ def test_v2_and_grammar_matches_reference(spark, data, fexprs, directs):
     assert got.columns == exp_headers
     got_rows = sorted([list(r) for r in got.collect()])
     assert got_rows == sorted(exp_rows)
+
+
+# v2 grammar with parens: arbitrarily nested (expr) groups mixed with
+# &&/|| joins.  The model evaluator implements the same recursive-descent
+# grammar independently (tests/reference_impl.py::safe_eval_v2), so a
+# compiled divergence in grouping, paren scoping, or empty-group
+# handling breaks the comparison.
+v2_paren_expr = st.recursive(
+    condition,
+    lambda sub: st.one_of(
+        sub.map(lambda e: f"({e})"),
+        st.builds(
+            lambda a, sep, b: f"{a}{sep}{b}",
+            sub, st.sampled_from([" || ", " && "]), sub,
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=24, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(data=rows, fexprs=st.lists(v2_paren_expr, min_size=1, max_size=2),
+       directs=st.lists(direct_instruction, min_size=1, max_size=2))
+def test_v2_paren_grammar_matches_reference(spark, data, fexprs, directs):
+    from spreadsheet_etl_engine_spark.plans.extensions import run_mapping_v2
+    from tests.reference_impl import safe_eval_v2
+
+    rules = [(f"_filter:f{i}", f"eval: {e}") for i, e in enumerate(fexprs)]
+    rules += [(f"Out{i}", ins) for i, ins in enumerate(directs)]
+
+    exp_headers, exp_rows = run_mapping_reference(
+        HEADERS, data, rules, evaluator=safe_eval_v2)
+
+    if data:
+        df = spark.createDataFrame([tuple(r) for r in data], HEADERS)
+    else:
+        df = spark.createDataFrame([], "A string, B string, C string")
+    got = run_mapping_v2({"src": df}, rules, mode="fidelity")
+    assert got.columns == exp_headers
+    got_rows = sorted([list(r) for r in got.collect()])
+    assert got_rows == sorted(exp_rows)
