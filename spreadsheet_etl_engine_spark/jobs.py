@@ -5,17 +5,36 @@
 source table, parses the map table, compiles + executes the pipeline, and
 writes the output — reporting the produced row count like the reference's
 success alert (``main.gs:131-135``).
+
+Two reference roadmap items (``README.md:123-125``) live here too:
+
+* **Type validation**: pass ``constraints=[...]``
+  (:mod:`operators.quality`) to validate the produced output.
+  ``on_violation="fail"`` asserts BEFORE the sink writes (one extra
+  output scan — correctness over cost, nothing bad lands);
+  ``on_violation="report"`` attaches the row-local constraint counters
+  to the write pass itself via ``DataFrame.observe`` — zero extra scans
+  at any scale — and returns the counts (``unique`` constraints need
+  their own keyed aggregation either way).
+* **Execution history / logging dashboard**: pass ``history_path`` to
+  append one row per run (timestamp, config, status, rows, duration,
+  violation total, error) to a parquet log — including failed runs —
+  and read it back with :func:`read_history`.  An append-only parquet
+  table is the dashboard substrate; the reference's alert popups
+  (``main.gs:131-139``) become durable rows.
 """
 
 from __future__ import annotations
 
+import time
 from collections.abc import Mapping, Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.config import JobConfig, load_config
-from spreadsheet_etl_engine_spark.errors import MissingSheetError
+from spreadsheet_etl_engine_spark.errors import EngineError, MissingSheetError
 from spreadsheet_etl_engine_spark.plans.parser import parse_map_table
 from spreadsheet_etl_engine_spark.plans.runner import run_mapping
 from spreadsheet_etl_engine_spark.sources.readers import read_csv
@@ -27,6 +46,29 @@ class JobResult:
     output: DataFrame
     rows_written: int
     config: JobConfig
+    #: constraint name -> violation count (``constraints=`` given and
+    #: ``on_violation="report"``; ``"fail"`` raises instead of reporting).
+    violations: dict[str, int] | None = field(default=None)
+
+
+_HISTORY_SCHEMA = (
+    "ts timestamp, source string, map string, output string, mode string, "
+    "status string, rows_written bigint, duration_s double, "
+    "violations_total bigint, error string"
+)
+
+
+def _append_history(spark: SparkSession, path: str, record: tuple) -> None:
+    """One run -> one appended parquet row.  Append-only and tiny: a
+    coalesced single file per run, no shuffle; at fleet scale the same
+    schema lands in a partitioned table keyed by date."""
+    spark.createDataFrame([record], _HISTORY_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def read_history(spark: SparkSession, path: str) -> DataFrame:
+    """The execution-history table, newest run first."""
+    return spark.read.parquet(path).orderBy(F.desc("ts"))
 
 
 def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> DataFrame:
@@ -67,6 +109,9 @@ def run_job(
     source_df: DataFrame | None = None,
     mode: str = "typed",
     write: bool = True,
+    constraints: list | None = None,
+    on_violation: str = "fail",
+    history_path: str | None = None,
 ) -> JobResult:
     """Run a full mapping job.
 
@@ -78,8 +123,54 @@ def run_job(
     first — the reference's Map sheet as a stored table).  ``config.output``
     is the output path (parquet unless it ends with .csv or .orc);
     ``write=False`` skips the sink and just returns the DataFrame + count.
+
+    ``constraints`` validates the produced output (module docstring:
+    "fail" gates the sink, "report" rides the write pass via observe).
+    ``history_path`` appends a run record — ok or error — to the
+    execution-history parquet log.
     """
     cfg = config if isinstance(config, JobConfig) else load_config(config)
+    started = time.time()
+    t0 = time.perf_counter()
+    try:
+        result = _run_job_inner(
+            spark, cfg, map_table, source_df, mode, write,
+            constraints, on_violation,
+        )
+    except Exception as exc:
+        if history_path is not None:
+            from datetime import datetime
+
+            _append_history(spark, history_path, (
+                datetime.fromtimestamp(started), cfg.source, cfg.map,
+                cfg.output, mode, "error", None,
+                round(time.perf_counter() - t0, 3), None,
+                f"{type(exc).__name__}: {exc}",
+            ))
+        raise
+    if history_path is not None:
+        from datetime import datetime
+
+        totals = (sum(result.violations.values())
+                  if result.violations is not None else None)
+        _append_history(spark, history_path, (
+            datetime.fromtimestamp(started), cfg.source, cfg.map,
+            cfg.output, mode, "ok", result.rows_written,
+            round(time.perf_counter() - t0, 3), totals, None,
+        ))
+    return result
+
+
+def _run_job_inner(
+    spark: SparkSession,
+    cfg: JobConfig,
+    map_table: Sequence[Sequence[object]] | None,
+    source_df: DataFrame | None,
+    mode: str,
+    write: bool,
+    constraints: list | None,
+    on_violation: str,
+) -> JobResult:
     source = source_df if source_df is not None else _load_source(
         spark, cfg.source, fidelity=(mode == "fidelity")
     )
@@ -90,6 +181,37 @@ def run_job(
         map_table = [map_df.columns] + [list(r) for r in map_df.collect()]
     spec = parse_map_table(map_table, source.columns)
     out = run_mapping(source, spec, mode=mode)
+
+    obs: Observation | None = None
+    row_local: list = []
+    uniques: list = []
+    if constraints:
+        from spreadsheet_etl_engine_spark.operators.quality import (
+            _violation_expr,
+            assert_constraints,
+            check_constraints,
+        )
+
+        if on_violation not in ("fail", "report"):
+            raise EngineError(
+                f'on_violation must be "fail" or "report", got "{on_violation}".'
+            )
+        row_local = [c for c in constraints if c.kind != "unique"]
+        uniques = [c for c in constraints if c.kind == "unique"]
+        if on_violation == "fail":
+            # Gate BEFORE the sink: one extra scan of the output, and
+            # nothing bad ever lands (main.gs-style fail-loud, data-level).
+            assert_constraints(out, constraints)
+        elif row_local:
+            # Piggyback the counters on whatever action runs below —
+            # write or count — so reporting adds zero scans.
+            obs = Observation("dq")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("_n_rows"),
+                *[_violation_expr(c) for c in row_local],
+            )
+
     # The reference reports the produced row count (main.gs:133).  When
     # writing, count the *written* output instead of re-executing the whole
     # pipeline (parquet counts come from file metadata; a second full
@@ -108,7 +230,21 @@ def run_job(
             rows = spark.read.parquet(cfg.output).count()
     else:
         rows = out.count()
-    return JobResult(output=out, rows_written=rows, config=cfg)
+
+    violations: dict[str, int] | None = None
+    if constraints and on_violation == "report":
+        violations = {}
+        if obs is not None:
+            got = obs.get      # materialized by the write/count above
+            violations.update(
+                {c.name: int(got[c.name] or 0) for c in row_local})
+        if uniques:
+            # unique needs a keyed aggregation either way; run it on the
+            # un-observed plan (check_constraints builds its own scan).
+            for r in check_constraints(out, uniques).collect():
+                violations[r["constraint"]] = int(r["n_violations"])
+    return JobResult(output=out, rows_written=rows, config=cfg,
+                     violations=violations)
 
 
 def run_workbook(

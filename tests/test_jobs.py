@@ -180,3 +180,98 @@ def test_run_job_orc_source_and_sink(spark, tmp_path):
     assert result.rows_written == 2
     back = spark.read.orc(out_path)
     assert {tuple(r) for r in back.collect()} == {(2, 80.0), (3, 50.0)}
+
+
+def test_run_job_type_validation_fail_gates_the_sink(spark, sf_dir, tmp_path):
+    """Roadmap 'Type validation' (reference README.md:123): on_violation=
+    'fail' raises BEFORE the sink writes, so nothing bad lands."""
+    import os
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators.quality import in_range, not_null
+
+    out_path = str(tmp_path / "gated")
+    with pytest.raises(EngineError, match="gross_small.*violations"):
+        run_job(
+            spark,
+            config={"source": f"{sf_dir}/lineitem.parquet", "output": out_path},
+            map_table=MAP_TABLE,
+            constraints=[not_null("ok_key", "OrderKey"),
+                         in_range("gross_small", "Gross", 0.0, 10.0)],
+        )
+    assert not os.path.exists(out_path)  # the gate ran before the write
+
+    # Satisfiable constraints: the job completes and writes.
+    result = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet", "output": out_path},
+        map_table=MAP_TABLE,
+        constraints=[not_null("ok_key", "OrderKey")],
+    )
+    assert result.rows_written > 0 and result.violations is None
+
+
+def test_run_job_report_mode_observes_the_write_pass(spark, sf_dir, tmp_path):
+    """on_violation='report': row-local counters ride the write action via
+    DataFrame.observe (zero extra scans); unique gets its own keyed agg."""
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        in_range, not_null, unique)
+
+    out_path = str(tmp_path / "reported")
+    result = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet", "output": out_path},
+        map_table=MAP_TABLE,
+        constraints=[not_null("ok_key", "OrderKey"),
+                     in_range("gross_small", "Gross", 0.0, 10.0),
+                     unique("key_unique", "OrderKey")],
+        on_violation="report",
+    )
+    # Every row violates gross_small (gross prices are ~1e4), none miss keys,
+    # and orders repeat across lineitems.
+    assert result.violations["ok_key"] == 0
+    assert result.violations["gross_small"] == result.rows_written
+    assert result.violations["key_unique"] > 0
+    assert spark.read.parquet(out_path).count() == result.rows_written
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    with pytest.raises(EngineError, match="on_violation"):
+        run_job(
+            spark,
+            config={"source": f"{sf_dir}/lineitem.parquet",
+                    "output": str(tmp_path / "x")},
+            map_table=MAP_TABLE,
+            constraints=[not_null("k", "OrderKey")],
+            on_violation="explode",
+        )
+
+
+def test_run_job_execution_history(spark, sf_dir, tmp_path):
+    """Roadmap 'Execution history' / 'Logging dashboard': one appended
+    parquet row per run — ok and error — readable via read_history."""
+    from spreadsheet_etl_engine_spark.jobs import read_history
+
+    hist = str(tmp_path / "history")
+    out_path = str(tmp_path / "out")
+    r1 = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet", "output": out_path},
+        map_table=MAP_TABLE,
+        history_path=hist,
+    )
+    with pytest.raises(MissingSheetError):
+        run_job(
+            spark,
+            config={"source": "no_such_table", "output": out_path},
+            map_table=MAP_TABLE,
+            history_path=hist,
+        )
+    rows = read_history(spark, hist).collect()
+    assert len(rows) == 2
+    by_status = {r["status"]: r for r in rows}
+    ok, err = by_status["ok"], by_status["error"]
+    assert ok["rows_written"] == r1.rows_written
+    assert ok["error"] is None and ok["duration_s"] >= 0
+    assert err["rows_written"] is None
+    assert "MissingSheetError" in err["error"]
+    assert err["source"] == "no_such_table"
