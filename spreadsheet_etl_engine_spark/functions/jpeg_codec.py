@@ -454,7 +454,15 @@ def probe_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the SOF header without touching the entropy
     stream — O(marker segments), not O(pixels).  Rejects exactly the
     coding processes ``decode_jpeg`` rejects so a probe-then-decode
-    pipeline never disagrees with itself."""
+    pipeline never disagrees with itself.  Same total error contract:
+    malformed input raises ``ValueError``."""
+    try:
+        return _probe_dims_impl(bytes(data))
+    except (IndexError, OverflowError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _probe_dims_impl(data: bytes) -> tuple[int, int]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -527,7 +535,19 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) for
-    single-component grayscale streams)."""
+    single-component grayscale streams).
+
+    Total error contract: any malformed input raises ``ValueError`` —
+    foreign exceptions from corrupt streams (truncated tables, insane
+    DC categories, unpack shortfalls) are normalized here, fuzz-pinned
+    by ``tests/test_jpeg_codec.py``."""
+    try:
+        return _decode_jpeg_impl(bytes(data))
+    except (IndexError, OverflowError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
@@ -637,6 +657,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
+    # Allocation guard against corrupt SOF dims: every coded block costs
+    # ≥2 bits (a DC code + an EOB), so the declared geometry cannot need
+    # more blocks than the entropy stream could possibly carry.  Without
+    # this, a flipped dimension byte could ask for a multi-GB coefficient
+    # buffer before the truncated-stream error ever fires.
+    blocks_per_mcu = sum(fh * fv for fh, fv in factors)
+    entropy_bits = 8 * sum(len(s) for s in segments)
+    if n_mcus * blocks_per_mcu * 2 > entropy_bits + 16:
+        raise ValueError("truncated JPEG entropy stream for declared frame size")
     blocks = []
     for ci, (fh, fv) in enumerate(factors):
         blocks.append(np.zeros((mcus_y * fv, mcus_x * fh, 64), dtype=np.int64))
@@ -657,6 +686,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for c in range(fh):
                         zz = np.zeros(64, dtype=np.int64)
                         size = _decode_symbol(reader, dc_tbl)
+                        if size > 11:   # T.81: DC categories 0-11 at 8-bit
+                            raise ValueError(
+                                f"invalid JPEG DC category {size}")
                         prev_dc[ci] += _extend(reader.read(size), size)
                         zz[0] = prev_dc[ci]
                         k = 1

@@ -179,6 +179,36 @@ def test_header_probes_agree_with_decoders():
         MC.probe_png_dims(png[:20])
 
 
+def test_fuzz_corrupt_streams_raise_valueerror_only():
+    """Total error contract: any corruption raises ValueError (the class
+    the Spark totality wrappers catch) — never OverflowError/IndexError/
+    struct.error — and never a runaway allocation (a flipped SOF
+    dimension byte must hit the entropy-length guard, not np.zeros)."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=85, subsampling="420", restart_interval=2)
+    for _ in range(400):
+        b = bytearray(enc)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert isinstance(out, np.ndarray)  # harmless flips may decode
+        except ValueError:
+            pass
+    for _ in range(200):
+        junk = b"\xff\xd8" + bytes(
+            rng.integers(0, 256, int(rng.integers(0, 300)), dtype=np.uint8))
+        try:
+            decode_jpeg(junk)
+        except ValueError:
+            pass
+        try:
+            MC.probe_jpeg_dims(junk)
+        except ValueError:
+            pass
+
+
 def test_sniff_detects_jpeg():
     enc = encode_jpeg(_smooth(8, 8))
     assert MC.sniff(enc) == "jpeg"
