@@ -79,6 +79,94 @@ def write_bucketed(
     )
 
 
+def zorder_key(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    bits: int = 8,
+    ranges: dict[str, tuple[float, float]] | None = None,
+):
+    """A Z-order (Morton) clustering key over ``columns`` as a Column.
+
+    Each column quantizes to a ``bits``-bit bucket index over its value
+    range (``width_bucket`` — one codegen'd expression, no shuffle), and
+    the per-column bit patterns interleave: bit *i* of column *c* lands at
+    position ``i * len(columns) + c``.  Sorting by the result places rows
+    close in EVERY listed dimension into the same neighborhoods — the
+    multi-dimensional generalization of sort-by-one-column, and the same
+    public technique behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+    ``ranges`` maps column -> (lo, hi); columns absent from it get their
+    true min/max from one tiny aggregation (a full scan, but metadata-only
+    on parquet sources).  NULL values cluster at key 0.
+    """
+    if not columns:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * len(columns) > 62:
+        raise ValueError("bits * len(columns) must fit a long (<= 62)")
+    ranges = dict(ranges or {})
+    missing = [c for c in columns if c not in ranges]
+    if missing:
+        row = df.agg(*[f(c) for c in missing for f in (F.min, F.max)]).first()
+        for i, c in enumerate(missing):
+            ranges[c] = (row[2 * i], row[2 * i + 1])
+    n_buckets = 1 << bits
+    key = F.lit(0).cast("long")
+    for c_idx, name in enumerate(columns):
+        lo, hi = ranges[name]
+        if lo is None or hi is None or float(lo) >= float(hi):
+            # Degenerate (constant / all-NULL) column: contributes nothing
+            # to the ordering, so skip its bits rather than divide by zero.
+            continue
+        bucket = F.width_bucket(
+            F.col(name).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+            F.lit(n_buckets),
+        )
+        # width_bucket is 1-based with 0/n+1 overflow slots -> clamp to
+        # [0, 2^bits); NULL -> 0.
+        bucket = F.coalesce(
+            F.greatest(F.least(bucket - 1, F.lit(n_buckets - 1)), F.lit(0)),
+            F.lit(0),
+        ).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, i * len(columns) + c_idx)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write parquet clustered by a Z-order key over ``zorder_by``.
+
+    ``repartitionByRange`` on the key (one shuffle — the price of any
+    clustering) then ``sortWithinPartitions``, so each output file — and
+    each row group inside it — covers a tight hyper-rectangle of the
+    listed columns.  Parquet min/max stats then prune scans for box
+    predicates on ANY of them, where a single-column sort only helps its
+    one column.  The key is a helper column for the write and does not
+    land in the files.
+
+    Sizing: ``n_files`` plays the role bucket count plays for
+    ``write_bucketed`` — target 100-500 MB files at scale.  Re-cluster
+    periodically as data appends, like any OPTIMIZE job.
+    """
+    key = zorder_key(df, zorder_by, bits=bits, ranges=ranges)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
 def column_letter(col: int) -> str:
     """1-based column index → A1 letter (reference ``main.gs:291-299``)."""
     letters = ""

@@ -558,3 +558,72 @@ def test_read_write_orc_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in typed.collect()} == {(1, "a", 1.5), (2, "b", None)}
     fid = read_orc(spark, path, fidelity=True)
     assert dict(fid.dtypes) == {"k": "string", "name": "string", "v": "string"}
+
+
+def test_zorder_clustering_improves_multi_column_pruning(spark, tmp_path):
+    """write_zordered must (a) preserve the data exactly and (b) make
+    parquet row-group min/max stats prune a two-column box predicate that
+    a single-column sort cannot — measured on the real file stats, not
+    asserted from theory."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 120_000
+    df = spark.range(n).selectExpr(
+        "id",
+        "cast(pmod(hash(id), 10000) as double) AS x",
+        "cast(pmod(hash(id + 7), 10000) as double) AS y",
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    # Baseline: single-column sort (helps x, does nothing for y).
+    df.repartitionByRange(16, "x").sortWithinPartitions("x") \
+        .write.mode("overwrite").parquet(plain)
+    W.write_zordered(df, zord, zorder_by=["x", "y"], n_files=16)
+
+    # Round trip: same rows, helper key not persisted.
+    back = spark.read.parquet(zord)
+    assert back.columns == ["id", "x", "y"]
+    assert back.count() == n
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+    def groups_matching(path, x_rng, y_rng):
+        hit = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for g in range(md.num_row_groups):
+                total += 1
+                sx = md.row_group(g).column(cols["x"]).statistics
+                sy = md.row_group(g).column(cols["y"]).statistics
+                if (sx.min <= x_rng[1] and sx.max >= x_rng[0]
+                        and sy.min <= y_rng[1] and sy.max >= y_rng[0]):
+                    hit += 1
+        return hit, total
+
+    # Slices selecting ~1/8 of one dimension, unconstrained in the other
+    # — the workload shape where a single-column sort helps exactly one
+    # column and Z-order helps every listed column.
+    full = (-1.0, 10001.0)
+    xs = (1000.0, 2250.0)
+    ys = (4000.0, 5250.0)
+    hit_plain_y, total_plain = groups_matching(plain, full, ys)
+    hit_z_y, total_z = groups_matching(zord, full, ys)
+    hit_z_x, _ = groups_matching(zord, xs, full)
+    hit_z_box, _ = groups_matching(zord, xs, ys)
+    assert total_plain >= 16 and total_z >= 16
+    # x-sorted layout cannot prune a y predicate: every group survives.
+    assert hit_plain_y == total_plain
+    # Z-order gives each of the k dims P^(1/k) resolution, so a 1/8
+    # slice of either dimension should keep at most ~half the groups
+    # (observed: 8/16 y, 6/16 x), and the box multiplies both cuts
+    # (observed 2/16).  Thresholds leave margin for range-sampling jitter.
+    assert hit_z_y <= 5 * total_z // 8, f"y-slice: {hit_z_y}/{total_z}"
+    assert hit_z_x <= 5 * total_z // 8, f"x-slice: {hit_z_x}/{total_z}"
+    assert hit_z_box <= total_z // 4, f"box: {hit_z_box}/{total_z}" 
+
+    # Correctness of the skipped groups: the box rows all survive a scan.
+    pred = (f"x between {xs[0]} and {xs[1]} "
+            f"and y between {ys[0]} and {ys[1]}")
+    assert back.filter(pred).count() == df.filter(pred).count() > 0
