@@ -238,3 +238,21 @@ def test_quality_rank_approx_threshold_is_broadcast(spark, sf_dir):
     plan = _plan(registry.get("text_quality_rank_approx").fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_write_plans_one_range_exchange(spark):
+    """The clustering shuffle is the ONE Exchange in a z-order write —
+    the key computes scan-side (codegen'd width_bucket + bit math), and
+    the min/max aggregation for default ranges is its own tiny job, not
+    part of the write plan."""
+    from spreadsheet_etl_engine_spark.sources.writers import zorder_key
+
+    df = spark.range(10_000).selectExpr(
+        "id", "cast(id % 97 as double) AS x", "cast(id % 89 as double) AS y")
+    key = zorder_key(df, ["x", "y"], ranges={"x": (0, 97), "y": (0, 89)})
+    clustered = (df.withColumn("_zkey", key)
+                 .repartitionByRange(8, "_zkey")
+                 .sortWithinPartitions("_zkey").drop("_zkey"))
+    plan = clustered._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan.lower()
