@@ -2082,3 +2082,52 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum("sq").cast("double")).alias("centroid_norm"),
         )
     )
+
+
+@register(
+    "dedup_paragraphs",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    idxs AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS idx
+        FROM base
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(idx AS INT) AS idx,
+               array_to_string(ws[idx * 10 + 1 : idx * 10 + 10], ' ') AS chunk
+        FROM idxs
+    ),
+    ranked AS (
+        SELECT doc_id, idx, chunk,
+               row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM chunks
+    ),
+    kept AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           t.n_chunks AS n_chunks,
+           CAST(t.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    """,
+    doc="Sub-document boilerplate removal (operators/dedup.py:"
+        "paragraph_dedup): segment every doc into 10-word chunks, keep "
+        "only the globally first occurrence of each chunk (deterministic "
+        "min (doc_id, idx) — never partition-order luck), reassemble in "
+        "order.  The pipeline stage document-level dedup cannot do: "
+        "repeated headers/footers/licence blocks vanish while the "
+        "surrounding unique text survives.  Chunking is per-row codegen; "
+        "keep-first is ONE window over the chunk hash; reassembly is one "
+        "shuffle back on doc_id with array_sort(collect_list) restoring "
+        "order deterministically.",
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.paragraph_dedup(docs, "text", "doc_id", chunk_words=10)

@@ -21,7 +21,7 @@ results are reproducible in the DuckDB oracles; swap ``seeded_hash`` for
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.functions import text as TXT
@@ -702,4 +702,77 @@ def embedding_neardup_pairs(
     return (
         joined.filter(cosine >= threshold)
         .select("id_a", "id_b", cosine.alias("cosine"))
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: segment every document,
+    keep only the globally FIRST occurrence of each segment, reassemble.
+
+    The boilerplate-removal stage of a training-data pipeline (headers,
+    footers, licence blocks, navigation chrome repeat across millions of
+    pages): document-level dedup misses them because the surrounding text
+    differs.  Segmentation here is fixed ``chunk_words``-word windows —
+    the corpus carries no newline structure; a real corpus would split on
+    blank lines instead, changing only the chunk expression.
+
+    "First" is deterministic and engine-portable: the minimal
+    (``id_col``, chunk index) pair per distinct chunk text, not
+    partition-order luck.
+
+    Scale shape: chunking is per-row codegen (split + slice — no
+    explode-shuffle to build segments); the keep-first decision is one
+    window over the chunk hash (uniform shuffle; boilerplate chunks that
+    repeat millions of times stay one partition's row_number scan, not a
+    collect); reassembly is one shuffle back on the doc id with
+    ``array_sort(collect_list(struct(idx, chunk)))`` restoring order
+    deterministically.  Output: (id, clean_text, n_chunks, n_removed) —
+    every input doc survives, possibly with empty text.
+    """
+    k = int(chunk_words)
+    if k <= 0:
+        raise ValueError("chunk_words must be positive")
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / k).cast("int")
+    chunk_arr = F.when(F.size(words) <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+        )
+    )
+    chunks = (
+        docs.select(F.col(id_col), chunk_arr.alias("_chunks"))
+        .select(F.col(id_col), F.posexplode("_chunks").alias("idx", "chunk"))
+    )
+    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "idx")
+    kept = (
+        chunks.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("_n_kept"),
+        )
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_chunks"),
+            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
     )

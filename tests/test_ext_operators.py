@@ -645,3 +645,41 @@ def test_funnel_steps_ordering_and_nulls(spark):
     assert out[1] == (t(0), t(5), t(9))
     assert out[2] == (t(4), None, None)      # pre-view click ignored
     assert out[3][1] == t(2) and out[3][2] is None  # buy pre-click ignored
+
+
+def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
+    """The canonical boilerplate case: a shared 10-word header chunk
+    survives only in the lowest (doc_id, idx); a doc that is ALL
+    boilerplate survives as an empty row; unique text is untouched."""
+    from spreadsheet_etl_engine_spark.operators.dedup import paragraph_dedup
+
+    header = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"   # exactly one chunk
+    uniq_a = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    uniq_b = "b1 b2 b3"                          # partial trailing chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} {uniq_a}"),
+            (2, f"{header} {uniq_b}"),
+            (3, header),                         # pure boilerplate
+            (4, uniq_b),                         # dup of doc 2's tail chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, "text", "doc_id", chunk_words=10).collect()}
+    assert len(got) == 4                          # every doc survives
+    assert got[1]["clean_text"] == f"{header} {uniq_a}"   # first keeps all
+    assert (got[1]["n_chunks"], got[1]["n_removed"]) == (2, 0)
+    assert got[2]["clean_text"] == uniq_b                 # header removed
+    assert (got[2]["n_chunks"], got[2]["n_removed"]) == (2, 1)
+    assert got[3]["clean_text"] == ""                     # all boilerplate
+    assert (got[3]["n_chunks"], got[3]["n_removed"]) == (1, 1)
+    assert got[4]["clean_text"] == ""                     # doc 2 owns uniq_b
+    assert (got[4]["n_chunks"], got[4]["n_removed"]) == (1, 1)
+
+    # Reassembly preserves chunk ORDER for many chunks (idx sort, not
+    # collect order): a 35-word doc round-trips identically when unique.
+    words = " ".join(f"x{i}" for i in range(35))
+    solo = spark.createDataFrame([(9, words)], "doc_id long, text string")
+    out = paragraph_dedup(solo, chunk_words=10).collect()[0]
+    assert out["clean_text"] == words and out["n_chunks"] == 4

@@ -105,6 +105,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_neardup",
     "dedup_keep_best",
+    "dedup_paragraphs",       # NEW mid-r6: must verify this round
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
