@@ -726,12 +726,15 @@ def paragraph_dedup(
     (``id_col``, chunk index) pair per distinct chunk text, not
     partition-order luck.
 
-    Scale shape: chunking is per-row codegen (split + slice — no
-    explode-shuffle to build segments); the keep-first decision is one
-    window over the chunk hash (uniform shuffle; boilerplate chunks that
-    repeat millions of times stay one partition's row_number scan, not a
-    collect); reassembly is one shuffle back on the doc id with
-    ``array_sort(collect_list(struct(idx, chunk)))`` restoring order
+    Scale shape — exactly TWO shuffles, one corpus scan (plan-asserted):
+    chunking is per-row codegen (split + slice — no explode-shuffle to
+    build segments); the keep-first decision is one window over the chunk
+    hash (uniform shuffle; boilerplate chunks that repeat millions of
+    times stay one partition's row_number scan, not a collect); then ONE
+    doc-id aggregation both counts every chunk and reassembles the
+    survivors — ``collect_list`` skips the NULLs the loser chunks map to,
+    so no separate totals branch, no second scan, no join.
+    ``array_sort(collect_list(struct(idx, chunk)))`` restores order
     deterministically.  Output: (id, clean_text, n_chunks, n_removed) —
     every input doc survives, possibly with empty text.
     """
@@ -751,28 +754,22 @@ def paragraph_dedup(
         .select(F.col(id_col), F.posexplode("_chunks").alias("idx", "chunk"))
     )
     first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "idx")
-    kept = (
+    kept_struct = F.when(
+        F.col("_rn") == 1, F.struct("idx", "chunk")
+    )  # losers -> NULL -> skipped by collect_list
+    return (
         chunks.withColumn("_rn", F.row_number().over(first))
-        .filter(F.col("_rn") == 1)
         .groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s["chunk"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("*").alias("_n_kept"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") != 1, 1).otherwise(0)).alias("n_removed"),
         )
-    )
-    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
-    return (
-        totals.join(kept, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.col("n_chunks"),
-            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
-        )
+        .select(id_col, "clean_text", "n_chunks", "n_removed")
     )

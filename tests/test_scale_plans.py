@@ -256,3 +256,14 @@ def test_zorder_write_plans_one_range_exchange(spark):
     plan = clustered._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_paragraph_dedup_plans_two_exchanges_one_scan(spark, sf_dir):
+    """paragraph_dedup: one window shuffle on the chunk hash + one doc-id
+    aggregation shuffle, ONE corpus scan — the totals/kept join the naive
+    shape would add was fused into the aggregation (collect_list skips
+    the loser chunks' NULLs)."""
+    plan = _plan(registry.get("dedup_paragraphs").fn(spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
