@@ -275,3 +275,40 @@ def test_run_job_execution_history(spark, sf_dir, tmp_path):
     assert err["rows_written"] is None
     assert "MissingSheetError" in err["error"]
     assert err["source"] == "no_such_table"
+
+
+def test_run_job_report_mode_on_empty_output(spark, sf_dir, tmp_path):
+    """Zero-row output (a filter matching nothing) must report zero
+    violations for every constraint kind — the empty-input class the
+    quality operator hardened against, exercised through the observe
+    path and the unique keyed-agg path."""
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        in_range, not_null, unique)
+
+    empty_map = [
+        ["Rule", "Instruction"],
+        ["_filter:none", "eval: src[l_quantity] >= 999999"],
+        ["OrderKey", "src[l_orderkey]"],
+    ]
+    result = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet",
+                "output": str(tmp_path / "empty_out")},
+        map_table=empty_map,
+        constraints=[not_null("k", "OrderKey"),
+                     in_range("r", "OrderKey", 0, 1),
+                     unique("u", "OrderKey")],
+        on_violation="report",
+    )
+    assert result.rows_written == 0
+    assert result.violations == {"k": 0, "r": 0, "u": 0}
+    # fail mode on an empty output: clean pass, output written.
+    result2 = run_job(
+        spark,
+        config={"source": f"{sf_dir}/lineitem.parquet",
+                "output": str(tmp_path / "empty_out2")},
+        map_table=empty_map,
+        constraints=[not_null("k", "OrderKey")],
+        on_violation="fail",
+    )
+    assert result2.rows_written == 0
