@@ -49,6 +49,9 @@ OPTIONAL = [
     "join_fact_fact_bucketed",
     "text_pii_scrub",
     "train_pack_sequences",
+    # r6: sub-document dedup (new operator; gets its own line per
+    # BENCH_NOTES — the 21-query r5 set stays 1:1 comparable).
+    "dedup_paragraphs",
 ]
 
 
