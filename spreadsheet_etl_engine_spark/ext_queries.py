@@ -2111,11 +2111,17 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn = 1 GROUP BY doc_id
     ),
     totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
-    SELECT t.doc_id,
+    -- anchored on documents so a NULL-text / zero-chunk doc still
+    -- surfaces with (clean_text '', n_chunks 0) — matching the Spark
+    -- side's posexplode_outer totality contract
+    SELECT d.doc_id,
            coalesce(k.clean_text, '') AS clean_text,
-           t.n_chunks AS n_chunks,
-           CAST(t.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+           CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(t.n_chunks, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM documents d
+    LEFT JOIN totals t ON d.doc_id = t.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
     """,
     doc="Sub-document boilerplate removal (operators/dedup.py:"
         "paragraph_dedup): segment every doc into 10-word chunks, keep "

@@ -462,16 +462,46 @@ def probe_dims(data: bytes) -> tuple[int, int]:
         raise ValueError(f"malformed JPEG stream: {exc}") from exc
 
 
+def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
+    """Next marker code at ``pos``, skipping fill bytes (T.81 B.1.1.2
+    allows any run of extra 0xFF before the marker code — some encoders
+    pad with them, and libjpeg's next_marker skips them).  Returns
+    (marker, position after the marker)."""
+    n = len(data)
+    if pos >= n or data[pos] != 0xFF:
+        raise ValueError("JPEG marker expected")
+    while pos + 1 < n and data[pos + 1] == 0xFF:
+        pos += 1
+    if pos + 1 >= n:
+        raise ValueError("truncated JPEG marker")
+    return data[pos + 1], pos + 2
+
+
+def _is_supported_sof(marker: int) -> bool:
+    """True for the supported baseline frame markers (SOF0/SOF1); raises
+    for every other SOF class.  The ONE list both the decoder and the
+    header probe consult, so they cannot drift apart on which coding
+    processes they reject."""
+    if marker in (0xC0, 0xC1):
+        return True
+    if marker == 0xC2:
+        raise ValueError("progressive JPEG (SOF2) not supported; "
+                         "baseline only — re-encode or use the PIL "
+                         "extension point")
+    if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                  0xCD, 0xCE, 0xCF):
+        raise ValueError("unsupported JPEG coding process "
+                         f"(SOF marker 0x{marker:02X})")
+    return False
+
+
 def _probe_dims_impl(data: bytes) -> tuple[int, int]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file")
     pos = 2
     n = len(data)
     while pos + 2 <= n:
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = _next_marker(data, pos)
         if marker == 0xD9:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -481,21 +511,13 @@ def _probe_dims_impl(data: bytes) -> tuple[int, int]:
         length = struct.unpack_from(">H", data, pos)[0]
         if pos + length > n:
             raise ValueError("truncated JPEG segment")
-        if marker in (0xC0, 0xC1):
+        if _is_supported_sof(marker):
             precision, fh_, fw_ = struct.unpack_from(">BHH", data, pos + 2)
             if precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
             if fh_ == 0:
                 raise ValueError("DNL-deferred height not supported")
             return int(fw_), int(fh_)
-        if marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported; "
-                             "baseline only — re-encode or use the PIL "
-                             "extension point")
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                      0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG coding process "
-                             f"(SOF marker 0x{marker:02X})")
         if marker == 0xDA:
             break       # scan reached without a frame header
         pos += length
@@ -560,10 +582,7 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     scan = None             # ([(comp_idx, dc_id, ac_id), ...], entropy segments)
 
     while pos + 2 <= n:
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = _next_marker(data, pos)
         if marker == 0xD9:              # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -596,7 +615,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 decode_map = {(ln, code): sym for sym, (code, ln) in codes.items()}
                 (dc_tables if tc == 0 else ac_tables)[th] = decode_map
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):    # SOF0/SOF1: baseline Huffman
+        elif marker != 0xDA and _is_supported_sof(marker):
+            # SOF0/SOF1: baseline Huffman (shared gate with the probe).
             precision, fh_, fw_, nf = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -607,14 +627,6 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (fh_, fw_, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) not supported; "
-                             "baseline only — re-encode or use the PIL "
-                             "extension point")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG coding process "
-                             f"(SOF marker 0x{marker:02X})")
         elif marker == 0xDD:            # DRI
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:            # SOS

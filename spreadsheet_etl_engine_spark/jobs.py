@@ -190,12 +190,16 @@ def _run_job_inner(
             _violation_expr,
             assert_constraints,
             check_constraints,
+            validate_constraints,
         )
 
         if on_violation not in ("fail", "report"):
             raise EngineError(
                 f'on_violation must be "fail" or "report", got "{on_violation}".'
             )
+        # Same declaration-time checks in BOTH modes: a duplicate name
+        # must not silently collapse two observe metrics in report mode.
+        validate_constraints(constraints)
         row_local = [c for c in constraints if c.kind != "unique"]
         uniques = [c for c in constraints if c.kind == "unique"]
         if on_violation == "fail":
@@ -216,6 +220,7 @@ def _run_job_inner(
     # writing, count the *written* output instead of re-executing the whole
     # pipeline (parquet counts come from file metadata; a second full
     # scan+shuffle would double the job's cost).
+    written: DataFrame | None = None
     if write:
         if cfg.output.endswith(".csv"):
             write_csv(out, cfg.output)
@@ -224,10 +229,12 @@ def _run_job_inner(
             from spreadsheet_etl_engine_spark.sources.writers import write_orc
 
             write_orc(out, cfg.output)
-            rows = spark.read.orc(cfg.output).count()
+            written = spark.read.orc(cfg.output)
+            rows = written.count()
         else:
             write_parquet(out, cfg.output)
-            rows = spark.read.parquet(cfg.output).count()
+            written = spark.read.parquet(cfg.output)
+            rows = written.count()
     else:
         rows = out.count()
 
@@ -239,9 +246,14 @@ def _run_job_inner(
             violations.update(
                 {c.name: int(got[c.name] or 0) for c in row_local})
         if uniques:
-            # unique needs a keyed aggregation either way; run it on the
-            # un-observed plan (check_constraints builds its own scan).
-            for r in check_constraints(out, uniques).collect():
+            # unique needs a keyed aggregation either way — run it against
+            # the rows JUST MATERIALIZED to the typed sink (parquet/ORC)
+            # instead of re-executing the whole source->mapping pipeline a
+            # second time.  CSV round-trips values as strings and
+            # write=False has no materialization, so those recompute from
+            # the plan (`out`).
+            target = written if written is not None else out
+            for r in check_constraints(target, uniques).collect():
                 violations[r["constraint"]] = int(r["n_violations"])
     return JobResult(output=out, rows_written=rows, config=cfg,
                      violations=violations)

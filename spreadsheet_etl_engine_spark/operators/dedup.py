@@ -749,14 +749,19 @@ def paragraph_dedup(
             lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
         )
     )
+    # posexplode_OUTER: a NULL-text or zero-chunk doc still emits one
+    # (NULL, NULL) row, so it survives to the output (n_chunks 0) instead
+    # of silently vanishing from the corpus — with plain posexplode the
+    # doc id never reaches the groupBy at all.
     chunks = (
         docs.select(F.col(id_col), chunk_arr.alias("_chunks"))
-        .select(F.col(id_col), F.posexplode("_chunks").alias("idx", "chunk"))
+        .select(F.col(id_col), F.posexplode_outer("_chunks").alias("idx", "chunk"))
     )
     first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "idx")
+    real = F.col("chunk").isNotNull()
     kept_struct = F.when(
-        F.col("_rn") == 1, F.struct("idx", "chunk")
-    )  # losers -> NULL -> skipped by collect_list
+        real & (F.col("_rn") == 1), F.struct("idx", "chunk")
+    )  # losers AND the outer-join NULL row -> NULL -> skipped by collect_list
     return (
         chunks.withColumn("_rn", F.row_number().over(first))
         .groupBy(id_col)
@@ -768,8 +773,10 @@ def paragraph_dedup(
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("_rn") != 1, 1).otherwise(0)).alias("n_removed"),
+            F.count("chunk").alias("n_chunks"),
+            F.sum(
+                F.when(real & (F.col("_rn") != 1), 1).otherwise(0)
+            ).alias("n_removed"),
         )
         .select(id_col, "clean_text", "n_chunks", "n_removed")
     )

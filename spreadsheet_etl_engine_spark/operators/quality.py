@@ -90,13 +90,13 @@ def _violation_expr(c: Constraint) -> Column:
 _SAFE_NAME = re.compile(r"^[A-Za-z0-9_.:\- ]+$")
 
 
-def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
-    """Evaluate constraints → ``(constraint, kind, n_violations, n_rows)``.
+def validate_constraints(constraints: list[Constraint]) -> None:
+    """Shared declaration-time checks: non-empty, unique, safe names.
 
-    Row-local constraints share one single-scan aggregation; each
-    ``unique`` constraint contributes one additional keyed aggregation
-    (violations = rows beyond the first per duplicated key value).
-    """
+    Called by every consumer (``check_constraints`` and the job
+    lifecycle's observe path) so the two validation surfaces cannot
+    drift — a duplicate name that fail mode rejects must not silently
+    collapse two observe metrics in report mode."""
     if not constraints:
         raise EngineError("check_constraints needs at least one constraint.")
     names = [c.name for c in constraints]
@@ -109,6 +109,16 @@ def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame
                 "[A-Za-z0-9_.:- ] — rename it (names are embedded in the "
                 "report SQL)."
             )
+
+
+def check_constraints(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Evaluate constraints → ``(constraint, kind, n_violations, n_rows)``.
+
+    Row-local constraints share one single-scan aggregation; each
+    ``unique`` constraint contributes one additional keyed aggregation
+    (violations = rows beyond the first per duplicated key value).
+    """
+    validate_constraints(constraints)
     row_local = [c for c in constraints if c.kind != "unique"]
     uniques = [c for c in constraints if c.kind == "unique"]
 

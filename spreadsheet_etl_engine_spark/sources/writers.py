@@ -12,7 +12,7 @@ referenced output cell in the same row (``main.gs:100-114``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.plans.parser import (
@@ -98,16 +98,38 @@ def zorder_key(
 
     ``ranges`` maps column -> (lo, hi); columns absent from it get their
     true min/max from one tiny aggregation (a full scan, but metadata-only
-    on parquet sources).  NULL values cluster at key 0.
+    on parquet sources).  Date/timestamp columns quantize over their epoch
+    seconds (supplied ``ranges`` for them are epoch seconds too); other
+    non-numeric types fail loud — z-ordering strings needs dictionary
+    ranks, a different operator.  NULL values cluster at key 0.
     """
+    from pyspark.sql.types import (
+        DateType, NumericType, TimestampNTZType, TimestampType,
+    )
+
     if not columns:
         raise ValueError("zorder_key needs at least one column")
     if bits * len(columns) > 62:
         raise ValueError("bits * len(columns) must fit a long (<= 62)")
+    numeric: dict[str, Column] = {}
+    for name in columns:
+        dt = df.schema[name].dataType
+        if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+            numeric[name] = F.col(name).cast("timestamp").cast("double")
+        elif isinstance(dt, NumericType):
+            numeric[name] = F.col(name).cast("double")
+        else:
+            raise ValueError(
+                f'zorder_key column "{name}" has type {dt.simpleString()}; '
+                "only numeric, date and timestamp columns quantize to a "
+                "linear bucket index"
+            )
     ranges = dict(ranges or {})
     missing = [c for c in columns if c not in ranges]
     if missing:
-        row = df.agg(*[f(c) for c in missing for f in (F.min, F.max)]).first()
+        row = df.agg(
+            *[f(numeric[c]) for c in missing for f in (F.min, F.max)]
+        ).first()
         for i, c in enumerate(missing):
             ranges[c] = (row[2 * i], row[2 * i + 1])
     n_buckets = 1 << bits
@@ -119,7 +141,7 @@ def zorder_key(
             # to the ordering, so skip its bits rather than divide by zero.
             continue
         bucket = F.width_bucket(
-            F.col(name).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+            numeric[name], F.lit(float(lo)), F.lit(float(hi)),
             F.lit(n_buckets),
         )
         # width_bucket is 1-based with 0/n+1 overflow slots -> clamp to

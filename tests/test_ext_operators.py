@@ -683,3 +683,13 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
     solo = spark.createDataFrame([(9, words)], "doc_id long, text string")
     out = paragraph_dedup(solo, chunk_words=10).collect()[0]
     assert out["clean_text"] == words and out["n_chunks"] == 4
+
+    # Totality: NULL-text docs survive with zero chunks instead of
+    # silently vanishing (posexplode_outer, count(chunk)).
+    with_null = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string")
+    got2 = {r["doc_id"]: r for r in paragraph_dedup(with_null).collect()}
+    assert len(got2) == 2
+    assert (got2[2]["clean_text"], got2[2]["n_chunks"],
+            got2[2]["n_removed"]) == ("", 0, 0)
+    assert got2[1]["clean_text"] == "a b c" 

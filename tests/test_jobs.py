@@ -312,3 +312,23 @@ def test_run_job_report_mode_on_empty_output(spark, sf_dir, tmp_path):
         on_violation="fail",
     )
     assert result2.rows_written == 0
+
+
+def test_run_job_rejects_duplicate_constraint_names_in_report_mode(spark, sf_dir, tmp_path):
+    """Report mode must apply the same declaration-time validation as
+    fail mode — two same-named constraints would silently collapse into
+    one observe metric otherwise."""
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators.quality import in_range, not_null
+
+    with pytest.raises(EngineError, match="duplicate constraint names"):
+        run_job(
+            spark,
+            config={"source": f"{sf_dir}/lineitem.parquet",
+                    "output": str(tmp_path / "o")},
+            map_table=MAP_TABLE,
+            constraints=[in_range("c", "OrderKey", 0, 1),
+                         not_null("c", "Gross")],
+            on_violation="report",
+            write=False,
+        )

@@ -282,3 +282,17 @@ def test_jpeg_through_spark_pipeline(spark):
     imgf = decode_jpeg(bytes(rows[0][2])).astype(np.float32) / 255.0
     assert np.allclose(feats[1][:3], imgf.mean(axis=(0, 1)), atol=1e-5)
     assert len(feats[4]) == MM.FEATURE_DIM  # md5 fallback embedding
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any run of extra 0xFF may pad before a marker code.
+    Some encoders emit them; decode and probe must skip them like
+    libjpeg's next_marker does."""
+    img = _smooth(10, 14)
+    enc = encode_jpeg(img, quality=90)
+    dqt = enc.index(b"\xff\xdb")
+    sof = enc.index(b"\xff\xc0")
+    padded = (enc[:dqt] + b"\xff\xff" + enc[dqt:sof]
+              + b"\xff" + enc[sof:])
+    assert MC.probe_jpeg_dims(padded) == (14, 10)
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))

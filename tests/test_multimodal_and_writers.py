@@ -627,3 +627,23 @@ def test_zorder_clustering_improves_multi_column_pruning(spark, tmp_path):
     pred = (f"x between {xs[0]} and {xs[1]} "
             f"and y between {ys[0]} and {ys[1]}")
     assert back.filter(pred).count() == df.filter(pred).count() > 0
+
+
+def test_zorder_key_handles_dates_and_rejects_strings(spark):
+    """Date/timestamp columns quantize over epoch seconds (the common
+    Z-order dimension); strings fail loud instead of silently
+    contributing all-zero bits."""
+    import pytest as _pytest
+
+    df = spark.range(100).selectExpr(
+        "id",
+        "date_add(date'2024-01-01', cast(id as int)) AS d",
+        "cast(id as double) AS x",
+        "cast(id as string) AS s",
+    )
+    key_col = W.zorder_key(df, ["d", "x"], bits=4)
+    keys = [r[0] for r in df.select(key_col).collect()]
+    assert len(set(keys)) > 1          # dates actually contribute bits
+    assert all(k is not None for k in keys)
+    with _pytest.raises(ValueError, match="zorder_key column"):
+        W.zorder_key(df, ["s", "x"])
