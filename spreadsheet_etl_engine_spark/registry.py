@@ -2111,6 +2111,13 @@ def get(name: str) -> RegisteredQuery:
 # sample_stratified, reshape_unpivot [green r2+r5]).  Promotion gate:
 # every promoted entry re-ran the local parity test at BOTH sf0.001 and
 # sf0.01 first (scripts/check_promotions.py — the driver's scale).
+#
+# Mid-r6 swap: the brand-new dedup_paragraphs (sub-document boilerplate
+# removal) took a head slot so it verifies THIS round rather than joining
+# the never-verified queue; agg_pricing_summary demoted to make room
+# (green r1-r5 every round, byte-unchanged, and still timed per-round as
+# a bench headline).  Never-driver-verified tail queue for r7 stays at
+# the 8 r5 residuals listed above — r6 added no unverified surface.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
