@@ -1878,13 +1878,15 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT event_type,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-                 AS mu,
+             -- count(value), not count(*): divisor matches the power sums
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(CAST(value AS DECIMAL(18,2))) AS mu,
              sqrt(greatest(
                CAST(sum(CAST(value AS DECIMAL(18,2))
-                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(CAST(value AS DECIMAL(18,2)))
                - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                     / count(*), 2), 0)) AS sigma
+                     / count(CAST(value AS DECIMAL(18,2))), 2), 0)) AS sigma
       FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,

@@ -37,7 +37,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine with the zero-vector contract made explicit: a zero-norm
+    side yields 0.0, not NULL — under non-ANSI division NULL cosines
+    silently fail every ``>= threshold`` filter (zero vectors would never
+    pair, even with each other) while still being ranked by top-k windows.
+    0.0 states the same decision ("a zero vector is near nothing")
+    loudly and keeps the column non-null."""
+    den = norm(a) * norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def l2_distance(a: Column, b: Column) -> Column:
@@ -59,7 +66,9 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         ym = np.stack(ys.to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", xm, ym)
         norms = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
-        return pd.Series(dots / norms)
+        # same zero-vector contract as the expr cosine: 0.0, never NaN
+        safe = np.where(norms == 0.0, 1.0, norms)
+        return pd.Series(np.where(norms == 0.0, 0.0, dots / safe))
 
     # Real (non-string) annotations: this module uses postponed annotation
     # evaluation, which pandas_udf's signature inspection cannot resolve.

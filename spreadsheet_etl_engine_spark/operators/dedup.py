@@ -132,10 +132,12 @@ def minhash_band_keys(
     vs-seen-corpus (:func:`incremental_dedup`) and the maintained-index
     (:func:`seen_dedup_index`) paths.  One row per (document, band);
     signatures stay per-row, the explode is narrow."""
-    if bands < 1 or num_hashes % bands != 0:
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
         # Validated here so every caller (incl. direct seen_dedup_index
-        # use) inherits it: a silent remainder drops hashes — recall
-        # below the configured (bands, rows) operating point.
+        # use) inherits it: a silent remainder drops hashes, and
+        # num_hashes <= 0 passes the modulus check (0 % 4 == 0) while
+        # giving every doc the same empty band hash — the all-pairs
+        # blowup this guard exists to prevent.
         raise ValueError(
             f"bands={bands} must evenly divide num_hashes={num_hashes} "
             "with at least one hash per band"
@@ -214,7 +216,7 @@ def incremental_dedup(
     keys and can only be exact dups — the same routing rule as
     :func:`minhash_signature`.
     """
-    if bands < 1 or num_hashes % bands != 0:
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must evenly divide num_hashes={num_hashes} "
             "with at least one hash per band"
@@ -381,6 +383,10 @@ def ngram_jaccard_pairs(
       orders of magnitude.  A length filter (``t*max(na,nb) <=
       min(na,nb)``) prunes candidates before the intersection, computed
       via ``array_intersect`` on the two docs' full hash arrays.
+      Both pruning bounds evaluate in EXACT integer arithmetic with
+      ``threshold`` quantized to 1/1000 — double ``ceil(0.8*5)`` is 5,
+      which would shorten the prefix and silently drop boundary pairs
+      whose ``t*n`` is a whole number (the losslessness proof's edge).
     * ``prefix_filter=False`` — the plain inverted-index self-join on
       every shingle (|A∩B| via groupBy count), kept as the
       oracle-in-repo for the optimized plan.
@@ -448,8 +454,17 @@ def ngram_jaccard_pairs(
                 F.size("ranked").alias("n"),
             )
             .withColumn(
+                # plen = n - ceil(t*n) + 1, in EXACT integer arithmetic:
+                # threshold quantizes to 1/1000 (t_mil) so ceil(t*n) is
+                # floor((t_mil*n + 999)/1000) — double ceil(0.8*5) rounds
+                # to ceil(4.0000000000000004) = 5, shortening the prefix
+                # by one and breaking the lossless guarantee exactly when
+                # t*n is a whole number (the pigeonhole boundary).
                 "plen",
-                F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1,
+                F.col("n")
+                - F.floor((F.lit(round(threshold * 1000)) * F.col("n") + 999)
+                          / 1000).cast("int")
+                + 1,
             )
         )
         # The index carries each doc's full hash array alongside its
@@ -477,9 +492,12 @@ def ngram_jaccard_pairs(
             ia.join(ib, "s")
             .filter(
                 (F.col("id_a") < F.col("id_b"))
-                # Length filter: J >= t forces t*max(na,nb) <= min(na,nb).
-                & (F.lit(threshold) * F.greatest("n_a", "n_b")
-                   <= F.least("n_a", "n_b"))
+                # Length filter: J >= t forces t*max(na,nb) <= min(na,nb)
+                # — exact integer form (t_mil*max <= 1000*min): the double
+                # product 0.8*5 lands a hair ABOVE 4 and would falsely
+                # reject a genuine J = 4/5 >= 0.8 pair at the boundary.
+                & (F.lit(round(threshold * 1000)) * F.greatest("n_a", "n_b")
+                   <= 1000 * F.least("n_a", "n_b"))
             )
             .withColumn(
                 "jaccard",
@@ -645,7 +663,11 @@ def embedding_lsh_pairs(
                     F.col("nrm").alias("na"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
                     F.col("nrm").alias("nb"), "band", "sig")
-    cosine = VEC.dot_precast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Zero-vector contract (matches VEC.cosine): 0.0, never a NULL that
+    # silently fails the threshold filter.
+    den = F.col("na") * F.col("nb")
+    cosine = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(
+        VEC.dot_precast(F.col("va"), F.col("vb")) / den)
     return (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -698,7 +720,11 @@ def embedding_neardup_pairs(
         if parallelism:
             a = a.repartition(parallelism)
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
-    cosine = VEC.dot_precast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Zero-vector contract (matches VEC.cosine): 0.0, never a NULL that
+    # silently fails the threshold filter.
+    den = F.col("na") * F.col("nb")
+    cosine = F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(
+        VEC.dot_precast(F.col("va"), F.col("vb")) / den)
     return (
         joined.filter(cosine >= threshold)
         .select("id_a", "id_b", cosine.alias("cosine"))

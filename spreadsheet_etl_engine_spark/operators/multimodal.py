@@ -147,7 +147,10 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
     those keep the full path."""
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
 
-    raw = bytes(data)
+    # NULL media cells are legal (BinaryType is nullable) and must hit the
+    # totality contract like any other undecodable row — bytes(None)
+    # would raise OUTSIDE the try below and kill the job.
+    raw = b"" if data is None else bytes(data)
     kind = MC.sniff(raw)
     try:
         if kind == "bmp":
@@ -181,6 +184,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_decode_any(d) for d in pdf["data"]]
+            raws = [b"" if d is None else bytes(d) for d in pdf["data"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -188,10 +192,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "n_frames": [d[2] for d in decoded],
-                    "n_bytes": [len(bytes(d)) for d in pdf["data"]],
-                    "payload_hash": [
-                        hashlib.md5(bytes(d)).hexdigest() for d in pdf["data"]
-                    ],
+                    "n_bytes": [len(r) for r in raws],
+                    "payload_hash": [hashlib.md5(r).hexdigest() for r in raws],
                 }
             )
 
@@ -226,7 +228,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
 
     def _one(data: bytes) -> list[float]:
-        raw = bytes(data)
+        raw = b"" if data is None else bytes(data)
         container = MC.sniff(raw)
         try:
             if container in ("bmp", "ppm", "png", "jpeg"):
@@ -278,7 +280,7 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
         for pdf in batches:
             out = []
             for data in pdf["data"]:
-                raw = bytes(data)
+                raw = b"" if data is None else bytes(data)
                 container = MC.sniff(raw)
                 try:
                     if container == "bmp":
@@ -312,8 +314,11 @@ def frame_sample(df: DataFrame, *, every_k: int = 2) -> DataFrame:
     each sampled frame would be another mapInPandas over (media_id,
     frame_idx)."""
     decoded = decode_media(df.filter(F.col("kind") == "video"))
+    # n_frames = 0 is the totality contract's corrupt-row value; sequence
+    # (0, -1) would throw "illegal sequence boundaries" and kill the job,
+    # so zero-frame rows simply produce no sampled frames.
     return (
-        decoded.select(
+        decoded.filter(F.col("n_frames") > 0).select(
             "media_id",
             F.explode(
                 F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))

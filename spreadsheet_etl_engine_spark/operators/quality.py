@@ -57,7 +57,24 @@ def matches(name: str, column: str, pattern: str) -> Constraint:
 
 
 def accepted_values(name: str, column: str, values) -> Constraint:
-    return Constraint(name, "accepted_values", (column,), values=tuple(values))
+    vals = tuple(values)
+    if not vals:
+        raise EngineError(
+            f'accepted_values constraint "{name}" needs at least one value.'
+        )
+    if any(v is None for v in vals):
+        # SQL IN-with-NULL semantics would make ~isin(...) NULL for every
+        # non-listed value, sum() would skip those NULLs, and the
+        # constraint would silently report 0 violations on fully invalid
+        # data.  NULLs are already permitted (the check only looks at
+        # non-null cells); pair with not_null to forbid them.
+        raise EngineError(
+            f'accepted_values constraint "{name}": None is not a legal '
+            "list element (non-null cells are checked against the list; "
+            "NULL cells always pass — add a not_null constraint to "
+            "forbid them)"
+        )
+    return Constraint(name, "accepted_values", (column,), values=vals)
 
 
 def unique(name: str, *columns: str) -> Constraint:

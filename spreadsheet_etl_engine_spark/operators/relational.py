@@ -35,6 +35,14 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
 
+    # Right rows with a NULL as-of timestamp can never satisfy
+    # right.on <= left.on; without this filter they sort NULLS-FIRST
+    # under the window order and last(ignorenulls) would carry their
+    # values into every left row before the first real right timestamp
+    # (a parity-blind wrong answer: a union-and-window SQL oracle built
+    # the same way computes the identical forward-fill).
+    right = right.filter(F.col(on).isNotNull())
+
     l_tag = left.select(
         F.col(by), F.col(on), F.lit(1).alias("_is_left"),
         *[F.col(c) for c in left.columns if c not in (by, on)],
@@ -78,13 +86,21 @@ def pivot_counts(
 def _hash_bucket(key: Column, modulus: int) -> Column:
     """The engine's one deterministic bucket function: first 8 hex chars of
     md5 as an integer, mod ``modulus``.  Mirrored verbatim in the SQL
-    oracles — change both together or parity breaks."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % modulus
+    oracles — change both together or parity breaks.
+
+    NULL keys coalesce to a sentinel BEFORE hashing so they land in one
+    deterministic bucket like any other value — md5(NULL) is NULL, and a
+    NULL bucket would fail every ``< percent`` comparison, silently
+    excluding NULL-key rows from all samples (percent=100 would not
+    return the full table)."""
+    key_str = F.coalesce(key.cast("string"), F.lit("\x00null\x00"))
+    return F.conv(F.substring(F.md5(key_str), 1, 8), 16, 10).cast("long") % modulus
 
 
 def hash_sample(df: DataFrame, key: Column, *, percent: int, modulus: int = 100) -> DataFrame:
     """Deterministic hash-based sampling: keep rows where
-    ``md5(key) mod modulus < percent``.
+    ``md5(key) mod modulus < percent``; NULL keys hash via a sentinel
+    (one deterministic stratum — never silently dropped).
 
     At 100 TB this is the only sane sampling: reproducible across runs,
     engines and partitionings, stable under re-partitioning (unlike
@@ -295,7 +311,19 @@ def salted_join(
     replicated ``salt`` times (explode over the salt range); joining on
     (key, salt) spreads each hot key over ``salt`` partitions.  Replication
     multiplies the small side — only use when small ≪ skewed.
+
+    Only left-preserving modes are supported: under ``right``/``full``,
+    replicated right rows whose (key, salt) matches nothing would survive
+    as up-to-``salt`` spurious right-only duplicates — a silently wrong
+    result, so those modes fail loud here.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: salt replication "
+            "is only correct for left-preserving joins (inner/left/"
+            "semi/anti) — an unmatched replicated right row would "
+            "duplicate under right/full outer semantics"
+        )
     # Any salt value works (the small side is replicated for all of them),
     # so a cheap row-local counter is enough to spread hot keys.
     salted_left = skewed.withColumn("_salt", F.monotonically_increasing_id() % salt)
@@ -311,9 +339,18 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
     power sums (Σx, Σx²) in ONE pass: algebraic aggregates that combine
     associatively across partitions — the scale-correct way to get exact,
     engine-reproducible moments (float sum order never enters; the only
-    float ops are the final divisions/sqrt, identical in any engine)."""
+    float ops are the final divisions/sqrt, identical in any engine).
+
+    ``n`` counts NON-NULL values (``count(value)``, not ``count(*)``):
+    NULLs vanish from the power sums, so dividing by the row count would
+    skew every moment on any table with missing values — the standard
+    SQL AVG/VAR_POP convention, and the parity-blind class of bug (an
+    oracle written with ``count(*)`` computes the same wrong answer).
+    Values must fit decimal(18,2): larger magnitudes null out of the
+    sums under non-ANSI casts and shrink ``n``'s basis — pre-filter or
+    widen the cast for such feeds."""
     x = F.col(value_col).cast("decimal(18,2)")
-    n = F.count("*")
+    n = F.count(x)
     sx = F.sum(x)
     sxx = F.sum(x * x)
     mean = (sx.cast("double") / n)

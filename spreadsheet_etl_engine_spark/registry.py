@@ -1341,7 +1341,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sums AS (
         SELECT l_returnflag,
-               count(*) AS n,
+               -- count(value), not count(*): NULLs vanish from the power
+               -- sums, so the divisor must match (SQL AVG convention)
+               count(CAST(l_quantity AS DECIMAL(18,2))) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
@@ -1389,7 +1391,10 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_hash",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100) < 10
+    -- coalesce-to-sentinel mirrors _hash_bucket's NULL handling (keys
+    -- here are non-null; the sentinel keeps the mirror verbatim)
+    WHERE (CAST(('0x' || substr(md5(coalesce(CAST(o_orderkey AS VARCHAR),
+                                              chr(0) || 'null' || chr(0))), 1, 8)) AS BIGINT) % 100) < 10
     """,
     doc="Deterministic hash-based 10% sample: reproducible across runs, "
         "engines and partition layouts (df.sample is not), and joinable "
@@ -1406,7 +1411,8 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
-    WHERE (CAST(('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 100)
+    WHERE (CAST(('0x' || substr(md5(coalesce(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR),
+                                              chr(0) || 'null' || chr(0))), 1, 8)) AS BIGINT) % 100)
           < (CASE l_returnflag WHEN 'A' THEN 5 WHEN 'N' THEN 20 WHEN 'R' THEN 10 ELSE 0 END)
     """,
     doc="Deterministic stratified sampling: per-stratum rates (A 5% / N "
@@ -2118,6 +2124,17 @@ def get(name: str) -> RegisteredQuery:
 # (green r1-r5 every round, byte-unchanged, and still timed per-round as
 # a bench headline).  Never-driver-verified tail queue for r7 stays at
 # the 8 r5 residuals listed above — r6 added no unverified surface.
+#
+# r6 oracle-blind-edge fixes touched four TAIL queries' shared operators
+# (agg_moments, events_value_outliers: count(value) divisor;
+# sample_hash, sample_stratified: NULL-key sentinel in _hash_bucket) —
+# re-pinned rather than promoted because (a) the head's 50 slots carry
+# 13 first-time verifications that must not be displaced, and (b) the
+# fixes alter ONLY edge behavior absent from the driver testdata (no
+# NULL quantities/values/keys at sf0.01), so outputs there are
+# byte-identical to the rows' original green verification; both-scale
+# local parity re-ran green after the change.  All four join the r7
+# promotion queue ahead of the 8 r5 residuals.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",

@@ -693,3 +693,97 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
     assert (got2[2]["clean_text"], got2[2]["n_chunks"],
             got2[2]["n_removed"]) == ("", 0, 0)
     assert got2[1]["clean_text"] == "a b c" 
+
+
+def test_ngram_jaccard_boundary_pair_t08_n5(spark):
+    """The losslessness proof's edge: J exactly 4/5 at threshold 0.8 with
+    5 shingles.  Double ceil(0.8*5) = 5 would shorten the prefix by one
+    and silently miss the pair (and the double length filter 0.8*5 > 4
+    would reject it) — both bounds now evaluate in exact integer
+    arithmetic, so the prefix plan must agree with the plain
+    inverted-index oracle."""
+    from spreadsheet_etl_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7"),   # 5 word-3-shingles
+            (2, "w1 w2 w3 w4 w5 w6"),      # its 4-shingle prefix subset
+            (3, "a1 a2 a3 a4 a5"),          # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_k=3, threshold=0.8)
+    fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                         prefix_filter=True, **kw).collect()}
+    slow = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id",
+                                         prefix_filter=False, **kw).collect()}
+    assert (1, 2) in fast and abs(fast[(1, 2)] - 0.8) < 1e-12
+    assert fast == slow
+
+
+def test_oracle_blind_edge_fixes(spark):
+    """The parity-blind defect class from the r6 operator review: edges
+    the synthetic testdata never exercises, where Spark and a
+    mirror-image SQL oracle would both be wrong."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+    from spreadsheet_etl_engine_spark.operators.dedup import minhash_lsh_pairs
+    from spreadsheet_etl_engine_spark.operators.quality import accepted_values
+    from spreadsheet_etl_engine_spark.operators.relational import (
+        asof_join, exact_moments, hash_sample, salted_join)
+
+    # exact_moments: NULLs vanish from the power sums, so the divisor
+    # must be count(value) — [10.0, NULL] has mean 10 and std 0.
+    vals = spark.createDataFrame([("g", 10.0), ("g", None)], "k string, v double")
+    m = exact_moments(vals, ["k"], "v", alias_prefix="v").collect()[0]
+    assert (m["v_n"], m["v_mean"], m["v_std"]) == (1, 10.0, 0.0)
+
+    # asof_join: a NULL right timestamp matches nothing (it used to
+    # forward-fill into every left row before the first real right ts).
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame([(1, None, 99), (1, 10, 1)],
+                                  "k long, ts long, v long")
+    got = asof_join(left, right, on="ts", by="k", right_cols={"v": "v"}).collect()
+    assert got[0]["v"] is None
+
+    # hash_sample: percent=100 returns EVERY row, NULL keys included.
+    keyed = spark.createDataFrame([(1,), (None,)], "k long")
+    assert hash_sample(keyed, F.col("k"), percent=100).count() == 2
+
+    # salted_join: non-left-preserving modes fail loud.
+    with _pytest.raises(ValueError, match="left-preserving"):
+        salted_join(keyed, keyed, key="k", how="full")
+
+    # LSH banding: num_hashes=0 passes the modulus check but would give
+    # every doc an identical empty band hash (all-pairs blowup).
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="at least one hash per band"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=0, bands=4)
+
+    # accepted_values: a None element would silently disable the check.
+    with _pytest.raises(EngineError, match="None is not a legal"):
+        accepted_values("c", "col", ["a", None])
+
+    # multimodal totality: NULL data cells and zero-frame videos flow
+    # through decode/features/resize/frame_sample without failing.
+    media = spark.createDataFrame(
+        [(1, "image", None, 0), (2, "video", b"VID:0x64x48:p", 0)],
+        MM.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["n_bytes"]) == (0, 0)
+    assert dec[2]["n_frames"] == 0
+    assert len(MM.extract_features(media).collect()) == 2
+    assert len(MM.resize_images(media, width=4, height=4).collect()) == 2
+    assert MM.frame_sample(media, every_k=2).count() == 0  # no crash
+
+    # zero-norm cosine: 0.0 by contract, never NULL.
+    from spreadsheet_etl_engine_spark.functions import vectors as VEC
+    z = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    row = z.select(VEC.cosine(F.col("a"), F.col("b")).alias("c"),
+                   VEC.cosine_pandas(F.col("a"), F.col("b")).alias("cp")).collect()[0]
+    assert row["c"] == 0.0 and row["cp"] == 0.0
