@@ -616,12 +616,14 @@ def test_zorder_clustering_improves_multi_column_pruning(spark, tmp_path):
     # x-sorted layout cannot prune a y predicate: every group survives.
     assert hit_plain_y == total_plain
     # Z-order gives each of the k dims P^(1/k) resolution, so a 1/8
-    # slice of either dimension should keep at most ~half the groups
-    # (observed: 8/16 y, 6/16 x), and the box multiplies both cuts
-    # (observed 2/16).  Thresholds leave margin for range-sampling jitter.
-    assert hit_z_y <= 5 * total_z // 8, f"y-slice: {hit_z_y}/{total_z}"
-    assert hit_z_x <= 5 * total_z // 8, f"x-slice: {hit_z_x}/{total_z}"
-    assert hit_z_box <= total_z // 4, f"box: {hit_z_box}/{total_z}" 
+    # slice of either dimension should keep at most ~half the groups,
+    # and the box multiplies both cuts.  repartitionByRange samples its
+    # boundaries with a nondeterministic seed, so hits jitter run to run
+    # (measured over 6 writes: y 8-9/16, x 6-8/16, box 2-4/16);
+    # thresholds sit one-to-two groups above the observed maxima.
+    assert hit_z_y <= 11 * total_z // 16, f"y-slice: {hit_z_y}/{total_z}"
+    assert hit_z_x <= 11 * total_z // 16, f"x-slice: {hit_z_x}/{total_z}"
+    assert hit_z_box <= 6 * total_z // 16, f"box: {hit_z_box}/{total_z}" 
 
     # Correctness of the skipped groups: the box rows all survive a scan.
     pred = (f"x between {xs[0]} and {xs[1]} "
