@@ -33,6 +33,22 @@ sh AS (
 # the MinHash prime (matches operators.dedup.minhash_signature).
 _BASE_SQL = f"(CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % {DD.MINHASH_P})"
 
+# Shared SimHash oracle SQL (hoisted like _SHINGLE_CTE so dedup_simhash
+# and dedup_simhash_pairs can never drift apart).  The NULL-text filter
+# mirrors simhash_sketch's routing rule.
+_SIMHASH_SQL = """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN 2 * len(list_filter(
+                        list_transform(string_split(text, ' '),
+                                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
+                        h -> ((h >> b) & 1) = 1))
+                        > len(string_split(text, ' '))
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM documents
+    WHERE text IS NOT NULL
+"""
+
 
 def _sig_sql(num_hashes: int) -> str:
     return ", ".join(
@@ -280,7 +296,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, min(label) AS component FROM reach GROUP BY node
     ),
     d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+        SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tok,
                CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
                    % 100 AS h
         FROM documents
@@ -317,7 +333,11 @@ def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
-        F.size(TXT.tokens(F.col("text"))).alias("n_tok"),
+        # coalesce: size(split(NULL)) is NULL, which would make BOTH
+        # n_tok < 5 and n_tok >= 5 NULL — a 'keep' decision with a NULL
+        # split, breaking the every-keeper-gets-a-split contract.  A
+        # NULL-text doc is a 0-token doc: drop:short.
+        F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("split:"), key)), 1, 8), 16, 10)
             .cast("long") % 100
@@ -343,17 +363,7 @@ def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle="""
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 32), b ->
-               CASE WHEN 2 * len(list_filter(
-                        list_transform(string_split(text, ' '),
-                                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
-                        h -> ((h >> b) & 1) = 1))
-                        > len(string_split(text, ' '))
-                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-    FROM documents
-    """,
+    oracle=_SIMHASH_SQL,
     doc="32-bit SimHash sketch per document, fully per-row (no shuffle); "
         "near-dup = small Hamming distance, bucketed by prefix at scale.",
 )
@@ -627,7 +637,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
@@ -635,8 +645,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- event_id tiebreak must match flagged's window order: a ts-only
+        -- ROWS frame could scan a tied row before its new-session flag
+        -- and count it into the previous session (nondeterministic)
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )
@@ -793,7 +806,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest additionally pins stream == batch (tests/test_streaming.py).
     oracle="""
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
@@ -801,8 +814,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
+        -- event_id tiebreak must match flagged's window order: a ts-only
+        -- ROWS frame could scan a tied row before its new-session flag
+        -- and count it into the previous session (nondeterministic)
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )
@@ -1113,7 +1129,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(TXT.tokens(F.col("text")).alias("ts"))
-    bigrams = toks.select(
+    # Guard n >= 2 like TXT.word_shingles does for k: sequence(1, 0) is
+    # DESCENDING [1, 0] on a 1-token doc — under ANSI mode ts[1] throws
+    # INVALID_ARRAY_INDEX, and with ANSI off it injects NULL bigrams that
+    # inflate n_big.  The oracle's range(1, len) is empty for the same
+    # doc, so parity on the multi-token fixture never sees it.
+    bigrams = toks.filter(F.size("ts") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, size(ts) - 1), i -> "
                    "concat(ts[i-1], ' ', ts[i]))")
@@ -1219,8 +1240,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER (PARTITION BY lang
                                 ORDER BY quality_score, doc_id)
                AS lang_pct_rank,
-           percent_rank() OVER (PARTITION BY lang
-                                ORDER BY quality_score, doc_id) >= 0.2
+           -- single-doc languages keep their only doc (percent_rank 0.0)
+           (percent_rank() OVER (PARTITION BY lang
+                                 ORDER BY quality_score, doc_id) >= 0.2
+            OR count(*) OVER (PARTITION BY lang) = 1)
                AS keep_top80
     FROM q
     """,
@@ -1243,12 +1266,17 @@ def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
     pct = F.percent_rank().over(w)
+    # A 1-document language has percent_rank 0.0 for its only doc, so a
+    # bare >= 0.2 would drop 100% of the language — the "keep top 80%"
+    # contract's degenerate edge (and the approx twin keeps such docs:
+    # the 20th percentile of one value is that value).
+    n_lang = F.count("*").over(Window.partitionBy("lang"))
     return docs.select(
         "doc_id",
         "lang",
         "quality_score",
         pct.alias("lang_pct_rank"),
-        (pct >= 0.2).alias("keep_top80"),
+        ((pct >= 0.2) | (n_lang == 1)).alias("keep_top80"),
     )
 
 
@@ -1285,8 +1313,10 @@ def text_quality_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Driver-scale audit twin: the exact bottom-20% rank decision.
     w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    n_lang = F.count("*").over(Window.partitionBy("lang"))
     exact = docs.select(
-        "doc_id", "lang", (F.percent_rank().over(w) >= 0.2).alias("keep_exact")
+        "doc_id", "lang",
+        ((F.percent_rank().over(w) >= 0.2) | (n_lang == 1)).alias("keep_exact"),
     )
     return (
         approx.join(exact, ["doc_id", "lang"])
@@ -1332,17 +1362,7 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_SQL = """
-    SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 32), b ->
-               CASE WHEN 2 * len(list_filter(
-                        list_transform(string_split(text, ' '),
-                                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)),
-                        h -> ((h >> b) & 1) = 1))
-                        > len(string_split(text, ' '))
-                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-    FROM documents
-"""
+# (SimHash oracle SQL hoisted to the top of the module: _SIMHASH_SQL)
 
 
 @register(
@@ -1625,7 +1645,11 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM d
     )
-    SELECT bucket * 1000000 + CAST(floor((cum - n_tok) / 512.0) AS BIGINT)
+    -- 1e12 stride: a bucket holds up to 1e12 sequences (5e14 tokens)
+    -- before colliding into the next bucket's id space; the old 1e6
+    -- stride capped at 512M tokens/bucket, BELOW the docstring's own
+    -- 100 TB sizing
+    SELECT bucket * 1000000000000 + CAST(floor((cum - n_tok) / 512.0) AS BIGINT)
                AS seq_id,
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1
@@ -1670,7 +1694,11 @@ def pack_sequences(
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
-        F.size(TXT.tokens(F.col("text"))).alias("n_tok"),
+        # coalesce: size(split(NULL)) is NULL, which would make BOTH
+        # n_tok < 5 and n_tok >= 5 NULL — a 'keep' decision with a NULL
+        # split, breaking the every-keeper-gets-a-split contract.  A
+        # NULL-text doc is a 0-token doc: drop:short.
+        F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)
             .cast("long") % n_buckets
@@ -1683,8 +1711,12 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = d.withColumn("cum", F.sum("n_tok").over(w))
+    # 1e12 stride mirrors the oracle: bucket ids stay < ~1e5 at any sane
+    # bucket count, so bucket*1e12 + seq index fits a long with 1e12
+    # sequences (5e14 tokens) of headroom per bucket — the 1e6 stride
+    # collided at 512M tokens/bucket, below the documented 100 TB sizing.
     seq = (
-        F.col("bucket") * 1000000
+        F.col("bucket").cast("long") * 1_000_000_000_000
         + F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(seq_len))).cast("long")
     )
     return (
@@ -1698,8 +1730,10 @@ def pack_sequences(
     "events_funnel",
     oracle="""
     WITH v AS (
+      -- ts IS NOT NULL mirrors funnel_steps' entry filter: NULL-ts
+      -- events cannot order within a funnel
       SELECT user_id, min(ts) AS v_ts FROM events
-      WHERE event_type = 'view' GROUP BY 1
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
     ), c AS (
       SELECT e.user_id, min(e.ts) AS c_ts
       FROM events e JOIN v ON e.user_id = v.user_id

@@ -34,6 +34,14 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     At scale, group on md5(content) rather than the full content to keep
     shuffle rows small; the probability of a 128-bit collision is
     negligible next to data-corruption rates.
+
+    NULL-content semantics (deliberate, shared by ``keep_best_dedup``):
+    group-by NULL equality puts every NULL-content row in ONE group, so
+    missing documents dedup against each other like any other identical
+    value.  If missing-ness must not count as duplication, gate the
+    input with a ``not_null`` constraint (operators/quality.py) upstream
+    — silently special-casing NULL here would diverge from every SQL
+    GROUP BY oracle.
     """
     return df.groupBy(content_col).agg(
         F.min(id_col).alias(id_col),
@@ -304,7 +312,15 @@ def simhash_sketch(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
     Two-step select so the token-hash array is computed once and shared by
     the 32 unrolled bit terms instead of being re-derived per bit.
+
+    NULL content is filtered (same routing rule as minhash's
+    unshingleable docs: a missing document cannot be meaningfully
+    sketched — send it to exact dedup).  Without the filter the fold
+    yields a NULL sketch whose NULL segments silently join nowhere in
+    ``simhash_hamming_pairs`` — and a SQL oracle's CASE chain yields 0
+    for the same doc, a latent parity break.
     """
+    df = df.filter(F.col(content_col).isNotNull())
     hashed = df.select(F.col(id_col), TXT.token_hashes(F.col(content_col)).alias("_th"))
     return hashed.select(
         F.col(id_col), TXT.simhash32_from_hashes(F.col("_th")).alias("simhash")

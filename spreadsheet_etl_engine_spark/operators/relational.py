@@ -444,6 +444,11 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
+    # NULL event timestamps can never order within a funnel: without this
+    # filter a key whose step-0 events are all NULL-ts would emit an
+    # all-NULL step chain (min(ts) = NULL, every later ts >= NULL drops),
+    # violating the one-row-per-step-0-completer contract.
+    df = df.filter(F.col(ts_col).isNotNull())
     out = None
     for i, (_, pred) in enumerate(steps):
         stage = df.filter(pred)

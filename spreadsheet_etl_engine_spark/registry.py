@@ -2125,16 +2125,19 @@ def get(name: str) -> RegisteredQuery:
 # a bench headline).  Never-driver-verified tail queue for r7 stays at
 # the 8 r5 residuals listed above — r6 added no unverified surface.
 #
-# r6 oracle-blind-edge fixes touched four TAIL queries' shared operators
-# (agg_moments, events_value_outliers: count(value) divisor;
-# sample_hash, sample_stratified: NULL-key sentinel in _hash_bucket) —
-# re-pinned rather than promoted because (a) the head's 50 slots carry
-# 13 first-time verifications that must not be displaced, and (b) the
-# fixes alter ONLY edge behavior absent from the driver testdata (no
-# NULL quantities/values/keys at sf0.01), so outputs there are
-# byte-identical to the rows' original green verification; both-scale
-# local parity re-ran green after the change.  All four join the r7
-# promotion queue ahead of the 8 r5 residuals.
+# r6 oracle-blind-edge fixes touched eight TAIL queries' shared
+# operators/oracles (agg_moments, events_value_outliers: count(value)
+# divisor; sample_hash, sample_stratified: NULL-key sentinel in
+# _hash_bucket; dedup_simhash, dedup_simhash_pairs: NULL-text routing +
+# hoisted shared oracle SQL; events_sessionize: oracle-only event_id
+# tiebreak under timestamp ties; text_collocations_pmi: 1-token-doc
+# guard) — re-pinned rather than promoted because (a) the head's 50
+# slots carry 13 first-time verifications that must not be displaced,
+# and (b) the fixes alter ONLY edge behavior absent from the driver
+# testdata (no NULL values/keys/texts, no 1-token docs at sf0.01), so
+# outputs there are byte-identical to the rows' original green
+# verification; both-scale local parity re-ran green after each change.
+# All eight join the r7 promotion queue ahead of the 8 r5 residuals.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",

@@ -142,23 +142,55 @@ def view_click_attribution(
     )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, *, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Custom stateful operator: running per-user event count and value sum
     maintained with ``applyInPandasWithState`` — the escape hatch when
     built-in windows can't express the state machine.  Emits one row per
-    user per micro-batch with the updated totals."""
+    user per micro-batch with the updated totals.
+
+    State-bounding is OPT-IN via ``idle_timeout_ms`` (processing-time
+    timeout): a user silent that long has their state row evicted
+    (emitting a final row with the last totals), so a CONTINUOUS
+    deployment tracks only recently-active users instead of every user
+    id ever seen — without it, unbounded key cardinality OOMs a
+    week-long run, which is why a production continuous stream must set
+    it.  A user returning after eviction restarts from zero — the
+    standard trade: running-forever totals belong in a batch aggregate
+    over the archived stream, not in stream state.
+
+    The default is ``None`` (no eviction) because processing-time
+    timeouts interact badly with the ``availableNow`` backfill/test
+    harness: the query keeps scheduling micro-batches until wall-clock
+    timeouts fire (observed: hundreds of empty batches), so
+    catch-up/backfill runs — whose state is bounded by the run's total
+    key count anyway — should leave it off and continuous deployments
+    should turn it on.
+    """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     output_schema = "user_id long, n_events long, total_value double"
     state_schema = "n long, total double"
+    timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
 
     def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            n, total = state.get if state.exists else (0, 0.0)
+            state.remove()          # evict: bounded state
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -166,7 +198,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            update, output_schema, state_schema, "update", timeout
         )
     )
 
