@@ -177,7 +177,13 @@ def _run_job_inner(
     if map_table is None:
         map_df = _load_source(spark, cfg.map, fidelity=True)
         # Collecting a rule table is sheet-sized by definition; re-prepend
-        # a header row since parse_map_table skips row 0.
+        # a header row since parse_map_table skips row 0.  CONTRACT: rule
+        # order is semantically load-bearing (output column order,
+        # earlier-only self[...] resolution), and collect() preserves
+        # authoring order only for single-file sources — the reference's
+        # Map sheet equivalent.  A map table sharded across part files
+        # has no inherent order; store rule tables as one file (they are
+        # sheet-sized) or pass ``map_table`` explicitly.
         map_table = [map_df.columns] + [list(r) for r in map_df.collect()]
     spec = parse_map_table(map_table, source.columns)
     out = run_mapping(source, spec, mode=mode)
@@ -224,7 +230,11 @@ def _run_job_inner(
     if write:
         if cfg.output.endswith(".csv"):
             write_csv(out, cfg.output)
-            rows = spark.read.option("header", "true").csv(cfg.output).count()
+            # multiLine: values with embedded newlines are quoted by the
+            # writer; the default line-splitting reader would split them
+            # into phantom rows and inflate the reported count.
+            rows = (spark.read.option("header", "true")
+                    .option("multiLine", "true").csv(cfg.output).count())
         elif cfg.output.endswith(".orc"):
             from spreadsheet_etl_engine_spark.sources.writers import write_orc
 
@@ -324,6 +334,11 @@ def run_workbook(
         # inline strings (formula cells already carry their '=' prefix).
         if not was_numeric:
             return value
+        if value == "":
+            # A styled-but-empty number cell (<c s="1"/> with no <v>) —
+            # Excel writes these constantly; int("") would crash the
+            # whole workbook job on ordinary input.
+            return ""
         try:
             return int(value)
         except ValueError:

@@ -47,6 +47,7 @@ from spreadsheet_etl_engine_spark.errors import (
 )
 from spreadsheet_etl_engine_spark.plans import formula as formula_mod
 from spreadsheet_etl_engine_spark.plans.parser import (
+    JS_STR_WHITESPACE,
     SRC_REF_RE,
     ColumnKind,
     Comparison,
@@ -81,7 +82,7 @@ def parse_float_literal(text: str) -> float | None:
     """JS ``parseFloat`` applied to a compile-time literal: numeric prefix
     of the trimmed text, else None (NaN).  Deliberately NOT Python
     ``float()``, which accepts "Inf"/"nan"/"1_0" that parseFloat rejects."""
-    m = re.match(_PARSEFLOAT_PREFIX, text.strip())
+    m = re.match(_PARSEFLOAT_PREFIX, text.strip(JS_STR_WHITESPACE))
     if not m:
         return None
     return float(m.group(0))  # Python float() handles "[+-]Infinity" too
@@ -91,8 +92,8 @@ def full_float_literal(text: str) -> float | None:
     """The literal as a number only if the WHOLE text is a plain decimal
     (typed-mode equality: a numeric column can only equal a fully numeric
     literal)."""
-    if _FULL_FLOAT_RE.fullmatch(text.strip()):
-        return float(text.strip())
+    if _FULL_FLOAT_RE.fullmatch(text.strip(JS_STR_WHITESPACE)):
+        return float(text.strip(JS_STR_WHITESPACE))
     return None
 
 
@@ -180,7 +181,11 @@ class MappingCompiler:
         return parts[0] if len(parts) == 1 else F.concat(*parts)
 
     def compile_operand(self, text: str) -> _Operand:
-        text = text.strip()
+        # JS trim, not Python strip: FS/GS/RS/US and NEL are in Python's
+        # set but NOT ECMA-262 WhiteSpace, so '\x1c5' must stay
+        # unparseable (NaN) exactly as the reference's parseFloat leaves
+        # it; BOM goes, matching trim().
+        text = text.strip(JS_STR_WHITESPACE)
         m = SRC_REF_RE.fullmatch(text)
         if m:
             name = m.group(1)

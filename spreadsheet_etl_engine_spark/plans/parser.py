@@ -51,6 +51,20 @@ FORMULA_PREFIX = "formula:"
 # first substring match wins, so `>=` is found before `>`).
 OPERATORS: tuple[str, ...] = ("==", "!=", ">=", "<=", ">", "<")
 
+# ECMA-262 StrWhiteSpace (what JS ``trim()``/``parseFloat`` strip): NOT
+# Python's strip set — FS/GS/RS/US (U+001C-001F) and NEL (U+0085) stay,
+# BOM (U+FEFF) goes.  Operand literals must trim with THIS set or a BOM
+# pasted into a rule diverges from the reference (cell values already go
+# through the compiled js_trim_col; this is the literal-side twin).
+# Mirrors tests/reference_impl.py::_STR_WHITESPACE and the compiled
+# class in plans/compiler.py.
+JS_STR_WHITESPACE = (
+    " \t\n\r\v\f\u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+
+
 # Malformed-operator guard (reference ``main.gs:266``).
 _INVALID_OP_RE = re.compile(r"[=><!]{3,}|[><]{2,}")
 
@@ -159,14 +173,14 @@ def parse_condition(raw: str, rule: str) -> Comparison:
     evaluation-time concern handled by the compiler, matching the
     reference's ordering (split first, strip after, ``main.gs:284``).
     """
-    trimmed = raw.strip()
+    trimmed = raw.strip(JS_STR_WHITESPACE)
     bad = _INVALID_OP_RE.search(trimmed)
     if bad:
         raise InvalidOperatorError(bad.group(0), rule)
     op = next((o for o in OPERATORS if o in trimmed), None)
     if op is None:
         return Comparison(raw=trimmed)
-    parts = [p.strip() for p in trimmed.split(op)]
+    parts = [p.strip(JS_STR_WHITESPACE) for p in trimmed.split(op)]
     if len(parts) != 2:
         return Comparison(raw=trimmed, op=op, malformed=True)
     return Comparison(raw=trimmed, op=op, left=parts[0], right=parts[1])

@@ -26,6 +26,16 @@ def run_mapping(source: DataFrame, spec: MappingSpec, *, mode: str = "typed") ->
     """
     if not source.columns:
         raise EmptyHeadersError()  # reference main.gs:55-56
+    if mode == "fidelity":
+        # getDisplayValues has no NULL: a blank cell IS the empty string
+        # (main.gs:52), and Spark's CSV reader maps empty cells to NULL.
+        # Without this fill, `src[A] != "x"` on a blank cell compiles to
+        # NULL != 'x' -> NULL -> row dropped, where the reference keeps
+        # it ("" != "x"), and DIRECT projection emits NULL instead of "".
+        fills = {f.name: "" for f in source.schema.fields
+                 if f.dataType.simpleString() == "string"}
+        if fills:
+            source = source.na.fill(fills)
     predicate, columns = compile_mapping(source, spec, mode=mode)
     out = source
     if predicate is not None:

@@ -214,14 +214,20 @@ def write_workbook_multi(
         f'<workbook xmlns="{SHEET_NS}" xmlns:r="{REL_NS}"><sheets>'
         f"{entries}</sheets></workbook>"
     )
+    # Render (and therefore VALIDATE) every sheet before the zip opens:
+    # ZipFile(path, "w") truncates the target immediately, so a
+    # cell-level error (non-finite number, control character) midway
+    # through sheet k would otherwise destroy the original file on an
+    # in-place rewrite (run_workbook's out_path=in_path shape).
+    rendered = [_sheet_xml(header, rows) for _, header, rows in sheets]
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", _content_types(len(sheets)))
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", _workbook_rels(len(sheets)))
         zf.writestr("xl/styles.xml", _STYLES)
-        for i, (_, header, rows) in enumerate(sheets, start=1):
-            zf.writestr(f"xl/worksheets/sheet{i}.xml", _sheet_xml(header, rows))
+        for i, xml in enumerate(rendered, start=1):
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", xml)
 
 
 def write_workbook(
@@ -321,10 +327,16 @@ def read_workbook(
                 cells[idx - 1] = text
                 numeric[idx - 1] = is_num
 
-            for pos, c in enumerate(row.iter(_tag("c")), start=1):
+            prev_idx = 0
+            for c in row.iter(_tag("c")):
                 ref = c.get("r")
                 m = _CELL_REF_RE.match(ref) if ref else None
-                idx = letters_to_ordinal(m.group(1)) if m else pos
+                # OOXML allows omitting c/@r: the cell implicitly follows
+                # the previous cell (streaming writers emit this for
+                # sparse rows) — element position would relocate values
+                # leftwards past the gaps.
+                idx = letters_to_ordinal(m.group(1)) if m else prev_idx + 1
+                prev_idx = idx
                 ctype = c.get("t", "n")
                 v = c.find(_tag("v"))
                 f = c.find(_tag("f"))
@@ -336,7 +348,11 @@ def read_workbook(
                     put(idx, text, False)
                 elif ctype == "s":
                     put(idx, shared[int(v.text)] if v is not None else "", False)
-                elif f is not None and v is None:
+                elif f is not None:
+                    # Formula wins even when a cached <v> is present —
+                    # Excel always writes the cached value alongside <f>,
+                    # and reading the cache back would silently destroy
+                    # the formula on the preserve-and-rewrite path.
                     put(idx, "=" + (f.text or ""), False)
                 elif ctype == "b":
                     put(idx, "TRUE" if v is not None and v.text == "1" else "FALSE", False)

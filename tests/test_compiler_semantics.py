@@ -250,3 +250,52 @@ def test_parsefloat_skips_bom(spark):
     model = [parse_float(c) for c in cases]
     assert model[0] == 5.0 and model[1] == 7.5
     assert math.isnan(model[2]) and math.isnan(model[3])
+
+
+def test_fidelity_blank_cells_are_empty_strings(spark):
+    """getDisplayValues has no NULL: a blank cell is "" (main.gs:52).
+    Spark's CSV reader maps empty cells to NULL, so fidelity mode fills
+    them — `src[A] != "x"` on a blank cell must KEEP the row ("" != "x")
+    and DIRECT projection must emit "", not NULL.  The property tests'
+    VALUES pool is all non-null strings, so only this test covers it."""
+    from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+    from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+
+    src = spark.createDataFrame(
+        [("1", None), (None, None), ("x", "y")], "A string, B string")
+    spec = parse_mapping(
+        [("_filter:f", "eval: src[A] != x"), ("OutA", "src[A]"),
+         ("OutB", "src[B]")],
+        ["A", "B"],
+    )
+    got = sorted((r["OutA"], r["OutB"]) for r in
+                 run_mapping(src, spec, mode="fidelity").collect())
+    # Reference: "" != "x" keeps the blank row; blank cells project as "".
+    assert got == [("", ""), ("1", "")]
+
+    # "" == "" matches (the reference's two-blank-cells case).
+    spec2 = parse_mapping(
+        [("_filter:f", "eval: src[A] == src[B]"), ("K", "src[A]")], ["A", "B"])
+    assert run_mapping(src, spec2, mode="fidelity").count() == 1  # (None,None)
+
+
+def test_js_trim_of_rule_literals(spark):
+    """Operand literals trim with the ECMA-262 whitespace set, like cell
+    values already do: a BOM pasted into a rule (the UTF-8 copy-paste
+    case the compiler's parseFloat comment cites) must not turn the
+    comparison into always-false NaN; FS (U+001C) must NOT be stripped
+    (JS keeps it).  The property tests' LITERALS pool has only plain
+    spaces, so only this test covers it."""
+    from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
+    from spreadsheet_etl_engine_spark.plans.runner import run_mapping
+
+    src = spark.createDataFrame([("5",), ("4",)], "A string")
+    spec = parse_mapping(
+        [("_filter:f", "eval: src[A] >= ﻿5"), ("K", "src[A]")], ["A"])
+    kept = [r["K"] for r in run_mapping(src, spec, mode="fidelity").collect()]
+    assert kept == ["5"]  # BOM stripped -> numeric 5, not NaN
+
+    # \x1c is NOT JS whitespace: "\x1c5" parseFloats to NaN -> always false.
+    spec2 = parse_mapping(
+        [("_filter:f", "eval: src[A] >= \x1c5"), ("K", "src[A]")], ["A"])
+    assert run_mapping(src, spec2, mode="fidelity").count() == 0

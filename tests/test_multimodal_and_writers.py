@@ -649,3 +649,65 @@ def test_zorder_key_handles_dates_and_rejects_strings(spark):
     assert all(k is not None for k in keys)
     with _pytest.raises(ValueError, match="zorder_key column"):
         W.zorder_key(df, ["s", "x"])
+
+
+def test_xlsx_foreign_writer_shapes(tmp_path):
+    """Cells Excel and streaming writers actually emit, which this
+    codec's own output never contains: formula cells WITH a cached <v>
+    (must read back as formula text, not the stale cache), cells with no
+    r= attribute (implicitly previous-cell-plus-one), and styled-blank
+    number cells (must not crash numeric revival)."""
+    import zipfile
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native as XN
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{XN.SHEET_NS}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>H1</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>H2</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>H3</t></is></c>'
+        '<c r="D1" t="inlineStr"><is><t>H4</t></is></c></row>'
+        # formula with cached value; sparse row with an r-less cell
+        '<row r="2"><c r="A2"><f>SUM(B2:C2)</f><v>42</v></c>'
+        '<c r="C2"><v>7</v></c><c><v>9</v></c></row>'
+        # styled blank number cell
+        '<row r="3"><c r="A3" s="1"/><c r="B3"><v>5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "foreign.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", XN._content_types(1))
+        zf.writestr("_rels/.rels", XN._ROOT_RELS)
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<workbook xmlns="{XN.SHEET_NS}" xmlns:r="{XN.REL_NS}">'
+            '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+            "</workbook>")
+        zf.writestr("xl/_rels/workbook.xml.rels", XN._workbook_rels(1))
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    header, rows, flags = XN.read_workbook(path, sheet_name="S")
+    assert header == ["H1", "H2", "H3", "H4"]
+    assert rows[0][0] == "=SUM(B2:C2)"      # formula text, not cached 42
+    assert rows[0][2] == "7"
+    assert rows[0][3] == "9"                # r-less cell lands in D, not B
+    assert rows[0][1] == ""
+    assert (rows[1][0], flags[1][0]) == ("", True)  # styled blank numeric
+
+
+def test_xlsx_write_failure_does_not_truncate_target(tmp_path):
+    """Sheet XML renders (and validates) BEFORE the zip opens, so a
+    cell-level error cannot destroy the target file — fatal for
+    run_workbook's in-place out_path=in_path shape."""
+    import pytest as _pytest
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native as XN
+
+    path = str(tmp_path / "keep.xlsx")
+    XN.write_workbook(path, ["A"], [(1,)])
+    before = open(path, "rb").read()
+    with _pytest.raises(ValueError):
+        XN.write_workbook_multi(
+            path, [("ok", ["A"], [(1,)]), ("bad", ["A"], [(float("inf"),)])])
+    assert open(path, "rb").read() == before  # original intact
