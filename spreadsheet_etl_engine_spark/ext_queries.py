@@ -1635,7 +1635,9 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_pack_sequences",
     oracle="""
     WITH d AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      -- coalesce mirrors the engine: a NULL-text doc is a 0-token doc
+      -- that still packs (contributes 0 tokens to its bucket's cumsum)
+      SELECT doc_id, coalesce(len(string_split(text, ' ')), 0) AS n_tok,
              CAST(('0x' || substr(md5('pack:' || doc_id), 1, 8)) AS BIGINT)
              % 32 AS bucket,
              md5('order:' || doc_id) AS okey
@@ -1694,10 +1696,10 @@ def pack_sequences(
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
-        # coalesce: size(split(NULL)) is NULL, which would make BOTH
-        # n_tok < 5 and n_tok >= 5 NULL — a 'keep' decision with a NULL
-        # split, breaking the every-keeper-gets-a-split contract.  A
-        # NULL-text doc is a 0-token doc: drop:short.
+        # coalesce: size(split(NULL)) is NULL, and a NULL n_tok would
+        # poison the bucket's running token sum (every later doc's cum —
+        # and so its seq_id — goes NULL).  A NULL-text doc is a 0-token
+        # doc: it still packs, contributing nothing to the budget.
         F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)

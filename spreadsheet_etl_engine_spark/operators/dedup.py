@@ -21,7 +21,7 @@ results are reproducible in the DuckDB oracles; swap ``seeded_hash`` for
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.functions import text as TXT
@@ -766,16 +766,31 @@ def paragraph_dedup(
 
     "First" is deterministic and engine-portable: the minimal
     (``id_col``, chunk index) pair per distinct chunk text, not
-    partition-order luck.
+    partition-order luck.  ``id_col`` must be unique per document (it is
+    the corpus primary key) — duplicate ids would fan out in the final
+    join.
 
-    Scale shape — exactly TWO shuffles, one corpus scan (plan-asserted):
+    Scale shape — NO shuffle is ever chunk-table-sized (plan-asserted):
     chunking is per-row codegen (split + slice — no explode-shuffle to
-    build segments); the keep-first decision is one window over the chunk
-    hash (uniform shuffle; boilerplate chunks that repeat millions of
-    times stay one partition's row_number scan, not a collect); then ONE
-    doc-id aggregation both counts every chunk and reassembles the
-    survivors — ``collect_list`` skips the NULLs the loser chunks map to,
-    so no separate totals branch, no second scan, no join.
+    build segments); the keep-first decision is
+    ``groupBy(md5(chunk)).agg(min(struct(id, idx, chunk)))`` — an
+    algebraic aggregate whose partial (map-side) combine collapses every
+    occurrence of a hot chunk BEFORE the shuffle, so a licence header
+    repeated 10⁹ times across a 100 TB corpus costs one struct per map
+    task, not one partition's 10⁹-row sort.  (The r6 shape — a
+    ``row_number`` window over ``partitionBy(md5(chunk))`` — funnelled
+    exactly the high-frequency boilerplate chunks this operator targets
+    into single-partition sorts that AQE cannot split.)  Winners carry
+    their chunk text inside the min-struct (all texts in a hash group are
+    equal), so reassembly is a second small aggregation over the
+    *winner* rows only — never a join back to the chunk table.  Per-doc
+    chunk totals come straight from ``docs`` as per-row arithmetic
+    (``ceil(size(words)/k)``: the same expression that sizes the chunk
+    array, so the two branches cannot disagree), left-joined to the
+    reassembled winners on the unique doc id.  The second corpus scan
+    this split costs reads two columns columnar-side; the shape it buys
+    shuffles only winner/aggregate-sized data — at 100 TB that trade is
+    the whole operator.
     ``array_sort(collect_list(struct(idx, chunk)))`` restores order
     deterministically.  Output: (id, clean_text, n_chunks, n_removed) —
     every input doc survives, possibly with empty text.
@@ -791,34 +806,52 @@ def paragraph_dedup(
             lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
         )
     )
-    # posexplode_OUTER: a NULL-text or zero-chunk doc still emits one
-    # (NULL, NULL) row, so it survives to the output (n_chunks 0) instead
-    # of silently vanishing from the corpus — with plain posexplode the
-    # doc id never reaches the groupBy at all.
     chunks = (
         docs.select(F.col(id_col), chunk_arr.alias("_chunks"))
-        .select(F.col(id_col), F.posexplode_outer("_chunks").alias("idx", "chunk"))
+        .select(F.col(id_col), F.posexplode("_chunks").alias("idx", "chunk"))
     )
-    first = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "idx")
-    real = F.col("chunk").isNotNull()
-    kept_struct = F.when(
-        real & (F.col("_rn") == 1), F.struct("idx", "chunk")
-    )  # losers AND the outer-join NULL row -> NULL -> skipped by collect_list
-    return (
-        chunks.withColumn("_rn", F.row_number().over(first))
-        .groupBy(id_col)
+    # min(struct): struct comparison is field-lexicographic, so this IS
+    # "order by id, idx" — the chunk field never decides (equal within a
+    # hash group, md5 collisions aside) and only rides along so winners
+    # need no join back for their text.
+    winners = (
+        chunks.groupBy(F.md5("chunk").alias("_h"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"), F.col("chunk"))).alias("_w"))
+        .select(
+            F.col("_w").getField(id_col).alias(id_col),
+            F.col("_w").getField("idx").alias("idx"),
+            F.col("_w").getField("chunk").alias("chunk"),
+        )
+    )
+    kept = (
+        winners.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
                     lambda s: s["chunk"],
                 ),
                 " ",
             ).alias("clean_text"),
-            F.count("chunk").alias("n_chunks"),
-            F.sum(
-                F.when(real & (F.col("_rn") != 1), 1).otherwise(0)
-            ).alias("n_removed"),
+            F.count("*").alias("_n_kept"),
         )
-        .select(id_col, "clean_text", "n_chunks", "n_removed")
+    )
+    # Anchored on docs (left join), so a NULL-text / zero-chunk doc still
+    # surfaces with (clean_text '', n_chunks 0) instead of silently
+    # vanishing — the totality contract posexplode_outer used to carry.
+    totals = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.when(F.size(words) <= 0, F.lit(0)).otherwise(n_chunks), F.lit(0)
+        ).cast("long").alias("n_chunks"),
+    )
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
     )

@@ -317,7 +317,12 @@ def salted_join(
     as up-to-``salt`` spurious right-only duplicates — a silently wrong
     result, so those modes fail loud here.
     """
-    if how not in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
+    # Spark accepts underscore/alias spellings (leftouter, left_outer,
+    # leftsemi, ...) for the same modes — normalize before the
+    # left-preserving check so valid spellings don't fail loud.
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    ):
         raise ValueError(
             f"salted_join does not support how={how!r}: salt replication "
             "is only correct for left-preserving joins (inner/left/"

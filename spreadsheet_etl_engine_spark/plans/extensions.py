@@ -343,6 +343,13 @@ def run_mapping_v2(
     spec = parse_mapping_v2(
         rules, {alias: df.columns for alias, df in tables.items()}, source=source
     )
+    if mode == "fidelity":
+        # Same getDisplayValues NULL→"" semantics as run_mapping, applied
+        # to the source AND every joined table — a blank cell in a right
+        # table must compare/project as "" here too.
+        from spreadsheet_etl_engine_spark.plans.runner import fidelity_fill
+
+        tables = {alias: fidelity_fill(t) for alias, t in tables.items()}
     df = tables[source]
     for j in spec.joins:
         right = tables[j.alias]

@@ -17,6 +17,22 @@ from spreadsheet_etl_engine_spark.plans.compiler import compile_mapping
 from spreadsheet_etl_engine_spark.plans.parser import MappingSpec
 
 
+def fidelity_fill(df: DataFrame) -> DataFrame:
+    """Fidelity-mode NULL→"" fill for every string column.
+
+    getDisplayValues has no NULL: a blank cell IS the empty string
+    (main.gs:52), and Spark's CSV reader maps empty cells to NULL.
+    Without this fill, `src[A] != "x"` on a blank cell compiles to
+    NULL != 'x' -> NULL -> row dropped, where the reference keeps
+    it ("" != "x"), and DIRECT projection emits NULL instead of "".
+    Shared by run_mapping and run_mapping_v2 so both execution paths
+    carry identical display-string semantics.
+    """
+    fills = {f.name: "" for f in df.schema.fields
+             if f.dataType.simpleString() == "string"}
+    return df.na.fill(fills) if fills else df
+
+
 def run_mapping(source: DataFrame, spec: MappingSpec, *, mode: str = "typed") -> DataFrame:
     """Apply a parsed mapping to a source DataFrame.
 
@@ -27,15 +43,7 @@ def run_mapping(source: DataFrame, spec: MappingSpec, *, mode: str = "typed") ->
     if not source.columns:
         raise EmptyHeadersError()  # reference main.gs:55-56
     if mode == "fidelity":
-        # getDisplayValues has no NULL: a blank cell IS the empty string
-        # (main.gs:52), and Spark's CSV reader maps empty cells to NULL.
-        # Without this fill, `src[A] != "x"` on a blank cell compiles to
-        # NULL != 'x' -> NULL -> row dropped, where the reference keeps
-        # it ("" != "x"), and DIRECT projection emits NULL instead of "".
-        fills = {f.name: "" for f in source.schema.fields
-                 if f.dataType.simpleString() == "string"}
-        if fills:
-            source = source.na.fill(fills)
+        source = fidelity_fill(source)
     predicate, columns = compile_mapping(source, spec, mode=mode)
     out = source
     if predicate is not None:

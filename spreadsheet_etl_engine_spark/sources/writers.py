@@ -12,6 +12,8 @@ referenced output cell in the same row (``main.gs:100-114``).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,8 +129,15 @@ def zorder_key(
     ranges = dict(ranges or {})
     missing = [c for c in columns if c not in ranges]
     if missing:
+        # nanvl: a single NaN would otherwise propagate into BOTH bounds
+        # (min/max of a set containing NaN is NaN in Spark), and NaN
+        # bounds pass the lo >= hi degenerate check below (NaN >= NaN is
+        # False) — width_bucket would then NULL every row and the
+        # dimension would silently contribute constant bits.  NaN rows
+        # themselves still cluster at key 0, like NULLs.
         row = df.agg(
-            *[f(numeric[c]) for c in missing for f in (F.min, F.max)]
+            *[f(F.nanvl(numeric[c], F.lit(None).cast("double")))
+              for c in missing for f in (F.min, F.max)]
         ).first()
         for i, c in enumerate(missing):
             ranges[c] = (row[2 * i], row[2 * i + 1])
@@ -136,7 +145,13 @@ def zorder_key(
     key = F.lit(0).cast("long")
     for c_idx, name in enumerate(columns):
         lo, hi = ranges[name]
-        if lo is None or hi is None or float(lo) >= float(hi):
+        if (
+            lo is None or hi is None
+            # Caller-supplied ranges can still carry NaN: same silent
+            # constant-bits failure, so treat it as degenerate too.
+            or math.isnan(float(lo)) or math.isnan(float(hi))
+            or float(lo) >= float(hi)
+        ):
             # Degenerate (constant / all-NULL) column: contributes nothing
             # to the ordering, so skip its bits rather than divide by zero.
             continue

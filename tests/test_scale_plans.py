@@ -258,12 +258,23 @@ def test_zorder_write_plans_one_range_exchange(spark):
     assert "rangepartitioning" in plan.lower()
 
 
-def test_paragraph_dedup_plans_two_exchanges_one_scan(spark, sf_dir):
-    """paragraph_dedup: one window shuffle on the chunk hash + one doc-id
-    aggregation shuffle, ONE corpus scan — the totals/kept join the naive
-    shape would add was fused into the aggregation (collect_list skips
-    the loser chunks' NULLs)."""
+def test_paragraph_dedup_keep_first_is_map_side_combinable(spark, sf_dir):
+    """paragraph_dedup's keep-first decision must be an algebraic
+    aggregate (partial min(struct) collapses hot boilerplate chunks
+    map-side, BEFORE any shuffle) and never a window over
+    partitionBy(chunk hash) — the r6 shape funnelled exactly the
+    high-frequency chunks the operator targets into one partition's
+    row_number sort, which AQE cannot split.  The two-scan/small-shuffle
+    trade: no exchange in this plan carries the exploded chunk table."""
     plan = _plan(registry.get("dedup_paragraphs").fn(spark, sf_dir))
-    assert plan.count("Exchange") == 2, plan
-    assert plan.count("Scan parquet") == 1, plan
-    assert "Join" not in plan, plan
+    # Skew-fragile shape is gone: no window at all in this operator.
+    assert "Window" not in plan, plan
+    # The winner decision partial-aggregates before its exchange.
+    assert "partial_min" in plan, plan
+    # Corpus read twice (chunk branch + per-row totals branch) — the
+    # price of shuffling only winner/aggregate-sized data.
+    assert plan.count("Scan parquet") == 2, plan
+    # Exchanges: winner hash agg, winner doc-id agg, totals-side join
+    # exchange (+ at most a reused/broadcast kept side) — all bounded by
+    # distinct-chunk or doc counts, never the chunk-table size.
+    assert plan.count("Exchange") <= 4, plan
