@@ -1140,8 +1140,12 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dsl_fidelity_strings",
     oracle="""
-    SELECT CAST(l_orderkey AS VARCHAR) AS OrderKey,
-           qty_s AS Qty, flag_s AS Flag
+    -- coalesce('') mirrors the engine's fidelity fill: getDisplayValues
+    -- has no NULL, a blank cell displays as '' (main.gs:52).  The WHERE
+    -- needs no coalesce: parseFloat('') is NaN and '' = 'R' is false in
+    -- the engine, which a NULL comparison's not-kept outcome matches.
+    SELECT coalesce(CAST(l_orderkey AS VARCHAR), '') AS OrderKey,
+           coalesce(qty_s, '') AS Qty, coalesce(flag_s, '') AS Flag
     FROM (SELECT l_orderkey, CAST(l_quantity AS VARCHAR) AS qty_s,
                  l_returnflag AS flag_s
           FROM lineitem)
@@ -2098,122 +2102,95 @@ def get(name: str) -> RegisteredQuery:
 # must never silently lose verification — come first, then one
 # representative per relational family.  Everything past slot 50 was
 # hash-verified by the driver in an earlier round and is byte-unchanged
-# (pinned by the tail fingerprint guard), EXCEPT the residual
-# never-driver-verified r5 entries sample_cap_per_source /
-# text_encoding_quality / dsl_csv_roundtrip /
-# scan_partition_pruned / dsl_v2_distinct / events_value_outliers /
-# text_tfidf_top_terms / text_collocations_pmi, which ride the local
-# two-SF parity gate only and are queued for r7 promotion.
+# (pinned by the tail fingerprint guard).
 #
-# r6 rotation (the round's headline job — the r5 verdict's item 1): 17
-# never-driver-verified tail entries promoted into the head (15 from the
-# verdict's list + window_distribution + the new text_quality_rank_approx);
-# 17 multiply-verified byte-unchanged head entries demoted to the tail
-# (dsl_formula_chain, dsl_a1_formula [green r2-r5], dedup_minhash_lsh_pairs,
-# dedup_simhash_pairs, text_quality, events_rolling_window,
-# window_rank_variants, agg_rollup, sort_topk, join_asof,
-# join_dims_broadcast, etl_upsert,
-# etl_scd2 [green r4+r5], scalar_string_math, agg_quantiles,
-# sample_stratified, reshape_unpivot [green r2+r5]).  Promotion gate:
-# every promoted entry re-ran the local parity test at BOTH sf0.001 and
-# sf0.01 first (scripts/check_promotions.py — the driver's scale).
+# r7 rotation (the r6 verdict's item 1 — finish attesting the whole
+# registry): ALL 16 remaining unattested queries promoted — the 8 r5
+# residuals that were never driver-verified (dsl_csv_roundtrip,
+# scan_partition_pruned, dsl_v2_distinct, sample_cap_per_source,
+# text_encoding_quality, text_tfidf_top_terms, text_collocations_pmi,
+# events_value_outliers) plus the 8 r6 edge-fix re-pins whose current
+# bytes had never earned a driver row (agg_moments, sample_hash,
+# sample_stratified, dedup_simhash, dedup_simhash_pairs,
+# events_sessionize, and the overlap pair events_value_outliers /
+# text_collocations_pmi already counted above) — 14 distinct names, every
+# one green through scripts/check_promotions.py at BOTH sf0.001 and
+# sf0.01 before taking a slot.  Displaced: 14 entries freshly verified in
+# r6 and byte-unchanged since (dsl_xlsx_roundtrip, dsl_json_source,
+# dsl_orc_roundtrip, dedup_minhash_signature, dedup_components,
+# dedup_embedding_neardup, text_repetition, text_contamination,
+# train_split_assign, mix_weights_by_source, events_funnel,
+# events_cohort_retention, window_distribution, join_full_outer).  After
+# this round's driver run the never-driver-verified count is 0 and every
+# query's current bytes carry a driver row from r6 or r7.
 #
-# Mid-r6 swap: the brand-new dedup_paragraphs (sub-document boilerplate
-# removal) took a head slot so it verifies THIS round rather than joining
-# the never-verified queue; agg_pricing_summary demoted to make room
-# (green r1-r5 every round, byte-unchanged, and still timed per-round as
-# a bench headline).  Never-driver-verified tail queue for r7 stays at
-# the 8 r5 residuals listed above — r6 added no unverified surface.
-#
-# r6 oracle-blind-edge fixes touched eight TAIL queries' shared
-# operators/oracles (agg_moments, events_value_outliers: count(value)
-# divisor; sample_hash, sample_stratified: NULL-key sentinel in
-# _hash_bucket; dedup_simhash, dedup_simhash_pairs: NULL-text routing +
-# hoisted shared oracle SQL; events_sessionize: oracle-only event_id
-# tiebreak under timestamp ties; text_collocations_pmi: 1-token-doc
-# guard) — re-pinned rather than promoted because (a) the head's 50
-# slots carry 13 first-time verifications that must not be displaced,
-# and (b) the fixes alter ONLY edge behavior absent from the driver
-# testdata (no NULL values/keys/texts, no 1-token docs at sf0.01), so
-# outputs there are byte-identical to the rows' original green
-# verification; both-scale local parity re-ran green after each change.
-# All eight join the r7 promotion queue ahead of the 8 r5 residuals.
+# r7 code changes forcing head slots this round: dedup_paragraphs (keep-
+# first de-skewed to min(struct) agg), train_pack_sequences (oracle
+# gained the NULL-text coalesce), join_skew_salted (salted_join mode
+# aliases), dsl_fidelity_strings (fidelity fill hoisted to a shared
+# helper) — all already head entries.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
     "dsl_a1_forward",
-    "dsl_fidelity_strings",
+    "dsl_fidelity_strings",       # r7: fidelity fill refactored (shared helper)
     "dsl_v2_join_agg",
-    "dsl_v2_and_filter",  # NEW r6: && in eval: (v2 grammar) — must verify;
-    #                       agg_approx_quantile demoted to make room
-    #                       (green r5, byte-unchanged, rows-only check)
-    "dsl_v2_having_topn",  # r6: run_mapping_v2 filter/having compile moved
-    #                        to the v2 grammar — execution path changed, so
-    #                        it re-verifies even though its own source is
-    #                        byte-identical; events_sessionize demoted
-    #                        (green r2/r4/r5; the same sessionization stays
-    #                        head-covered by streaming_session_counts,
-    #                        which shares its oracle)
-    "dsl_xlsx_roundtrip",
+    "dsl_v2_and_filter",
+    "dsl_v2_having_topn",
+    "dsl_v2_distinct",            # r7 promotion: never driver-verified (r5)
+    "dsl_csv_roundtrip",          # r7 promotion: never driver-verified (r5)
     "dsl_workbook_job",
-    "dsl_json_source",
-    "dsl_orc_roundtrip",
-    # [EXT] dedup family.  dedup_incremental's operator gained the
-    # maintained-index path (seen_dedup_index) in r6 — MUST re-verify.
-    "dedup_minhash_signature",
+    # Scans.
+    "scan_partition_pruned",      # r7 promotion: never driver-verified (r5)
+    "scan_schema_evolution",
+    # [EXT] dedup family.
     "dedup_incremental",
-    "dedup_components",
     "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_neardup",
-    "dedup_keep_best",            # r6 promotion: survivorship dedup (r5-new)
+    "dedup_keep_best",
+    "dedup_simhash",              # r7 promotion: r6 edge-fix re-pin
+    "dedup_simhash_pairs",        # r7 promotion: r6 edge-fix re-pin
+    "dedup_paragraphs",           # r7: keep-first de-skewed — MUST re-verify
     # [EXT] similarity search + vector analytics.
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
-    # [EXT] text analysis + curation.
-    "text_repetition",
+    # [EXT] text analysis.
     "text_pii_scrub",
-    "text_contamination",
-    "text_quality_rank",          # r6 promotion (r5-new)
-    "text_quality_rank_approx",   # NEW r6: the dominant-language scale path
-    "train_split_assign",
-    "train_pack_sequences",
-    "mix_weights_by_source",
-    "curation_pipeline_decisions",  # r6 promotion: composed pipeline (r5-new)
-    "quality_constraint_report",  # r6: quality.py fixed (empty input, NULL
-    #                               keys, name validation) — MUST re-verify
-    # [EXT] multimodal.  PNG decode added r6 — MUST re-verify.
+    "text_quality_rank",
+    "text_quality_rank_approx",
+    "text_encoding_quality",      # r7 promotion: never driver-verified (r5)
+    "text_tfidf_top_terms",       # r7 promotion: never driver-verified (r5)
+    "text_collocations_pmi",      # r7 promotion: r5 residual + r6 edge fix
+    # [EXT] training-data curation + sampling.
+    "train_pack_sequences",       # r7: oracle NULL-text coalesce — MUST re-verify
+    "curation_pipeline_decisions",
+    "quality_constraint_report",
+    "sample_cap_per_source",      # r7 promotion: never driver-verified (r5)
+    "sample_hash",                # r7 promotion: r6 edge-fix re-pin
+    "sample_stratified",          # r7 promotion: r6 edge-fix re-pin
+    # [EXT] multimodal.
     "multimodal_decode",
     # Event-time / streaming.
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
-    "events_mode_per_user",       # r6 promotion (r5-new)
-    "events_transitions",         # r6 promotion (r5-new)
-    "events_decayed_engagement",  # r6: k clamped both sides — MUST re-verify
-    "events_funnel",              # r6 promotion (r5-new)
-    "events_cohort_retention",    # r6 promotion (r5-new)
-    "events_resample_gapfill",    # r6 promotion (r5-new)
-    # Window functions.
-    "window_distribution",        # r6 promotion (r5-new; replaces the
-    #                               multiply-verified window_rank_variants
-    #                               as the family's head representative)
-    # Joins.  (join_dims_broadcast demoted r6 — green r2-r5, byte-
-    # unchanged; broadcast-join coverage stays via dsl_v2_join_agg.)
+    "events_mode_per_user",
+    "events_transitions",
+    "events_decayed_engagement",
+    "events_resample_gapfill",
+    "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
+    "events_value_outliers",      # r7 promotion: r5 residual + r6 edge fix
+    # Joins.
     "join_fact_fact_bucketed",
-    "join_skew_salted",
-    "join_full_outer",            # r6 promotion (r5-new)
-    # Aggregations.  (agg_pricing_summary demoted mid-r6 to make a head
-    # slot for the NEW dedup_paragraphs — green r1-r5 every round,
-    # byte-unchanged, and still timed every round as a bench headline.)
-    "dedup_paragraphs",           # NEW r6: sub-document boilerplate removal
+    "join_skew_salted",           # r7: salted_join mode-alias fix — MUST re-verify
+    # Aggregations.
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
-    "agg_corr_covar",             # r6 promotion (r5-new, decimal power sums)
-    "agg_linear_fit",             # r6 promotion (r5-new)
-    # Scans / profiling.
-    "scan_schema_evolution",      # r6 promotion (r5-new)
-    "profile_key_skew",           # r6 promotion (r5-new)
+    "agg_corr_covar",
+    "agg_linear_fit",
+    "agg_moments",                # r7 promotion: r6 edge-fix re-pin
+    # Profiling.
+    "profile_key_skew",
 )
 
 DRIVER_CHECK_BUDGET = 50

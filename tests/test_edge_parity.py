@@ -1,0 +1,131 @@
+"""Edge-row parity gate (r6 verdict, What's missing #2).
+
+The generated testdata carries no NULL texts/values/keys, no 1-token
+documents, no timestamp-tied events and no blank fidelity cells — so the
+r6 round's eight "parity-blind" edge fixes were exercised only by unit
+tests, never by the engine-vs-DuckDB parity gate.  This module plants
+exactly those edge rows into an augmented copy of the fixture tables and
+re-runs the SAME parity comparison there, making the gate
+regression-proof for the class of bug the r6 operator review found.
+
+Edge rows planted (ids in the 90000000+ range so they never collide):
+- documents: NULL text, empty-string text, a 1-token document
+- events:   a (user, ts) tie pair with distinct event_ids; a NULL value
+- lineitem: NULL l_quantity in a real group (count(value) divisors);
+            NULL l_orderkey + NULL l_returnflag (NULL sampling key,
+            blank fidelity cells) with qty >= 30 so the row SURVIVES the
+            fidelity filter and its blank projections become visible
+- orders:   NULL o_orderkey (the _hash_bucket NULL-key sentinel)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spreadsheet_etl_engine_spark import registry
+from spreadsheet_etl_engine_spark.sources.readers import TABLE_NAMES
+
+from tests.conftest import SF_DIR
+from tests.test_oracle_parity import assert_query_parity
+
+# Every query whose r6/r7 edge fix is invisible at the plain fixture
+# tables, plus the operators most sensitive to NULL/degenerate text.
+EDGE_QUERIES = [
+    "agg_moments",              # NULL l_quantity: count(value) divisor
+    "events_value_outliers",    # NULL events.value: same divisor class
+    "sample_hash",              # NULL o_orderkey: _hash_bucket sentinel
+    "sample_stratified",        # NULL l_orderkey: NULL sampling key
+    "dedup_simhash",            # NULL-text routing
+    "dedup_simhash_pairs",      # NULL-text routing
+    "events_sessionize",        # timestamp-tied events: event_id tiebreak
+    "text_collocations_pmi",    # 1-token document guard
+    "dsl_fidelity_strings",     # blank cells: NULL -> "" fill
+    "train_pack_sequences",     # NULL-text doc: n_tok coalesce both sides
+    "dedup_paragraphs",         # NULL/empty text: totality contract
+    "dedup_incremental",        # unshingleable (NULL/short) doc routing
+]
+
+_AUGMENT = {
+    "documents": """
+        SELECT 90000001::BIGINT AS doc_id, NULL::VARCHAR AS text,
+               'en' AS lang, 'edge' AS source, 0::BIGINT AS n_chars
+        UNION ALL
+        SELECT 90000002, '', 'en', 'edge', 0
+        UNION ALL
+        SELECT 90000003, 'solitaryword', 'en', 'edge', 12
+    """,
+    "events": """
+        SELECT 90000001::BIGINT AS event_id,
+               TIMESTAMP '2025-01-01 00:00:00' AS ts,
+               7::BIGINT AS user_id, 'view' AS event_type,
+               NULL::DOUBLE AS value, NULL::VARCHAR AS props
+        UNION ALL
+        SELECT 90000002, TIMESTAMP '2025-01-01 00:00:00', 7, 'view',
+               1.5, NULL
+    """,
+    "lineitem": """
+        SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
+               1::BIGINT AS l_suppkey, 1::INTEGER AS l_linenumber,
+               NULL::DOUBLE AS l_quantity, 100.0::DOUBLE AS l_extendedprice,
+               0.0::DOUBLE AS l_discount, 0.0::DOUBLE AS l_tax,
+               'A' AS l_returnflag, 'F' AS l_linestatus,
+               TIMESTAMP '2025-01-01 00:00:00' AS l_shipdate
+        UNION ALL
+        SELECT NULL, 1, 1, 9991, 45.0, 100.0, 0.0, 0.0,
+               NULL, 'F', TIMESTAMP '2025-01-01 00:00:00'
+    """,
+    "orders": """
+        SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
+               'O' AS o_orderstatus, 123.45::DOUBLE AS o_totalprice,
+               TIMESTAMP '2025-01-01 00:00:00' AS o_orderdate,
+               '1-URGENT' AS o_orderpriority
+    """,
+}
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory) -> str:
+    """Augmented copy of the fixture tables: base rows + edge rows, same
+    schemas (UNION ALL BY NAME types unify against the base parquet)."""
+    out = tmp_path_factory.mktemp("edge_sf")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        extra = _AUGMENT.get(t)
+        if extra:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}' UNION ALL BY NAME ({extra})) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_edge_rows_present(edge_dir, edge_duck):
+    n = edge_duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
+    ).fetchone()[0]
+    assert n == 3
+    tie = edge_duck.execute(
+        "SELECT count(*) FROM events WHERE user_id = 7 "
+        "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
+    ).fetchone()[0]
+    assert tie == 2
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_parity(spark, edge_duck, edge_dir, name):
+    assert_query_parity(spark, edge_duck, edge_dir, name)

@@ -467,6 +467,83 @@ def test_incremental_dedup_flags(spark):
         DD.seen_dedup_index(seen, "text", "doc_id", bands=3)
 
 
+def test_incremental_dedup_index_roundtrip_via_parquet(spark, tmp_path):
+    """The daily continuous-ingestion flow the docstring promises: build
+    the seen index ONCE, persist to parquet, probe a batch from the
+    STORED index, accept the batch by unioning its own hashes/band keys
+    into the stored tables, and probe the next batch from the updated
+    store — at every step equal to recomputing from the full raw corpus.
+    The raw seen text is never re-scanned after the initial build."""
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+
+    seen = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat"),  # near dup
+            (11, "entirely novel text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (20, "entirely novel text with no overlap whatsoever here"),
+            # near-dup of batch1's novel doc: only detectable if the
+            # store really absorbed batch1
+            (21, "entirely novel text with no overlap whatsoever there"),
+            (22, "some fresh third-wave content unseen anywhere before"),
+        ],
+        "doc_id long, text string",
+    )
+    hdir, bdir = str(tmp_path / "hashes"), str(tmp_path / "bands")
+
+    def flags(df):
+        return {
+            r["doc_id"]: (r["is_exact_dup"], r["is_near_dup"])
+            for r in df.collect()
+        }
+
+    # Day 0: build + persist.
+    hashes, bands = DD.seen_dedup_index(seen, "text", "doc_id")
+    hashes.write.mode("overwrite").parquet(hdir)
+    bands.write.mode("overwrite").parquet(bdir)
+
+    # Day 1: probe batch1 from the STORE; must equal the raw recompute.
+    stored = (spark.read.parquet(hdir), spark.read.parquet(bdir))
+    got1 = flags(DD.incremental_dedup(batch1, None, "text", "doc_id",
+                                      seen_index=stored))
+    want1 = flags(DD.incremental_dedup(batch1, seen, "text", "doc_id"))
+    assert got1 == want1 and got1[10] == (False, True)
+
+    # Accept batch1: union its OWN hashes/keys into the store (the
+    # incremental maintenance step — no raw-text rescan of `seen`).
+    b1h, b1b = DD.seen_dedup_index(batch1, "text", "doc_id")
+    upd_h = spark.read.parquet(hdir).union(b1h).distinct()
+    upd_b = spark.read.parquet(bdir).union(b1b).distinct()
+    upd_h.write.mode("overwrite").parquet(hdir + ".v2")
+    upd_b.write.mode("overwrite").parquet(bdir + ".v2")
+
+    # Day 2: probe batch2 from the UPDATED store; must equal a full
+    # recompute over seen ∪ batch1.
+    stored2 = (spark.read.parquet(hdir + ".v2"),
+               spark.read.parquet(bdir + ".v2"))
+    got2 = flags(DD.incremental_dedup(batch2, None, "text", "doc_id",
+                                      seen_index=stored2))
+    want2 = flags(DD.incremental_dedup(
+        batch2, seen.unionByName(batch1), "text", "doc_id"))
+    assert got2 == want2
+    assert got2[20] == (True, True)    # exact copy of an accepted doc
+    assert got2[21] == (False, True)   # near-dup only via absorbed batch1
+    assert got2[22] == (False, False)
+
+
 def test_incremental_dedup_consistent_with_pairs_operator(spark):
     """Cross-path check: a batch doc is near-dup-flagged iff the SELF-JOIN
     pairs operator over the union corpus links it to a seen doc — two

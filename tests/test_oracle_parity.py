@@ -83,48 +83,54 @@ def test_entry_contract(spark):
 # the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
 # past the driver's 50-entry check budget when relational extras were
 # registered ahead of them), and everything whose code or oracle changed
-# this round.  r6 rotation: dedup_minhash_lsh_pairs / dedup_simhash_pairs /
-# text_quality / events_rolling_window / window_rank_variants moved to the
-# tail (multiply-verified, byte-unchanged — pinned by the tail snapshot
-# guard below) to make room for the 17 never-driver-verified promotions.
+# this round.  r7 rotation: the final 14 unattested queries (8 r5
+# residuals + 6 non-overlapping r6 edge-fix re-pins) promoted; 14 entries
+# freshly verified in r6 and byte-unchanged demoted to the tail (pinned
+# by the tail snapshot guard below).
 MUST_BE_IN_CHECK_BUDGET = [
     # Reference DSL surface.
     "dsl_flagship",
-    "dsl_fidelity_strings",
-    "dsl_json_source",
-    "dsl_orc_roundtrip",
+    "dsl_fidelity_strings",   # r7: fidelity fill refactored
     "dsl_a1_forward",
-    "dsl_xlsx_roundtrip",
     "dsl_workbook_job",
-    "dsl_v2_and_filter",      # && in eval: — new r6
-    "dsl_v2_having_topn",     # execution path changed r6 (v2 having compile)
-    # [EXT] operators + r6-edited code paths.
-    "dedup_minhash_signature",
-    "dedup_incremental",      # operator gained seen_dedup_index in r6
-    "dedup_components",
+    "dsl_v2_and_filter",
+    "dsl_v2_having_topn",
+    "dsl_v2_distinct",        # r7 promotion: never driver-verified
+    "dsl_csv_roundtrip",      # r7 promotion: never driver-verified
+    # r7 promotions: the last never-driver-verified / re-pinned entries.
+    "scan_partition_pruned",
+    "sample_cap_per_source",
+    "sample_hash",
+    "sample_stratified",
+    "text_encoding_quality",
+    "text_tfidf_top_terms",
+    "text_collocations_pmi",
+    "events_value_outliers",
+    "events_sessionize",
+    "agg_moments",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # [EXT] operators + r7-edited code paths.
+    "dedup_incremental",
     "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_neardup",
     "dedup_keep_best",
-    "dedup_paragraphs",       # NEW mid-r6: must verify this round
+    "dedup_paragraphs",       # r7: keep-first de-skewed — must re-verify
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
-    "multimodal_decode",      # PNG decode added r6
-    "text_repetition",
+    "multimodal_decode",
     "text_pii_scrub",
-    "text_contamination",
     "text_quality_rank",
     "text_quality_rank_approx",
-    "train_split_assign",
-    "train_pack_sequences",
-    "mix_weights_by_source",
+    "train_pack_sequences",   # r7: oracle NULL-text coalesce — must re-verify
     "curation_pipeline_decisions",
-    "quality_constraint_report",   # quality.py fixed r6
+    "quality_constraint_report",
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
-    "events_decayed_engagement",   # clamp fixed r6
+    "events_decayed_engagement",
     "join_fact_fact_bucketed",
+    "join_skew_salted",       # r7: salted_join mode-alias fix — must re-verify
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
 ]
