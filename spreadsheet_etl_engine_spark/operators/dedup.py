@@ -773,27 +773,27 @@ def paragraph_dedup(
     Scale shape — NO shuffle is ever chunk-table-sized (plan-asserted):
     chunking is per-row codegen (split + slice — no explode-shuffle to
     build segments); the keep-first decision is
-    ``groupBy(md5(chunk)).agg(min(struct(id, idx, chunk)))`` — an
-    algebraic aggregate whose partial (map-side) combine collapses every
+    ``groupBy(md5(chunk)).agg(min(struct(id, idx)))`` — an algebraic
+    aggregate whose partial (map-side) combine collapses every
     occurrence of a hot chunk BEFORE the shuffle, so a licence header
-    repeated 10⁹ times across a 100 TB corpus costs one struct per map
-    task, not one partition's 10⁹-row sort.  (The r6 shape — a
+    repeated 10⁹ times across a 100 TB corpus costs one 12-byte struct
+    per map task, not one partition's 10⁹-row sort.  (The r6 shape — a
     ``row_number`` window over ``partitionBy(md5(chunk))`` — funnelled
     exactly the high-frequency boilerplate chunks this operator targets
-    into single-partition sorts that AQE cannot split.)  Winners carry
-    their chunk text inside the min-struct (all texts in a hash group are
-    equal), so reassembly is a second small aggregation over the
-    *winner* rows only — never a join back to the chunk table.  Per-doc
-    chunk totals come straight from ``docs`` as per-row arithmetic
-    (``ceil(size(words)/k)``: the same expression that sizes the chunk
-    array, so the two branches cannot disagree), left-joined to the
-    reassembled winners on the unique doc id.  The second corpus scan
-    this split costs reads two columns columnar-side; the shape it buys
-    shuffles only winner/aggregate-sized data — at 100 TB that trade is
-    the whole operator.
-    ``array_sort(collect_list(struct(idx, chunk)))`` restores order
-    deterministically.  Output: (id, clean_text, n_chunks, n_removed) —
-    every input doc survives, possibly with empty text.
+    into single-partition sorts that AQE cannot split.)  Chunk TEXT
+    never rides the aggregation: winners reduce to per-doc kept-index
+    arrays (a second aggregation over winner rows only), and the final
+    doc-id join re-slices each winning doc's own text by those indices —
+    per-row codegen, no join back to the chunk table.  Per-doc chunk
+    totals come from the same ``ceil(size(words)/k)`` expression that
+    sizes the chunk array, so the branches cannot disagree.  The second
+    corpus scan this split costs reads two columns columnar-side; the
+    shape it buys shuffles only hash+struct pairs and index arrays — at
+    100 TB that trade is the whole operator.  (Measured at 2.4M chunks
+    with 4 hot chunks × 300k copies, local[32]: within noise of the
+    window shape, with none of its skew ceiling — BENCH_NOTES.md r7.)
+    Output: (id, clean_text, n_chunks, n_removed) — every input doc
+    survives, possibly with empty text.
     """
     k = int(chunk_words)
     if k <= 0:
@@ -811,47 +811,36 @@ def paragraph_dedup(
         .select(F.col(id_col), F.posexplode("_chunks").alias("idx", "chunk"))
     )
     # min(struct): struct comparison is field-lexicographic, so this IS
-    # "order by id, idx" — the chunk field never decides (equal within a
-    # hash group, md5 collisions aside) and only rides along so winners
-    # need no join back for their text.
-    winners = (
-        chunks.groupBy(F.md5("chunk").alias("_h"))
-        .agg(F.min(F.struct(F.col(id_col), F.col("idx"), F.col("chunk"))).alias("_w"))
-        .select(
-            F.col("_w").getField(id_col).alias(id_col),
-            F.col("_w").getField("idx").alias("idx"),
-            F.col("_w").getField("chunk").alias("chunk"),
-        )
+    # "order by id, idx" — deterministic, engine-portable keep-first
+    # (md5 collisions aside, the standard 128-bit assumption).
+    winners = chunks.groupBy(F.md5("chunk").alias("_h")).agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("_w")
     )
     kept = (
-        winners.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                    lambda s: s["chunk"],
-                ),
-                " ",
-            ).alias("clean_text"),
-            F.count("*").alias("_n_kept"),
-        )
+        winners.groupBy(F.col("_w").getField(id_col).alias(id_col))
+        .agg(F.array_sort(F.collect_list(F.col("_w").getField("idx"))).alias("_idxs"))
     )
     # Anchored on docs (left join), so a NULL-text / zero-chunk doc still
     # surfaces with (clean_text '', n_chunks 0) instead of silently
-    # vanishing — the totality contract posexplode_outer used to carry.
-    totals = docs.select(
-        F.col(id_col),
-        F.coalesce(
-            F.when(F.size(words) <= 0, F.lit(0)).otherwise(n_chunks), F.lit(0)
-        ).cast("long").alias("n_chunks"),
-    )
+    # vanishing, and each survivor's text is re-sliced from its own
+    # words by the kept indices (codegen — the chunk strings were never
+    # shuffled anywhere).
+    idxs = F.coalesce(F.col("_idxs"), F.array().cast("array<int>"))
+    total = F.coalesce(
+        F.when(F.size(words) <= 0, F.lit(0)).otherwise(n_chunks), F.lit(0)
+    ).cast("long")
     return (
-        totals.join(kept, id_col, "left")
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(kept, id_col, "left")
         .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("_n_kept", F.lit(0)))
-            .cast("long").alias("n_removed"),
+            F.col(id_col),
+            F.array_join(
+                F.transform(
+                    idxs, lambda i: F.array_join(F.slice(words, i * k + 1, k), " ")
+                ),
+                " ",
+            ).alias("clean_text"),
+            total.alias("n_chunks"),
+            (total - F.size(idxs)).cast("long").alias("n_removed"),
         )
     )

@@ -562,6 +562,53 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_zorder_pruned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 15
+      AND l_extendedprice BETWEEN 20000 AND 40000
+    """,
+    doc="Box-predicate scan over a write_zordered copy of lineitem "
+        "(sources/writers.py:write_zordered): rows identical to the same "
+        "predicate on the raw table — clustering is a pure layout "
+        "transform — while parquet row-group min/max stats prune the "
+        "read because Z-ordering makes BOTH dimensions' value ranges "
+        "tight per file (skip ratios are pinned by tests/"
+        "test_multimodal_and_writers.py; this query puts the end-to-end "
+        "values under the driver's hash the way join_fact_fact_bucketed "
+        "does for bucketing).  At 100 TB a Z-ordered fact table turns "
+        "multi-dimensional slicing — the access pattern of curation "
+        "dashboards and quality triage — into reads that touch only the "
+        "matching hyper-rectangles.",
+)
+def scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.sources.writers import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tmpdir = tempfile.mkdtemp()
+    try:
+        path = f"{tmpdir}/lineitem_z"
+        write_zordered(
+            li, path, zorder_by=["l_quantity", "l_extendedprice"], n_files=8
+        )
+        z = spark.read.parquet(path)
+        return (
+            z.filter(
+                F.col("l_quantity").between(10, 15)
+                & F.col("l_extendedprice").between(20000, 40000)
+            )
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmpdir)
+
+
+@register(
     "scan_schema_evolution",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,
@@ -2128,7 +2175,13 @@ def get(name: str) -> RegisteredQuery:
 # first de-skewed to min(struct) agg), train_pack_sequences (oracle
 # gained the NULL-text coalesce), join_skew_salted (salted_join mode
 # aliases), dsl_fidelity_strings (fidelity fill hoisted to a shared
-# helper) — all already head entries.
+# helper + oracle NULL→'' coalesce) — all already head entries.
+#
+# r7 registry growth: ONE new query (scan_zorder_pruned — the r6 stretch
+# item turning the z-order plan/pruning tests into driver-attested
+# end-to-end evidence), taking the slot of events_resample_gapfill
+# (green r6, byte-unchanged).  New surface (1) ≤ first-time driver
+# verifications (15), per the standing growth rule.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
@@ -2142,6 +2195,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_workbook_job",
     # Scans.
     "scan_partition_pruned",      # r7 promotion: never driver-verified (r5)
+    "scan_zorder_pruned",         # NEW r7: z-order pruning end-to-end;
+    #                               events_resample_gapfill demoted to make
+    #                               room (green r6, byte-unchanged)
     "scan_schema_evolution",
     # [EXT] dedup family.
     "dedup_incremental",
@@ -2177,7 +2233,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_mode_per_user",
     "events_transitions",
     "events_decayed_engagement",
-    "events_resample_gapfill",
     "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
     "events_value_outliers",      # r7 promotion: r5 residual + r6 edge fix
     # Joins.

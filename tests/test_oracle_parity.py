@@ -99,6 +99,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_csv_roundtrip",      # r7 promotion: never driver-verified
     # r7 promotions: the last never-driver-verified / re-pinned entries.
     "scan_partition_pruned",
+    "scan_zorder_pruned",     # NEW r7: must verify
     "sample_cap_per_source",
     "sample_hash",
     "sample_stratified",
