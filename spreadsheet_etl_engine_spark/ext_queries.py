@@ -637,11 +637,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
     WITH flagged AS (
+        -- ts IS NOT NULL mirrors Spark's session_window, which drops
+        -- NULL-timestamp rows: an event with no time cannot open or
+        -- extend a session (same stance as the funnel's entry filter)
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -806,11 +809,14 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest additionally pins stream == batch (tests/test_streaming.py).
     oracle="""
     WITH flagged AS (
+        -- ts IS NOT NULL mirrors Spark's session_window, which drops
+        -- NULL-timestamp rows: an event with no time cannot open or
+        -- extend a session (same stance as the funnel's entry filter)
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
@@ -1229,11 +1235,15 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_rank",
     oracle="""
     WITH q AS (
+      -- outer coalesce mirrors the engine: a NULL-text doc is a 0-token
+      -- junk doc scoring 0.0 (ranks at the bottom of its language) —
+      -- NULL scores would also NULL-order differently across engines
       SELECT doc_id, lang,
-             0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                    / greatest(len(string_split(text, ' ')), 1))
-               + 0.5 * (CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
-                        / 100.0) AS quality_score
+             coalesce(
+               0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / greatest(len(string_split(text, ' ')), 1))
+                 + 0.5 * (CAST(least(len(string_split(text, ' ')), 100) AS DOUBLE)
+                          / 100.0), 0.0) AS quality_score
       FROM documents
     )
     SELECT doc_id, lang, quality_score,
@@ -1262,7 +1272,11 @@ def text_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", TXT.quality_score(F.col("text")).alias("quality_score")
+        "doc_id", "lang",
+        # NULL text -> 0.0: a doc with no text is a junk doc, not an
+        # unrankable one (quality_score alone is NULL on NULL input).
+        F.coalesce(TXT.quality_score(F.col("text")), F.lit(0.0))
+        .alias("quality_score"),
     )
     w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
     pct = F.percent_rank().over(w)
@@ -1301,7 +1315,11 @@ def text_quality_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", TXT.quality_score(F.col("text")).alias("quality_score")
+        "doc_id", "lang",
+        # Same NULL-text -> 0.0 totalization as the exact twin, so the
+        # embedded agreement audit compares identical score domains.
+        F.coalesce(TXT.quality_score(F.col("text")), F.lit(0.0))
+        .alias("quality_score"),
     )
     # Scale path: one map-side-combinable sketch agg per language, then a
     # broadcast threshold join — no in-language sort anywhere.
@@ -1867,10 +1885,13 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_transitions",
     oracle="""
     WITH seq AS (
+      -- ts IS NOT NULL: an event with no timestamp has no position in
+      -- the user's timeline (and NULL ordering diverges across engines:
+      -- Spark sorts NULLS FIRST asc, DuckDB NULLS LAST)
       SELECT event_type,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT prev_type, event_type AS next_type, count(*) AS n,
            count(*) / (sum(count(*)) OVER (PARTITION BY prev_type))
@@ -1890,7 +1911,9 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events carry no timeline position — excluded from the
+    # sequence on both sides (the oracle's WHERE mirrors this filter).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(

@@ -44,6 +44,21 @@ EDGE_QUERIES = [
     "train_pack_sequences",     # NULL-text doc: n_tok coalesce both sides
     "dedup_paragraphs",         # NULL/empty text: totality contract
     "dedup_incremental",        # unshingleable (NULL/short) doc routing
+    # Broader NULL-robustness net: queries over the augmented tables
+    # whose operators make NULL-sensitive decisions, run here so any
+    # engine-vs-oracle divergence on planted edges surfaces as a test
+    # failure instead of a future driver surprise.
+    "dedup_exact",
+    "dedup_keep_best",
+    "text_quality_rank",
+    "text_repetition",
+    "text_contamination",
+    "text_encoding_quality",
+    "text_tfidf_top_terms",
+    "curation_pipeline_decisions",
+    "events_funnel",            # NULL-ts event: entry-filter parity
+    "events_transitions",
+    "mix_weights_by_source",
 ]
 
 _AUGMENT = {
@@ -63,6 +78,8 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000002, TIMESTAMP '2025-01-01 00:00:00', 7, 'view',
                1.5, NULL
+        UNION ALL
+        SELECT 90000003, NULL, 7, 'purchase', 2.5, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
