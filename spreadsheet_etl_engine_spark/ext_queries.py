@@ -684,6 +684,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (k * INTERVAL '5 minutes') AS VARCHAR) AS window_start,
            count(*) AS n_events
     FROM events CROSS JOIN unnest([0, 1]) AS u(k)
+    WHERE ts IS NOT NULL  -- mirrors Spark's window(): no time, no window
     GROUP BY 1
     """,
     doc="Sliding window (10-min window, 5-min slide): every event lands "
@@ -773,11 +774,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (events_tumbling_window, registry.py) applies verbatim; pytest
     # additionally pins stream == batch (tests/test_streaming.py).
     oracle="""
+    -- ts IS NOT NULL mirrors Spark's window(): a row with no event
+    -- time belongs to no window (batch and stream agree)
     SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Structured Streaming tumbling-window counts executed with the "

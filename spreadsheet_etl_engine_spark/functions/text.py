@@ -150,8 +150,16 @@ def lang_id(text: Column) -> Column:
 
 def bow_fingerprint(text: Column) -> Column:
     """Bag-of-words fingerprint: md5 of the sorted distinct token list.
-    Catches shuffled / re-ordered duplicates that exact-hash misses."""
-    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text)))))
+    Catches shuffled / re-ordered duplicates that exact-hash misses.
+
+    NULL text -> NULL fingerprint: ``concat_ws`` would silently treat
+    the NULL token array as empty, making every NULL-text doc an
+    exact-fingerprint duplicate of every empty-text doc (and diverging
+    from the SQL oracle's NULL-propagating ``array_to_string``)."""
+    return F.when(
+        text.isNotNull(),
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(text))))),
+    )
 
 
 def min_shingle_hash(text: Column, k: int = 8) -> Column:

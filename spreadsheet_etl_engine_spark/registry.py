@@ -1157,11 +1157,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_tumbling_window",
     oracle="""
+    -- ts IS NOT NULL mirrors Spark's window(), which drops rows with
+    -- no event time (they belong to no window)
     SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS VARCHAR) AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Tumbling event-time window aggregation (batch twin of the "
@@ -1314,22 +1316,33 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_linear_fit",
     oracle="""
-    WITH s AS (
+    WITH p AS (
+      -- the regression is over (x, y) PAIRS: a row missing either value
+      -- contributes to no sum, so the divisor must not count it
+      -- (regr_count semantics; the count(*) divisor was the same
+      -- parity-blind class as agg_moments' r6 fix)
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    s AS (
       SELECT l_returnflag,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM p GROUP BY l_returnflag
     )
+    -- NULLIF: a zero-variance group (constant or single x) has no
+    -- defined fit -> NULL slope/intercept, never a divide-by-zero
     SELECT l_returnflag, n,
            (sxy / n - (sx / n) * (sy / n))
-             / (sxx / n - (sx / n) * (sx / n)) AS slope,
+             / NULLIF(sxx / n - (sx / n) * (sx / n), 0) AS slope,
            sy / n - ((sxy / n - (sx / n) * (sy / n))
-                     / (sxx / n - (sx / n) * (sx / n))) * (sx / n)
+                     / NULLIF(sxx / n - (sx / n) * (sx / n), 0)) * (sx / n)
                AS intercept
     FROM s
     """,
@@ -1341,7 +1354,13 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sums — the builtin regr_slope's streaming update order is not.",
 )
 def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Pair filter BEFORE the group (regr_count semantics): a row missing
+    # either value is in no sum, so it must not inflate the divisor —
+    # and a group with zero valid pairs has no fit row at all.  The
+    # filter is scan-pushed, the agg stays one map-side-combinable pass.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
     n = F.count("*")
@@ -1349,7 +1368,10 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum(y).cast("double")
     sxx = F.sum(x * x).cast("double")
     sxy = F.sum(x * y).cast("double")
-    slope = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))
+    var = sxx / n - (sx / n) * (sx / n)
+    # Zero-variance group (constant or single x): no defined fit ->
+    # NULL slope/intercept instead of an ANSI divide-by-zero error.
+    slope = F.when(var != 0, (sxy / n - (sx / n) * (sy / n)) / var)
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         slope.alias("slope"),
@@ -2182,6 +2204,16 @@ def get(name: str) -> RegisteredQuery:
 # end-to-end evidence), taking the slot of events_resample_gapfill
 # (green r6, byte-unchanged).  New surface (1) ≤ first-time driver
 # verifications (15), per the standing growth rule.
+#
+# Mid-r7 swap: a full-registry sweep against edge-augmented fixture
+# tables (tests/test_edge_parity.py's planted NULL/tie rows) exposed
+# six parity-blind defects; the three whose queries sat in the tail
+# (text_fingerprint: NULL-text bow_fp; events_tumbling_window /
+# events_sliding_window: oracle NULL-ts filters) promoted per the
+# rotation guard, displacing dedup_keep_best, events_mode_per_user and
+# agg_corr_covar (all green r6, byte-unchanged).  The other three fixes
+# (events_sessionize/transitions, text_quality_rank twins,
+# agg_linear_fit + streaming oracles) were already head entries.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
@@ -2202,8 +2234,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # [EXT] dedup family.
     "dedup_incremental",
     "dedup_ngram_jaccard_pairs",
-    "dedup_keep_best",
     "dedup_simhash",              # r7 promotion: r6 edge-fix re-pin
+    "text_fingerprint",           # r7: NULL-text bow_fp fix — MUST re-verify
     "dedup_simhash_pairs",        # r7 promotion: r6 edge-fix re-pin
     "dedup_paragraphs",           # r7: keep-first de-skewed — MUST re-verify
     # [EXT] similarity search + vector analytics.
@@ -2230,7 +2262,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_tumbling_counts",
     "streaming_session_counts",
     "streaming_view_click_join",
-    "events_mode_per_user",
+    "events_tumbling_window",     # r7: oracle NULL-ts filter — MUST re-verify
+    "events_sliding_window",      # r7: oracle NULL-ts filter — MUST re-verify
     "events_transitions",
     "events_decayed_engagement",
     "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
@@ -2241,7 +2274,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Aggregations.
     "agg_heavy_hitters",
     "agg_heavy_hitters_approx",
-    "agg_corr_covar",
     "agg_linear_fit",
     "agg_moments",                # r7 promotion: r6 edge-fix re-pin
     # Profiling.

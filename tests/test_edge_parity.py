@@ -59,6 +59,17 @@ EDGE_QUERIES = [
     "events_funnel",            # NULL-ts event: entry-filter parity
     "events_transitions",
     "mix_weights_by_source",
+    # Mid-r7 edge-sweep finds, pinned here after their fixes: NULL-ts
+    # rows belong to no time window (Spark window()/session_window drop
+    # them; the oracles now filter), a NULL-text doc fingerprints NULL
+    # (concat_ws silently emptied it), and a zero-variance / NULL-pair
+    # regression group must yield NULL fits, not divide-by-zero.
+    "events_tumbling_window",
+    "events_sliding_window",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "text_fingerprint",
+    "agg_linear_fit",
 ]
 
 _AUGMENT = {

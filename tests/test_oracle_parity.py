@@ -111,17 +111,22 @@ MUST_BE_IN_CHECK_BUDGET = [
     "agg_moments",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    # Mid-r7 edge-sweep fixes (code or oracle changed — must re-verify).
+    "text_fingerprint",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "agg_linear_fit",
+    "events_transitions",
+    "text_quality_rank",
     # [EXT] operators + r7-edited code paths.
     "dedup_incremental",
     "dedup_ngram_jaccard_pairs",
-    "dedup_keep_best",
     "dedup_paragraphs",       # r7: keep-first de-skewed — must re-verify
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "embedding_cluster_stats",
     "multimodal_decode",
     "text_pii_scrub",
-    "text_quality_rank",
     "text_quality_rank_approx",
     "train_pack_sequences",   # r7: oracle NULL-text coalesce — must re-verify
     "curation_pipeline_decisions",
