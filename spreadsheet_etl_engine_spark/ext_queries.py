@@ -1717,11 +1717,16 @@ def pack_sequences(
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
-        # coalesce: size(split(NULL)) is NULL, and a NULL n_tok would
-        # poison the bucket's running token sum (every later doc's cum —
-        # and so its seq_id — goes NULL).  A NULL-text doc is a 0-token
-        # doc: it still packs, contributing nothing to the budget.
-        F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)).alias("n_tok"),
+        # NULL-text guard: size(split(NULL)) is NULL under ANSI (default)
+        # but -1 under spark.sql.legacy.sizeOfNull / ANSI-off, which this
+        # library does not control on a shared cluster.  Either value
+        # would corrupt the bucket's running token sum (NULL nulls every
+        # later seq_id; -1 decrements the cumsum and shifts bin
+        # boundaries), so clamp both: a NULL-text doc is a 0-token doc
+        # that still packs, contributing nothing to the budget.
+        F.greatest(
+            F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)), F.lit(0)
+        ).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)
             .cast("long") % n_buckets

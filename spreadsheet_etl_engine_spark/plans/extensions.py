@@ -345,8 +345,11 @@ def run_mapping_v2(
     )
     if mode == "fidelity":
         # Same getDisplayValues NULL→"" semantics as run_mapping, applied
-        # to the source AND every joined table — a blank cell in a right
-        # table must compare/project as "" here too.
+        # to the source AND every joined table BEFORE joining — so blank
+        # join keys match each other the way blank display cells compare
+        # equal — and to the joined frame again AFTER the loop, because
+        # an outer-join miss manufactures fresh NULLs in right-side
+        # columns that must also compare/project as "".
         from spreadsheet_etl_engine_spark.plans.runner import fidelity_fill
 
         tables = {alias: fidelity_fill(t) for alias, t in tables.items()}
@@ -361,6 +364,10 @@ def run_mapping_v2(
         if j.how not in ("left_semi", "left_anti") and j.right_col in df.columns:
             joined = joined.drop(right[j.right_col])
         df = joined
+    if mode == "fidelity" and spec.joins:
+        from spreadsheet_etl_engine_spark.plans.runner import fidelity_fill
+
+        df = fidelity_fill(df)
 
     compiler = MappingCompiler(df, mode=mode)
     # Filters run under the v2 grammar (``&&`` enabled); AND across rules

@@ -129,12 +129,14 @@ def zorder_key(
     ranges = dict(ranges or {})
     missing = [c for c in columns if c not in ranges]
     if missing:
-        # nanvl: a single NaN would otherwise propagate into BOTH bounds
-        # (min/max of a set containing NaN is NaN in Spark), and NaN
-        # bounds pass the lo >= hi degenerate check below (NaN >= NaN is
-        # False) — width_bucket would then NULL every row and the
-        # dimension would silently contribute constant bits.  NaN rows
-        # themselves still cluster at key 0, like NULLs.
+        # nanvl: Spark orders NaN greater than every number, so a single
+        # NaN row poisons max() (min is unaffected), and a NaN upper
+        # bound passes the lo >= hi degenerate check below (NaN
+        # comparisons are False) — width_bucket would then NULL every
+        # row and the dimension would silently contribute constant
+        # bits.  Excluding NaN from both aggregates keeps the true
+        # numeric range; NaN rows themselves still cluster at key 0,
+        # like NULLs.
         row = df.agg(
             *[f(F.nanvl(numeric[c], F.lit(None).cast("double")))
               for c in missing for f in (F.min, F.max)]

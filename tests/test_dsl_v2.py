@@ -366,3 +366,35 @@ def test_v2_parens_structural_errors_and_empty_group(spark):
     # Empty group: silently false, composing the v1 discipline.
     assert run("() || src[k] == 1").count() == 1
     assert run("() && src[k] == 1").count() == 0
+
+
+def test_v2_fidelity_fill_covers_join_miss_cells(spark):
+    """Fidelity mode's NULL->"" display-string contract must survive an
+    outer-join miss: the manufactured NULLs in right-side columns
+    compare as "" (kept by != filters) and project as "", exactly like a
+    blank cell — r7 review finding: the pre-join fill alone left them
+    NULL."""
+    src = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    dim = spark.createDataFrame([("a", "x")], ["k", "d"])
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: left"),
+            ("K", "src[k]"),
+            ("D", "dim[d]"),
+        ],
+        mode="fidelity",
+    ).orderBy("K").collect()
+    assert [(r["K"], r["D"]) for r in out] == [("a", "x"), ("b", "")]
+    # And a != filter keeps the blank cell ("" != "x"), where NULL would
+    # have dropped it.
+    kept = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: left"),
+            ("_filter:f", 'eval: dim[d] != "x"'),
+            ("K", "src[k]"),
+        ],
+        mode="fidelity",
+    ).collect()
+    assert [r["K"] for r in kept] == ["b"]

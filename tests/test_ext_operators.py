@@ -294,6 +294,30 @@ def test_salted_join_matches_plain_join(spark):
     assert [(r["k"], r["count"]) for r in got] == [(1, 500), (2, 1)]
 
 
+def test_salted_join_accepts_spark_mode_aliases(spark):
+    """Every left-preserving spelling Spark itself accepts must pass the
+    guard (r7 fix: 'leftouter'/'left_outer'/... used to raise), and the
+    right/full modes must still fail loud under any spelling."""
+    import pytest
+
+    from spreadsheet_etl_engine_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x"), (4, "y")], ["k", "name"])
+    expect = {
+        "left": 3, "leftouter": 3, "left_outer": 3, "LEFT_OUTER": 3,
+        "inner": 1,
+        "semi": 1, "leftsemi": 1, "left_semi": 1,
+        "anti": 2, "leftanti": 2, "left_anti": 2,
+    }
+    for how, n in expect.items():
+        assert salted_join(left, right, key="k", salt=4, how=how).count() == n, how
+    for how in ("right", "rightouter", "right_outer", "full", "fullouter",
+                "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, key="k", how=how)
+
+
 def test_ivf_recall_against_bruteforce(spark):
     """KMeans-IVF with nprobe=half the lists must recover most of the true
     top-k on the real embeddings table."""
