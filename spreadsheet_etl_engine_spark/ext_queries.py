@@ -1555,7 +1555,10 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
     return (
-        docs.select(split.alias("split"), F.size(TXT.tokens(F.col("text"))).alias("_n"))
+        # token_count, not bare F.size: NULL text must be a NULL count
+        # (skipped by the sum) under every cluster config — legacy
+        # sizeOfNull's -1 would silently shrink the split's token total.
+        docs.select(split.alias("split"), TXT.token_count(F.col("text")).alias("_n"))
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
     )
@@ -1592,7 +1595,10 @@ def mix_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(TXT.tokens(F.col("text")))).alias("n_tokens"),
+        # token_count, not bare F.size: see train_split_assign — a
+        # legacy-config -1 for NULL text would corrupt the token sum
+        # and so every source's mixing weight.
+        F.sum(TXT.token_count(F.col("text"))).alias("n_tokens"),
     ).withColumn("_sq", F.sqrt(F.col("n_tokens")).cast("decimal(18,6)"))
     total = F.sum("_sq").over(Window.partitionBy())
     return per_src.select(

@@ -84,17 +84,25 @@ def hash32(value: Column) -> Column:
     return F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("long")
 
 
+# The explicit isNotNull guards below make NULL-text counts NULL under
+# EVERY cluster config: bare F.size(NULL) is NULL under ANSI (the
+# default this library is tested on) but -1 under
+# spark.sql.legacy.sizeOfNull / ANSI-off, which a shared cluster may
+# set — and a -1 slipping into a token SUM silently corrupts the
+# aggregate instead of being skipped like NULL.
+
+
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    return F.when(text.isNotNull(), F.size(tokens(text)))
 
 
 def type_count(text: Column) -> Column:
     """Distinct-token (vocabulary) count."""
-    return F.size(F.array_distinct(tokens(text)))
+    return F.when(text.isNotNull(), F.size(F.array_distinct(tokens(text))))
 
 
 def bpeish_token_count(text: Column) -> Column:
-    return F.size(bpeish_tokens(text))
+    return F.when(text.isNotNull(), F.size(bpeish_tokens(text)))
 
 
 def avg_token_length(text: Column) -> Column:

@@ -2214,6 +2214,13 @@ def get(name: str) -> RegisteredQuery:
 # agg_corr_covar (all green r6, byte-unchanged).  The other three fixes
 # (events_sessionize/transitions, text_quality_rank twins,
 # agg_linear_fit + streaming oracles) were already head entries.
+#
+# Second mid-r7 swap: the config-portability hardening (token_count
+# family NULL-guarded against spark.sql.legacy.sizeOfNull's -1) edited
+# the train_split_assign and mix_weights_by_source query fns right
+# after their demotion, so they return to the head per the rotation
+# guard; profile_key_skew and scan_schema_evolution (green r6,
+# byte-unchanged) take the tail slots instead.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
@@ -2230,7 +2237,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_zorder_pruned",         # NEW r7: z-order pruning end-to-end;
     #                               events_resample_gapfill demoted to make
     #                               room (green r6, byte-unchanged)
-    "scan_schema_evolution",
     # [EXT] dedup family.
     "dedup_incremental",
     "dedup_ngram_jaccard_pairs",
@@ -2251,6 +2257,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_collocations_pmi",      # r7 promotion: r5 residual + r6 edge fix
     # [EXT] training-data curation + sampling.
     "train_pack_sequences",       # r7: oracle NULL-text coalesce — MUST re-verify
+    "train_split_assign",         # r7: token_count NULL-guard — MUST re-verify
+    "mix_weights_by_source",      # r7: token_count NULL-guard — MUST re-verify
     "curation_pipeline_decisions",
     "quality_constraint_report",
     "sample_cap_per_source",      # r7 promotion: never driver-verified (r5)
@@ -2276,8 +2284,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters_approx",
     "agg_linear_fit",
     "agg_moments",                # r7 promotion: r6 edge-fix re-pin
-    # Profiling.
-    "profile_key_skew",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -129,6 +129,8 @@ MUST_BE_IN_CHECK_BUDGET = [
     "text_pii_scrub",
     "text_quality_rank_approx",
     "train_pack_sequences",   # r7: oracle NULL-text coalesce — must re-verify
+    "train_split_assign",     # r7: token_count NULL-guard — must re-verify
+    "mix_weights_by_source",  # r7: token_count NULL-guard — must re-verify
     "curation_pipeline_decisions",
     "quality_constraint_report",
     "streaming_tumbling_counts",
