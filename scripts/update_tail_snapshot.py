@@ -31,18 +31,50 @@ def fingerprint(name: str) -> str:
     return hashlib.md5(src.encode()).hexdigest()[:12]
 
 
+# Shared-code tripwire: the per-query fingerprint hashes only the query
+# fn + oracle, so an edit to a shared OPERATOR module a tail query calls
+# into (the r7 review's transitive blind spot) would never drift it.
+# These module hashes make that loud: any edit fails the guard until the
+# editor audits which tail queries execute the changed code, promotes
+# the affected ones, and re-pins.  registry.py / ext_queries.py are NOT
+# hashed (their query-fn bodies are covered per-query, and every head
+# edit or new registration would otherwise drift the snapshot into a
+# rubber stamp) — helpers living inside them, like pack_sequences, stay
+# a documented residual blind spot (COVERAGE.md rotation policy).
+SHARED_MODULE_GLOBS = (
+    "operators/*.py", "functions/*.py", "plans/*.py", "sources/*.py",
+    "streaming/*.py", "config.py", "jobs.py", "errors.py",
+)
+
+
+def module_hashes() -> dict[str, str]:
+    import glob
+    import hashlib
+
+    pkg = os.path.dirname(os.path.abspath(registry.__file__))
+    out: dict[str, str] = {}
+    for pattern in SHARED_MODULE_GLOBS:
+        for path in sorted(glob.glob(os.path.join(pkg, pattern))):
+            rel = os.path.relpath(path, pkg)
+            with open(path, "rb") as f:
+                out[rel] = hashlib.md5(f.read()).hexdigest()[:12]
+    return out
+
+
 def tail_names() -> list[str]:
     return list(registry.queries())[registry.DRIVER_CHECK_BUDGET:]
 
 
 def main() -> None:
-    snap = {n: fingerprint(n) for n in sorted(tail_names())}
+    snap: dict = {n: fingerprint(n) for n in sorted(tail_names())}
+    snap["__modules__"] = module_hashes()
     path = os.path.join(os.path.dirname(__file__), "..", "tests",
                         "driver_tail_snapshot.json")
     with open(path, "w") as f:
         json.dump(snap, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(f"pinned {len(snap)} tail queries")
+    print(f"pinned {len(snap) - 1} tail queries + "
+          f"{len(snap['__modules__'])} shared modules")
 
 
 if __name__ == "__main__":

@@ -1723,16 +1723,12 @@ def pack_sequences(
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",
-        # NULL-text guard: size(split(NULL)) is NULL under ANSI (default)
-        # but -1 under spark.sql.legacy.sizeOfNull / ANSI-off, which this
-        # library does not control on a shared cluster.  Either value
-        # would corrupt the bucket's running token sum (NULL nulls every
-        # later seq_id; -1 decrements the cumsum and shifts bin
-        # boundaries), so clamp both: a NULL-text doc is a 0-token doc
-        # that still packs, contributing nothing to the budget.
-        F.greatest(
-            F.coalesce(F.size(TXT.tokens(F.col("text"))), F.lit(0)), F.lit(0)
-        ).alias("n_tok"),
+        # token_count is NULL for NULL text under EVERY cluster config
+        # (the shared guard in functions/text.py); coalesce to 0 because
+        # a NULL n_tok would null every later seq_id in the bucket's
+        # running sum — a NULL-text doc is a 0-token doc that still
+        # packs, contributing nothing to the budget.
+        F.coalesce(TXT.token_count(F.col("text")), F.lit(0)).alias("n_tok"),
         (
             F.conv(F.substring(F.md5(F.concat(F.lit("pack:"), key)), 1, 8), 16, 10)
             .cast("long") % n_buckets

@@ -347,9 +347,11 @@ def run_mapping_v2(
         # Same getDisplayValues NULL→"" semantics as run_mapping, applied
         # to the source AND every joined table BEFORE joining — so blank
         # join keys match each other the way blank display cells compare
-        # equal — and to the joined frame again AFTER the loop, because
-        # an outer-join miss manufactures fresh NULLs in right-side
-        # columns that must also compare/project as "".
+        # equal.  An OUTER-join miss then manufactures fresh NULLs in
+        # right-side columns; those are re-blanked per join below via
+        # DataFrame-qualified references (a name-based whole-frame fill
+        # would raise AMBIGUOUS_REFERENCE whenever both sides share an
+        # unreferenced column name).
         from spreadsheet_etl_engine_spark.plans.runner import fidelity_fill
 
         tables = {alias: fidelity_fill(t) for alias, t in tables.items()}
@@ -361,13 +363,25 @@ def run_mapping_v2(
         # DataFrame-qualified keys: unqualified F.col would be ambiguous
         # whenever both sides share the key name (natural-key joins).
         joined = df.join(right, df[j.left_col] == right[j.right_col], j.how)
-        if j.how not in ("left_semi", "left_anti") and j.right_col in df.columns:
-            joined = joined.drop(right[j.right_col])
-        df = joined
-    if mode == "fidelity" and spec.joins:
-        from spreadsheet_etl_engine_spark.plans.runner import fidelity_fill
-
-        df = fidelity_fill(df)
+        if j.how in ("left_semi", "left_anti"):
+            df = joined
+            continue
+        # Post-join the frame is flat and ``alias[col]`` normalizes to
+        # ``src[col]`` — a right column whose name collides with an
+        # existing one could never be referenced distinctly, so the
+        # LEFT side wins and the right duplicate is dropped (keeping it
+        # would only plant AMBIGUOUS_REFERENCE mines for every later
+        # by-name resolution, including fidelity's header indirection).
+        rcols = []
+        for f in right.schema.fields:
+            if f.name in df.columns:
+                continue
+            col = right[f.name]
+            if mode == "fidelity" and f.dataType.simpleString() == "string":
+                # Join-miss cells are blank display cells: "" not NULL.
+                col = F.coalesce(col, F.lit(""))
+            rcols.append(col.alias(f.name))
+        df = joined.select(df["*"], *rcols)
 
     compiler = MappingCompiler(df, mode=mode)
     # Filters run under the v2 grammar (``&&`` enabled); AND across rules

@@ -2220,7 +2220,14 @@ def get(name: str) -> RegisteredQuery:
 # the train_split_assign and mix_weights_by_source query fns right
 # after their demotion, so they return to the head per the rotation
 # guard; profile_key_skew and scan_schema_evolution (green r6,
-# byte-unchanged) take the tail slots instead.
+# byte-unchanged) take the tail slots instead.  Two TAIL queries also
+# execute the edited helpers (text_stats, text_quality via
+# token_count/type_count): their outputs are byte-unchanged under the
+# default ANSI config the driver runs (the guard is a no-op for
+# non-NULL text, and driver data has no NULL texts) — both join the r8
+# promotion queue for attestation at current bytes, and the new
+# shared-module hash tripwire in driver_tail_snapshot.json makes any
+# future helper edit fail loud instead of riding unnoticed.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",

@@ -398,3 +398,22 @@ def test_v2_fidelity_fill_covers_join_miss_cells(spark):
         mode="fidelity",
     ).collect()
     assert [r["K"] for r in kept] == ["b"]
+
+
+def test_v2_fidelity_join_tolerates_shared_unreferenced_columns(spark):
+    """A string column name shared by both sides but never referenced by
+    the mapping must not break fidelity mode — r7 review finding: a
+    name-based whole-frame fill raised AMBIGUOUS_REFERENCE on it (the
+    fill is now per-join via DataFrame-qualified references)."""
+    src = spark.createDataFrame([("a", "n1"), ("b", "n2")], ["k", "notes"])
+    dim = spark.createDataFrame([("a", "x", "dn")], ["k", "d", "notes"])
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: left"),
+            ("K", "src[k]"),
+            ("D", "dim[d]"),
+        ],
+        mode="fidelity",
+    ).orderBy("K").collect()
+    assert [(r["K"], r["D"]) for r in out] == [("a", "x"), ("b", "")]

@@ -170,11 +170,27 @@ def test_tail_queries_unchanged():
     import json
     import os
 
-    from scripts.update_tail_snapshot import fingerprint, tail_names
+    from scripts.update_tail_snapshot import (
+        fingerprint, module_hashes, tail_names,
+    )
 
     path = os.path.join(os.path.dirname(__file__), "driver_tail_snapshot.json")
     with open(path) as f:
         snap = json.load(f)
+    pinned_modules = snap.pop("__modules__", {})
+    changed = sorted(
+        set(k for k, v in module_hashes().items()
+            if pinned_modules.get(k) != v)
+        | set(k for k in pinned_modules if k not in module_hashes())
+    )
+    assert not changed, (
+        f"shared modules changed since the tail snapshot was pinned: "
+        f"{changed}.  The per-query fingerprints cannot see this "
+        "(transitive blind spot): audit which TAIL queries execute the "
+        "changed code, promote those into DRIVER_PRIORITY (or record in "
+        "the rotation comment why their outputs are byte-unchanged), "
+        "then re-pin via scripts/update_tail_snapshot.py"
+    )
     tail = tail_names()
     assert sorted(tail) == sorted(snap), (
         f"tail set changed: new={sorted(set(tail) - set(snap))} "
