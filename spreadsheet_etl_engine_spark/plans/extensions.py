@@ -9,7 +9,11 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
   how: inner|left|right|semi|anti [broadcast]`` — joins the table bound to
   ``alias`` (from the caller-provided table dict) in declaration order.
   ``broadcast`` marks a dimension-sized right side (at 100 TB the
-  difference between a map-side join and a full shuffle).
+  difference between a map-side join and a full shuffle).  Post-join
+  the frame is flat and ``alias[col]`` normalizes to ``src[col]``, so
+  a right-side column whose name already exists in the frame is
+  unreachable by any rule — such columns are DROPPED at join time
+  (left wins), never kept as ambiguous duplicates.
 * ``_group:<name>`` rule: ``by: src[col1], src[col2]`` — switches the
   output columns to aggregation mode.
 * aggregate output columns: instruction ``agg:<fn>`` or
