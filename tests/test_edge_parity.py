@@ -80,6 +80,17 @@ _AUGMENT = {
         SELECT 90000002, '', 'en', 'edge', 0
         UNION ALL
         SELECT 90000003, 'solitaryword', 'en', 'edge', 12
+        -- second family (r7 sweep, all clean first try — pinned so they
+        -- stay that way): unicode/multibyte, consecutive spaces (empty
+        -- tokens from a single-space split), a 2000-word doc
+        UNION ALL
+        SELECT 90000004, 'héllo wörld 🙂 héllo straße 中文 中文',
+               'de', 'edge', 40
+        UNION ALL
+        SELECT 90000005, 'a  b   c a  b', 'en', 'edge', 13
+        UNION ALL
+        SELECT 90000006, repeat('longword ', 2000) || 'tail', 'en',
+               'edge', 18004
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -91,6 +102,9 @@ _AUGMENT = {
                1.5, NULL
         UNION ALL
         SELECT 90000003, NULL, 7, 'purchase', 2.5, NULL
+        UNION ALL
+        SELECT 90000004, TIMESTAMP '2025-01-01 00:05:00', 7, 'view',
+               -1234.56, '{"x": 1}'
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -102,6 +116,9 @@ _AUGMENT = {
         UNION ALL
         SELECT NULL, 1, 1, 9991, 45.0, 100.0, 0.0, 0.0,
                NULL, 'F', TIMESTAMP '2025-01-01 00:00:00'
+        UNION ALL
+        SELECT 90000002, 1, 1, 1, -5.25, -10.5, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '2025-01-01 00:00:00'
     """,
     "orders": """
         SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
@@ -146,7 +163,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 3
+    assert n == 6
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
