@@ -1,0 +1,262 @@
+"""Measured ~10x scaling curves for the four most scale-sensitive
+operators (r7 verdict item 3) — turning SCALE.md's argued claims into
+recorded wall-time ratios.
+
+Method (the standing BENCH_NOTES rules): ONE process, synthetic corpora
+generated distributively (spark.range + hash mixing — no driver-side
+data), interleaved reps per arm, medians reported.  A shape that scales
+linearly should show a time ratio ~<= the data ratio (10x) at local[32];
+super-linear ratios get a named cause.
+
+Probes:
+  ngram     dedup_ngram_jaccard_pairs at n and 10n docs, vocabulary
+            scaled WITH the corpus (real corpora grow vocabulary, which
+            holds per-shingle df roughly constant — the regime PPJoin's
+            candidate bound Sum(df^2) is linear in).
+  paragraph paragraph_dedup at n and 10n docs, every doc sharing one of
+            4 hot 10-word headers (the operator's target workload: hot-
+            chunk frequency grows 10x with the corpus).
+  ivf       similarity_topk_ivf at n and 10n corpus vectors, fixed
+            nlist/nprobe/spill: wall-time ratio AND recall-vs-exact at
+            both scales (the quality axis SCALE.md promises survives
+            growth).
+  salted    join_skew_salted's shape (salted_join) vs the plain shuffle
+            join on a fact table where ONE key holds 50% of rows, at n
+            and 10n fact rows.
+
+Usage:
+    python scripts/scale_probe.py [--reps 3] [--probe name ...]
+Prints one JSON line per probe; paste the table into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark() -> SparkSession:
+    from spreadsheet_etl_engine_spark.session import get_session
+
+    return get_session()
+
+
+# ---------------------------------------------------------------------------
+# Distributed synthetic corpora (deterministic: everything derives from
+# the row id via xxhash64 — no Python RNG, no driver-side rows).
+
+
+def synth_docs(spark: SparkSession, n: int, *, words_per_doc: int = 30,
+               vocab: int | None = None, dup_every: int = 50) -> DataFrame:
+    """n documents of ``words_per_doc`` tokens drawn from a ``vocab``-word
+    vocabulary (default: vocab = n, holding per-shingle df ~constant as n
+    grows).  Every ``dup_every``-th doc is a near-copy of its predecessor
+    (one token changed) so the true near-dup rate is scale-invariant."""
+    v = vocab or n
+    base = F.when(
+        (F.col("id") % dup_every == 1) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(base, i)) % F.lit(v)).cast("string"),
+        ),
+    )
+    # The near-copy: replace token 0 with a doc-unique word.
+    first = F.when(
+        (F.col("id") % dup_every == 1) & (F.col("id") > 0),
+        F.concat(F.lit("u"), F.col("id").cast("string")),
+    ).otherwise(F.element_at(words, 1))
+    text = F.concat_ws(" ", F.concat(F.array(first), F.slice(words, 2, words_per_doc - 1)))
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def synth_boilerplate_docs(spark: SparkSession, n: int, *,
+                           tail_words: int = 30) -> DataFrame:
+    """Every doc = one of 4 hot 10-word headers + a unique tail: hot-chunk
+    frequency is n/4 and grows linearly with the corpus."""
+    header = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.concat(
+                F.lit("h"), (F.col("id") % 4).cast("string"),
+                F.lit("_"), i.cast("string"),
+            ),
+        ),
+    )
+    tail = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(tail_words - 1)),
+            lambda i: F.concat(
+                F.lit("t"),
+                F.abs(F.xxhash64(F.col("id"), i)).cast("string"),
+            ),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", header, tail).alias("text"),
+    )
+
+
+def synth_vectors(spark: SparkSession, n: int, *, dim: int = 32,
+                  prefix: str = "c") -> DataFrame:
+    """Unit-ish random vectors with mild cluster structure: 16 seed
+    directions + per-row noise (pure-noise corpora make IVF recall a
+    coin flip at any scale; mild structure is the realistic regime)."""
+    seed_dir = F.col("id") % 16
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            ((F.abs(F.xxhash64(seed_dir, i)) % 2000) / 1000.0 - 1.0) * 2.0
+            + ((F.abs(F.xxhash64(F.col("id"), i, F.lit(99))) % 2000) / 1000.0 - 1.0)
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def synth_skewed_fact(spark: SparkSession, n: int, *, n_keys: int = 1000) -> DataFrame:
+    """Fact rows where key 0 holds 50% of all rows (the salting target)."""
+    key = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        F.abs(F.xxhash64(F.col("id"))) % n_keys
+    )
+    return spark.range(n).select(
+        F.col("id").alias("row_id"), key.alias("k"),
+        (F.col("id") % 97).cast("double").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def timed(thunk, reps: int) -> float:
+    times = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        thunk()
+        times.append(time.monotonic() - t0)
+    return statistics.median(times)
+
+
+def probe_ngram(spark: SparkSession, reps: int, n: int) -> dict:
+    from spreadsheet_etl_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    par = spark.sparkContext.defaultParallelism
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        docs = synth_docs(spark, size)
+        arms[label] = lambda d=docs: ngram_jaccard_pairs(
+            d, "text", "doc_id", threshold=0.8, max_df_frac=0.02,
+            parallelism=par,
+        ).count()
+    t1 = timed(arms["n"], reps)
+    t10 = timed(arms["10n"], reps)
+    return {"probe": "ngram_jaccard", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
+def probe_paragraph(spark: SparkSession, reps: int, n: int) -> dict:
+    from spreadsheet_etl_engine_spark.operators.dedup import paragraph_dedup
+
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        docs = synth_boilerplate_docs(spark, size)
+        arms[label] = lambda d=docs: paragraph_dedup(
+            d, "text", "doc_id", chunk_words=10
+        ).agg(F.sum("n_removed")).collect()
+    t1 = timed(arms["n"], reps)
+    t10 = timed(arms["10n"], reps)
+    return {"probe": "paragraph_dedup_hotchunk", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
+def _ivf_recall(spark: SparkSession, n: int, k: int = 5) -> tuple[float, float]:
+    from spreadsheet_etl_engine_spark.operators.similarity import (
+        topk_bruteforce, topk_ivf,
+    )
+
+    corpus = synth_vectors(spark, n).cache()
+    corpus.count()
+    queries = corpus.limit(50)
+    t0 = time.monotonic()
+    ivf = topk_ivf(corpus, queries, "embedding", "vec_id", k=k,
+                   nlist=16, nprobe=4, spill=2).select(
+        "query_id", "neighbor_id")
+    ivf_rows = {(r[0], r[1]) for r in ivf.collect()}
+    elapsed = time.monotonic() - t0
+    exact = topk_bruteforce(corpus, queries, "embedding", "vec_id", k=k).select(
+        "query_id", "neighbor_id")
+    exact_rows = {(r[0], r[1]) for r in exact.collect()}
+    recall = len(ivf_rows & exact_rows) / max(1, len(exact_rows))
+    corpus.unpersist()
+    return elapsed, recall
+
+
+def probe_ivf(spark: SparkSession, reps: int, n: int) -> dict:
+    t_n, rec_n = min((_ivf_recall(spark, n) for _ in range(reps)),
+                     key=lambda x: x[0])
+    t_10n, rec_10n = min((_ivf_recall(spark, 10 * n) for _ in range(reps)),
+                         key=lambda x: x[0])
+    return {"probe": "similarity_topk_ivf", "n": n, "t_n": round(t_n, 2),
+            "t_10n": round(t_10n, 2), "ratio": round(t_10n / t_n, 2),
+            "recall_n": round(rec_n, 3), "recall_10n": round(rec_10n, 3)}
+
+
+def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
+    from spreadsheet_etl_engine_spark.operators.relational import salted_join
+
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("dname")
+    )
+    out = {"probe": "join_skew_salted", "n": n}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        fact = synth_skewed_fact(spark, size)
+        t_salt = timed(
+            lambda: salted_join(fact, dim, key="k", salt=32)
+            .groupBy("dname").agg(F.sum("amount")).count(), reps)
+        t_plain = timed(
+            lambda: fact.join(dim.hint("shuffle_hash"), "k")
+            .groupBy("dname").agg(F.sum("amount")).count(), reps)
+        out[f"t_salted_{label}"] = round(t_salt, 2)
+        out[f"t_plain_{label}"] = round(t_plain, 2)
+    out["ratio_salted"] = round(out["t_salted_10n"] / out["t_salted_n"], 2)
+    out["ratio_plain"] = round(out["t_plain_10n"] / out["t_plain_n"], 2)
+    return out
+
+
+PROBES = {
+    "ngram": (probe_ngram, 10_000),
+    "paragraph": (probe_paragraph, 200_000),
+    "ivf": (probe_ivf, 10_000),
+    "salted": (probe_salted, 500_000),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--probe", nargs="*", default=list(PROBES))
+    args = ap.parse_args()
+    spark = _spark()
+    for name in args.probe:
+        fn, n = PROBES[name]
+        print(json.dumps(fn(spark, args.reps, n)), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

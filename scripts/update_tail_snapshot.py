@@ -42,9 +42,14 @@ def fingerprint(name: str) -> str:
 # rubber stamp) — helpers living inside them, like pack_sequences, stay
 # a documented residual blind spot (COVERAGE.md rotation policy).
 SHARED_MODULE_GLOBS = (
-    "operators/*.py", "functions/*.py", "plans/*.py", "sources/*.py",
-    "streaming/*.py", "config.py", "jobs.py", "errors.py",
+    # Recursive: every package module is pinned (future subpackages
+    # included) EXCEPT registry.py / ext_queries.py, excluded below.
+    "**/*.py",
 )
+
+# Excluded from the hash (see rationale above): query-fn bodies are
+# covered per-query and head edits would otherwise rubber-stamp drift.
+_EXCLUDED_MODULES = frozenset({"registry.py", "ext_queries.py"})
 
 
 def module_hashes() -> dict[str, str]:
@@ -54,8 +59,10 @@ def module_hashes() -> dict[str, str]:
     pkg = os.path.dirname(os.path.abspath(registry.__file__))
     out: dict[str, str] = {}
     for pattern in SHARED_MODULE_GLOBS:
-        for path in sorted(glob.glob(os.path.join(pkg, pattern))):
+        for path in sorted(glob.glob(os.path.join(pkg, pattern), recursive=True)):
             rel = os.path.relpath(path, pkg)
+            if rel in _EXCLUDED_MODULES:
+                continue
             with open(path, "rb") as f:
                 out[rel] = hashlib.md5(f.read()).hexdigest()[:12]
     return out

@@ -215,6 +215,109 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_probe",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
+    b AS (
+        SELECT doc_id,
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
+        FROM sig
+    ),
+    seen0 AS (SELECT * FROM b WHERE doc_id % 3 = 0),
+    bat1  AS (SELECT * FROM b WHERE doc_id % 3 = 1),
+    bat2  AS (SELECT * FROM b WHERE doc_id % 3 = 2),
+    near1 AS (
+        SELECT DISTINCT n.doc_id FROM bat1 n JOIN seen0 s
+          ON n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3
+    ),
+    near2 AS (
+        SELECT DISTINCT n.doc_id FROM bat2 n
+        JOIN (SELECT * FROM seen0 UNION ALL SELECT * FROM bat1) s
+          ON n.b0 = s.b0 OR n.b1 = s.b1 OR n.b2 = s.b2 OR n.b3 = s.b3
+    ),
+    exact1 AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id % 3 = 1
+          AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+    ),
+    exact2 AS (
+        SELECT DISTINCT doc_id FROM documents
+        WHERE doc_id % 3 = 2
+          AND md5(text) IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 3 IN (0, 1))
+    )
+    SELECT d.doc_id, 1 AS batch_id,
+           d.doc_id IN (SELECT doc_id FROM exact1) AS is_exact_dup,
+           d.doc_id IN (SELECT doc_id FROM near1) AS is_near_dup
+    FROM documents d WHERE d.doc_id % 3 = 1
+    UNION ALL
+    SELECT d.doc_id, 2 AS batch_id,
+           d.doc_id IN (SELECT doc_id FROM exact2) AS is_exact_dup,
+           d.doc_id IN (SELECT doc_id FROM near2) AS is_near_dup
+    FROM documents d WHERE d.doc_id % 3 = 2
+    """,
+    doc="Persisted-index continuous ingestion, end-to-end: the seen "
+        "corpus (doc_id % 3 == 0) reduces ONCE to its dedup index "
+        "(distinct content hashes + LSH band keys, seen_dedup_index), "
+        "which is WRITTEN to parquet; batch 1 probes the index read back "
+        "from disk, batch 1's own hashes/keys land as a new partition "
+        "directory (the production append), and batch 2 probes the "
+        "grown index — the seen corpus's raw text is scanned exactly "
+        "once across both batches.  Partition-dir appends keep every "
+        "earlier lazy plan stable (no path is mutated under a live "
+        "reader).  Oracle recomputes both probes from raw text "
+        "(operators/dedup.py:seen_dedup_index, incremental_dedup).",
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    kw = dict(num_hashes=8, bands=4, parallelism=par)
+    tmp = tempfile.mkdtemp(prefix="dedup_index_")
+    hash_dir = os.path.join(tmp, "hashes")
+    band_dir = os.path.join(tmp, "bands")
+
+    def write_gen(gen_df: DataFrame, root: str, gen: int) -> None:
+        gen_df.write.mode("overwrite").parquet(os.path.join(root, f"gen={gen}"))
+
+    def read_index(upto_gen: int) -> tuple[DataFrame, DataFrame]:
+        hp = [os.path.join(hash_dir, f"gen={g}") for g in range(upto_gen + 1)]
+        bp = [os.path.join(band_dir, f"gen={g}") for g in range(upto_gen + 1)]
+        return (
+            spark.read.parquet(*hp).distinct(),
+            spark.read.parquet(*bp).distinct(),
+        )
+
+    seen0 = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    h0, b0 = DD.seen_dedup_index(seen0, "text", "doc_id", **kw)
+    write_gen(h0, hash_dir, 0)
+    write_gen(b0, band_dir, 0)
+    flags1 = DD.incremental_dedup(
+        batch1, None, "text", "doc_id", seen_index=read_index(0), **kw
+    )
+    h1, b1 = DD.seen_dedup_index(batch1, "text", "doc_id", **kw)
+    write_gen(h1, hash_dir, 1)
+    write_gen(b1, band_dir, 1)
+    flags2 = DD.incremental_dedup(
+        batch2, None, "text", "doc_id", seen_index=read_index(1), **kw
+    )
+    return (
+        flags1.withColumn("batch_id", F.lit(1))
+        .unionByName(flags2.withColumn("batch_id", F.lit(2)))
+        .select("doc_id", "batch_id", "is_exact_dup", "is_near_dup")
+    )
+
+
+@register(
     "dedup_components",
     oracle=f"""
     WITH {_SHINGLE_CTE},
@@ -1992,10 +2095,14 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH act AS (
       SELECT DISTINCT user_id,
-             -- // is floor division: a plain / 7 + CAST would ROUND to
-             -- nearest (DuckDB float->int cast), off by one near week
-             -- boundaries vs Spark's floor().
-             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk
+             -- floor(), not //: DuckDB's integer // TRUNCATES toward
+             -- zero for negative operands (-19723 // 7 = -2817), while
+             -- the engine floors (-2818) so week buckets stay uniform
+             -- across the anchor date — an epoch-1970 event sits 2818
+             -- whole weeks before 2024-01-01, not 2817 (r8 edge-sweep
+             -- find; a plain / 7 + CAST would also ROUND to nearest).
+             CAST(floor(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
       FROM events
     ), cohort AS (
       SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1

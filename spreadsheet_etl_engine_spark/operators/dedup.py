@@ -753,6 +753,7 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     *,
     chunk_words: int = 10,
+    validate_ids: bool = False,
 ) -> DataFrame:
     """Sub-document (paragraph-level) exact dedup: segment every document,
     keep only the globally FIRST occurrence of each segment, reassemble.
@@ -767,8 +768,18 @@ def paragraph_dedup(
     "First" is deterministic and engine-portable: the minimal
     (``id_col``, chunk index) pair per distinct chunk text, not
     partition-order luck.  ``id_col`` must be unique per document (it is
-    the corpus primary key) — duplicate ids would fan out in the final
-    join.
+    the corpus primary key) — a duplicate id would fan out the final
+    join, silently multiplying output rows.  Pass ``validate_ids=True``
+    to fail loud instead: one eager aggregation over the id column only
+    (column-pruned scan, map-side-combined count — cheap next to the
+    operator itself) raises :class:`~spreadsheet_etl_engine_spark.errors.
+    EngineError` naming an offending id.  Default False is the
+    documented garbage-in stance: the check costs an extra corpus scan,
+    and in a pipeline the corpus PK is typically already enforced
+    upstream by the quality-constraint machinery
+    (``operators/quality.py``: a ``unique`` constraint on ``id_col``
+    performs the identical aggregation, batched with the rest of the
+    report).
 
     Scale shape — NO shuffle is ever chunk-table-sized (plan-asserted):
     chunking is per-row codegen (split + slice — no explode-shuffle to
@@ -798,6 +809,20 @@ def paragraph_dedup(
     k = int(chunk_words)
     if k <= 0:
         raise ValueError("chunk_words must be positive")
+    if validate_ids:
+        from spreadsheet_etl_engine_spark.errors import EngineError
+
+        dup = (
+            docs.groupBy(id_col).agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .first()
+        )
+        if dup is not None:
+            raise EngineError(
+                f'paragraph_dedup requires unique "{id_col}" per document; '
+                f"id {dup[id_col]!r} appears {dup['_n']} times "
+                "(the final reassembly join would fan out)"
+            )
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / k).cast("int")
     chunk_arr = F.when(F.size(words) <= 0, F.array().cast("array<string>")).otherwise(

@@ -376,6 +376,21 @@ def run_mapping_v2(
         # LEFT side wins and the right duplicate is dropped (keeping it
         # would only plant AMBIGUOUS_REFERENCE mines for every later
         # by-name resolution, including fidelity's header indirection).
+        # On a RIGHT join, a right-only row has NULLs in every LEFT
+        # column, so a colliding column (the natural join key above all)
+        # falls back to the right side's value — left-wins where the
+        # left matched, never a lost row identity — and fidelity's
+        # NULL->"" blank-cell contract applies to the LEFT frame's
+        # string columns too (they are the join-miss cells here).
+        lcols = []
+        for f in df.schema.fields:
+            col = df[f.name]
+            if j.how == "right":
+                if f.name in right.columns:
+                    col = F.coalesce(col, right[f.name])
+                if mode == "fidelity" and f.dataType.simpleString() == "string":
+                    col = F.coalesce(col, F.lit(""))
+            lcols.append(col.alias(f.name))
         rcols = []
         for f in right.schema.fields:
             if f.name in df.columns:
@@ -385,7 +400,7 @@ def run_mapping_v2(
                 # Join-miss cells are blank display cells: "" not NULL.
                 col = F.coalesce(col, F.lit(""))
             rcols.append(col.alias(f.name))
-        df = joined.select(df["*"], *rcols)
+        df = joined.select(*lcols, *rcols)
 
     compiler = MappingCompiler(df, mode=mode)
     # Filters run under the v2 grammar (``&&`` enabled); AND across rules

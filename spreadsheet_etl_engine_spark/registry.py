@@ -2228,6 +2228,19 @@ def get(name: str) -> RegisteredQuery:
 # promotion queue for attestation at current bytes, and the new
 # shared-module hash tripwire in driver_tail_snapshot.json makes any
 # future helper edit fail loud instead of riding unnoticed.
+#
+# r8 rotation: text_stats and text_quality promoted (the r7 queue — the
+# last two queries whose current helper bytes lack a driver row), plus
+# ONE new query (dedup_index_probe: the persisted-index continuous-
+# ingestion shape, write index → probe → partition-append → re-probe,
+# turning the pytest-only parquet round-trip into driver-attested
+# end-to-end evidence — r7 verdict item 5).  Three byte-unchanged r7
+# greens demoted to make room: dsl_csv_roundtrip, sample_cap_per_source,
+# sample_hash.  r8 code changes forcing re-attestation, all already
+# head entries: the four dsl_v2_* queries (extensions.py right-join
+# fidelity fill + natural-key collision coalesce, per ADVICE).  New
+# surface (1) ≤ first-time driver verifications (3), per the standing
+# growth rule.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Reference DSL surface (parser -> compiler -> runner end-to-end).
     "dsl_flagship",
@@ -2236,16 +2249,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_v2_join_agg",
     "dsl_v2_and_filter",
     "dsl_v2_having_topn",
-    "dsl_v2_distinct",            # r7 promotion: never driver-verified (r5)
-    "dsl_csv_roundtrip",          # r7 promotion: never driver-verified (r5)
+    "dsl_v2_distinct",            # r8: extensions.py right-join fix — re-verify
     "dsl_workbook_job",
     # Scans.
-    "scan_partition_pruned",      # r7 promotion: never driver-verified (r5)
     "scan_zorder_pruned",         # NEW r7: z-order pruning end-to-end;
     #                               events_resample_gapfill demoted to make
     #                               room (green r6, byte-unchanged)
     # [EXT] dedup family.
     "dedup_incremental",
+    "dedup_index_probe",          # NEW r8: persisted-index probe (verdict item 5)
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash",              # r7 promotion: r6 edge-fix re-pin
     "text_fingerprint",           # r7: NULL-text bow_fp fix — MUST re-verify
@@ -2257,6 +2269,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_cluster_stats",
     # [EXT] text analysis.
     "text_pii_scrub",
+    "text_stats",                 # r8 promotion: r7 helper edit (token_count guard)
+    "text_quality",               # r8 promotion: r7 helper edit (token_count guard)
     "text_quality_rank",
     "text_quality_rank_approx",
     "text_encoding_quality",      # r7 promotion: never driver-verified (r5)
@@ -2268,8 +2282,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mix_weights_by_source",      # r7: token_count NULL-guard — MUST re-verify
     "curation_pipeline_decisions",
     "quality_constraint_report",
-    "sample_cap_per_source",      # r7 promotion: never driver-verified (r5)
-    "sample_hash",                # r7 promotion: r6 edge-fix re-pin
     "sample_stratified",          # r7 promotion: r6 edge-fix re-pin
     # [EXT] multimodal.
     "multimodal_decode",
@@ -2283,6 +2295,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_decayed_engagement",
     "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
     "events_value_outliers",      # r7 promotion: r5 residual + r6 edge fix
+    "events_cohort_retention",    # r8: oracle floor-division fix — re-verify
     # Joins.
     "join_fact_fact_bucketed",
     "join_skew_salted",           # r7: salted_join mode-alias fix — MUST re-verify

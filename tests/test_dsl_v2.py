@@ -417,3 +417,53 @@ def test_v2_fidelity_join_tolerates_shared_unreferenced_columns(spark):
         mode="fidelity",
     ).orderBy("K").collect()
     assert [(r["K"], r["D"]) for r in out] == [("a", "x"), ("b", "")]
+
+
+def test_v2_fidelity_fill_covers_right_join_miss_cells(spark):
+    """`how: right` mirrors the left-join contract: a right-only row's
+    LEFT columns are the join-miss cells and must project as "" and
+    compare as "" (kept by != filters) — r8 advice finding: only the
+    right frame was re-blanked, so a right-join miss leaked NULLs."""
+    src = spark.createDataFrame([("a", "1")], ["k", "v"])
+    dim = spark.createDataFrame([("a", "x"), ("b", "y")], ["kk", "d"])
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[kk] how: right"),
+            ("K", "src[k]"),
+            ("V", "src[v]"),
+            ("D", "dim[d]"),
+        ],
+        mode="fidelity",
+    ).orderBy("D").collect()
+    assert [(r["K"], r["V"], r["D"]) for r in out] == [("a", "1", "x"), ("", "", "y")]
+    # A != filter keeps the blank left cell ("" != "1"), where NULL
+    # would have dropped it.
+    kept = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[kk] how: right"),
+            ("_filter:f", 'eval: src[v] != "1"'),
+            ("D", "dim[d]"),
+        ],
+        mode="fidelity",
+    ).collect()
+    assert [r["D"] for r in kept] == ["y"]
+
+
+def test_v2_right_join_natural_key_keeps_right_identity(spark):
+    """A natural-key RIGHT join (same key name both sides) must not
+    lose the right-only row's key: the colliding column coalesces
+    left-wins-then-right, so the row's identity survives — r8 advice
+    finding: the plain left-wins drop emitted NULL for it."""
+    src = spark.createDataFrame([("a", 1)], ["k", "lv"])
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], ["k", "rv"])
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: right"),
+            ("K", "src[k]"),
+            ("RV", "dim[rv]"),
+        ],
+    ).orderBy("RV").collect()
+    assert [(r["K"], r["RV"]) for r in out] == [("a", 10), ("b", 20)]

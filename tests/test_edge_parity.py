@@ -91,6 +91,20 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000006, repeat('longword ', 2000) || 'tail', 'en',
                'edge', 18004
+        -- third family (r8): whitespace-only text (every token empty
+        -- under a single-space split), and an exact-duplicate row PAIR
+        -- (same doc_id, same text, planted twice) — the paragraph_dedup
+        -- unique-id contract edge.  The twins are byte-identical so
+        -- every deterministic computation (and any tiebreak) yields
+        -- identical values in engine and oracle; what the family tests
+        -- is that no operator crashes or diverges when the corpus PK
+        -- assumption is violated.
+        UNION ALL
+        SELECT 90000007, '   ', 'en', 'edge', 3
+        UNION ALL
+        SELECT 90000008, 'duplicate twin row body', 'en', 'edge', 23
+        UNION ALL
+        SELECT 90000008, 'duplicate twin row body', 'en', 'edge', 23
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -105,6 +119,16 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000004, TIMESTAMP '2025-01-01 00:05:00', 7, 'view',
                -1234.56, '{"x": 1}'
+        -- third family (r8): an epoch-boundary timestamp (unix second
+        -- 0 — window/session/watermark/decay arithmetic at the origin)
+        -- and an exactly-zero value (outlier z-score and decay paths
+        -- where 0 is neither positive nor negative).
+        UNION ALL
+        SELECT 90000005, TIMESTAMP '1970-01-01 00:00:00', 7, 'view',
+               3.0, NULL
+        UNION ALL
+        SELECT 90000006, TIMESTAMP '2025-01-01 00:06:00', 7, 'click',
+               0.0, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -119,6 +143,11 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000002, 1, 1, 1, -5.25, -10.5, 0.0, 0.0,
                'A', 'F', TIMESTAMP '2025-01-01 00:00:00'
+        -- third family (r8): exactly-zero measures (zero contributes to
+        -- counts/divisors but not sums) at an epoch-boundary ship date.
+        UNION ALL
+        SELECT 90000003, 1, 1, 1, 0.0, 0.0, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '1970-01-01 00:00:00'
     """,
     "orders": """
         SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
@@ -129,32 +158,71 @@ _AUGMENT = {
 }
 
 
-@pytest.fixture(scope="module")
-def edge_dir(tmp_path_factory) -> str:
-    """Augmented copy of the fixture tables: base rows + edge rows, same
-    schemas (UNION ALL BY NAME types unify against the base parquet)."""
-    out = tmp_path_factory.mktemp("edge_sf")
+# Queries whose declared contract the duplicate-id twins VIOLATE:
+# paragraph_dedup requires a unique corpus PK (validate_ids=True raises
+# on the twins; the silent no-validate divergence is pinned in
+# test_paragraph_dedup_validate_ids_fails_loud_on_duplicates), and
+# minhash_signature emits one signature row per INPUT ROW (per-row
+# zero-shuffle compute, plan-asserted) where the oracle's GROUP BY
+# doc_id collapses the twins to one.  Running engine-vs-oracle parity on
+# contract-violating input would compare two undefined behaviors, so
+# these queries sweep against the same augmented tables MINUS the twin
+# row (every other edge row intact).
+UNIQUE_ID_CONTRACT = {"dedup_paragraphs", "dedup_minhash_signature"}
+
+
+def _build_edge_tables(out: str, *, drop_twins: bool) -> None:
     con = duckdb.connect()
     for t in TABLE_NAMES:
         src = f"{SF_DIR}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
         extra = _AUGMENT.get(t)
         if extra:
-            con.execute(
-                f"COPY (SELECT * FROM '{src}' UNION ALL BY NAME ({extra})) "
-                f"TO '{dst}' (FORMAT PARQUET)"
-            )
+            sel = f"SELECT * FROM '{src}' UNION ALL BY NAME ({extra})"
+            if drop_twins and t == "documents":
+                sel = (f"SELECT * FROM ({sel}) QUALIFY "
+                       "row_number() OVER (PARTITION BY doc_id) = 1")
+            con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
         else:
             con.execute(f"COPY (SELECT * FROM '{src}') TO '{dst}' (FORMAT PARQUET)")
     con.close()
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory) -> str:
+    """Augmented copy of the fixture tables: base rows + edge rows, same
+    schemas (UNION ALL BY NAME types unify against the base parquet)."""
+    out = tmp_path_factory.mktemp("edge_sf")
+    _build_edge_tables(str(out), drop_twins=False)
     return str(out)
 
 
 @pytest.fixture(scope="module")
-def edge_duck(edge_dir):
+def edge_dir_unique(tmp_path_factory) -> str:
+    """Same augmented tables with the duplicate-id twin collapsed to one
+    row — the variant UNIQUE_ID_CONTRACT queries sweep against."""
+    out = tmp_path_factory.mktemp("edge_sf_unique")
+    _build_edge_tables(str(out), drop_twins=True)
+    return str(out)
+
+
+def _duck_for(path: str):
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{edge_dir}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = _duck_for(edge_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def edge_duck_unique(edge_dir_unique):
+    con = _duck_for(edge_dir_unique)
     yield con
     con.close()
 
@@ -163,14 +231,55 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 6
+    assert n == 9
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
     ).fetchone()[0]
     assert tie == 2
+    twins = edge_duck.execute(
+        "SELECT count(*) FROM documents WHERE doc_id = 90000008"
+    ).fetchone()[0]
+    assert twins == 2
 
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)
-def test_edge_parity(spark, edge_duck, edge_dir, name):
-    assert_query_parity(spark, edge_duck, edge_dir, name)
+def test_edge_parity(spark, edge_duck, edge_dir, edge_duck_unique,
+                     edge_dir_unique, name):
+    if name in UNIQUE_ID_CONTRACT:
+        assert_query_parity(spark, edge_duck_unique, edge_dir_unique, name)
+    else:
+        assert_query_parity(spark, edge_duck, edge_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Standing full-registry sweep (r7 verdict item 2).  The one-time manual
+# sweep mid-r7 found nine parity-blind bugs; this pins the sweep itself:
+# EVERY oracled query runs against the edge-augmented tables, so the next
+# NULL/tie/degenerate-sensitive operator fails a named gate at commit
+# time instead of waiting for the next manual exercise.  It multiplies
+# the suite's Spark time (~109 queries x 2 runs), so it is opt-in:
+#     SPARK_GRAFT_EDGE_SWEEP=1 python -m pytest tests/test_edge_parity.py
+# or the scripted entry point  python scripts/edge_sweep.py
+# (run it before every round-end commit and after any operator change —
+# the curated EDGE_QUERIES list above stays in the default suite as the
+# fast regression net for past finds).
+
+import os
+
+_FULL_SWEEP = os.environ.get("SPARK_GRAFT_EDGE_SWEEP") == "1"
+_ALL_ORACLED = sorted(n for n, rq in registry.REGISTRY.items() if rq.oracle)
+
+
+@pytest.mark.skipif(
+    not _FULL_SWEEP,
+    reason="full-registry edge sweep: set SPARK_GRAFT_EDGE_SWEEP=1 "
+           "(or run scripts/edge_sweep.py)",
+)
+@pytest.mark.parametrize("name", [n for n in _ALL_ORACLED if n not in EDGE_QUERIES])
+def test_edge_parity_full_sweep(spark, edge_duck, edge_dir, edge_duck_unique,
+                                edge_dir_unique, name):
+    if name in UNIQUE_ID_CONTRACT:
+        assert_query_parity(spark, edge_duck_unique, edge_dir_unique, name)
+    else:
+        assert_query_parity(spark, edge_duck, edge_dir, name)

@@ -793,7 +793,31 @@ def test_paragraph_dedup_removes_cross_doc_boilerplate(spark):
     assert len(got2) == 2
     assert (got2[2]["clean_text"], got2[2]["n_chunks"],
             got2[2]["n_removed"]) == ("", 0, 0)
-    assert got2[1]["clean_text"] == "a b c" 
+    assert got2[1]["clean_text"] == "a b c"
+
+
+def test_paragraph_dedup_validate_ids_fails_loud_on_duplicates(spark):
+    """The unique-id contract (r7 verdict item 4): duplicate ids would
+    silently fan out the reassembly join; ``validate_ids=True`` raises
+    an EngineError naming the offending id instead, and clean ids pass
+    the check unchanged."""
+    from spreadsheet_etl_engine_spark.errors import EngineError
+    from spreadsheet_etl_engine_spark.operators.dedup import paragraph_dedup
+
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f"), (2, "g h i")], "doc_id long, text string"
+    )
+    with pytest.raises(EngineError, match="unique.*doc_id.*2 times"):
+        paragraph_dedup(dup, chunk_words=10, validate_ids=True)
+    # Without validation the documented garbage-in stance applies: no
+    # error, and both id-1 rows get the same kept-index array (pinning
+    # the silent-corruption mode the flag guards against).
+    assert paragraph_dedup(dup, chunk_words=10).count() == 3
+    clean = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    out = paragraph_dedup(clean, chunk_words=10, validate_ids=True)
+    assert out.count() == 2
 
 
 def test_ngram_jaccard_boundary_pair_t08_n5(spark):

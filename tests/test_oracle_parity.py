@@ -83,10 +83,11 @@ def test_entry_contract(spark):
 # the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
 # past the driver's 50-entry check budget when relational extras were
 # registered ahead of them), and everything whose code or oracle changed
-# this round.  r7 rotation: the final 14 unattested queries (8 r5
-# residuals + 6 non-overlapping r6 edge-fix re-pins) promoted; 14 entries
-# freshly verified in r6 and byte-unchanged demoted to the tail (pinned
-# by the tail snapshot guard below).
+# this round.  r8 rotation: text_stats/text_quality promoted (the r7
+# queue — last two queries without a driver row at current helper
+# bytes) + NEW dedup_index_probe; dsl_csv_roundtrip,
+# sample_cap_per_source and sample_hash (green r7, byte-unchanged)
+# demoted to the tail (pinned by the tail snapshot guard below).
 MUST_BE_IN_CHECK_BUDGET = [
     # Reference DSL surface.
     "dsl_flagship",
@@ -95,13 +96,9 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_workbook_job",
     "dsl_v2_and_filter",
     "dsl_v2_having_topn",
-    "dsl_v2_distinct",        # r7 promotion: never driver-verified
-    "dsl_csv_roundtrip",      # r7 promotion: never driver-verified
+    "dsl_v2_distinct",        # r8: extensions.py right-join fix — must re-verify
     # r7 promotions: the last never-driver-verified / re-pinned entries.
-    "scan_partition_pruned",
     "scan_zorder_pruned",     # NEW r7: must verify
-    "sample_cap_per_source",
-    "sample_hash",
     "sample_stratified",
     "text_encoding_quality",
     "text_tfidf_top_terms",
@@ -117,9 +114,13 @@ MUST_BE_IN_CHECK_BUDGET = [
     "events_sliding_window",
     "agg_linear_fit",
     "events_transitions",
+    "events_cohort_retention",  # r8: oracle floor-division fix — must re-verify
     "text_quality_rank",
-    # [EXT] operators + r7-edited code paths.
+    "text_stats",             # r8 promotion: r7 token_count-guard bytes
+    "text_quality",           # r8 promotion: r7 token_count-guard bytes
+    # [EXT] operators + r7/r8-edited code paths.
     "dedup_incremental",
+    "dedup_index_probe",      # NEW r8: must verify
     "dedup_ngram_jaccard_pairs",
     "dedup_paragraphs",       # r7: keep-first de-skewed — must re-verify
     "similarity_topk_bruteforce",

@@ -175,6 +175,79 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert back.select("event_id").distinct().count() == ev.count()
 
 
+def test_checkpoint_kill_and_resume_equals_uninterrupted(spark, sf_dir, tmp_path):
+    """Crash recovery, exercised rather than asserted-by-config (r7
+    verdict stretch): a streaming run KILLED mid-flight — sink already
+    holding some committed batches — and resumed from its checkpoint
+    must produce exactly the uninterrupted run's output.  The file sink's
+    _spark_metadata commit log plus the file-source WAL give exactly-once
+    here: the resumed query neither re-emits the committed batches nor
+    drops the in-flight one."""
+    import time as _t
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    src = str(tmp_path / "in")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    projected = lambda stream: (  # noqa: E731 — tiny pipeline twin
+        stream.filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", "value")
+    )
+
+    # Arm 1: uninterrupted availableNow run.
+    out_full = str(tmp_path / "out_full")
+    q = (
+        projected(SE.read_event_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out_full)
+        .option("checkpointLocation", str(tmp_path / "ckpt_full"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    expected = spark.read.parquet(out_full)
+
+    # Arm 2: one-file-per-batch run, killed after at least one batch has
+    # committed but (with 8 input files) well before the end.
+    out = str(tmp_path / "out_killed")
+    ckpt = str(tmp_path / "ckpt_killed")
+
+    def start(**trigger):
+        return (
+            projected(SE.read_event_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger)
+            .start()
+        )
+
+    # 1s ticks: the first batch commits almost immediately, the poll
+    # below notices within 0.1s, and later batches are still waiting on
+    # the trigger interval — the kill reliably lands mid-stream.
+    q = start(processingTime="1 second")
+    deadline = _t.monotonic() + 60
+    while _t.monotonic() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if done:
+            break
+        _t.sleep(0.1)
+    assert done, "no micro-batch committed within 60s"
+    q.stop()  # kill mid-stream: some batches committed, the rest pending
+
+    n_partial = spark.read.parquet(out).count()
+    assert n_partial < expected.count(), "kill landed after completion"
+
+    # Resume from the same checkpoint to completion.
+    q = start(availableNow=True)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == expected.count()
+    # Exactly-once: no event duplicated, none dropped.
+    assert got.select("event_id").distinct().count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_stream_stream_join_equals_batch(spark, event_dir):
     """Watermarked stream-stream inner join (multi-micro-batch file
     source): the full match set equals the same join run in batch —
