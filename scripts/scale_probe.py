@@ -45,9 +45,11 @@ from pyspark.sql import functions as F
 
 
 def _spark() -> SparkSession:
-    from spreadsheet_etl_engine_spark.session import get_session
+    from spreadsheet_etl_engine_spark.session import get_spark
 
-    return get_session()
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 # ---------------------------------------------------------------------------
@@ -113,15 +115,18 @@ def synth_boilerplate_docs(spark: SparkSession, n: int, *,
 
 def synth_vectors(spark: SparkSession, n: int, *, dim: int = 32,
                   prefix: str = "c") -> DataFrame:
-    """Unit-ish random vectors with mild cluster structure: 16 seed
-    directions + per-row noise (pure-noise corpora make IVF recall a
-    coin flip at any scale; mild structure is the realistic regime)."""
-    seed_dir = F.col("id") % 16
+    """Unit-ish random vectors with WEAK cluster structure: 64 seed
+    directions (deliberately misaligned with nlist=16) + dominant
+    per-row noise.  Pure noise makes IVF recall a coin flip at any
+    scale; strong structure makes it trivially 1.0 — the weak regime is
+    where recall actually moves and is the realistic embedding case."""
+    seed_dir = F.col("id") % 64
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
-            ((F.abs(F.xxhash64(seed_dir, i)) % 2000) / 1000.0 - 1.0) * 2.0
+            ((F.abs(F.xxhash64(seed_dir, i)) % 2000) / 1000.0 - 1.0)
             + ((F.abs(F.xxhash64(F.col("id"), i, F.lit(99))) % 2000) / 1000.0 - 1.0)
+            * 1.5
         ).cast("float"),
     )
     return spark.range(n).select(
@@ -143,13 +148,21 @@ def synth_skewed_fact(spark: SparkSession, n: int, *, n_keys: int = 1000) -> Dat
 # ---------------------------------------------------------------------------
 
 
-def timed(thunk, reps: int) -> float:
-    times = []
+def ab_medians(thunk_a, thunk_b, reps: int) -> tuple[float, float]:
+    """Interleaved A/B timing (the BENCH_NOTES standing rule): one
+    untimed warmup of the small arm absorbs JVM/codegen first-run cost,
+    then each rep times A and B back-to-back so ambient drift hits both
+    arms equally.  Medians returned."""
+    thunk_a()
+    ta, tb = [], []
     for _ in range(reps):
         t0 = time.monotonic()
-        thunk()
-        times.append(time.monotonic() - t0)
-    return statistics.median(times)
+        thunk_a()
+        ta.append(time.monotonic() - t0)
+        t0 = time.monotonic()
+        thunk_b()
+        tb.append(time.monotonic() - t0)
+    return statistics.median(ta), statistics.median(tb)
 
 
 def probe_ngram(spark: SparkSession, reps: int, n: int) -> dict:
@@ -163,8 +176,7 @@ def probe_ngram(spark: SparkSession, reps: int, n: int) -> dict:
             d, "text", "doc_id", threshold=0.8, max_df_frac=0.02,
             parallelism=par,
         ).count()
-    t1 = timed(arms["n"], reps)
-    t10 = timed(arms["10n"], reps)
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
     return {"probe": "ngram_jaccard", "n": n, "t_n": round(t1, 2),
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
@@ -178,8 +190,7 @@ def probe_paragraph(spark: SparkSession, reps: int, n: int) -> dict:
         arms[label] = lambda d=docs: paragraph_dedup(
             d, "text", "doc_id", chunk_words=10
         ).agg(F.sum("n_removed")).collect()
-    t1 = timed(arms["n"], reps)
-    t10 = timed(arms["10n"], reps)
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
     return {"probe": "paragraph_dedup_hotchunk", "n": n, "t_n": round(t1, 2),
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
@@ -225,12 +236,13 @@ def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
     out = {"probe": "join_skew_salted", "n": n}
     for label, size in (("n", n), ("10n", 10 * n)):
         fact = synth_skewed_fact(spark, size)
-        t_salt = timed(
+        t_salt, t_plain = ab_medians(
             lambda: salted_join(fact, dim, key="k", salt=32)
-            .groupBy("dname").agg(F.sum("amount")).count(), reps)
-        t_plain = timed(
+            .groupBy("dname").agg(F.sum("amount")).count(),
             lambda: fact.join(dim.hint("shuffle_hash"), "k")
-            .groupBy("dname").agg(F.sum("amount")).count(), reps)
+            .groupBy("dname").agg(F.sum("amount")).count(),
+            reps,
+        )
         out[f"t_salted_{label}"] = round(t_salt, 2)
         out[f"t_plain_{label}"] = round(t_plain, 2)
     out["ratio_salted"] = round(out["t_salted_10n"] / out["t_salted_n"], 2)
@@ -242,7 +254,7 @@ PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
     "ivf": (probe_ivf, 10_000),
-    "salted": (probe_salted, 500_000),
+    "salted": (probe_salted, 2_000_000),
 }
 
 
