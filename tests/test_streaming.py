@@ -248,6 +248,61 @@ def test_checkpoint_kill_and_resume_equals_uninterrupted(spark, sf_dir, tmp_path
     assert expected.exceptAll(got).count() == 0
 
 
+def test_stateful_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """applyInPandasWithState durability: per-user running totals built
+    in one availableNow run must CONTINUE from checkpointed state when a
+    second run processes newly-arrived files — the last emitted row per
+    user across both runs equals the batch aggregate over all events.
+    (Without state recovery the second run would restart every returning
+    user from zero.)"""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    def write_fb(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    def run_once():
+        q = (
+            SE.running_user_totals(SE.read_event_stream(spark, src))
+            .writeStream.foreachBatch(write_fb)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    second.write.mode("append").parquet(src)
+    run_once()  # resumes from ckpt: state carries phase-1 totals
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("epoch"))
+    final = (
+        spark.read.parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    expected = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("total_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+           for r in final.collect()}
+    exp = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+           for r in expected.collect()}
+    assert got == exp
+
+
 def test_stream_stream_join_equals_batch(spark, event_dir):
     """Watermarked stream-stream inner join (multi-micro-batch file
     source): the full match set equals the same join run in batch —
