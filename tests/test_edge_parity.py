@@ -155,6 +155,23 @@ _AUGMENT = {
                TIMESTAMP '2025-01-01 00:00:00' AS o_orderdate,
                '1-URGENT' AS o_orderpriority
     """,
+    # fourth family (r8): the previously-unaugmented tables.  A customer
+    # with every nullable attribute NULL (NULL join key -> dim-join miss,
+    # NULL group key, NULL measure) and two embedding edges: the all-zero
+    # vector (cosine's divide-by-zero axis) and a NULL embedding (vector
+    # ops' totality contract).
+    "customer": """
+        SELECT 90000001::BIGINT AS c_custkey, 'edge-null-cust' AS c_name,
+               NULL::INTEGER AS c_nationkey, NULL::DOUBLE AS c_acctbal,
+               NULL::VARCHAR AS c_mktsegment
+    """,
+    "embeddings": """
+        SELECT 90000001::BIGINT AS vec_id,
+               list_transform(range(64), i -> 0.0::FLOAT) AS embedding,
+               0::INTEGER AS label
+        UNION ALL
+        SELECT 90000002, NULL, NULL
+    """,
 }
 
 
@@ -241,6 +258,16 @@ def test_edge_rows_present(edge_dir, edge_duck):
         "SELECT count(*) FROM documents WHERE doc_id = 90000008"
     ).fetchone()[0]
     assert twins == 2
+    null_cust = edge_duck.execute(
+        "SELECT count(*) FROM customer WHERE c_nationkey IS NULL"
+    ).fetchone()[0]
+    assert null_cust == 1
+    vec_edges = edge_duck.execute(
+        "SELECT count(*) FILTER (embedding IS NULL), "
+        "count(*) FILTER (len(list_filter(embedding, x -> x != 0)) = 0) "
+        "FROM embeddings WHERE vec_id >= 90000000"
+    ).fetchone()
+    assert vec_edges == (1, 1)
 
 
 @pytest.mark.parametrize("name", EDGE_QUERIES)
