@@ -218,10 +218,18 @@ def _ivf_recall(spark: SparkSession, n: int, k: int = 5) -> tuple[float, float]:
 
 
 def probe_ivf(spark: SparkSession, reps: int, n: int) -> dict:
-    t_n, rec_n = min((_ivf_recall(spark, n) for _ in range(reps)),
-                     key=lambda x: x[0])
-    t_10n, rec_10n = min((_ivf_recall(spark, 10 * n) for _ in range(reps)),
-                         key=lambda x: x[0])
+    # Same discipline as ab_medians: one untimed warmup, then
+    # interleaved n / 10n reps, medians (recall is deterministic given
+    # the corpus, so any rep's value serves).
+    _ivf_recall(spark, n)
+    t_ns, t_10ns = [], []
+    rec_n = rec_10n = 0.0
+    for _ in range(reps):
+        t, rec_n = _ivf_recall(spark, n)
+        t_ns.append(t)
+        t, rec_10n = _ivf_recall(spark, 10 * n)
+        t_10ns.append(t)
+    t_n, t_10n = statistics.median(t_ns), statistics.median(t_10ns)
     return {"probe": "similarity_topk_ivf", "n": n, "t_n": round(t_n, 2),
             "t_10n": round(t_10n, 2), "ratio": round(t_10n / t_n, 2),
             "recall_n": round(rec_n, 3), "recall_10n": round(rec_10n, 3)}

@@ -273,13 +273,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(operators/dedup.py:seen_dedup_index, incremental_dedup).",
 )
 def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     kw = dict(num_hashes=8, bands=4, parallelism=par)
     tmp = tempfile.mkdtemp(prefix="dedup_index_")
+    # The returned DataFrame lazily reads these files, so they must
+    # outlive this call — reclaim at interpreter exit instead of leaking
+    # one directory per invocation (r8 review finding).
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     hash_dir = os.path.join(tmp, "hashes")
     band_dir = os.path.join(tmp, "bands")
 

@@ -364,6 +364,17 @@ def run_mapping_v2(
         right = tables[j.alias]
         if j.broadcast:
             right = F.broadcast(right)
+        # RIGHT joins need to tell a join-MISS left row apart from a
+        # matched left row whose column is genuinely NULL (coalesce
+        # cannot — r8 review finding: it silently substituted the right
+        # frame's value for a real left NULL).  A never-NULL marker on
+        # the left frame is NULL post-join exactly on right-only rows.
+        lmark = None
+        if j.how == "right":
+            lmark = "_v2_left_matched"
+            while lmark in df.columns or lmark in right.columns:
+                lmark += "_"
+            df = df.withColumn(lmark, F.lit(True))
         # DataFrame-qualified keys: unqualified F.col would be ambiguous
         # whenever both sides share the key name (natural-key joins).
         joined = df.join(right, df[j.left_col] == right[j.right_col], j.how)
@@ -378,16 +389,29 @@ def run_mapping_v2(
         # by-name resolution, including fidelity's header indirection).
         # On a RIGHT join, a right-only row has NULLs in every LEFT
         # column, so a colliding column (the natural join key above all)
-        # falls back to the right side's value — left-wins where the
-        # left matched, never a lost row identity — and fidelity's
-        # NULL->"" blank-cell contract applies to the LEFT frame's
-        # string columns too (they are the join-miss cells here).
+        # falls back to the right side's value ONLY on unmatched rows
+        # (marker NULL) — left-wins where the left matched, genuine left
+        # NULLs preserved, never a lost row identity.  The fallback
+        # requires both sides to share the column's type (a single
+        # output column has one type; mixing them would force a runtime
+        # cast that can throw under ANSI — r8 review finding), else
+        # plain left-wins applies.  Fidelity's NULL->"" blank-cell
+        # contract extends to the LEFT frame's string columns (they are
+        # the join-miss cells here; genuine blanks were already ""-
+        # filled pre-join).
         lcols = []
         for f in df.schema.fields:
+            if f.name == lmark:
+                continue
             col = df[f.name]
             if j.how == "right":
-                if f.name in right.columns:
-                    col = F.coalesce(col, right[f.name])
+                if (
+                    f.name in right.columns
+                    and f.dataType == right.schema[f.name].dataType
+                ):
+                    col = F.when(df[lmark].isNotNull(), col).otherwise(
+                        right[f.name]
+                    )
                 if mode == "fidelity" and f.dataType.simpleString() == "string":
                     col = F.coalesce(col, F.lit(""))
             lcols.append(col.alias(f.name))

@@ -467,3 +467,49 @@ def test_v2_right_join_natural_key_keeps_right_identity(spark):
         ],
     ).orderBy("RV").collect()
     assert [(r["K"], r["RV"]) for r in out] == [("a", 10), ("b", 20)]
+
+
+def test_v2_right_join_matched_left_null_not_overwritten(spark):
+    """A MATCHED left row whose colliding column is genuinely NULL must
+    keep that NULL — r8 review finding: a plain coalesce substituted the
+    right frame's value because it cannot tell a join-miss NULL from a
+    real one (the fallback now keys on a never-NULL matched marker)."""
+    src = spark.createDataFrame([("a", None)], "k string, v string")
+    dim = spark.createDataFrame(
+        [("a", "RIGHT_V"), ("b", "B_V")], "k string, v string"
+    )
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: right"),
+            ("K", "src[k]"),
+            ("V", "src[v]"),
+        ],
+    ).orderBy("K").collect()
+    # Matched row 'a': left NULL survives.  Right-only row 'b': identity
+    # rescued from the right side, and its v falls back to the right
+    # value (the left frame has no row at all there).
+    assert [(r["K"], r["V"]) for r in out] == [("a", None), ("b", "B_V")]
+
+
+def test_v2_right_join_type_mismatched_collision_keeps_left(spark):
+    """Colliding columns with DIFFERENT types cannot share one output
+    column without a runtime cast (which throws under ANSI — r8 review
+    finding), so the identity fallback only applies when types match;
+    otherwise plain left-wins semantics hold and the join still runs."""
+    src = spark.createDataFrame([("a", 1)], "k string, v long")
+    dim = spark.createDataFrame(
+        [("a", "sv"), ("b", "bv")], "k string, v string"
+    )
+    out = run_mapping_v2(
+        {"src": src, "dim": dim},
+        [
+            ("_join:dim", "on: src[k] == dim[k] how: right"),
+            ("K", "src[k]"),
+            ("V", "src[v]"),
+        ],
+    ).orderBy("K").collect()
+    # No crash; 'b' keeps the (typed) left NULL for v — the mismatched
+    # right string is dropped, while the matching-type key column still
+    # rescues the row identity.
+    assert [(r["K"], r["V"]) for r in out] == [("a", 1), ("b", None)]

@@ -270,13 +270,19 @@ def test_edge_rows_present(edge_dir, edge_duck):
     assert vec_edges == (1, 1)
 
 
+# Fixtures are pulled lazily via request.getfixturevalue so a -k subset
+# of non-UNIQUE_ID_CONTRACT queries never pays the duplicate twin-free
+# table build (r8 review finding).
+def _edge_parity(spark, request, name):
+    variant = "_unique" if name in UNIQUE_ID_CONTRACT else ""
+    duck = request.getfixturevalue(f"edge_duck{variant}")
+    path = request.getfixturevalue(f"edge_dir{variant}")
+    assert_query_parity(spark, duck, path, name)
+
+
 @pytest.mark.parametrize("name", EDGE_QUERIES)
-def test_edge_parity(spark, edge_duck, edge_dir, edge_duck_unique,
-                     edge_dir_unique, name):
-    if name in UNIQUE_ID_CONTRACT:
-        assert_query_parity(spark, edge_duck_unique, edge_dir_unique, name)
-    else:
-        assert_query_parity(spark, edge_duck, edge_dir, name)
+def test_edge_parity(spark, request, name):
+    _edge_parity(spark, request, name)
 
 
 # ---------------------------------------------------------------------------
@@ -304,9 +310,5 @@ _ALL_ORACLED = sorted(n for n, rq in registry.REGISTRY.items() if rq.oracle)
            "(or run scripts/edge_sweep.py)",
 )
 @pytest.mark.parametrize("name", [n for n in _ALL_ORACLED if n not in EDGE_QUERIES])
-def test_edge_parity_full_sweep(spark, edge_duck, edge_dir, edge_duck_unique,
-                                edge_dir_unique, name):
-    if name in UNIQUE_ID_CONTRACT:
-        assert_query_parity(spark, edge_duck_unique, edge_dir_unique, name)
-    else:
-        assert_query_parity(spark, edge_duck, edge_dir, name)
+def test_edge_parity_full_sweep(spark, request, name):
+    _edge_parity(spark, request, name)
