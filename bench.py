@@ -84,6 +84,13 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 1-minute load average at run end: recorded so a number taken on a
+    # loaded box (e.g. right after a 50-query correctness pass) carries
+    # its ambient context — the BENCH_NOTES drift rules key on this.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — platform without getloadavg
+        load1 = None
     print(
         json.dumps(
             {
@@ -93,6 +100,7 @@ def main() -> None:
                 "reps": reps,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "load_avg_1m": load1,
             }
         )
     )

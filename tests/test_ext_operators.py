@@ -818,6 +818,15 @@ def test_paragraph_dedup_validate_ids_fails_loud_on_duplicates(spark):
     )
     out = paragraph_dedup(clean, chunk_words=10, validate_ids=True)
     assert out.count() == 2
+    # The documented upstream route: a quality `unique` constraint on the
+    # corpus PK catches the same garbage batched with the rest of the
+    # report (the validate_ids docstring points users here).
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        check_constraints, unique)
+
+    report = {r["constraint"]: r["n_violations"]
+              for r in check_constraints(dup, [unique("pk", "doc_id")]).collect()}
+    assert report["pk"] > 0
 
 
 def test_ngram_jaccard_boundary_pair_t08_n5(spark):
