@@ -1,0 +1,73 @@
+"""Opt-in scaling-curve gate (r8): pins the measured ~10x wall-time
+ratios from ``scripts/scale_probe.py`` as assertions, so a change that
+makes one of the four most scale-sensitive operators super-linear fails
+a named test instead of waiting for the next manual probe.
+
+Heavy (several minutes of synthetic-corpus Spark work), so opt-in like
+the full edge sweep:
+
+    SPARK_GRAFT_SCALE_PROBE=1 python -m pytest tests/test_scale_probe.py
+
+Bounds are deliberately loose (2x headroom over the recorded medians in
+BENCH_NOTES.md r8) — this gate catches complexity-class regressions
+(quadratic candidate blowup, skew funnels), not ambient drift.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+_ENABLED = os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1"
+
+pytestmark = pytest.mark.skipif(
+    not _ENABLED,
+    reason="scaling gate: set SPARK_GRAFT_SCALE_PROBE=1 (several minutes)",
+)
+
+# (probe name, bound on t(10n)/t(n), recorded r8 median ratio).
+# A linear operator reads ~<= 10 at 10x data; bounds sit ~2x above the
+# recorded medians and far below the 10x linearity ceiling for the
+# sub-linear ones.
+BOUNDS = {
+    # ngram's t(n) is ~2s, so the ratio's denominator is small enough
+    # for ambient swings to double it (observed 2.5x-6x across runs of
+    # the identical code); the bound sits under the ~25x a quadratic
+    # candidate blowup would produce, which is what this gate exists to
+    # catch.
+    "ngram": 9.0,       # recorded 2.53x median
+    # paragraph's recorded median (7.87x) sits close to the data ratio
+    # because hot-chunk frequency grows WITH n; in-session GC/ambient
+    # swings push individual runs past 10x, so the bound is a
+    # catastrophic-only ceiling (~1.5x linear), not a precision pin.
+    "paragraph": 15.0,  # recorded 7.87x
+    "ivf": 4.0,         # recorded 1.49x
+}
+MIN_IVF_RECALL = 0.8    # pytest-pinned floor elsewhere; must hold at 10n too
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_ratio_within_bound(spark, name):
+    import scale_probe as SP
+
+    fn, n = SP.PROBES[name]
+    out = fn(spark, 2, n)
+    assert out["ratio"] <= BOUNDS[name], out
+    if name == "ivf":
+        assert out["recall_n"] >= MIN_IVF_RECALL, out
+        assert out["recall_10n"] >= MIN_IVF_RECALL, out
+
+
+def test_salted_join_not_worse_than_plain(spark):
+    """The salting shape must scale no worse than the plain shuffle join
+    on its own target workload (one key holding 50% of rows)."""
+    import scale_probe as SP
+
+    fn, n = SP.PROBES["salted"]
+    out = fn(spark, 2, n)
+    assert out["ratio_salted"] <= out["ratio_plain"] * 1.5, out
+    assert out["ratio_salted"] <= 10.0, out
