@@ -2059,9 +2059,14 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- count(value), not count(*): divisor matches the power sums
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                  / count(CAST(value AS DECIMAL(18,2))) AS mu,
+             -- DECIMAL(19,2) for the squared term: width 19 forces
+             -- DuckDB onto INT128 multiplication (18x18 runs in INT64
+             -- and overflows at |x| >= ~1e10: 1e14 units * 1e14 units
+             -- — r8 family-5 find; Spark auto-widens the product to
+             -- (37,4), so only the oracle needed the explicit cast).
              sqrt(greatest(
-               CAST(sum(CAST(value AS DECIMAL(18,2))
-                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(sum(CAST(value AS DECIMAL(19,2))
+                        * CAST(value AS DECIMAL(19,2))) AS DOUBLE)
                  / count(CAST(value AS DECIMAL(18,2)))
                - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      / count(CAST(value AS DECIMAL(18,2))), 2), 0)) AS sigma
@@ -2149,7 +2154,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
-      FROM events WHERE user_id < 50 GROUP BY 1, 2
+      FROM events WHERE user_id < 50
+        AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2026-01-01'
+      GROUP BY 1, 2
     ), bounds AS (
       SELECT user_id, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY 1
     ), grid AS (
@@ -2169,12 +2176,25 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sequence + explode — per-row compute, no shuffle), zero-count "
         "gap rows, and the bucket value sum forward-filled across gaps "
         "(last IGNORE NULLS window).  The standard hypertable-rollup "
-        "shape (operators/relational.py:resample_gapfill).",
+        "shape (operators/relational.py:resample_gapfill).  The input is "
+        "bounded to the pipeline's reporting window (2024-2026) — the "
+        "standard gap-fill practice, since the grid is data-dependent "
+        "and ONE poison timestamp (epoch or 9999) would otherwise "
+        "inflate a key's span by millions of buckets; the operator's "
+        "max_buckets_per_key guard fails loud if garbage slips through "
+        "anyway (r8 edge-sweep find).",
 )
 def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators.relational import resample_gapfill
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2026-01-01").cast("timestamp"))
+        )
+    )
     out = resample_gapfill(ev, key_col="user_id", ts_col="ts", value_col="value")
     return out.withColumn("bucket_start", F.col("bucket_start").cast("string"))
 

@@ -377,6 +377,7 @@ def resample_gapfill(
     ts_col: str,
     value_col: str,
     bucket: str = "1 hour",
+    max_buckets_per_key: int = 1_000_000,
 ) -> DataFrame:
     """Time-series resample + gap fill: bucket events per key, generate
     the complete bucket grid between each key's first and last bucket,
@@ -393,19 +394,46 @@ def resample_gapfill(
     driver involvement; a 100 TB event table with bounded per-key spans
     resamples in one pass over keys.  The value sum accumulates in
     DECIMAL(18,2) so bucket totals are engine-reproducible.
+
+    ``max_buckets_per_key`` is the poison-timestamp guard (r8 edge-sweep
+    find): the grid is DATA-DEPENDENT, so ONE corrupted far-future or
+    epoch timestamp silently inflates a key's span — a single 9999-12-31
+    row next to 2025 data demands a ~70M-element ``sequence`` array
+    (~0.5 GB in one task) and OOMs the executor.  A key whose span
+    exceeds the cap fails LOUD with the key named (raise_error inside
+    the grid expression — still fully distributed); bound the input time
+    range or raise the cap for legitimately long spans.  The default
+    (1M buckets ≈ 114 years of hours) never triggers on sane data.
     """
     h = F.window(F.col(ts_col), bucket)["start"]
     hourly = df.groupBy(F.col(key_col), h.alias("_h")).agg(
         F.count("*").alias("_n"),
         F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("_v"),
     )
+    # Interval arithmetic keeps the cap bucket-unit-agnostic: the guard
+    # compares timestamps, never parses the interval string itself.
+    limit = F.col("_hmin") + F.expr(f"interval {bucket} * {max_buckets_per_key}")
+    guarded_hmax = F.when(
+        F.col("_hmax") > limit,
+        F.raise_error(
+            F.concat(
+                F.lit("resample_gapfill: key "),
+                F.col(key_col).cast("string"),
+                F.lit(
+                    f" spans more than {max_buckets_per_key} '{bucket}' "
+                    "buckets (poison timestamp? bound the input time "
+                    "range or raise max_buckets_per_key)"
+                ),
+            )
+        ).cast("timestamp"),
+    ).otherwise(F.col("_hmax"))
     grid = (
         hourly.groupBy(key_col)
         .agg(F.min("_h").alias("_hmin"), F.max("_h").alias("_hmax"))
         .select(
             F.col(key_col),
             F.explode(
-                F.sequence(F.col("_hmin"), F.col("_hmax"), F.expr(f"interval {bucket}"))
+                F.sequence(F.col("_hmin"), guarded_hmax, F.expr(f"interval {bucket}"))
             ).alias("_h"),
         )
     )

@@ -51,7 +51,15 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 def _dec_sum(col, alias: str):
-    """Order-independent double sum: sum in DECIMAL(18,2), cast back once."""
+    """Order-independent double sum: sum in DECIMAL(18,2), cast back once.
+
+    Domain contract: the decimal route bounds summed magnitudes to
+    |x| < 10^16.  A larger value (corpus garbage — a 1e300 poison row)
+    fails LOUD under ANSI with NUMERIC_VALUE_OUT_OF_RANGE naming the
+    cast, rather than silently skewing the sum; the sanctioned upstream
+    guard is an ``in_range`` quality constraint on the measure
+    (operators/quality.py).  Pinned by
+    tests/test_ext_operators.py::test_decimal_sum_domain_fails_loud."""
     return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
 
 
@@ -2273,7 +2281,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality",               # r8 promotion: r7 helper edit (token_count guard)
     "text_quality_rank",
     "text_quality_rank_approx",
-    "text_encoding_quality",      # r7 promotion: never driver-verified (r5)
     "text_tfidf_top_terms",       # r7 promotion: never driver-verified (r5)
     "text_collocations_pmi",      # r7 promotion: r5 residual + r6 edge fix
     # [EXT] training-data curation + sampling.
@@ -2296,6 +2303,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
     "events_value_outliers",      # r7 promotion: r5 residual + r6 edge fix
     "events_cohort_retention",    # r8: oracle floor-division fix — re-verify
+    "events_resample_gapfill",    # r8: bounded window + poison-ts guard — re-verify
     # Joins.
     "join_fact_fact_bucketed",
     "join_skew_salted",           # r7: salted_join mode-alias fix — MUST re-verify

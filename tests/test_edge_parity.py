@@ -105,6 +105,15 @@ _AUGMENT = {
         SELECT 90000008, 'duplicate twin row body', 'en', 'edge', 23
         UNION ALL
         SELECT 90000008, 'duplicate twin row body', 'en', 'edge', 23
+        -- fifth family (r8b): empty-string categorical keys (lang and
+        -- source '' — group keys that are blank but NOT NULL) and a
+        -- near-max bigint id (id arithmetic: negation tricks, salts,
+        -- modulo routing must not overflow).
+        UNION ALL
+        SELECT 90000009, 'empty key family text body words', '', '', 32
+        UNION ALL
+        SELECT 9223372036854775806, 'near max bigint id document', 'en',
+               'edge', 27
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -129,6 +138,24 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000006, TIMESTAMP '2025-01-01 00:06:00', 7, 'click',
                0.0, NULL
+        -- fifth family (r8b): a far-future timestamp (decay/window/
+        -- sessionization arithmetic at extreme event-time distance; the
+        -- max-ts anchor for decay jumps ~8000 years), an empty-string
+        -- event_type (blank-but-not-NULL funnel/transition key), and a
+        -- 1e12 value — the LARGEST magnitude class inside the engine's
+        -- deterministic-sum domain (sums cast to DECIMAL(18,2); beyond
+        -- ~1e16 the contract is fail-loud under ANSI, pinned by
+        -- test_decimal_sum_domain_fails_loud, so the sweep plants the
+        -- in-domain extreme).
+        UNION ALL
+        SELECT 90000007, TIMESTAMP '9999-12-31 23:59:59', 8, 'view',
+               4.5, NULL
+        UNION ALL
+        SELECT 90000008, TIMESTAMP '2025-01-01 00:07:00', 7, '',
+               1.0, NULL
+        UNION ALL
+        SELECT 90000009, TIMESTAMP '2025-01-01 00:08:00', 7, 'view',
+               1e12, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -248,7 +275,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 9
+    assert n == 11
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"

@@ -639,6 +639,33 @@ def test_resample_gapfill_fills_planted_gap(spark):
     assert len(out) == 5              # grid spans exactly min..max per key
 
 
+def test_resample_gapfill_poison_timestamp_fails_loud(spark):
+    """The data-dependent grid guard (r8 family-5 find): one far-future
+    row next to 2025 data demands a ~70M-element sequence array and
+    OOMs an executor; the operator must fail LOUD naming the key, and a
+    legitimately long span must pass when the cap is raised."""
+    import datetime as dt
+
+    from spreadsheet_etl_engine_spark.operators.relational import resample_gapfill
+
+    rows = [
+        (8, dt.datetime(2025, 1, 1), 1.0),
+        (8, dt.datetime(9999, 12, 31, 23, 59, 59), 2.0),
+        (9, dt.datetime(2025, 1, 1), 3.0),   # sane key unaffected
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    with pytest.raises(Exception, match="key 8 spans more than 1000000"):
+        resample_gapfill(
+            df, key_col="user_id", ts_col="ts", value_col="value"
+        ).count()
+    # A raised cap admits the span (here: daily buckets, cap in buckets).
+    ok = resample_gapfill(
+        df.filter(F.col("user_id") == 9),
+        key_col="user_id", ts_col="ts", value_col="value",
+    )
+    assert ok.count() == 1
+
+
 def test_check_constraints_kinds_and_assert(spark):
     import pytest
 
@@ -921,3 +948,36 @@ def test_oracle_blind_edge_fixes(spark):
     row = z.select(VEC.cosine(F.col("a"), F.col("b")).alias("c"),
                    VEC.cosine_pandas(F.col("a"), F.col("b")).alias("cp")).collect()[0]
     assert row["c"] == 0.0 and row["cp"] == 0.0
+
+
+def test_decimal_sum_domain_fails_loud(spark):
+    """The deterministic-sum domain contract (r8 family-5 find): every
+    unordered double sum routes through DECIMAL(18,2) for engine-portable
+    associativity, which bounds summed magnitudes to |x| < 1e16.  A
+    poison row beyond that must fail LOUD under ANSI (never silently
+    skew the sum), and the sanctioned upstream guard — an in_range
+    quality constraint on the measure — must catch it in report mode."""
+    import pytest as _pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        check_constraints, in_range)
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, 1e300)], "k long, value double"
+    )
+    with _pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        df.agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+        ).collect()
+    # In-domain magnitudes (the sweep's 1e12 edge row) sum exactly.
+    ok = spark.createDataFrame([(1, 1e12), (2, 2.5)], "k long, value double")
+    got = ok.agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s")
+    ).collect()[0]["s"]
+    assert got == 1e12 + 2.5
+    report = {r["constraint"]: r["n_violations"]
+              for r in check_constraints(
+                  df, [in_range("value_domain", "value", -1e15, 1e15)]
+              ).collect()}
+    assert report["value_domain"] == 1

@@ -100,7 +100,6 @@ MUST_BE_IN_CHECK_BUDGET = [
     # r7 promotions: the last never-driver-verified / re-pinned entries.
     "scan_zorder_pruned",     # NEW r7: must verify
     "sample_stratified",
-    "text_encoding_quality",
     "text_tfidf_top_terms",
     "text_collocations_pmi",
     "events_value_outliers",
@@ -115,6 +114,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "agg_linear_fit",
     "events_transitions",
     "events_cohort_retention",  # r8: oracle floor-division fix — must re-verify
+    "events_resample_gapfill",  # r8: bounded window + poison-ts guard — must re-verify
     "text_quality_rank",
     "text_stats",             # r8 promotion: r7 token_count-guard bytes
     "text_quality",           # r8 promotion: r7 token_count-guard bytes
