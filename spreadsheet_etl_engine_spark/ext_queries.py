@@ -1019,30 +1019,33 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_constraint_report",
     oracle="""
+    -- coalesce on every sum: over zero rows SQL sum() is NULL, but an
+    -- empty input has 0 violations (mirrors _violation_expr's coalesce
+    -- — r8 empty-slice sweep find).
     SELECT 'orderkey_not_null' AS constraint, 'not_null' AS kind,
-           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violations,
+           CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_violations,
            count(*) AS n_rows
     FROM lineitem
     UNION ALL
     SELECT 'qty_in_range', 'in_range',
-           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN l_quantity IS NOT NULL
                           AND l_quantity NOT BETWEEN 1 AND 50
-                     THEN 1 ELSE 0 END) AS BIGINT),
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
            count(*)
     FROM lineitem
     UNION ALL
     SELECT 'discount_low', 'in_range',
-           CAST(sum(CASE WHEN l_discount IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN l_discount IS NOT NULL
                           AND l_discount NOT BETWEEN 0 AND 0.05
-                     THEN 1 ELSE 0 END) AS BIGINT),
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
            count(*)
     FROM lineitem
     UNION ALL
     SELECT 'flag_accepted', 'accepted_values',
-           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+           CAST(coalesce(sum(CASE WHEN l_returnflag IS NOT NULL
                           AND l_returnflag NOT IN ('A', 'N')
-                     THEN 1 ELSE 0 END) AS BIGINT),
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
            count(*)
     FROM lineitem
     UNION ALL

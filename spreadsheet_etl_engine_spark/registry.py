@@ -400,7 +400,9 @@ def dsl_workbook_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="JSON-lines ingest end-to-end: the customer table is exported to "
         "JSON-lines (distributed Spark write), re-read through read_json "
-        "(sources/readers.py) with schema inference, and run through the "
+        "(sources/readers.py) with an EXPLICIT schema — the production "
+        "JSON practice: inference costs a second pass and fails on an "
+        "empty slice (r8 empty-slice find) — and run through the "
         "Map-rule engine (filter + direct/constant/formula projections). "
         "The oracle computes the same result from the parquet view, so "
         "JSON serialization, type inference (bigint/double/string) and "
@@ -421,7 +423,7 @@ def dsl_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         path = f"{tmpdir}/customer_json"
         cust.write.mode("overwrite").json(path)
-        src = read_json(spark, path)
+        src = read_json(spark, path, schema=cust.schema)
         spec = parse_mapping(
             [
                 ("_filter:pos", "eval: src[c_acctbal] > 0"),
@@ -558,7 +560,10 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         path = f"{tmpdir}/orders_part"
         write_parquet(orders, path, partition_by=["o_orderstatus"])
-        part = spark.read.parquet(path)
+        # Explicit schema on the read-back: a zero-row write leaves no
+        # part files to infer from (r8 empty-slice find), and the
+        # partitioned layout is schema-known at write time anyway.
+        part = spark.read.schema(orders.schema).parquet(path)
         return (
             part.filter((F.col("o_orderstatus") == "F")
                         & (F.col("o_totalprice") > 200000))
@@ -2259,7 +2264,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_v2_having_topn",
     "dsl_v2_distinct",            # r8: extensions.py right-join fix — re-verify
     "dsl_workbook_job",
+    "dsl_json_source",            # r8: explicit JSON schema — re-verify
     # Scans.
+    "scan_partition_pruned",      # r8: explicit read-back schema — re-verify
     "scan_zorder_pruned",         # NEW r7: z-order pruning end-to-end;
     #                               events_resample_gapfill demoted to make
     #                               room (green r6, byte-unchanged)
@@ -2281,8 +2288,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_quality",               # r8 promotion: r7 helper edit (token_count guard)
     "text_quality_rank",
     "text_quality_rank_approx",
-    "text_tfidf_top_terms",       # r7 promotion: never driver-verified (r5)
-    "text_collocations_pmi",      # r7 promotion: r5 residual + r6 edge fix
     # [EXT] training-data curation + sampling.
     "train_pack_sequences",       # r7: oracle NULL-text coalesce — MUST re-verify
     "train_split_assign",         # r7: token_count NULL-guard — MUST re-verify

@@ -84,12 +84,23 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, *, fidelity: bool = False, **options: str
+    spark: SparkSession, path: str, *, fidelity: bool = False,
+    schema=None, **options: str
 ) -> DataFrame:
     """JSON-lines scan.  ``fidelity=True`` reads every field as a string
     (display-value semantics, mirroring ``read_csv``); otherwise Spark
-    infers the schema.  Multi-line JSON via ``multiLine='true'``."""
+    infers the schema.  Multi-line JSON via ``multiLine='true'``.
+
+    Pass ``schema`` (a StructType or DDL string) for production feeds:
+    inference costs an extra full pass over the files at scale, and an
+    EMPTY directory — a routine occurrence when an upstream filter
+    matched nothing — has no rows to infer from, so the schemaless read
+    comes back columnless and every downstream column reference fails
+    (r8 empty-slice sweep find).  With an explicit schema the empty
+    slice is a well-defined zero-row frame."""
     reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.json(path)

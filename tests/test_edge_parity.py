@@ -339,3 +339,54 @@ _ALL_ORACLED = sorted(n for n, rq in registry.REGISTRY.items() if rq.oracle)
 @pytest.mark.parametrize("name", [n for n in _ALL_ORACLED if n not in EDGE_QUERIES])
 def test_edge_parity_full_sweep(spark, request, name):
     _edge_parity(spark, request, name)
+
+
+# ---------------------------------------------------------------------------
+# Empty-slice sweep (r8): every oracled query against ZERO-ROW copies of
+# all tables — the routine at-scale degenerate case (an upstream filter
+# that matched nothing, an empty partition, a brand-new ingest dir).
+# Runs under the same opt-in flag as the full sweep.
+#
+# Pinned divergence: Spark's rollup/cube/grouping-sets emit ZERO rows on
+# empty input, where the SQL standard (and DuckDB) emit the grand-total
+# grouping-set row — upstream Spark semantics, asserted explicitly here
+# so a future Spark version changing it fails loud instead of silently
+# shifting results.
+
+EMPTY_GRANDTOTAL_DIVERGENT = {"agg_rollup", "agg_cube", "agg_grouping_sets"}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("empty_sf")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' LIMIT 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    con = _duck_for(empty_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not _FULL_SWEEP,
+    reason="empty-slice sweep: set SPARK_GRAFT_EDGE_SWEEP=1 "
+           "(or run scripts/edge_sweep.py)",
+)
+@pytest.mark.parametrize("name", _ALL_ORACLED)
+def test_empty_slice_parity(spark, empty_duck, empty_dir, name):
+    if name in EMPTY_GRANDTOTAL_DIVERGENT:
+        got = registry.get(name).fn(spark, empty_dir)
+        exp = empty_duck.execute(registry.get(name).oracle).df()
+        assert got.count() == 0, "Spark semantics changed: update the pin"
+        assert len(exp) == 1, "oracle lost the SQL grand-total row"
+        return
+    assert_query_parity(spark, empty_duck, empty_dir, name)

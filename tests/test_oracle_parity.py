@@ -97,11 +97,11 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_v2_and_filter",
     "dsl_v2_having_topn",
     "dsl_v2_distinct",        # r8: extensions.py right-join fix — must re-verify
+    "dsl_json_source",        # r8: explicit JSON schema — must re-verify
     # r7 promotions: the last never-driver-verified / re-pinned entries.
+    "scan_partition_pruned",  # r8: explicit read-back schema — must re-verify
     "scan_zorder_pruned",     # NEW r7: must verify
     "sample_stratified",
-    "text_tfidf_top_terms",
-    "text_collocations_pmi",
     "events_value_outliers",
     "events_sessionize",
     "agg_moments",
