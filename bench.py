@@ -89,7 +89,7 @@ def main() -> None:
     # its ambient context — the BENCH_NOTES drift rules key on this.
     try:
         load1 = round(os.getloadavg()[0], 2)
-    except OSError:  # pragma: no cover — platform without getloadavg
+    except (OSError, AttributeError):  # pragma: no cover — no getloadavg
         load1 = None
     print(
         json.dumps(

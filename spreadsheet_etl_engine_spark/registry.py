@@ -405,8 +405,9 @@ def dsl_workbook_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         "empty slice (r8 empty-slice find) — and run through the "
         "Map-rule engine (filter + direct/constant/formula projections). "
         "The oracle computes the same result from the parquet view, so "
-        "JSON serialization, type inference (bigint/double/string) and "
-        "the DSL path are all under the hash.  The JSON scan itself is a "
+        "JSON serialization, schema-bound typed reads (bigint/double/"
+        "string) and the DSL path are all under the hash (schemaless "
+        "inference is covered by unit tests only).  The JSON scan is a "
         "distributed file source — no driver materialization; the "
         "localCheckpoint only decouples the result from the temp fixture.",
 )

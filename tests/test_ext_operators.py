@@ -658,7 +658,21 @@ def test_resample_gapfill_poison_timestamp_fails_loud(spark):
         resample_gapfill(
             df, key_col="user_id", ts_col="ts", value_col="value"
         ).count()
-    # A raised cap admits the span (here: daily buckets, cap in buckets).
+    # The cap is a real parameter, not a constant: a low cap fires on a
+    # modest span, and raising it admits the same span.
+    two_day = df.filter(F.col("user_id") == 8).withColumn(
+        "ts", F.least(F.col("ts"), F.lit("2025-01-03 00:00:00").cast("timestamp"))
+    )
+    with pytest.raises(Exception, match="key 8 spans more than 10 '1 hour'"):
+        resample_gapfill(
+            two_day, key_col="user_id", ts_col="ts", value_col="value",
+            max_buckets_per_key=10,
+        ).count()
+    raised = resample_gapfill(
+        two_day, key_col="user_id", ts_col="ts", value_col="value",
+        max_buckets_per_key=100,
+    )
+    assert raised.count() == 49  # 48h span -> 49 hourly buckets
     ok = resample_gapfill(
         df.filter(F.col("user_id") == 9),
         key_col="user_id", ts_col="ts", value_col="value",
@@ -958,7 +972,6 @@ def test_decimal_sum_domain_fails_loud(spark):
     skew the sum), and the sanctioned upstream guard — an in_range
     quality constraint on the measure — must catch it in report mode."""
     import pytest as _pytest
-    from pyspark.sql.utils import AnalysisException  # noqa: F401
 
     from spreadsheet_etl_engine_spark.operators.quality import (
         check_constraints, in_range)
