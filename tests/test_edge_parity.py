@@ -175,6 +175,17 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000003, 1, 1, 1, 0.0, 0.0, 0.0, 0.0,
                'A', 'F', TIMESTAMP '1970-01-01 00:00:00'
+        -- sixth family (r8c): NEGATIVE-epoch date arithmetic (pre-1970
+        -- ship date; the truncate-vs-floor divergence class the cohort
+        -- fix was in).  Planted in lineitem only: an events-side probe
+        -- found every batch query clean but the real-stream queries
+        -- nondeterministically DROP a >watermark-late row depending on
+        -- which micro-batch the file lands in — by-design streaming
+        -- semantics already pinned deterministically by
+        -- test_watermark_drops_late_data_and_append_holds_open_windows.
+        UNION ALL
+        SELECT 91000001, 1, 1, 1, 5.0, 10.0, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '1920-05-05 03:07:11'
     """,
     "orders": """
         SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
