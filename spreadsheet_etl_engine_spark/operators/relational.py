@@ -399,11 +399,14 @@ def resample_gapfill(
     find): the grid is DATA-DEPENDENT, so ONE corrupted far-future or
     epoch timestamp silently inflates a key's span — a single 9999-12-31
     row next to 2025 data demands a ~70M-element ``sequence`` array
-    (~0.5 GB in one task) and OOMs the executor.  A key whose span
-    exceeds the cap fails LOUD with the key named (raise_error inside
+    (~0.5 GB in one task) and OOMs the executor.  A key whose grid would
+    exceed the cap fails LOUD with the key named (raise_error inside
     the grid expression — still fully distributed); bound the input time
-    range or raise the cap for legitimately long spans.  The default
-    (1M buckets ≈ 114 years of hours) never triggers on sane data.
+    range or raise the cap for legitimately long spans.  The cap is
+    exact: the per-key grid holds at most ``max_buckets_per_key`` rows
+    (sequence is end-inclusive, so the guard fires at a span of cap
+    intervals).  The default (1M buckets ≈ 114 years of hours) never
+    triggers on sane data.
     """
     h = F.window(F.col(ts_col), bucket)["start"]
     hourly = df.groupBy(F.col(key_col), h.alias("_h")).agg(
@@ -412,9 +415,12 @@ def resample_gapfill(
     )
     # Interval arithmetic keeps the cap bucket-unit-agnostic: the guard
     # compares timestamps, never parses the interval string itself.
+    # >= keeps the cap exact: a span of exactly `cap` intervals would emit
+    # cap+1 grid rows (sequence is end-inclusive), so the guard fires at
+    # span >= cap intervals and the grid never exceeds cap rows per key.
     limit = F.col("_hmin") + F.expr(f"interval {bucket} * {max_buckets_per_key}")
     guarded_hmax = F.when(
-        F.col("_hmax") > limit,
+        F.col("_hmax") >= limit,
         F.raise_error(
             F.concat(
                 F.lit("resample_gapfill: key "),

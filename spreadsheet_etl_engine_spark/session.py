@@ -41,6 +41,12 @@ def get_spark(
         # metadata-only profiling scans.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.session.timeZone", "UTC")
+        # Pinned, not inherited: the engine's fail-loud numeric contracts
+        # (e.g. the DECIMAL sum domain in jobs/_dec_sum) require ANSI
+        # semantics.  Spark 4.x defaults ANSI on, but a 3.x or ANSI-off
+        # deployment would silently cast overflow to NULL instead of
+        # raising, so the contract is pinned here rather than assumed.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     if master is not None:
@@ -49,4 +55,10 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate may hand back a pre-existing session whose builder confs
+    # were ignored; ANSI is runtime-settable, so enforce it there too
+    # (unless the caller explicitly overrode it via extra_conf).
+    if "spark.sql.ansi.enabled" not in (extra_conf or {}):
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    return spark

@@ -69,18 +69,33 @@ def with_ingest_ordinal(df: DataFrame, *, name: str = "_ordinal") -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, *, fidelity: bool = False, **options: str
+    spark: SparkSession, path: str, *, fidelity: bool = False,
+    schema=None, **options: str
 ) -> DataFrame:
     """CSV scan. ``fidelity=True`` keeps every column a string (display-value
-    semantics); otherwise Spark infers a typed schema."""
+    semantics); otherwise Spark infers a typed schema.
+
+    Pass ``schema`` (a StructType or DDL string) for production feeds,
+    same contract as ``read_json``: inference needs rows (typed mode) or
+    at least a header line (fidelity mode), so an EMPTY directory dies
+    columnless without one, and at scale inference costs an extra pass
+    over the files.  With an explicit schema the empty slice is a
+    well-defined zero-row frame (r8 verdict item 5)."""
     reader = spark.read.option("header", "true")
-    if fidelity:
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fidelity:
         reader = reader.option("inferSchema", "false")
     else:
         reader = reader.option("inferSchema", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.csv(path)
+    df = reader.csv(path)
+    if fidelity and schema is not None:
+        # Keep the fidelity contract when the caller's schema is typed:
+        # every column surfaces as its display string (same as read_json).
+        df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    return df
 
 
 def read_json(
@@ -110,12 +125,20 @@ def read_json(
 
 
 def read_orc(
-    spark: SparkSession, path: str, *, fidelity: bool = False, **options: str
+    spark: SparkSession, path: str, *, fidelity: bool = False,
+    schema=None, **options: str
 ) -> DataFrame:
     """ORC scan (Spark-native columnar source — same pushdown/pruning
     story as parquet).  ``fidelity=True`` casts every column to its
-    display string, mirroring ``read_csv``/``read_json``."""
+    display string, mirroring ``read_csv``/``read_json``.
+
+    ORC files carry their schema, but a directory with NO files (the
+    routine empty upstream slice) has nothing to infer from — pass
+    ``schema`` so it reads as a well-defined zero-row frame, same
+    contract as ``read_csv``/``read_json``."""
     reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.orc(path)

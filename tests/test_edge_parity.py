@@ -156,6 +156,19 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000009, TIMESTAMP '2025-01-01 00:08:00', 7, 'view',
                1e12, NULL
+        -- seventh family (r9): a decimal-boundary CANCEL PAIR.  Each
+        -- value is 16 significant digits, so its CENTS count (~1e16)
+        -- exceeds 2^53 and is NOT exactly representable in double; the
+        -- pair sums to exactly 0.01 under the DECIMAL(18,2) discipline,
+        -- while any path that silently sums in float64 gets an
+        -- order-dependent ~0.0099999... — the probe that separates the
+        -- engine's documented exact-sum convention from a lookalike.
+        UNION ALL
+        SELECT 90000010, TIMESTAMP '2025-01-01 00:09:00', 7, 'view',
+               99999999999999.99, NULL
+        UNION ALL
+        SELECT 90000011, TIMESTAMP '2025-01-01 00:09:30', 7, 'view',
+               -99999999999999.98, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -186,6 +199,24 @@ _AUGMENT = {
         UNION ALL
         SELECT 91000001, 1, 1, 1, 5.0, 10.0, 0.0, 0.0,
                'A', 'F', TIMESTAMP '1920-05-05 03:07:11'
+        -- seventh family (r9): (a) the price-side decimal cancel pair
+        -- (see events family 7 — same probe on the lineitem pricing
+        -- aggregation paths; quantities stay small so the moment/
+        -- z-score domain is untouched); (b) EMPTY-STRING group/fidelity
+        -- keys ('' l_returnflag/l_linestatus — blank but NOT NULL,
+        -- qty >= 30 so the row survives the fidelity filter: the
+        -- reference's DIRECT projection falls back to the LITERAL on a
+        -- missing header (main.gs:110-111), and '' must stay distinct
+        -- from NULL through grouping, fidelity fill and projection).
+        UNION ALL
+        SELECT 91000002, 1, 1, 1, 5.0, 99999999999999.99, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '2025-01-02 00:00:00'
+        UNION ALL
+        SELECT 91000003, 1, 1, 1, 5.0, -99999999999999.98, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '2025-01-02 00:00:00'
+        UNION ALL
+        SELECT 91000004, 1, 1, 1, 35.0, 100.0, 0.0, 0.0,
+               '', '', TIMESTAMP '2025-01-02 00:00:00'
     """,
     "orders": """
         SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
@@ -401,3 +432,110 @@ def test_empty_slice_parity(spark, empty_duck, empty_dir, name):
         assert len(exp) == 1, "oracle lost the SQL grand-total row"
         return
     assert_query_parity(spark, empty_duck, empty_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Single-row sweep (r9, family 7b): every table reduced to exactly ONE
+# deterministic row — the degenerate-cardinality case between "empty"
+# and "normal" (windows of one, joins with at most one match, quantiles
+# and moments of a singleton, LSH bands with one member, top-k with
+# k > n).  Same opt-in flag.
+
+_ONE_ROW_ORDER = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+@pytest.fixture(scope="module")
+def singlerow_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("singlerow_sf")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_DIR}/{t}.parquet' "
+            f"ORDER BY {_ONE_ROW_ORDER[t]} LIMIT 1) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def singlerow_duck(singlerow_dir):
+    con = _duck_for(singlerow_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not _FULL_SWEEP,
+    reason="single-row sweep: set SPARK_GRAFT_EDGE_SWEEP=1 "
+           "(or run scripts/edge_sweep.py)",
+)
+@pytest.mark.parametrize("name", _ALL_ORACLED)
+def test_single_row_parity(spark, singlerow_duck, singlerow_dir, name):
+    assert_query_parity(spark, singlerow_duck, singlerow_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# All-NULL-column sweep (r9, family 7c): every NON-KEY column of the six
+# fact/content tables is NULL in EVERY row (ids and join keys keep their
+# values — NULLing those is covered row-wise by families 1/4/5).  This
+# is the "new feed with a broken extractor" shape: aggregates over a
+# 100%-NULL measure (sum → NULL, count(col) → 0), group-bys where the
+# only key value is NULL, text operators over an all-NULL corpus.
+# The dims (region/nation/part/supplier) stay intact so dim joins still
+# resolve and the NULL blast radius is attributable.
+
+_ALL_NULL_COLS = {
+    "customer": ["c_nationkey", "c_acctbal", "c_mktsegment"],
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate",
+               "o_orderpriority"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["ts", "event_type", "value", "props"],
+    "documents": ["text", "lang", "source", "n_chars"],
+    "embeddings": ["embedding", "label"],
+}
+
+
+@pytest.fixture(scope="module")
+def allnull_dir(tmp_path_factory) -> str:
+    out = tmp_path_factory.mktemp("allnull_sf")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        nulled = _ALL_NULL_COLS.get(t, [])
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        ).fetchall()
+        sel = ", ".join(
+            f"CAST(NULL AS {typ}) AS {name}" if name in nulled else name
+            for name, typ, *_ in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM '{SF_DIR}/{t}.parquet') "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def allnull_duck(allnull_dir):
+    con = _duck_for(allnull_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.skipif(
+    not _FULL_SWEEP,
+    reason="all-NULL-column sweep: set SPARK_GRAFT_EDGE_SWEEP=1 "
+           "(or run scripts/edge_sweep.py)",
+)
+@pytest.mark.parametrize("name", _ALL_ORACLED)
+def test_all_null_column_parity(spark, allnull_duck, allnull_dir, name):
+    assert_query_parity(spark, allnull_duck, allnull_dir, name)

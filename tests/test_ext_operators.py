@@ -673,6 +673,19 @@ def test_resample_gapfill_poison_timestamp_fails_loud(spark):
         max_buckets_per_key=100,
     )
     assert raised.count() == 49  # 48h span -> 49 hourly buckets
+    # The cap is EXACT (r8 ADVICE fencepost): a 48h span emits 49 grid
+    # rows, so cap=49 admits it at exactly the cap and cap=48 fires —
+    # the grid can never exceed max_buckets_per_key rows per key.
+    at_cap = resample_gapfill(
+        two_day, key_col="user_id", ts_col="ts", value_col="value",
+        max_buckets_per_key=49,
+    )
+    assert at_cap.count() == 49
+    with pytest.raises(Exception, match="key 8 spans more than 48 '1 hour'"):
+        resample_gapfill(
+            two_day, key_col="user_id", ts_col="ts", value_col="value",
+            max_buckets_per_key=48,
+        ).count()
     ok = resample_gapfill(
         df.filter(F.col("user_id") == 9),
         key_col="user_id", ts_col="ts", value_col="value",
