@@ -258,11 +258,95 @@ def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
     return out
 
 
+def synth_chain_edges(spark: SparkSession, n_chains: int, *,
+                      chain_len: int = 16) -> DataFrame:
+    """``n_chains`` disjoint path graphs of ``chain_len`` nodes each —
+    the WORST realistic dup-cluster shape for min-label propagation
+    (a clique converges in 1 round; a path needs diameter rounds).
+    Node ids are hash-scattered so a component's members never share a
+    partition by construction."""
+    return (
+        spark.range(n_chains * (chain_len - 1))
+        .select(
+            F.expr(f"id div {chain_len - 1}").alias("c"),
+            (F.col("id") % (chain_len - 1)).alias("i"),
+        )
+        .select(
+            (F.xxhash64(F.col("c") * chain_len + F.col("i"))).alias("id_a"),
+            (F.xxhash64(F.col("c") * chain_len + F.col("i") + 1)).alias("id_b"),
+        )
+    )
+
+
+def probe_components(spark: SparkSession, reps: int, n: int) -> dict:
+    """connected_components at n and 10n chains of FIXED length 16: the
+    iteration count is set by component DIAMETER (15 here), not corpus
+    size, so 10x more chains must cost ~10x per round with the SAME
+    round count — the scale risk is a workload where diameter grows with
+    data, which the operator already fails loud on (max_iter)."""
+    from spreadsheet_etl_engine_spark.operators.dedup import connected_components
+
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        edges = synth_chain_edges(spark, size)
+        arms[label] = lambda e=edges: connected_components(
+            e, max_iter=25
+        ).agg(F.countDistinct("component")).collect()
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    return {"probe": "dedup_components_chain", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
+def synth_keyed_events(spark: SparkSession, n: int, *,
+                       events_per_key: int = 100,
+                       span_hours: int = 500) -> DataFrame:
+    """n timestamped events over n/events_per_key keys, each key's events
+    hash-scattered across a fixed ``span_hours`` window: the gap-fill
+    grid is keys x span buckets, so it grows LINEARLY with keys (and so
+    with n), never keys^2."""
+    n_keys = max(1, n // events_per_key)
+    ts = F.timestamp_seconds(
+        F.lit(1_700_000_000)
+        + (F.abs(F.xxhash64(F.col("id"))) % (span_hours * 3600))
+    )
+    return spark.range(n).select(
+        (F.col("id") % n_keys).alias("k"), ts.alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def probe_gapfill(spark: SparkSession, reps: int, n: int) -> dict:
+    """resample_gapfill at n and 10n events (keys grow 10x, per-key span
+    fixed): the grid explode is per-key sequence work, so wall time must
+    track the 10x grid growth, not blow up combinatorially.  The r9
+    span-cap guard is IN the measured path both arms (it is a per-KEY
+    min/max comparison on the grouped frame, O(keys) rows, not a
+    per-grid-row cost)."""
+    from spreadsheet_etl_engine_spark.operators.relational import resample_gapfill
+
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        ev = synth_keyed_events(spark, size)
+        # Sum the FILLED column (not count(*)): the consumer must touch
+        # v_filled so Catalyst cannot prune the forward-fill window out
+        # of the measured plan.
+        arms[label] = lambda e=ev: resample_gapfill(
+            e, key_col="k", ts_col="ts", value_col="v"
+        ).agg(F.sum("v_filled"), F.sum("n_events")).collect()
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    return {"probe": "resample_gapfill", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
 PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
     "ivf": (probe_ivf, 10_000),
     "salted": (probe_salted, 2_000_000),
+    "components": (probe_components, 2_000),
+    # 1M events -> ~5M grid rows in the small arm: large enough that the
+    # grid explode (not session overhead) is what the ratio measures.
+    "gapfill": (probe_gapfill, 1_000_000),
 }
 
 

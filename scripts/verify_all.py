@@ -1,0 +1,98 @@
+"""One-command verification lattice (r8 verdict stretch item): runs every
+evidence gate the repo maintains and prints a green/red table, so a
+round-end check (or a judge re-run) is a single command instead of four
+env-flag incantations.
+
+Stages (each an independent subprocess; later stages still run after a
+failure so the table is complete):
+
+  suite       full pytest tests/ — unit + property + streaming + the
+              always-on curated edge gate + local DuckDB parity over all
+              oracled queries at sf0.001
+  edge        scripts/edge_sweep.py — every oracled query vs DuckDB on
+              the edge-augmented, empty-slice, single-row and
+              all-NULL-column table variants
+  scale       SPARK_GRAFT_SCALE_PROBE=1 pytest tests/test_scale_probe.py
+              — measured ~10x scaling-ratio bounds + IVF recall floors
+  promotions  scripts/check_promotions.py --promoted — the DRIVER_PRIORITY
+              head at BOTH sf0.001 and sf0.01 (what the driver will run)
+  bench       python bench.py — the sf0.1 headline recording (one JSON
+              line; pass/fail is exit code + parseable output only)
+
+Usage:
+    python scripts/verify_all.py              # everything (~25-35 min)
+    python scripts/verify_all.py suite edge   # named stages only
+
+Exit code 0 = every selected stage green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+STAGES: dict[str, tuple[list[str], dict[str, str]]] = {
+    "suite": ([PY, "-m", "pytest", "tests/", "-q", "--no-header",
+               "-p", "no:cacheprovider"], {}),
+    "edge": ([PY, "scripts/edge_sweep.py"], {}),
+    "scale": ([PY, "-m", "pytest", "tests/test_scale_probe.py", "-q",
+               "--no-header", "-p", "no:cacheprovider"],
+              {"SPARK_GRAFT_SCALE_PROBE": "1"}),
+    "promotions": ([PY, "scripts/check_promotions.py", "--promoted"], {}),
+    "bench": ([PY, "bench.py"], {}),
+}
+
+
+def run_stage(name: str) -> tuple[bool, float, str]:
+    cmd, extra_env = STAGES[name]
+    env = dict(os.environ, **extra_env)
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                          text=True)
+    dt = time.monotonic() - t0
+    ok = proc.returncode == 0
+    tail = ""
+    if name == "bench" and ok:
+        # The recording is the evidence: surface the JSON line.
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                try:
+                    tail = f"total {json.loads(line)['value']}s"
+                except (json.JSONDecodeError, KeyError):
+                    tail = "unparseable bench line"
+                break
+        else:
+            ok, tail = False, "no JSON line in bench output"
+    if not ok and not tail:
+        lines = (proc.stdout + proc.stderr).strip().splitlines()
+        tail = "; ".join(lines[-3:])[:200]
+    return ok, dt, tail
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(STAGES)
+    unknown = [n for n in names if n not in STAGES]
+    if unknown:
+        print(f"unknown stages {unknown}; choose from {list(STAGES)}")
+        return 2
+    results = []
+    for name in names:
+        print(f"[verify_all] running {name} ...", flush=True)
+        results.append((name, *run_stage(name)))
+    print()
+    print(f"{'stage':<12} {'result':<6} {'secs':>7}  note")
+    failed = False
+    for name, ok, dt, tail in results:
+        print(f"{name:<12} {'GREEN' if ok else 'RED':<6} {dt:>7.1f}  {tail}")
+        failed |= not ok
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

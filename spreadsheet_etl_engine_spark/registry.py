@@ -1295,8 +1295,13 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-                    * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           -- DECIMAL(19,2) on the product operands: DuckDB executes a
+           -- product of two <=18-width decimals in int64 and OVERFLOWS
+           -- at runtime on ~1e14 operands (r9 edge family 7 find);
+           -- width 19 forces the exact hugeint path.  Same values —
+           -- the engine's Spark side widens products automatically.
+           CAST(sum(CAST(l_quantity AS DECIMAL(19,2))
+                    * CAST(l_extendedprice AS DECIMAL(19,2))) AS DOUBLE)
                / count(*)
            - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
               / count(*))
@@ -1335,9 +1340,13 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- contributes to no sum, so the divisor must not count it
       -- (regr_count semantics; the count(*) divisor was the same
       -- parity-blind class as agg_moments' r6 fix)
+      -- DECIMAL(19,2): keeps the x*x / x*y products below on DuckDB's
+      -- exact hugeint path — int64-backed (<=18-width) products overflow
+      -- at runtime on ~1e14 operands (r9 edge family 7 find).  Same
+      -- values, same scale; Spark widens its products automatically.
       SELECT l_returnflag,
-             CAST(l_quantity AS DECIMAL(18,2)) AS x,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+             CAST(l_quantity AS DECIMAL(19,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(19,2)) AS y
       FROM lineitem
       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
@@ -2255,69 +2264,86 @@ def get(name: str) -> RegisteredQuery:
 # fidelity fill + natural-key collision coalesce, per ADVICE).  New
 # surface (1) ≤ first-time driver verifications (3), per the standing
 # growth rule.
+#
+# r9 rotation — the FRESHNESS pass (r8 verdict item 3, widened): with
+# every query already attested at current bytes and almost the whole r8
+# head byte-unchanged-green, the stale tail is the only attestation debt
+# left.  42 queries' newest driver rows dated r2–r5 (computed from the
+# CORRECTNESS_r01–r08 union: 8 from r2, 13 from r3, 6 from r4, 15 from
+# r5) — ALL of them promoted this round, so after the r9 driver run no
+# query's newest row predates r6.  Plus this round's forced
+# re-verifications (changed bytes): agg_corr_covar + agg_linear_fit
+# (oracle decimal(19,2) product widening — the family-7 DuckDB int64
+# overflow fix), events_resample_gapfill (cap fencepost: guard fires at
+# span >= cap), dsl_csv_roundtrip + dsl_orc_roundtrip (read_csv/read_orc
+# gained the explicit-schema parameter).  dsl_flagship, dsl_workbook_job
+# and multimodal_decode keep seats as the reference-surface/EXT
+# sentinels.  Displaced: the rest of the r8 head — all green r8 at
+# current bytes and byte-unchanged since (pinned by the tail fingerprint
+# + shared-module hash tripwire).  Every promoted name green through
+# scripts/check_promotions.py at BOTH sf0.001 and sf0.01 before taking
+# a slot.  New surface (0) ≤ first-time verifications, growth rule moot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Reference DSL surface (parser -> compiler -> runner end-to-end).
+    # Reference DSL surface sentinels + stale DSL attestations.
     "dsl_flagship",
-    "dsl_a1_forward",
-    "dsl_fidelity_strings",       # r7: fidelity fill refactored (shared helper)
-    "dsl_v2_join_agg",
-    "dsl_v2_and_filter",
-    "dsl_v2_having_topn",
-    "dsl_v2_distinct",            # r8: extensions.py right-join fix — re-verify
     "dsl_workbook_job",
-    "dsl_json_source",            # r8: explicit JSON schema — re-verify
-    # Scans.
-    "scan_partition_pruned",      # r8: explicit read-back schema — re-verify
-    "scan_zorder_pruned",         # NEW r7: z-order pruning end-to-end;
-    #                               events_resample_gapfill demoted to make
-    #                               room (green r6, byte-unchanged)
-    # [EXT] dedup family.
-    "dedup_incremental",
-    "dedup_index_probe",          # NEW r8: persisted-index probe (verdict item 5)
-    "dedup_ngram_jaccard_pairs",
-    "dedup_simhash",              # r7 promotion: r6 edge-fix re-pin
-    "text_fingerprint",           # r7: NULL-text bow_fp fix — MUST re-verify
-    "dedup_simhash_pairs",        # r7 promotion: r6 edge-fix re-pin
-    "dedup_paragraphs",           # r7: keep-first de-skewed — MUST re-verify
-    # [EXT] similarity search + vector analytics.
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "embedding_cluster_stats",
-    # [EXT] text analysis.
-    "text_pii_scrub",
-    "text_stats",                 # r8 promotion: r7 helper edit (token_count guard)
-    "text_quality",               # r8 promotion: r7 helper edit (token_count guard)
-    "text_quality_rank",
-    "text_quality_rank_approx",
-    # [EXT] training-data curation + sampling.
-    "train_pack_sequences",       # r7: oracle NULL-text coalesce — MUST re-verify
-    "train_split_assign",         # r7: token_count NULL-guard — MUST re-verify
-    "mix_weights_by_source",      # r7: token_count NULL-guard — MUST re-verify
-    "curation_pipeline_decisions",
-    "quality_constraint_report",
-    "sample_stratified",          # r7 promotion: r6 edge-fix re-pin
-    # [EXT] multimodal.
-    "multimodal_decode",
-    # Event-time / streaming.
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_view_click_join",
-    "events_tumbling_window",     # r7: oracle NULL-ts filter — MUST re-verify
-    "events_sliding_window",      # r7: oracle NULL-ts filter — MUST re-verify
-    "events_transitions",
-    "events_decayed_engagement",
-    "events_sessionize",          # r7 promotion: r6 edge-fix re-pin
-    "events_value_outliers",      # r7 promotion: r5 residual + r6 edge fix
-    "events_cohort_retention",    # r8: oracle floor-division fix — re-verify
-    "events_resample_gapfill",    # r8: bounded window + poison-ts guard — re-verify
-    # Joins.
-    "join_fact_fact_bucketed",
-    "join_skew_salted",           # r7: salted_join mode-alias fix — MUST re-verify
+    "dsl_direct_constant",        # r9 freshness: newest row was r4
+    "dsl_filter_ops",             # r9 freshness: r4
+    "dsl_a1_formula",             # r9 freshness: r5
+    "dsl_formula_chain",          # r9 freshness: r5
+    "dsl_csv_roundtrip",          # r9: read_csv explicit-schema param — re-verify
+    "dsl_orc_roundtrip",          # r9: read_orc explicit-schema param — re-verify
+    # Scalar / profiling / reshape (r2–r5 vintages).
+    "scalar_datetime",            # r9 freshness: r2
+    "scalar_string_math",         # r9 freshness: r5
+    "profile_columns",            # r9 freshness: r2
+    "events_json_extract",        # r9 freshness: r2
+    "reshape_unpivot",            # r9 freshness: r5
+    "agg_histogram",              # r9 freshness: r2
+    "distinct_nations_per_segment",  # r9 freshness: r2
+    # ETL shapes.
+    "etl_snapshot_diff",          # r9 freshness: r2
+    "etl_scd2",                   # r9 freshness: r5
+    "etl_upsert",                 # r9 freshness: r5
+    # Set ops.
+    "set_union_distinct",         # r9 freshness: r2
+    "set_except_all",             # r9 freshness: r2
+    "set_except",                 # r9 freshness: r3
+    "set_intersect",              # r9 freshness: r3
     # Aggregations.
-    "agg_heavy_hitters",
-    "agg_heavy_hitters_approx",
-    "agg_linear_fit",
-    "agg_moments",                # r7 promotion: r6 edge-fix re-pin
+    "agg_cube",                   # r9 freshness: r3
+    "agg_grouping_sets",          # r9 freshness: r3
+    "agg_pivot",                  # r9 freshness: r3
+    "agg_rollup",                 # r9 freshness: r5
+    "agg_quantiles",              # r9 freshness: r5
+    "agg_pricing_summary",        # r9 freshness: r5
+    "agg_corr_covar",             # r9: oracle decimal(19,2) products — re-verify
+    "agg_linear_fit",             # r9: oracle decimal(19,2) products — re-verify
+    # Joins.
+    "join_anti",                  # r9 freshness: r3
+    "join_semi",                  # r9 freshness: r3
+    "join_fact_fact",             # r9 freshness: r3
+    "join_range_window",          # r9 freshness: r3
+    "join_asof",                  # r9 freshness: r5
+    "join_dims_broadcast",        # r9 freshness: r5
+    # Windows / sorts.
+    "window_first_last",          # r9 freshness: r3
+    "window_lag_lead",            # r9 freshness: r3
+    "window_rank_orders",         # r9 freshness: r3
+    "window_running_sum",         # r9 freshness: r3
+    "window_rank_variants",       # r9 freshness: r5
+    "sort_topk",                  # r9 freshness: r5
+    # Events.
+    "events_rolling_window",      # r9 freshness: r5
+    "events_resample_gapfill",    # r9: exact span-cap fencepost — re-verify
+    # [EXT] dedup / text.
+    "dedup_exact",                # r9 freshness: r4
+    "dedup_embedding_lsh_pairs",  # r9 freshness: r4
+    "dedup_minhash_lsh_pairs",    # r9 freshness: r5
+    "text_langid",                # r9 freshness: r4
+    "text_wordcount_top",         # r9 freshness: r4
+    # [EXT] multimodal sentinel.
+    "multimodal_decode",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -70,6 +70,11 @@ EDGE_QUERIES = [
     "streaming_session_counts",
     "text_fingerprint",
     "agg_linear_fit",
+    # r9 family-7 find, pinned after its fix: DuckDB executes products
+    # of two <=18-width decimals in int64 and overflows at runtime on
+    # ~1e14 operands (the engine's Spark side widens automatically) —
+    # the oracles now cast product operands to DECIMAL(19,2).
+    "agg_corr_covar",
 ]
 
 _AUGMENT = {

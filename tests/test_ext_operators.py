@@ -332,8 +332,10 @@ def test_ivf_recall_against_bruteforce(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
     # Measured 0.96 at this config (spherical-kmeans buckets + spill=2
-    # corpus replication); the floor leaves seed-stability slack only.
-    assert recall >= 0.8, f"IVF recall too low: {recall}"
+    # corpus replication) and 0.93-0.96 across the 10x scale probe; the
+    # floor keeps ~half that margin (r8 verdict item 6) so a silent
+    # quality regression fails well before recall halves.
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
 def test_cosine_pandas_matches_expr(spark):
@@ -407,7 +409,10 @@ def test_quality_rank_approx_agreement(spark, sf_dir):
     assert rows, "expected one row per language"
     for r in rows:
         assert r["n_docs"] > 0
-        assert r["agreement_frac"] >= 0.9, (r["lang"], r["agreement_frac"])
+        # Measured 0.984-1.0 per language at sf0.001 and sf0.01; the
+        # floor keeps ~half that margin over the old 0.9 pin (r8 verdict
+        # item 6) while leaving slack for testdata regeneration drift.
+        assert r["agreement_frac"] >= 0.94, (r["lang"], r["agreement_frac"])
         # keep-rates land near the 80% target from both paths
         assert abs(r["n_keep_approx"] - r["n_keep_exact"]) <= max(
             5, 0.1 * r["n_docs"]
