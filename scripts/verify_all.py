@@ -49,6 +49,9 @@ STAGES: dict[str, tuple[list[str], dict[str, str]]] = {
 }
 
 
+LOG_DIR = os.path.join("/tmp", "spark_graft_verify")
+
+
 def run_stage(name: str) -> tuple[bool, float, str]:
     cmd, extra_env = STAGES[name]
     env = dict(os.environ, **extra_env)
@@ -56,6 +59,12 @@ def run_stage(name: str) -> tuple[bool, float, str]:
     proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                           text=True)
     dt = time.monotonic() - t0
+    # Full output always lands on disk — a RED row must be inspectable
+    # without re-running a multi-minute stage.
+    os.makedirs(LOG_DIR, exist_ok=True)
+    log = os.path.join(LOG_DIR, f"{name}.log")
+    with open(log, "w") as f:
+        f.write(proc.stdout + "\n--- stderr ---\n" + proc.stderr)
     ok = proc.returncode == 0
     tail = ""
     if name == "bench" and ok:
@@ -70,8 +79,13 @@ def run_stage(name: str) -> tuple[bool, float, str]:
         else:
             ok, tail = False, "no JSON line in bench output"
     if not ok and not tail:
-        lines = (proc.stdout + proc.stderr).strip().splitlines()
-        tail = "; ".join(lines[-3:])[:200]
+        summary = [ln for ln in proc.stdout.splitlines()
+                   if ln.startswith(("FAILED", "ERROR"))]
+        if not summary:
+            summary = (proc.stdout + proc.stderr).strip().splitlines()[-1:]
+        tail = "; ".join(summary[:3])[:160]
+    if not ok:
+        tail += f"  [full log: {log}]"
     return ok, dt, tail
 
 

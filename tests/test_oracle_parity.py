@@ -79,69 +79,29 @@ def test_entry_contract(spark):
     assert len(qs) >= 10
 
 
-# Queries the driver must re-verify every round: the reference DSL surface,
-# the LLM-pipeline [EXT] operators (round-2 verdict: these silently fell
-# past the driver's 50-entry check budget when relational extras were
-# registered ahead of them), and everything whose code or oracle changed
-# this round.  r8 rotation: text_stats/text_quality promoted (the r7
-# queue — last two queries without a driver row at current helper
-# bytes) + NEW dedup_index_probe; dsl_csv_roundtrip,
-# sample_cap_per_source and sample_hash (green r7, byte-unchanged)
-# demoted to the tail (pinned by the tail snapshot guard below).
+# Queries the driver MUST re-verify this round — the invariant behind
+# this list (round-2 verdict lesson: queries silently fell past the
+# driver's 50-entry check budget when extras were registered ahead of
+# them) is "anything whose code or oracle changed since its last driver
+# row sits inside the budget", plus the flagship sentinels.  Earlier
+# rounds also parked the whole DSL/[EXT] surface here while it was
+# earning first-time rows; since r8 every query is attested at current
+# bytes and byte-pinned by the tail snapshot guard below, so the r9
+# head spends its slots on the FRESHNESS rotation instead (42 stale
+# r2–r5 attestations — see the DRIVER_PRIORITY comment), and this list
+# shrinks to the entries with a hard re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # Reference DSL surface.
+    # Flagship sentinels (entry() runs dsl_flagship; workbook job is the
+    # reference's end-to-end config surface; multimodal the [EXT] one).
     "dsl_flagship",
-    "dsl_fidelity_strings",   # r7: fidelity fill refactored
-    "dsl_a1_forward",
     "dsl_workbook_job",
-    "dsl_v2_and_filter",
-    "dsl_v2_having_topn",
-    "dsl_v2_distinct",        # r8: extensions.py right-join fix — must re-verify
-    "dsl_json_source",        # r8: explicit JSON schema — must re-verify
-    # r7 promotions: the last never-driver-verified / re-pinned entries.
-    "scan_partition_pruned",  # r8: explicit read-back schema — must re-verify
-    "scan_zorder_pruned",     # NEW r7: must verify
-    "sample_stratified",
-    "events_value_outliers",
-    "events_sessionize",
-    "agg_moments",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    # Mid-r7 edge-sweep fixes (code or oracle changed — must re-verify).
-    "text_fingerprint",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "agg_linear_fit",
-    "events_transitions",
-    "events_cohort_retention",  # r8: oracle floor-division fix — must re-verify
-    "events_resample_gapfill",  # r8: bounded window + poison-ts guard — must re-verify
-    "text_quality_rank",
-    "text_stats",             # r8 promotion: r7 token_count-guard bytes
-    "text_quality",           # r8 promotion: r7 token_count-guard bytes
-    # [EXT] operators + r7/r8-edited code paths.
-    "dedup_incremental",
-    "dedup_index_probe",      # NEW r8: must verify
-    "dedup_ngram_jaccard_pairs",
-    "dedup_paragraphs",       # r7: keep-first de-skewed — must re-verify
-    "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
-    "embedding_cluster_stats",
     "multimodal_decode",
-    "text_pii_scrub",
-    "text_quality_rank_approx",
-    "train_pack_sequences",   # r7: oracle NULL-text coalesce — must re-verify
-    "train_split_assign",     # r7: token_count NULL-guard — must re-verify
-    "mix_weights_by_source",  # r7: token_count NULL-guard — must re-verify
-    "curation_pipeline_decisions",
-    "quality_constraint_report",
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_view_click_join",
-    "events_decayed_engagement",
-    "join_fact_fact_bucketed",
-    "join_skew_salted",       # r7: salted_join mode-alias fix — must re-verify
-    "agg_heavy_hitters",
-    "agg_heavy_hitters_approx",
+    # r9 changed code or oracle — must re-verify.
+    "agg_corr_covar",         # oracle: DECIMAL(19,2) products (family-7 fix)
+    "agg_linear_fit",         # oracle: DECIMAL(19,2) products (family-7 fix)
+    "events_resample_gapfill",  # exact span-cap fencepost (guard fires at >=)
+    "dsl_csv_roundtrip",      # read_csv gained explicit-schema parameter
+    "dsl_orc_roundtrip",      # read_orc gained explicit-schema parameter
 ]
 
 

@@ -52,19 +52,33 @@ BOUNDS = {
     # is a separate fail-loud max_iter contract, not a curve).
     "components": 5.0,  # recorded 2.2x
     # resample_gapfill with keys growing 10x at fixed span: grid rows
-    # (explode + fill window) grow 10x, wall recorded 3.95x — the bound
-    # is what a keys^2 grid blowup would blast through.
-    "gapfill": 8.0,     # recorded 3.95x
+    # (explode + fill window) grow 10x, wall recorded 3.95x standalone —
+    # but in-suite it runs after components' ~90 localCheckpoint blocks
+    # (freed only by JVM GC; the clearCache+gc below helps but is not a
+    # guarantee), which pushed one in-suite run past 8x.  The bound is a
+    # catastrophic ceiling: a keys^2 grid blowup reads ~100x.
+    "gapfill": 12.0,    # recorded 3.95x standalone
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
 MIN_IVF_RECALL = 0.9
 
 
+def _drop_probe_residue(spark):
+    """Cross-probe hygiene: connected_components leaves localCheckpoint
+    RDD blocks that only JVM GC reclaims; a later probe timed against
+    that residue reads an inflated ratio (observed: gapfill 3.95x
+    standalone vs >8x in-suite).  Clear the cache and invite a GC so
+    each probe starts from a clean storage layer."""
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+
 @pytest.mark.parametrize("name", sorted(BOUNDS))
 def test_ratio_within_bound(spark, name):
     import scale_probe as SP
 
+    _drop_probe_residue(spark)
     fn, n = SP.PROBES[name]
     out = fn(spark, 2, n)
     assert out["ratio"] <= BOUNDS[name], out

@@ -239,7 +239,10 @@ def test_checkpoint_kill_and_resume_equals_uninterrupted(spark, sf_dir, tmp_path
             _t.sleep(0.1)
         assert done, "no micro-batch committed within 60s"
         q.stop()  # kill mid-stream: some batches committed, rest pending
-        n_partial = spark.read.parquet(out).count()
+        # Explicit schema: a committed batch whose input file held no
+        # 'view' rows writes nothing inference can read (empty-slice
+        # discipline, same as the join twin below).
+        n_partial = spark.read.schema(expected.schema).parquet(out).count()
         if n_partial < expected.count():
             break
     assert n_partial < expected.count(), "kill landed after completion 3×"
