@@ -2207,7 +2207,14 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
            count(*) OVER w AS n_30m,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30m
+           -- VARCHAR route on the final cast (r9 family-8 find): DuckDB's
+           -- hugeint-backed (wide) DECIMAL -> DOUBLE cast is off by up to
+           -- 2 ULP once |cents| > 2^53, while Spark's BigDecimal cast is
+           -- correctly rounded; decimal -> string -> double is correctly
+           -- rounded in both.  Only bites when a frame slices the big
+           -- magnitudes apart so they cannot cancel.
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR)
+                AS DOUBLE) AS sum_30m
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)

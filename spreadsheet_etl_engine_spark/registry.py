@@ -9,6 +9,14 @@ make the driver's order-insensitive value-hash comparison deterministic:
 * unordered double sums go through ``DECIMAL(18,2)`` (exact, associative)
   and are cast back to double once — bit-identical across engines
   regardless of partitioning / aggregation order;
+* CAVEAT on that final cast (r9 edge-family-8 find): DuckDB's
+  hugeint-backed wide-DECIMAL → DOUBLE cast is up to 2 ULP off once the
+  value's |cents| exceed 2^53 (~9e13), while Spark's BigDecimal cast is
+  correctly rounded.  Group sums normally stay far below that, but if an
+  oracle's decimal aggregate can land there (window frames slicing big
+  magnitudes apart), route the cast through VARCHAR —
+  ``CAST(CAST(dec AS VARCHAR) AS DOUBLE)`` is correctly rounded in both
+  engines (see events_rolling_window);
 * timestamp- and date-typed outputs are cast to string on both sides
   (sidesteps tz-awareness mismatches between Spark UTC sessions and
   DuckDB naive timestamps);

@@ -75,6 +75,12 @@ EDGE_QUERIES = [
     # ~1e14 operands (the engine's Spark side widens automatically) —
     # the oracles now cast product operands to DECIMAL(19,2).
     "agg_corr_covar",
+    # r9 family-8 find, pinned after its fix: DuckDB's wide-decimal ->
+    # DOUBLE cast is up to 2 ULP off once |cents| > 2^53 (Spark's is
+    # correctly rounded); the rolling-window oracle routes its final
+    # cast through VARCHAR.  Only visible when a window frame slices
+    # the cancel pair apart — group-level sums cancel first.
+    "events_rolling_window",
 ]
 
 _AUGMENT = {
@@ -119,6 +125,18 @@ _AUGMENT = {
         UNION ALL
         SELECT 9223372036854775806, 'near max bigint id document', 'en',
                'edge', 27
+        -- eighth family (r9b): byte-identical text under DISTINCT ids
+        -- (family 3's twins share an id; this pair does not) — exact
+        -- dedup must keep the min id, every pair operator must emit the
+        -- pair once with a deterministic (a,b) orientation, and
+        -- jaccard/cosine similarities of 1.0 sit exactly ON the >=
+        -- threshold boundary.
+        UNION ALL
+        SELECT 90000012, 'distinct id byte identical twin text', 'en',
+               'edge', 36
+        UNION ALL
+        SELECT 90000013, 'distinct id byte identical twin text', 'en',
+               'edge', 36
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -174,6 +192,24 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000011, TIMESTAMP '2025-01-01 00:09:30', 7, 'view',
                -99999999999999.98, NULL
+        -- eighth family (r9b): BOUNDARY-semantics rows.  An event
+        -- exactly ON a 10-minute window edge (half-open [start,end)
+        -- must route it to the NEXT window in both engines), the last
+        -- representable microsecond BEFORE that edge (also exercises
+        -- sub-second precision through the ns->us scan path), and an
+        -- event exactly gap=30min after user 7's 00:09:30 row (the
+        -- sessionize lag-comparison boundary: same session under
+        -- <= gap, new session under < gap — engine and oracle must
+        -- agree on which).
+        UNION ALL
+        SELECT 90000012, TIMESTAMP '2025-01-01 00:10:00', 7, 'view',
+               2.0, NULL
+        UNION ALL
+        SELECT 90000013, TIMESTAMP '2025-01-01 00:19:59.999999', 7,
+               'click', 3.0, NULL
+        UNION ALL
+        SELECT 90000014, TIMESTAMP '2025-01-01 00:39:30', 7, 'view',
+               1.0, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -228,6 +264,23 @@ _AUGMENT = {
                'O' AS o_orderstatus, 123.45::DOUBLE AS o_totalprice,
                TIMESTAMP '2025-01-01 00:00:00' AS o_orderdate,
                '1-URGENT' AS o_orderpriority
+        -- eighth family (r9b): an isolated 4-row group (new status 'Z')
+        -- whose p50/p90 both land BETWEEN samples with tied values —
+        -- the continuous-quantile interpolation boundary (Spark
+        -- percentile vs DuckDB quantile_cont must interpolate
+        -- identically, including across the duplicate mass).
+        UNION ALL
+        SELECT 90000001, 1, 'Z', 10.0,
+               TIMESTAMP '2025-01-02 00:00:00', '1-URGENT'
+        UNION ALL
+        SELECT 90000002, 1, 'Z', 10.0,
+               TIMESTAMP '2025-01-03 00:00:00', '1-URGENT'
+        UNION ALL
+        SELECT 90000003, 1, 'Z', 20.0,
+               TIMESTAMP '2025-01-04 00:00:00', '1-URGENT'
+        UNION ALL
+        SELECT 90000004, 1, 'Z', 20.0,
+               TIMESTAMP '2025-01-05 00:00:00', '1-URGENT'
     """,
     # fourth family (r8): the previously-unaugmented tables.  A customer
     # with every nullable attribute NULL (NULL join key -> dim-join miss,
@@ -245,6 +298,16 @@ _AUGMENT = {
                0::INTEGER AS label
         UNION ALL
         SELECT 90000002, NULL, NULL
+        -- eighth family (r9b): a byte-identical vector PAIR under
+        -- distinct ids — their cosines against any query are equal to
+        -- the bit, so any top-k boundary they straddle exercises the
+        -- deterministic neighbor-id tiebreak in engine and oracle.
+        UNION ALL
+        SELECT 90000003,
+               list_transform(range(64), i -> (0.25 + i/100.0)::FLOAT), 1
+        UNION ALL
+        SELECT 90000004,
+               list_transform(range(64), i -> (0.25 + i/100.0)::FLOAT), 1
     """,
 }
 
@@ -322,7 +385,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 11
+    assert n == 13
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
