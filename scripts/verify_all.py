@@ -74,7 +74,9 @@ def run_stage(name: str) -> tuple[bool, float, str]:
                 try:
                     tail = f"total {json.loads(line)['value']}s"
                 except (json.JSONDecodeError, KeyError):
-                    tail = "unparseable bench line"
+                    # exit 0 without a parseable recording is NOT green —
+                    # the recording IS the stage's evidence.
+                    ok, tail = False, "unparseable bench line"
                 break
         else:
             ok, tail = False, "no JSON line in bench output"

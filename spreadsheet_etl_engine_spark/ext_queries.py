@@ -751,7 +751,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- extend a session (same stance as the funnel's entry filter)
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         -- STRICT > (r9 family-8 find): Spark's session_window
+                         -- MERGES touching windows — an event arriving
+                         -- exactly `gap` after the last one extends the
+                         -- session (same semantics as Flink's session
+                         -- merge); only a gap STRICTLY greater starts a
+                         -- new one
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -926,7 +932,13 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- extend a session (same stance as the funnel's entry filter)
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                         -- STRICT > (r9 family-8 find): Spark's session_window
+                         -- MERGES touching windows — an event arriving
+                         -- exactly `gap` after the last one extends the
+                         -- session (same semantics as Flink's session
+                         -- merge); only a gap STRICTLY greater starts a
+                         -- new one
+                         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END AS new_s
         FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

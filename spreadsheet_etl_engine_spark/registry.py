@@ -2292,9 +2292,8 @@ def get(name: str) -> RegisteredQuery:
 # scripts/check_promotions.py at BOTH sf0.001 and sf0.01 before taking
 # a slot.  New surface (0) ≤ first-time verifications, growth rule moot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Reference DSL surface sentinels + stale DSL attestations.
+    # Reference DSL surface sentinel + stale DSL attestations.
     "dsl_flagship",
-    "dsl_workbook_job",
     "dsl_direct_constant",        # r9 freshness: newest row was r4
     "dsl_filter_ops",             # r9 freshness: r4
     "dsl_a1_formula",             # r9 freshness: r5
@@ -2342,7 +2341,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank_variants",       # r9 freshness: r5
     "sort_topk",                  # r9 freshness: r5
     # Events.
-    "events_rolling_window",      # r9 freshness: r5
+    "events_rolling_window",      # r9 freshness: r5 AND mid-r9 oracle change
+    #                               (VARCHAR cast route, family-8 fix) —
+    #                               re-verify on both grounds
     "events_resample_gapfill",    # r9: exact span-cap fencepost — re-verify
     # [EXT] dedup / text.
     "dedup_exact",                # r9 freshness: r4
@@ -2350,8 +2351,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",    # r9 freshness: r5
     "text_langid",                # r9 freshness: r4
     "text_wordcount_top",         # r9 freshness: r4
-    # [EXT] multimodal sentinel.
-    "multimodal_decode",
+    # Mid-r9 oracle changes (family-8 session-boundary fix: Spark's
+    # session_window MERGES touching windows, oracles moved to strict >)
+    # — both must re-verify; the dsl_workbook_job and multimodal_decode
+    # sentinels ceded their seats (green r8, byte-unchanged, pinned by
+    # the tail fingerprint guard).
+    "events_sessionize",
+    "streaming_session_counts",
 )
 
 DRIVER_CHECK_BUDGET = 50

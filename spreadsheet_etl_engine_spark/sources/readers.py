@@ -80,9 +80,22 @@ def read_csv(
     at least a header line (fidelity mode), so an EMPTY directory dies
     columnless without one, and at scale inference costs an extra pass
     over the files.  With an explicit schema the empty slice is a
-    well-defined zero-row frame (r8 verdict item 5)."""
+    well-defined zero-row frame (r8 verdict item 5).
+
+    Under ``fidelity=True`` a typed schema contributes only its column
+    NAMES: the read happens with an all-string version of it, because
+    parsing '007' through an int field and casting back would yield '7'
+    (and an unparseable cell would become NULL) — display-value
+    semantics mean the raw cell text, losslessly (r9 review find)."""
+    from pyspark.sql import types as T
+
     reader = spark.read.option("header", "true")
     if schema is not None:
+        if fidelity:
+            st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+            schema = T.StructType(
+                [T.StructField(f.name, T.StringType(), f.nullable) for f in st.fields]
+            )
         reader = reader.schema(schema)
     elif fidelity:
         reader = reader.option("inferSchema", "false")
@@ -90,12 +103,7 @@ def read_csv(
         reader = reader.option("inferSchema", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
-    df = reader.csv(path)
-    if fidelity and schema is not None:
-        # Keep the fidelity contract when the caller's schema is typed:
-        # every column surfaces as its display string (same as read_json).
-        df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
-    return df
+    return reader.csv(path)
 
 
 def read_json(
@@ -112,9 +120,21 @@ def read_json(
     matched nothing — has no rows to infer from, so the schemaless read
     comes back columnless and every downstream column reference fails
     (r8 empty-slice sweep find).  With an explicit schema the empty
-    slice is a well-defined zero-row frame."""
+    slice is a well-defined zero-row frame.
+
+    Under ``fidelity=True`` a typed schema contributes only its column
+    NAMES — the read uses an all-string version so a field keeps its
+    raw lexeme instead of being parsed and re-rendered (same contract
+    as ``read_csv``)."""
+    from pyspark.sql import types as T
+
     reader = spark.read
     if schema is not None:
+        if fidelity:
+            st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+            schema = T.StructType(
+                [T.StructField(f.name, T.StringType(), f.nullable) for f in st.fields]
+            )
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)

@@ -179,13 +179,17 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000009, TIMESTAMP '2025-01-01 00:08:00', 7, 'view',
                1e12, NULL
-        -- seventh family (r9): a decimal-boundary CANCEL PAIR.  Each
-        -- value is 16 significant digits, so its CENTS count (~1e16)
-        -- exceeds 2^53 and is NOT exactly representable in double; the
-        -- pair sums to exactly 0.01 under the DECIMAL(18,2) discipline,
-        -- while any path that silently sums in float64 gets an
-        -- order-dependent ~0.0099999... — the probe that separates the
-        -- engine's documented exact-sum convention from a lookalike.
+        -- seventh family (r9): a decimal-boundary CANCEL PAIR.  The
+        -- literals are 16 significant digits, which a DOUBLE column
+        -- cannot hold (ulp at 1e14 is 0.015625): they store as exactly
+        -- 1e14 and -99999999999999.984375, whose DECIMAL(18,2) casts
+        -- are +100000000000000.00 / -99999999999999.98.  The decimal
+        -- pair sum is therefore exactly 0.02 while the float64 sum of
+        -- the stored doubles is exactly 0.015625 — distinct values, so
+        -- the probe separates the engine's documented exact-decimal-sum
+        -- convention from a silent float64 lookalike (numbers verified
+        -- empirically in the r9 review; an earlier comment claimed an
+        -- impossible 0.01-apart pair).
         UNION ALL
         SELECT 90000010, TIMESTAMP '2025-01-01 00:09:00', 7, 'view',
                99999999999999.99, NULL
@@ -196,11 +200,14 @@ _AUGMENT = {
         -- exactly ON a 10-minute window edge (half-open [start,end)
         -- must route it to the NEXT window in both engines), the last
         -- representable microsecond BEFORE that edge (also exercises
-        -- sub-second precision through the ns->us scan path), and an
-        -- event exactly gap=30min after user 7's 00:09:30 row (the
-        -- sessionize lag-comparison boundary: same session under
-        -- <= gap, new session under < gap — engine and oracle must
-        -- agree on which).
+        -- sub-second precision through the ns->us scan path), and — on
+        -- a FRESH user with exactly two events so no other row can
+        -- extend the session (r9 review find: planted under user 7 the
+        -- probe was inert) — a pair exactly gap=30min apart, the
+        -- sessionize boundary: Spark's session_window ends at
+        -- last_ts + gap EXCLUSIVE, so the second event opens a NEW
+        -- session, and the oracle's lag comparison must use >= gap to
+        -- agree.
         UNION ALL
         SELECT 90000012, TIMESTAMP '2025-01-01 00:10:00', 7, 'view',
                2.0, NULL
@@ -208,7 +215,10 @@ _AUGMENT = {
         SELECT 90000013, TIMESTAMP '2025-01-01 00:19:59.999999', 7,
                'click', 3.0, NULL
         UNION ALL
-        SELECT 90000014, TIMESTAMP '2025-01-01 00:39:30', 7, 'view',
+        SELECT 90000014, TIMESTAMP '2025-01-01 02:00:00', 90000, 'view',
+               1.0, NULL
+        UNION ALL
+        SELECT 90000015, TIMESTAMP '2025-01-01 02:30:00', 90000, 'view',
                1.0, NULL
     """,
     "lineitem": """
@@ -241,8 +251,9 @@ _AUGMENT = {
         SELECT 91000001, 1, 1, 1, 5.0, 10.0, 0.0, 0.0,
                'A', 'F', TIMESTAMP '1920-05-05 03:07:11'
         -- seventh family (r9): (a) the price-side decimal cancel pair
-        -- (see events family 7 — same probe on the lineitem pricing
-        -- aggregation paths; quantities stay small so the moment/
+        -- (see events family 7 for the stored-double arithmetic — same
+        -- probe on the lineitem pricing aggregation paths; quantities
+        -- stay small so the moment/
         -- z-score domain is untouched); (b) EMPTY-STRING group/fidelity
         -- keys ('' l_returnflag/l_linestatus — blank but NOT NULL,
         -- qty >= 30 so the row survives the fidelity filter: the

@@ -344,6 +344,33 @@ def test_every_reader_survives_zero_row_source(spark, tmp_path):
         assert df.columns == ["x", "y"] and df.count() == 0
 
 
+def test_fidelity_schema_read_is_lossless(spark, tmp_path):
+    """fidelity=True + a TYPED schema must yield the raw cell text, not a
+    parse-then-cast round trip (r9 review find: '007' came back '7' and
+    an unparseable cell became NULL).  The typed schema contributes only
+    its column names; the read itself is all-string."""
+    from spreadsheet_etl_engine_spark.sources.readers import read_csv, read_json
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "part.csv").write_text("x,y\n007,a\n1.50,b\nN/A,c\n")
+    df = read_csv(spark, str(src), fidelity=True, schema="x int, y string")
+    assert dict(df.dtypes) == {"x": "string", "y": "string"}
+    assert {r["x"] for r in df.collect()} == {"007", "1.50", "N/A"}
+    # Typed read of the same file for contrast: lossy by design.
+    typed = read_csv(spark, str(src), schema="x int, y string",
+                     mode="PERMISSIVE")
+    assert {r["x"] for r in typed.collect()} == {7, None}  # 1.50, N/A -> NULL
+
+    jsrc = tmp_path / "json"
+    jsrc.mkdir()
+    (jsrc / "part.json").write_text('{"x": 1.50, "y": "a"}\n{"x": 2, "y": "b"}\n')
+    jdf = read_json(spark, str(jsrc), fidelity=True, schema="x double, y string")
+    assert dict(jdf.dtypes) == {"x": "string", "y": "string"}
+    # Raw lexemes survive: "1.50" (not "1.5"), "2" (not "2.0").
+    assert {r["x"] for r in jdf.collect()} == {"1.50", "2"}
+
+
 def test_read_excel_rejects_garbage(spark, tmp_path):
     from spreadsheet_etl_engine_spark.sources.readers import read_excel
 

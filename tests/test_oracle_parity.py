@@ -91,17 +91,17 @@ def test_entry_contract(spark):
 # r2–r5 attestations — see the DRIVER_PRIORITY comment), and this list
 # shrinks to the entries with a hard re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # Flagship sentinels (entry() runs dsl_flagship; workbook job is the
-    # reference's end-to-end config surface; multimodal the [EXT] one).
+    # Flagship sentinel (entry() also runs it).
     "dsl_flagship",
-    "dsl_workbook_job",
-    "multimodal_decode",
     # r9 changed code or oracle — must re-verify.
     "agg_corr_covar",         # oracle: DECIMAL(19,2) products (family-7 fix)
     "agg_linear_fit",         # oracle: DECIMAL(19,2) products (family-7 fix)
     "events_resample_gapfill",  # exact span-cap fencepost (guard fires at >=)
     "dsl_csv_roundtrip",      # read_csv gained explicit-schema parameter
     "dsl_orc_roundtrip",      # read_orc gained explicit-schema parameter
+    "events_rolling_window",  # oracle: VARCHAR cast route (family-8 fix)
+    "events_sessionize",      # oracle: strict-> gap boundary (family-8 fix)
+    "streaming_session_counts",  # oracle: same strict-> gap boundary fix
 ]
 
 
