@@ -877,7 +877,10 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(l_quantity) AS sum_qty,
            {_CENTS_BASE_SQL} AS sum_base_price,
            {_REVENUE_SQL} AS sum_disc_price,
-           sum(l_quantity) / count(*) AS avg_qty,
+           -- count(l_quantity), not count(*): AVG semantics ignore NULL
+           -- quantities (r9 review find — same divisor class agg_moments
+           -- fixed in r6; both sides previously deflated the average)
+           sum(l_quantity) / count(l_quantity) AS avg_qty,
            count(DISTINCT l_orderkey) AS n_orders
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
@@ -892,7 +895,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("sum_qty"),
         _cents_sum(F.col("l_extendedprice"), "sum_base_price"),
         _revenue_sum("sum_disc_price"),
-        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -970,7 +973,10 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                OVER (PARTITION BY o_custkey
+                      -- NULLS LAST pinned (r9 review find): Spark defaults
+                      -- ASC NULLS FIRST, DuckDB NULLS LAST
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_spend
     FROM orders
@@ -980,9 +986,13 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # NULLS LAST pinned on BOTH order keys and both sides (r9 review
+    # find): Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — an
+    # unpinned NULL order date would shift every value in the
+    # partition differently per engine.
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -999,7 +1009,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(o_orderdate AS VARCHAR) AS order_date,
            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                       ORDER BY o_orderdate, o_orderkey) AS VARCHAR)
+                                       -- NULLS LAST pinned (r9 review find)
+                                       ORDER BY o_orderdate NULLS LAST,
+                                                o_orderkey NULLS LAST) AS VARCHAR)
                AS prev_order_date
     FROM orders
     """,
@@ -1007,7 +1019,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS LAST pinned on BOTH order keys and both sides (r9 review
+    # find): Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — an
+    # unpinned NULL order date would shift every value in the
+    # partition differently per engine.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -1125,7 +1142,10 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_brand").alias("brand_u"),
         F.substring("p_name", 1, 10).alias("name10"),
         F.length("p_name").alias("name_len"),
-        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        # concat (NULL-propagating), not concat_ws (NULL-skipping): the
+        # oracle's || yields NULL when either part is NULL, and so must
+        # the engine (r9 review find — latent fn/oracle divergence).
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
         F.floor("p_retailprice").alias("price_floor"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
         F.when(F.col("p_size") > 25, "L").otherwise("S").alias("size_class"),
@@ -1315,7 +1335,12 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
               / count(*))
              * (CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                 / count(*)) AS covar_qty_price
+    -- complete pairs only (COVAR_POP pairwise semantics, r9 review
+    -- find: a half-NULL row previously fed some sums but not others
+    -- while count(*) kept it — the divisor class agg_linear_fit and
+    -- agg_moments already handle)
     FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     GROUP BY l_returnflag
     """,
     doc="Exact population covariance per group from decimal power sums "
@@ -1327,7 +1352,11 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact quantities.",
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Complete pairs only (COVAR_POP pairwise semantics): the filter is
+    # scan-pushed, the agg stays one map-side-combinable pass.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
     n = F.count("*")
@@ -1364,18 +1393,27 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(x) AS DOUBLE) AS sx,
              CAST(sum(y) AS DOUBLE) AS sy,
              CAST(sum(x * x) AS DOUBLE) AS sxx,
-             CAST(sum(x * y) AS DOUBLE) AS sxy
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             min(x) AS mnx, max(x) AS mxx
       FROM p GROUP BY l_returnflag
+    ),
+    -- A degenerate-x group (constant or single x — detected EXACTLY via
+    -- min = max on the decimal values, r9 review find: testing the float
+    -- variance against 0.0 misses ~1e-13 cancellation residue on
+    -- non-dyadic constants and would emit garbage slopes) has no defined
+    -- fit -> NULL slope/intercept; NULLIF stays as the belt against a
+    -- residual exact-zero variance under ANSI division.
+    f AS (
+      SELECT l_returnflag, n, sx, sy,
+             CASE WHEN mnx <> mxx THEN
+               (sxy / n - (sx / n) * (sy / n))
+                 / NULLIF(sxx / n - (sx / n) * (sx / n), 0)
+             END AS slope
+      FROM s
     )
-    -- NULLIF: a zero-variance group (constant or single x) has no
-    -- defined fit -> NULL slope/intercept, never a divide-by-zero
-    SELECT l_returnflag, n,
-           (sxy / n - (sx / n) * (sy / n))
-             / NULLIF(sxx / n - (sx / n) * (sx / n), 0) AS slope,
-           sy / n - ((sxy / n - (sx / n) * (sy / n))
-                     / NULLIF(sxx / n - (sx / n) * (sx / n), 0)) * (sx / n)
-               AS intercept
-    FROM s
+    SELECT l_returnflag, n, slope,
+           sy / n - slope * (sx / n) AS intercept
+    FROM f
     """,
     doc="Per-group least-squares fit (extendedprice ~ quantity) from the "
         "same exact decimal power sums as agg_corr_covar: slope = "
@@ -1400,9 +1438,16 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum(x * x).cast("double")
     sxy = F.sum(x * y).cast("double")
     var = sxx / n - (sx / n) * (sx / n)
-    # Zero-variance group (constant or single x): no defined fit ->
-    # NULL slope/intercept instead of an ANSI divide-by-zero error.
-    slope = F.when(var != 0, (sxy / n - (sx / n) * (sy / n)) / var)
+    # Degenerate-x group (constant or single x): no defined fit -> NULL
+    # slope/intercept.  Detected EXACTLY via min(x) = max(x) on the
+    # decimals (r9 review find: `var != 0` on the float expression
+    # misses ~1e-13 cancellation residue for non-dyadic constant x and
+    # would emit a garbage slope); the var != 0 clause stays as the
+    # belt against ANSI divide-by-zero on residual exact cancellation.
+    slope = F.when(
+        (F.min(x) != F.max(x)) & (var != 0),
+        (sxy / n - (sx / n) * (sy / n)) / var,
+    )
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
         slope.alias("slope"),
@@ -1419,7 +1464,8 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            cume_dist() OVER w AS cum_dist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice, o_orderkey)
+                 -- NULLS LAST pinned (r9 review find)
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey NULLS LAST)
     """,
     doc="Distribution window functions (ntile / percent_rank / "
         "cume_dist) per status partition — the quantile-bucketing shape "
@@ -1428,8 +1474,12 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # NULLS LAST pinned on BOTH order keys and both sides (r9 review
+    # find): Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — an
+    # unpinned NULL order date would shift every value in the
+    # partition differently per engine.
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+        F.asc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")
     )
     return o.select(
         "o_orderkey",
@@ -1781,7 +1831,11 @@ def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey AS k, 'MOVED' AS seg, DATE '2024-06-01' AS eff
         FROM customer WHERE c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey + 2000000, 'NEW', DATE '2024-06-01'
+        -- +2e12, not +2e6 (r9 review find): a small offset collides with
+        -- real custkeys once SF >= ~13 (max custkey ~ 150k*SF), silently
+        -- corrupting the per-key semantics; 2e12 is beyond any custkey
+        -- this engine would meet at 100 TB
+        SELECT c_custkey + 2000000000000, 'NEW', DATE '2024-06-01'
         FROM customer WHERE c_custkey % 211 = 0
     ),
     changed AS (
@@ -1834,7 +1888,7 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             c.filter(F.col("c_custkey") % 211 == 0).select(
-                (F.col("c_custkey") + 2000000).alias("k"),
+                (F.col("c_custkey") + 2000000000000).alias("k"),
                 F.lit("NEW").alias("seg"),
                 F.lit("2024-06-01").cast("date").alias("eff"),
             )
@@ -1859,7 +1913,8 @@ def etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE c_acctbal END AS c_acctbal
         FROM customer WHERE c_custkey % 97 <> 0
         UNION ALL
-        SELECT c_custkey + 1000000, c_acctbal FROM customer
+        -- +1e12, not +1e6: same collision hazard as etl_scd2 (r9 review)
+        SELECT c_custkey + 1000000000000, c_acctbal FROM customer
         WHERE c_custkey % 139 = 0
     )
     SELECT c_custkey, 'added' AS change_type FROM n
@@ -1891,7 +1946,7 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.filter(F.col("c_custkey") % 139 == 0)
-            .select((F.col("c_custkey") + 1000000).alias("c_custkey"), "c_acctbal")
+            .select((F.col("c_custkey") + 1000000000000).alias("c_custkey"), "c_acctbal")
         )
     )
     return snapshot_diff(old, new, "c_custkey", ["c_acctbal"])
@@ -2169,7 +2224,9 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            last_value(o_orderkey)  OVER w AS last_order,
            count(*) OVER w AS n_orders
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 -- NULLS LAST pinned (r9 review find)
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="first_value / last_value over an unbounded frame (per-customer "
@@ -2177,9 +2234,13 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # NULLS LAST pinned on BOTH order keys and both sides (r9 review
+    # find): Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — an
+    # unpinned NULL order date would shift every value in the
+    # partition differently per engine.
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
@@ -2292,8 +2353,10 @@ def get(name: str) -> RegisteredQuery:
 # scripts/check_promotions.py at BOTH sf0.001 and sf0.01 before taking
 # a slot.  New surface (0) ≤ first-time verifications, growth rule moot.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Reference DSL surface sentinel + stale DSL attestations.
-    "dsl_flagship",
+    # Stale DSL attestations (the dsl_flagship sentinel ceded the last
+    # seat to the window_distribution NULL-ordering fix below: entry()
+    # still smoke-runs it every round and it is byte-unchanged r8-green,
+    # pinned by the tail fingerprint guard + local parity gate).
     "dsl_direct_constant",        # r9 freshness: newest row was r4
     "dsl_filter_ops",             # r9 freshness: r4
     "dsl_a1_formula",             # r9 freshness: r5
@@ -2334,11 +2397,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_asof",                  # r9 freshness: r5
     "join_dims_broadcast",        # r9 freshness: r5
     # Windows / sorts.
-    "window_first_last",          # r9 freshness: r3
-    "window_lag_lead",            # r9 freshness: r3
+    "window_first_last",          # r9 freshness: r3 + NULLS LAST pin — re-verify
+    "window_lag_lead",            # r9 freshness: r3 + NULLS LAST pin — re-verify
     "window_rank_orders",         # r9 freshness: r3
-    "window_running_sum",         # r9 freshness: r3
+    "window_running_sum",         # r9 freshness: r3 + NULLS LAST pin — re-verify
     "window_rank_variants",       # r9 freshness: r5
+    "window_distribution",        # r9: NULLS LAST pin (tail edit) — re-verify
     "sort_topk",                  # r9 freshness: r5
     # Events.
     "events_rolling_window",      # r9 freshness: r5 AND mid-r9 oracle change
