@@ -185,8 +185,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (
         SELECT DISTINCT d.doc_id FROM documents d
         WHERE d.doc_id % 2 = 1
-          AND md5(d.text) IN (SELECT md5(text) FROM documents
-                              WHERE doc_id % 2 = 0)
+          -- COALESCE: NULL-safe content hash, mirroring the engine's
+          -- index (md5(NULL) never equi-joins — r9 review find)
+          AND COALESCE(md5(d.text), '__NULL_CONTENT__')
+              IN (SELECT COALESCE(md5(text), '__NULL_CONTENT__')
+                  FROM documents WHERE doc_id % 2 = 0)
     )
     SELECT d.doc_id,
            d.doc_id IN (SELECT doc_id FROM exact) AS is_exact_dup,
@@ -242,13 +245,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact1 AS (
         SELECT DISTINCT doc_id FROM documents
         WHERE doc_id % 3 = 1
-          AND md5(text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+          AND COALESCE(md5(text), '__NULL_CONTENT__')
+              IN (SELECT COALESCE(md5(text), '__NULL_CONTENT__')
+                  FROM documents WHERE doc_id % 3 = 0)
     ),
     exact2 AS (
         SELECT DISTINCT doc_id FROM documents
         WHERE doc_id % 3 = 2
-          AND md5(text) IN (SELECT md5(text) FROM documents
-                            WHERE doc_id % 3 IN (0, 1))
+          AND COALESCE(md5(text), '__NULL_CONTENT__')
+              IN (SELECT COALESCE(md5(text), '__NULL_CONTENT__')
+                  FROM documents WHERE doc_id % 3 IN (0, 1))
     )
     SELECT d.doc_id, 1 AS batch_id,
            d.doc_id IN (SELECT doc_id FROM exact1) AS is_exact_dup,
@@ -409,27 +415,41 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(('0x' || substr(md5('split:' || doc_id), 1, 8)) AS BIGINT)
                    % 100 AS h
         FROM documents
+    ),
+    -- survivorship (r9 review find): the cluster representative is the
+    -- min-id member that PASSES the quality filter — the old min-id-of-
+    -- cluster rule could annihilate a whole content cluster when its
+    -- representative was itself dropped as short
+    w AS (
+        SELECT coalesce(r.component, d.doc_id) AS comp,
+               min(d.doc_id) AS winner
+        FROM d LEFT JOIN rec r ON d.doc_id = r.node
+        WHERE d.n_tok >= 5
+        GROUP BY 1
     )
     SELECT d.doc_id,
-           CASE WHEN r.component IS NOT NULL AND r.component <> d.doc_id
-                  THEN 'drop:near_dup'
-                WHEN d.n_tok < 5 THEN 'drop:short'
+           CASE WHEN d.n_tok < 5 THEN 'drop:short'
+                WHEN d.doc_id <> w.winner THEN 'drop:near_dup'
                 ELSE 'keep' END AS decision,
-           CASE WHEN (r.component IS NULL OR r.component = d.doc_id)
-                  AND d.n_tok >= 5
+           CASE WHEN d.n_tok >= 5 AND d.doc_id = w.winner
                 THEN CASE WHEN h < 80 THEN 'train'
                           WHEN h < 90 THEN 'val' ELSE 'test' END
            END AS split
     FROM d LEFT JOIN rec r ON d.doc_id = r.node
+    LEFT JOIN w ON coalesce(r.component, d.doc_id) = w.comp
     """,
     doc="The composed curation pipeline as ONE decision table: per "
-        "document, drop near-dups (MinHash-LSH connected components — "
-        "only the min-id canonical representative of each cluster "
-        "survives), drop too-short docs, and assign the salted-hash "
-        "train/val/test split to the keepers.  This is the end-to-end "
-        "flow a user runs: every stage is the already-verified operator "
-        "(dedup_components, text_stats, train_split_assign) composed in "
-        "one plan — the components output is key-joined once, nothing "
+        "document, drop too-short docs, drop near-dups (MinHash-LSH "
+        "connected components) with SURVIVORSHIP — the cluster keeps its "
+        "min-id member among those passing the quality filter, so a "
+        "cluster whose min-id copy is itself dropped as short still "
+        "contributes its best copy (r9 review find: the old min-id-of-"
+        "cluster rule silently annihilated such clusters from the mix) — "
+        "and assign the salted-hash train/val/test split to the keepers. "
+        "This is the end-to-end flow a user runs: every stage is the "
+        "already-verified operator (dedup_components, text_stats, "
+        "train_split_assign) composed in one plan; the components output "
+        "and the per-cluster winner are each key-joined once, nothing "
         "rescans the corpus per stage.",
 )
 def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,15 +472,28 @@ def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") % 100
         ).alias("h"),
     )
-    j = d.join(comp, d.doc_id == comp.node, "left")
-    is_dup = F.col("component").isNotNull() & (F.col("component") != F.col("doc_id"))
+    j = d.join(comp, d.doc_id == comp.node, "left").withColumn(
+        "_comp", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    # Survivorship (r9 review find): the cluster representative is the
+    # min-id member that PASSES the quality filter.  The old rule (min id
+    # of the whole cluster) could annihilate a cluster entirely: every
+    # other member dropped as near_dup of a representative that was then
+    # itself dropped as short.  The winner map is one |docs|-keyed agg +
+    # join — same scale class as the components join above.
+    winners = (
+        j.filter(F.col("n_tok") >= 5)
+        .groupBy(F.col("_comp").alias("_wcomp"))
+        .agg(F.min("doc_id").alias("_winner"))
+    )
+    j = j.join(winners, j._comp == winners._wcomp, "left")
     decision = (
-        F.when(is_dup, "drop:near_dup")
-        .when(F.col("n_tok") < 5, "drop:short")
+        F.when(F.col("n_tok") < 5, "drop:short")
+        .when(F.col("doc_id") != F.col("_winner"), "drop:near_dup")
         .otherwise("keep")
     )
     split = F.when(
-        ~is_dup & (F.col("n_tok") >= 5),
+        (F.col("n_tok") >= 5) & (F.col("doc_id") == F.col("_winner")),
         F.when(F.col("h") < 80, "train")
         .when(F.col("h") < 90, "val")
         .otherwise("test"),
@@ -608,9 +641,23 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
-                  sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+               -- CASE den=0: the engine's cosine maps a ZERO-NORM side
+               -- to 0.0 (functions/vectors.py contract) while DuckDB's
+               -- bare 0/0 yields NULL, which would sort NULLS LAST
+               -- instead of ranking at 0.0 and return a different
+               -- neighbor whenever a top-k boundary goes negative (r9
+               -- review find — latent until then).  A NULL embedding,
+               -- by contrast, stays NULL in BOTH engines (SQL NULL-in/
+               -- NULL-out; the all-NULL sweep pins it) — hence CASE on
+               -- den = 0, not a COALESCE that would swallow NULLs too.
+               CASE WHEN sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+                         sqrt(list_sum(list_transform(c.e, x -> x * x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(q.e, c.e),
+                                                 p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+                            sqrt(list_sum(list_transform(c.e, x -> x * x))))
+               END AS cosine
         FROM v q JOIN v c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < 5
     )
@@ -664,7 +711,9 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_types,
            length(text) AS n_chars_txt,
-           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpeish,
+           -- explicit whitespace class, not \\s (r9 review find: Java
+           -- \\s includes \\x0B, RE2 does not — see functions/text.py)
+           len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]')) AS n_bpeish,
            CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
                / len(string_split(text, ' ')) AS avg_token_len
     FROM documents
@@ -1126,7 +1175,9 @@ def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(regexp_extract_all(text, '�')) AS n_replacement,
            len(regexp_extract_all(text,
-               '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
+               -- NUL (hex 00) included (r9 review find): it is the
+               -- strongest binary-in-text signal and never legitimate
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control,
            CAST(length(regexp_replace(text, '[ -~\\x09\\x0a\\x0d]', '', 'g'))
                 AS DOUBLE) / length(text) AS non_ascii_frac
     FROM documents WHERE length(text) > 0
@@ -1146,7 +1197,7 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the \x escapes before the regex engine ever saw them.
         F.size(F.regexp_extract_all(t, F.lit("�"), 0)).alias("n_replacement"),
         F.size(
-            F.regexp_extract_all(t, F.lit(r"[\x01-\x08\x0b\x0c\x0e-\x1f]"), 0)
+            F.regexp_extract_all(t, F.lit(r"[\x00-\x08\x0b\x0c\x0e-\x1f]"), 0)
         ).alias("n_control"),
         (
             F.length(F.regexp_replace(t, r"[ -~\x09\x0a\x0d]", "")).cast("double")
@@ -1327,7 +1378,8 @@ def text_wordcount_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality",
     oracle="""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           -- explicit whitespace class, not \\s (see functions/text.py)
+           len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS n_punct,
            CAST(len(list_filter(string_split(lower(text), ' '),
                     t -> list_contains(['the','and','of','to','is','a','in'], t))) AS DOUBLE)
                / len(string_split(text, ' ')) AS stopword_ratio,
@@ -1349,7 +1401,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_toks = TXT.tokens(F.lower(t))
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)).alias("n_punct"),
+        F.size(F.regexp_extract_all(
+            t, F.lit(rf"[^\w{TXT.WS_CLASS}]"), 0)).alias("n_punct"),
         (
             F.size(F.filter(low_toks, lambda x: x.isin(*stop))).cast("double")
             / F.size(toks)
@@ -1488,7 +1541,11 @@ def text_quality_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            percent_rank() OVER w AS prnk,
            ntile(4)       OVER w AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    -- NULLS LAST on the ASC tiebreak (r9 review find): the fixture
+    -- carries a NULL-o_orderkey row, and ntile is position-sensitive —
+    -- Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey NULLS LAST)
     """,
     doc="Window-function variants: dense_rank / percent_rank / ntile over "
         "a per-key ordering (single shuffle on the partition key).",
@@ -1497,7 +1554,8 @@ def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc_nulls_last("o_orderkey"))
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -1807,16 +1865,22 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1
     """,
-    doc="Sequence packing for pre-training: assign documents to fixed "
-        "token-budget (512) training sequences. Scale shape: docs hash "
-        "into 32 independent packing buckets and the cumulative-token "
-        "window runs PER BUCKET in deterministic md5 order — a single "
-        "global cumulative sum would funnel 100 TB through one partition; "
-        "per-bucket windows keep every partition independent and the "
-        "bucket count scales with the cluster. The bin boundary divides "
-        "by 512 (a power of two, so the double division is exact in both "
-        "engines). Greedy first-fit packs ~2% tighter but is inherently "
-        "sequential; bucket-local next-fit is the distributed trade.",
+    doc="Sequence packing for pre-training: documents stream into "
+        "512-token sequences by OFFSET BUCKETING — a doc is wholly "
+        "assigned to the sequence its cumulative START offset falls in, "
+        "so a boundary-straddling doc makes its sequence OVERFLOW the "
+        "budget by up to len-1 tokens (r9 review: an earlier doc claimed "
+        "next-fit/fixed-budget, which this is not — true next-fit closes "
+        "a bin when the next doc does not fit, but is inherently "
+        "sequential per bucket; offset bucketing is the one-window "
+        "distributed form, and downstream consumers either truncate the "
+        "overflow or pre-chunk long docs upstream, the standard "
+        "trade-off).  Scale shape: docs hash into 32 independent packing "
+        "buckets and the cumulative-token window runs PER BUCKET in "
+        "deterministic md5 order — a single global cumulative sum would "
+        "funnel 100 TB through one partition. The bin boundary divides "
+        "by 512 (a power of two, so the double division is exact in "
+        "both engines).",
 )
 def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1960,8 +2024,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # The _nullv flag makes a NULL event_type LOSE count ties (r9 review
+    # find): Spark's struct comparison sorts NULL fields FIRST, so
+    # without it min() would pick NULL over a tied real type, while the
+    # oracle's DuckDB NULLS LAST window picks the real type.  At most
+    # one NULL-type row exists per user (it is a group key), so the flag
+    # fully disambiguates.
     best = F.min(
         F.struct((-F.col("cnt")).alias("_negcnt"),
+                 F.col("event_type").isNull().cast("int").alias("_nullv"),
                  F.col("event_type").alias("_val"))
     ).alias("_m")
     return (
@@ -1984,7 +2055,11 @@ def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                  date_diff('day', CAST(ts AS DATE), DATE '2024-02-01') // 7,
                  40), 0)) AS DECIMAL(38,0))) AS DOUBLE)
              / pow(2, 40) AS decayed_score
-    FROM events
+    -- ts IS NOT NULL (r9 review find): an event with no time has no
+    -- age — it previously fell through least/greatest NULL-skipping
+    -- to k=40 (weight 2^-40) and inflated n_events; the file's
+    -- standing stance (sessionize/funnel/transitions) is exclusion
+    FROM events WHERE ts IS NOT NULL
     GROUP BY user_id
     """,
     doc="Freshness-decayed engagement: each event weighs 1/2^k where k = "
@@ -2001,7 +2076,10 @@ def events_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate.",
 )
 def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events excluded (r9 review find): no time -> no age;
+    # they previously decayed at the k=40 clamp via least/greatest
+    # NULL-skipping, which no doc promised.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     age_days = F.datediff(
         F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
     )
@@ -2129,7 +2207,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- find; a plain / 7 + CAST would also ROUND to nearest).
              CAST(floor(date_diff('day', DATE '2024-01-01',
                                   CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
-      FROM events
+      -- ts IS NOT NULL (r9 review find): a NULL-ts event previously
+      -- produced a spurious (cohort, NULL-offset) retention cell
+      FROM events WHERE ts IS NOT NULL
     ), cohort AS (
       SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1
     )
@@ -2147,7 +2227,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-reproducible.",
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events excluded (r9 review find): an unknowable week is not
+    # return activity; mirrors the oracle's filter.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     act = ev.select(
         "user_id",
         F.floor(

@@ -12,8 +12,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Explicit whitespace class instead of \s (r9 review find): Java's \s
+# includes vertical tab \x0B, RE2's (DuckDB) does not, so any pattern
+# negating \s silently diverges between engine and oracle on a
+# \x0B-bearing document.  Spelling the set out pins identical semantics
+# in both regex dialects.
+WS_CLASS = r" \t\n\x0B\f\r"
 # A BPE-ish tokenizer regex: word pieces or single non-space punctuation.
-BPEISH_TOKEN_RE = r"\w+|[^\w\s]"
+BPEISH_TOKEN_RE = rf"\w+|[^\w{WS_CLASS}]"
 
 # Marker stopwords for the n-gram language-ID heuristic (tiny on purpose:
 # the point is the *pipeline shape* — swap in real profiles for production).

@@ -171,6 +171,18 @@ def minhash_band_keys(
     )
 
 
+def _content_hash(content_col: str) -> "F.Column":
+    """NULL-safe content hash for the incremental-dedup index/probe
+    pair: ``md5(NULL)`` is NULL and never equi-joins, which silently
+    exempted missing documents from exact-dup detection while
+    :func:`exact_dedup`'s GROUP BY dedups them against each other (r9
+    review find).  NULL content maps to a reserved token that cannot
+    collide with a real digest (not 32 hex chars)."""
+    return F.coalesce(
+        F.md5(F.col(content_col).cast("string")), F.lit("__NULL_CONTENT__")
+    )
+
+
 def seen_dedup_index(
     seen: DataFrame,
     content_col: str,
@@ -187,7 +199,7 @@ def seen_dedup_index(
     tables and union each accepted batch's own hashes/keys in, and
     :func:`incremental_dedup` never touches the seen corpus's raw text
     again (pass them via ``seen_index``)."""
-    content_hash = F.md5(F.col(content_col).cast("string"))
+    content_hash = _content_hash(content_col)
     hashes = seen.select(content_hash.alias("_h")).distinct()
     band_keys = minhash_band_keys(
         seen, content_col, id_col,
@@ -239,7 +251,7 @@ def incremental_dedup(
     if seen_index is None:
         seen_index = seen_dedup_index(seen, content_col, id_col, **kw)
     seen_hashes, seen_bands = seen_index
-    content_hash = F.md5(F.col(content_col).cast("string"))
+    content_hash = _content_hash(content_col)
     exact_ids = (
         batch.select(F.col(id_col), content_hash.alias("_h"))
         .join(seen_hashes, "_h", "left_semi")

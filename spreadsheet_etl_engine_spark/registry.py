@@ -2365,33 +2365,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_orc_roundtrip",          # r9: read_orc explicit-schema param — re-verify
     # Scalar / profiling / reshape (r2–r5 vintages).
     "scalar_datetime",            # r9 freshness: r2
-    "scalar_string_math",         # r9 freshness: r5
-    "profile_columns",            # r9 freshness: r2
+    "scalar_string_math",         # r9 freshness: r5 + concat NULL fix
     "events_json_extract",        # r9 freshness: r2
     "reshape_unpivot",            # r9 freshness: r5
     "agg_histogram",              # r9 freshness: r2
-    "distinct_nations_per_segment",  # r9 freshness: r2
     # ETL shapes.
-    "etl_snapshot_diff",          # r9 freshness: r2
-    "etl_scd2",                   # r9 freshness: r5
+    "etl_snapshot_diff",          # r9 freshness: r2 + 1e12 key offset
+    "etl_scd2",                   # r9 freshness: r5 + 2e12 key offset
     "etl_upsert",                 # r9 freshness: r5
-    # Set ops.
-    "set_union_distinct",         # r9 freshness: r2
-    "set_except_all",             # r9 freshness: r2
-    "set_except",                 # r9 freshness: r3
-    "set_intersect",              # r9 freshness: r3
+    # (The four set ops ceded their seats to the second-review
+    # promotions below; they lead the r10 freshness queue with
+    # profile_columns, agg_cube, agg_grouping_sets, agg_pivot,
+    # join_anti, join_semi, distinct_nations_per_segment.)
     # Aggregations.
-    "agg_cube",                   # r9 freshness: r3
-    "agg_grouping_sets",          # r9 freshness: r3
-    "agg_pivot",                  # r9 freshness: r3
     "agg_rollup",                 # r9 freshness: r5
     "agg_quantiles",              # r9 freshness: r5
-    "agg_pricing_summary",        # r9 freshness: r5
-    "agg_corr_covar",             # r9: oracle decimal(19,2) products — re-verify
-    "agg_linear_fit",             # r9: oracle decimal(19,2) products — re-verify
+    "agg_pricing_summary",        # r9 freshness: r5 + avg_qty divisor fix
+    "agg_corr_covar",             # r9: decimal(19,2) + pairwise filter — re-verify
+    "agg_linear_fit",             # r9: decimal(19,2) + min=max guard — re-verify
     # Joins.
-    "join_anti",                  # r9 freshness: r3
-    "join_semi",                  # r9 freshness: r3
     "join_fact_fact",             # r9 freshness: r3
     "join_range_window",          # r9 freshness: r3
     "join_asof",                  # r9 freshness: r5
@@ -2422,6 +2414,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the tail fingerprint guard).
     "events_sessionize",
     "streaming_session_counts",
+    # Second-review promotions (r9 oracle-blind pass over ext_queries —
+    # every entry's fn or oracle bytes changed, so each must re-verify):
+    # \x0B whitespace-class pin (text_stats/text_quality), NUL in the
+    # control class, NULL-ts exclusions (decay, cohort), NULL-loses-ties
+    # mode, zero-vector cosine coalesce, NULL-safe incremental-dedup
+    # hash, survivorship curation, offset-bucketing doc honesty.
+    "text_stats",
+    "text_quality",
+    "text_encoding_quality",
+    "events_decayed_engagement",
+    "events_cohort_retention",
+    "events_mode_per_user",
+    "similarity_topk_bruteforce",
+    "dedup_incremental",
+    "dedup_index_probe",
+    "train_pack_sequences",
+    "curation_pipeline_decisions",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -137,6 +137,14 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000013, 'distinct id byte identical twin text', 'en',
                'edge', 36
+        -- eighth family addendum (r9 review): a VERTICAL-TAB document —
+        -- Java's \\s includes \\x0B, RE2's does not, so any \\s-negating
+        -- pattern diverges between engine and oracle on this row (the
+        -- text patterns now spell the whitespace class out explicitly;
+        -- this row keeps them honest).
+        UNION ALL
+        SELECT 90000014, 'vertical' || chr(11) || 'tab, probe!', 'en',
+               'edge', 20
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -396,7 +404,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 13
+    assert n == 14
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"

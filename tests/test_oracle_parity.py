@@ -115,6 +115,19 @@ MUST_BE_IN_CHECK_BUDGET = [
     "window_lag_lead",        # NULLS LAST pinned both sides
     "window_first_last",      # NULLS LAST pinned both sides
     "window_distribution",    # NULLS LAST pinned both sides (tail edit)
+    # r9 second-review fixes (ext_queries oracle-blind pass).
+    "window_rank_variants",   # NULLS LAST on the ntile tiebreak
+    "text_stats",             # explicit whitespace class (Java \s vs RE2 \s)
+    "text_quality",           # same whitespace-class pin
+    "text_encoding_quality",  # NUL included in the control class
+    "events_decayed_engagement",  # NULL-ts excluded (was k=40 clamp)
+    "events_cohort_retention",    # NULL-ts excluded (spurious NULL cells)
+    "events_mode_per_user",   # NULL type loses count ties (matches oracle)
+    "similarity_topk_bruteforce",  # zero-vector cosine 0.0 in the oracle
+    "dedup_incremental",      # NULL-safe content hash
+    "dedup_index_probe",      # NULL-safe content hash
+    "train_pack_sequences",   # offset-bucketing doc honesty
+    "curation_pipeline_decisions",  # survivorship representative
 ]
 
 
