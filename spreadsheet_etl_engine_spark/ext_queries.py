@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.functions import text as TXT
+from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
 from spreadsheet_etl_engine_spark.operators import dedup as DD
 from spreadsheet_etl_engine_spark.operators import similarity as SIM
 from spreadsheet_etl_engine_spark.registry import register
@@ -2334,7 +2335,7 @@ def events_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.col("ts").cast("string").alias("ts"),
         F.count("*").over(w).alias("n_30m"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        F.sum(finite_or_fail(F.col("value"), "value").cast("decimal(18,2)")).over(w)
         .cast("double").alias("sum_30m"),
     )
 
@@ -2375,7 +2376,8 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("label", F.posexplode("embedding").alias("i", "v"))
     s = e.groupBy("label", "i").agg(
-        F.sum(F.col("v").cast("double").cast("decimal(18,8)"))
+        F.sum(finite_or_fail(F.col("v").cast("double"), "embedding[i]")
+              .cast("decimal(18,8)"))
         .cast("double").alias("sv"),
         F.count("*").alias("n"),
     )

@@ -11,6 +11,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
+
 
 def asof_join(
     left: DataFrame,
@@ -351,10 +353,11 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
     skew every moment on any table with missing values — the standard
     SQL AVG/VAR_POP convention, and the parity-blind class of bug (an
     oracle written with ``count(*)`` computes the same wrong answer).
-    Values must fit decimal(18,2): larger magnitudes null out of the
-    sums under non-ANSI casts and shrink ``n``'s basis — pre-filter or
-    widen the cast for such feeds."""
-    x = F.col(value_col).cast("decimal(18,2)")
+    Values must fit decimal(18,2): larger magnitudes fail loud under
+    ANSI (null out under non-ANSI, shrinking ``n``'s basis) — pre-filter
+    or widen the cast for such feeds.  NaN/±Infinity fail loud via
+    finite_or_fail (ANSI would silently NULL them out of the cast)."""
+    x = finite_or_fail(F.col(value_col), value_col).cast("decimal(18,2)")
     n = F.count(x)
     sx = F.sum(x)
     sxx = F.sum(x * x)
@@ -411,7 +414,8 @@ def resample_gapfill(
     h = F.window(F.col(ts_col), bucket)["start"]
     hourly = df.groupBy(F.col(key_col), h.alias("_h")).agg(
         F.count("*").alias("_n"),
-        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("_v"),
+        F.sum(finite_or_fail(F.col(value_col), value_col)
+              .cast("decimal(18,2)")).cast("double").alias("_v"),
     )
     # Interval arithmetic keeps the cap bucket-unit-agnostic: the guard
     # compares timestamps, never parses the interval string itself.

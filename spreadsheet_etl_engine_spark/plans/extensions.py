@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spreadsheet_etl_engine_spark.errors import EngineError, MissingColumnError
+from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
 from spreadsheet_etl_engine_spark.plans.compiler import MappingCompiler
 from spreadsheet_etl_engine_spark.plans.parser import (
     COMMENT_PREFIX,
@@ -327,9 +328,11 @@ def _agg_expr(a: AggColumn) -> Column:
     if a.fn == "sum":
         return F.sum(col).alias(a.name)
     if a.fn == "sumd":
-        return F.sum(col.cast("decimal(18,2)")).cast("double").alias(a.name)
+        return (F.sum(finite_or_fail(col, a.arg).cast("decimal(18,2)"))
+                .cast("double").alias(a.name))
     if a.fn == "avgd":
-        return (F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)).alias(a.name)
+        return (F.sum(finite_or_fail(col, a.arg).cast("decimal(18,2)"))
+                .cast("double") / F.count(col)).alias(a.name)
     if a.fn == "min":
         return F.min(col).alias(a.name)
     return F.max(col).alias(a.name)

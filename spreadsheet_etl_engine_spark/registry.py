@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
 from spreadsheet_etl_engine_spark.plans.parser import parse_mapping
 from spreadsheet_etl_engine_spark.plans.runner import run_mapping
 from spreadsheet_etl_engine_spark.sources.readers import load_table
@@ -67,8 +68,14 @@ def _dec_sum(col, alias: str):
     cast, rather than silently skewing the sum; the sanctioned upstream
     guard is an ``in_range`` quality constraint on the measure
     (operators/quality.py).  Pinned by
-    tests/test_ext_operators.py::test_decimal_sum_domain_fails_loud."""
-    return F.sum(col.cast("decimal(18,2)")).cast("double").alias(alias)
+    tests/test_ext_operators.py::test_decimal_sum_domain_fails_loud.
+    NaN/±Infinity are the domain's OTHER boundary — ANSI silently NULLs
+    them out of decimal casts, so finite_or_fail raises instead (r9
+    edge-family-9 find, same fail-loud contract)."""
+    return (
+        F.sum(finite_or_fail(col, alias).cast("decimal(18,2)"))
+        .cast("double").alias(alias)
+    )
 
 
 def _cents(col) -> "F.Column":
@@ -998,7 +1005,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        F.sum(finite_or_fail(F.col("o_totalprice"), "o_totalprice")
+              .cast("decimal(18,2)")).over(w).cast("double")
         .alias("running_spend"),
     )
 
@@ -1357,8 +1365,9 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
-    x = F.col("l_quantity").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    x = finite_or_fail(F.col("l_quantity"), "l_quantity").cast("decimal(18,2)")
+    y = finite_or_fail(F.col("l_extendedprice"), "l_extendedprice").cast(
+        "decimal(18,2)")
     n = F.count("*")
     return li.groupBy("l_returnflag").agg(
         n.alias("n"),
@@ -1430,8 +1439,9 @@ def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
-    x = F.col("l_quantity").cast("decimal(18,2)")
-    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    x = finite_or_fail(F.col("l_quantity"), "l_quantity").cast("decimal(18,2)")
+    y = finite_or_fail(F.col("l_extendedprice"), "l_extendedprice").cast(
+        "decimal(18,2)")
     n = F.count("*")
     sx = F.sum(x).cast("double")
     sy = F.sum(y).cast("double")
@@ -1783,7 +1793,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, sup, key="k", salt=16)
     return joined.groupBy("s_name").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(finite_or_fail(F.col("l_quantity"), "l_quantity")
+              .cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 
@@ -2352,6 +2363,23 @@ def get(name: str) -> RegisteredQuery:
 # + shared-module hash tripwire).  Every promoted name green through
 # scripts/check_promotions.py at BOTH sf0.001 and sf0.01 before taking
 # a slot.  New surface (0) ≤ first-time verifications, growth rule moot.
+#
+# Third mid-r9 swap (edge family 9, non-finite measures): Spark's ANSI
+# decimal cast silently NULLs NaN/±Infinity (throws only on finite
+# overflow), so every deterministic-decimal-sum path gained the
+# finite_or_fail guard (functions/numeric.py) — 13 queries' engine
+# bytes changed.  Six already hold seats (join_dims_broadcast,
+# window_running_sum, agg_corr_covar, agg_linear_fit,
+# events_rolling_window, events_resample_gapfill); the other seven
+# promote per the rotation guard: events_tumbling_window,
+# join_skew_salted, agg_moments, events_value_outliers,
+# embedding_cluster_stats, dsl_v2_join_agg, streaming_tumbling_counts.
+# Ceded seats: seven byte-unchanged r5-vintage freshness promotions
+# (dsl_a1_formula, dsl_formula_chain, reshape_unpivot, etl_upsert,
+# agg_rollup, agg_quantiles, join_asof) — they lead the r10 freshness
+# queue with the four set ops listed below; deferring freshness beats
+# deferring a changed-bytes re-verification, which the budget invariant
+# makes mandatory.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Stale DSL attestations (the dsl_flagship sentinel ceded the last
     # seat to the window_distribution NULL-ordering fix below: entry()
@@ -2359,34 +2387,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned by the tail fingerprint guard + local parity gate).
     "dsl_direct_constant",        # r9 freshness: newest row was r4
     "dsl_filter_ops",             # r9 freshness: r4
-    "dsl_a1_formula",             # r9 freshness: r5
-    "dsl_formula_chain",          # r9 freshness: r5
     "dsl_csv_roundtrip",          # r9: read_csv explicit-schema param — re-verify
     "dsl_orc_roundtrip",          # r9: read_orc explicit-schema param — re-verify
     # Scalar / profiling / reshape (r2–r5 vintages).
     "scalar_datetime",            # r9 freshness: r2
     "scalar_string_math",         # r9 freshness: r5 + concat NULL fix
     "events_json_extract",        # r9 freshness: r2
-    "reshape_unpivot",            # r9 freshness: r5
     "agg_histogram",              # r9 freshness: r2
     # ETL shapes.
     "etl_snapshot_diff",          # r9 freshness: r2 + 1e12 key offset
     "etl_scd2",                   # r9 freshness: r5 + 2e12 key offset
-    "etl_upsert",                 # r9 freshness: r5
     # (The four set ops ceded their seats to the second-review
     # promotions below; they lead the r10 freshness queue with
     # profile_columns, agg_cube, agg_grouping_sets, agg_pivot,
     # join_anti, join_semi, distinct_nations_per_segment.)
     # Aggregations.
-    "agg_rollup",                 # r9 freshness: r5
-    "agg_quantiles",              # r9 freshness: r5
+    "agg_moments",                # r9c: finite_or_fail (exact_moments) — re-verify
     "agg_pricing_summary",        # r9 freshness: r5 + avg_qty divisor fix
     "agg_corr_covar",             # r9: decimal(19,2) + pairwise filter — re-verify
     "agg_linear_fit",             # r9: decimal(19,2) + min=max guard — re-verify
+    #                               (both regression queries also ride the
+    #                               r9c finite_or_fail guard on x and y)
     # Joins.
     "join_fact_fact",             # r9 freshness: r3
     "join_range_window",          # r9 freshness: r3
-    "join_asof",                  # r9 freshness: r5
+    "join_skew_salted",           # r9c: finite_or_fail on sum_qty — re-verify
     "join_dims_broadcast",        # r9 freshness: r5
     # Windows / sorts.
     "window_first_last",          # r9 freshness: r3 + NULLS LAST pin — re-verify
@@ -2400,7 +2425,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_rolling_window",      # r9 freshness: r5 AND mid-r9 oracle change
     #                               (VARCHAR cast route, family-8 fix) —
     #                               re-verify on both grounds
-    "events_resample_gapfill",    # r9: exact span-cap fencepost — re-verify
+    "events_resample_gapfill",    # r9: exact span-cap fencepost + r9c
+    #                               finite_or_fail on the bucket sum — re-verify
+    "events_tumbling_window",     # r9c: finite_or_fail (_dec_sum) — re-verify
+    "events_value_outliers",      # r9c: finite_or_fail (exact_moments) — re-verify
+    "embedding_cluster_stats",    # r9c: finite_or_fail on embedding[i] — re-verify
+    "dsl_v2_join_agg",            # r9c: finite_or_fail in v2 sumd/avgd — re-verify
+    "streaming_tumbling_counts",  # r9c: finite_or_fail in the streaming agg
+    #                               (plus the r9 session-boundary oracle fix
+    #                               on its session sibling below) — re-verify
     # [EXT] dedup / text.
     "dedup_exact",                # r9 freshness: r4
     "dedup_embedding_lsh_pairs",  # r9 freshness: r4

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
@@ -61,7 +63,8 @@ def tumbling_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"),
-             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+             F.sum(finite_or_fail(F.col("value"), "value")
+                   .cast("decimal(18,2)")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 

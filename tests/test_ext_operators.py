@@ -1012,3 +1012,51 @@ def test_decimal_sum_domain_fails_loud(spark):
                   df, [in_range("value_domain", "value", -1e15, 1e15)]
               ).collect()}
     assert report["value_domain"] == 1
+
+
+def test_nonfinite_measure_fails_loud(spark):
+    """The domain contract's OTHER boundary (r9 edge-family-9 find):
+    Spark's ANSI decimal cast throws on finite overflow but silently
+    returns NULL for NaN/±Infinity, so an unguarded poison row would
+    vanish from every deterministic sum.  finite_or_fail raises
+    USER_RAISED_EXCEPTION naming the measure on every decimal-sum path;
+    NULLs still flow through (NULL-in/NULL-out), and the in_range
+    quality constraint remains the sanctioned upstream filter (NaN
+    fails its <= hi arm, ±inf fail one bound each)."""
+    import pytest as _pytest
+
+    from spreadsheet_etl_engine_spark.functions.numeric import finite_or_fail
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        check_constraints, in_range)
+    from spreadsheet_etl_engine_spark.operators.relational import exact_moments
+
+    for poison in (float("nan"), float("inf"), float("-inf")):
+        df = spark.createDataFrame(
+            [(1, 2.5), (2, poison)], "k long, value double"
+        )
+        with _pytest.raises(Exception, match="NON_FINITE_MEASURE"):
+            df.agg(
+                F.sum(finite_or_fail(F.col("value"), "value")
+                      .cast("decimal(18,2)")).cast("double")
+            ).collect()
+        with _pytest.raises(Exception, match="NON_FINITE_MEASURE"):
+            exact_moments(df, ["k"], "value", alias_prefix="v").collect()
+    # NULLs pass through the guard untouched; finite values sum exactly.
+    ok = spark.createDataFrame(
+        [(1, 1e12), (1, None), (2, 2.5)], "k long, value double"
+    )
+    got = ok.agg(
+        F.sum(finite_or_fail(F.col("value"), "value")
+              .cast("decimal(18,2)")).cast("double").alias("s")
+    ).collect()[0]["s"]
+    assert got == 1e12 + 2.5
+    # The sanctioned upstream constraint counts every non-finite row.
+    bad = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")), (4, 1.0)],
+        "k long, value double",
+    )
+    report = {r["constraint"]: r["n_violations"]
+              for r in check_constraints(
+                  bad, [in_range("value_domain", "value", -1e15, 1e15)]
+              ).collect()}
+    assert report["value_domain"] == 3

@@ -128,6 +128,21 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dedup_index_probe",      # NULL-safe content hash
     "train_pack_sequences",   # offset-bucketing doc honesty
     "curation_pipeline_decisions",  # survivorship representative
+    # r9 edge-family-9 fix (finite_or_fail: ANSI decimal casts silently
+    # NULL NaN/±Infinity — every deterministic-decimal-sum path now
+    # fails loud).  All 13 queries whose engine bytes carry the guard
+    # must re-verify; the six already listed above for other reasons
+    # (agg_corr_covar, agg_linear_fit, window_running_sum,
+    # events_rolling_window, events_resample_gapfill — plus
+    # join_dims_broadcast via the freshness rotation) keep their seats.
+    "join_dims_broadcast",
+    "events_tumbling_window",
+    "join_skew_salted",
+    "agg_moments",
+    "events_value_outliers",
+    "embedding_cluster_stats",
+    "dsl_v2_join_agg",
+    "streaming_tumbling_counts",
 ]
 
 
