@@ -33,9 +33,11 @@ def finite_or_fail(col: Column, what: str) -> Column:
     NULL-in/NULL-out preserved).  Cost: one abs + one compare per row
     inside whole-stage codegen — ``abs(x) > DBL_MAX`` catches ±Infinity
     AND NaN in a single predicate because Spark's comparisons are
-    total-ordered (NaN compares larger than +Infinity; measured ~4-6%
-    on 0.5s sf0.1 agg lines vs ~12% for the two-predicate
-    isnan-or-abs-eq-inf form).  The sanctioned upstream filter for feeds
+    total-ordered (NaN compares larger than +Infinity).  The interleaved
+    A/B could not resolve the guard's cost from run-to-run noise on the
+    0.4-1.0s sf0.1 agg lines (BENCH_NOTES r9c — the two-predicate
+    isnan-or form it replaced read up to ~12% there, also mostly
+    noise).  The sanctioned upstream filter for feeds
     where non-finite values are EXPECTED is an ``in_range`` quality
     constraint (operators/quality.py); this guard is the engine-side
     backstop.  Pinned by

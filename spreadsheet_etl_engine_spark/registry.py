@@ -59,7 +59,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
-def _dec_sum(col, alias: str):
+def _dec_sum(col, alias: str, what: str | None = None):
     """Order-independent double sum: sum in DECIMAL(18,2), cast back once.
 
     Domain contract: the decimal route bounds summed magnitudes to
@@ -71,9 +71,11 @@ def _dec_sum(col, alias: str):
     tests/test_ext_operators.py::test_decimal_sum_domain_fails_loud.
     NaN/±Infinity are the domain's OTHER boundary — ANSI silently NULLs
     them out of decimal casts, so finite_or_fail raises instead (r9
-    edge-family-9 find, same fail-loud contract)."""
+    edge-family-9 find, same fail-loud contract).  ``what`` names the
+    SOURCE column in the raise message (the alias is the output column,
+    which an operator grepping the feed would never find)."""
     return (
-        F.sum(finite_or_fail(col, alias).cast("decimal(18,2)"))
+        F.sum(finite_or_fail(col, what or alias).cast("decimal(18,2)"))
         .cast("double").alias(alias)
     )
 
@@ -711,7 +713,7 @@ def join_dims_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal", what="c_acctbal"),
         )
     )
 
@@ -1225,7 +1227,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            _dec_sum(F.col("value"), "total_value"),
+            _dec_sum(F.col("value"), "total_value", what="value"),
         )
         .select(
             F.col("w.start").cast("string").alias("window_start"),

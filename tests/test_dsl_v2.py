@@ -64,6 +64,38 @@ def test_join_group_agg(spark, tpch):
         assert rows[r["r_name"]]["max_bal"] == r["m"]
 
 
+def test_avgd_matches_decimal_sum_over_count(spark, tpch):
+    """agg:avgd — the deterministic mean (decimal sum / non-NULL count).
+    The only other avgd exercise was the grammar's acceptance; this pins
+    the value (r9 review find: a modified avgd divisor would have passed
+    every gate).  NULL handling rides the NULL-bearing balance planted
+    below; the guard inside the sum is pinned by
+    test_nonfinite_measure_fails_loud."""
+    src = tpch["src"].withColumn(
+        "bal2",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal")),
+    )
+    out = run_mapping_v2(
+        {**tpch, "src": src},
+        [
+            ("_group:g", "by: src[c_mktsegment]"),
+            ("avg_bal", "agg:avgd:src[bal2]"),
+            ("n", "agg:count:src[bal2]"),
+        ],
+    )
+    rows = {r["c_mktsegment"]: r for r in out.collect()}
+    check = src.groupBy("c_mktsegment").agg(
+        (F.sum(F.col("bal2").cast("decimal(18,2)")).cast("double")
+         / F.count("bal2")).alias("a"),
+        F.count("bal2").alias("n"),
+    )
+    for r in check.collect():
+        got = rows[r["c_mktsegment"]]
+        assert got["n"] == r["n"]
+        assert abs(got["avg_bal"] - r["a"]) < 1e-9
+
+
 def test_semi_join_hides_right_columns(spark, tpch):
     out = run_mapping_v2(
         tpch,

@@ -131,10 +131,12 @@ MUST_BE_IN_CHECK_BUDGET = [
     # r9 edge-family-9 fix (finite_or_fail: ANSI decimal casts silently
     # NULL NaN/±Infinity — every deterministic-decimal-sum path now
     # fails loud).  All 13 queries whose engine bytes carry the guard
-    # must re-verify; the six already listed above for other reasons
+    # must re-verify: FIVE are already listed above for other reasons
     # (agg_corr_covar, agg_linear_fit, window_running_sum,
-    # events_rolling_window, events_resample_gapfill — plus
-    # join_dims_broadcast via the freshness rotation) keep their seats.
+    # events_rolling_window, events_resample_gapfill), the EIGHT below
+    # are new to this list (join_dims_broadcast held a head seat via
+    # the freshness rotation but had no must-verify entry until now;
+    # the other seven promote into the head alongside this addition).
     "join_dims_broadcast",
     "events_tumbling_window",
     "join_skew_salted",
