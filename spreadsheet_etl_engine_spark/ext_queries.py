@@ -1140,6 +1140,76 @@ def quality_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_nonfinite_report",
+    oracle="""
+    -- The diagnostic companion to the engine's NON_FINITE_MEASURE
+    -- fail-loud contract (functions/numeric.py): which measures carry
+    -- NaN/±Infinity, how many values, how much of the feed is clean.
+    SELECT 'events' AS tbl, 'value' AS col_name, count(*) AS n_rows,
+           count(*) FILTER (value IS NULL) AS n_null,
+           count(*) FILTER (isnan(value)) AS n_nan,
+           count(*) FILTER (isinf(value)) AS n_inf,
+           count(*) FILTER (value IS NOT NULL AND NOT isnan(value)
+                            AND NOT isinf(value)) AS n_finite
+    FROM events
+    UNION ALL
+    SELECT 'lineitem', 'l_quantity', count(*),
+           count(*) FILTER (l_quantity IS NULL),
+           count(*) FILTER (isnan(l_quantity)),
+           count(*) FILTER (isinf(l_quantity)),
+           count(*) FILTER (l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+                            AND NOT isinf(l_quantity))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'l_extendedprice', count(*),
+           count(*) FILTER (l_extendedprice IS NULL),
+           count(*) FILTER (isnan(l_extendedprice)),
+           count(*) FILTER (isinf(l_extendedprice)),
+           count(*) FILTER (l_extendedprice IS NOT NULL
+                            AND NOT isnan(l_extendedprice)
+                            AND NOT isinf(l_extendedprice))
+    FROM lineitem
+    UNION ALL
+    -- array column: count ROWS containing >= 1 non-finite component
+    SELECT 'embeddings', 'embedding', count(*),
+           count(*) FILTER (embedding IS NULL),
+           count(*) FILTER (len(list_filter(embedding,
+                                            x -> isnan(x))) > 0),
+           count(*) FILTER (len(list_filter(embedding,
+                                            x -> isinf(x))) > 0),
+           count(*) FILTER (embedding IS NOT NULL
+                            AND len(list_filter(embedding,
+                                    x -> isnan(x) OR isinf(x))) = 0)
+    FROM embeddings
+    """,
+    doc="Per-column non-finite profile over the pipeline's measure "
+        "columns and the embedding vectors — the diagnostic an operator "
+        "runs after a NON_FINITE_MEASURE raise (the fail-loud guard on "
+        "every deterministic decimal sum, functions/numeric.py) to "
+        "locate the poison and size the cleanup before choosing between "
+        "an in_range filter and an upstream fix.  One single-scan "
+        "map-side-combinable aggregation per table (sum(CASE) per "
+        "count, operators/quality.py:nonfinite_report); array columns "
+        "use exists() per row, never exploding the vectors.",
+)
+def quality_nonfinite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators import quality as Q
+
+    def profiled(table: str, doubles=(), arrays=()):
+        df = load_table(spark, sf_dir, table)
+        return Q.nonfinite_report(
+            df, double_cols=doubles, array_cols=arrays
+        ).select(F.lit(table).alias("tbl"), "*")
+
+    return (
+        profiled("events", doubles=("value",))
+        .unionByName(profiled(
+            "lineitem", doubles=("l_quantity", "l_extendedprice")))
+        .unionByName(profiled("embeddings", arrays=("embedding",)))
+    )
+
+
+@register(
     "sample_cap_per_source",
     oracle="""
     SELECT doc_id, source FROM (

@@ -191,3 +191,72 @@ def assert_constraints(df: DataFrame, constraints: list[Constraint]) -> None:
             for r in bad
         )
         raise EngineError(f"Data-quality constraints violated: {detail}.")
+
+
+def nonfinite_report(
+    df: DataFrame,
+    double_cols: tuple[str, ...] = (),
+    array_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-column non-finite profile: ``(col_name, n_rows, n_null, n_nan,
+    n_inf, n_finite)`` — the diagnostic an operator runs after a
+    ``NON_FINITE_MEASURE`` raise (functions/numeric.py) to locate which
+    measure carries NaN/±Infinity and how much of the feed is clean,
+    before deciding between an ``in_range`` filter and an upstream fix.
+
+    Scale shape: every count is a ``sum(CASE)`` inside ONE aggregation —
+    a single scan of only the named columns, map-side combinable, no
+    shuffle beyond the one-row combine (same design as
+    :func:`check_constraints`); the per-column rows come from exploding
+    the single result row, not from per-column scans.
+
+    Scalar columns count VALUES; ``array_cols`` (array<float/double>)
+    count ROWS containing at least one non-finite component, so a row
+    whose vector holds both a NaN and an Infinity counts in both
+    ``n_nan`` and ``n_inf`` (the four counts can overlap for arrays;
+    ``n_finite`` is rows that are non-NULL with no non-finite
+    component).  NaN detection uses ``isnan``; infinity uses equality
+    against ±inf literals (NaN equals neither under Spark's total-order
+    comparisons, so the counts never double-count a NaN as infinite).
+    """
+    inf = float("inf")
+
+    def _counts(c: str, is_array: bool) -> list[Column]:
+        col = F.col(c)
+        if is_array:
+            nan = F.exists(col, lambda x: F.isnan(x))
+            isinf = F.exists(col, lambda x: (x == inf) | (x == -inf))
+        else:
+            nan = F.isnan(col)
+            isinf = (col == inf) | (col == -inf)
+        null = col.isNull()
+        # coalesce: sum() over ZERO rows is NULL, but an empty feed has
+        # 0 of everything (the r8 empty-slice class check_constraints
+        # already handles).
+        n = lambda cond, tag: F.coalesce(
+            F.sum(cond.cast("long")), F.lit(0).cast("long")
+        ).alias(f"{c}__{tag}")
+        return [
+            n(null, "null"),
+            n(F.coalesce(nan, F.lit(False)), "nan"),
+            n(F.coalesce(isinf, F.lit(False)), "inf"),
+            n(~null & ~F.coalesce(nan | isinf, F.lit(False)), "finite"),
+        ]
+
+    cols = [(c, False) for c in double_cols] + [(c, True) for c in array_cols]
+    aggs = [F.count("*").alias("__rows")]
+    for c, is_arr in cols:
+        aggs += _counts(c, is_arr)
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"{c}__null").alias("n_null"),
+            F.col(f"{c}__nan").alias("n_nan"),
+            F.col(f"{c}__inf").alias("n_inf"),
+            F.col(f"{c}__finite").alias("n_finite"),
+        )
+        for c, _ in cols
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -2382,6 +2382,14 @@ def get(name: str) -> RegisteredQuery:
 # queue with the four set ops listed below; deferring freshness beats
 # deferring a changed-bytes re-verification, which the budget invariant
 # makes mandatory.
+#
+# r9c registry growth: ONE new query (quality_nonfinite_report — the
+# diagnostic companion to the new NON_FINITE_MEASURE contract: per-
+# column NaN/±inf/NULL/finite counts over the measure columns and the
+# embedding vectors, one single-scan combinable agg per table), taking
+# the seat of sort_topk (green r5, byte-unchanged, joins the r10
+# freshness queue).  New surface (1) ≤ first-time driver verifications
+# (1 — the query itself), per the standing growth rule.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Stale DSL attestations (the dsl_flagship sentinel ceded the last
     # seat to the window_distribution NULL-ordering fix below: entry()
@@ -2422,7 +2430,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_running_sum",         # r9 freshness: r3 + NULLS LAST pin — re-verify
     "window_rank_variants",       # r9 freshness: r5
     "window_distribution",        # r9: NULLS LAST pin (tail edit) — re-verify
-    "sort_topk",                  # r9 freshness: r5
+    "quality_nonfinite_report",   # r9c: NEW — first driver attestation
     # Events.
     "events_rolling_window",      # r9 freshness: r5 AND mid-r9 oracle change
     #                               (VARCHAR cast route, family-8 fix) —

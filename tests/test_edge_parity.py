@@ -88,6 +88,10 @@ EDGE_QUERIES = [
     # fails loud too (finite_or_fail), and this query's edge run pins
     # BOTH engines raising (see NONFINITE_DECIMAL_CONTRACT).
     "embedding_cluster_stats",
+    # r9c: the diagnostic companion — pure counting, no decimal casts,
+    # so on the same planted NaN/±inf rows it must VALUE-match the
+    # oracle (and is the query an operator would run after the raise).
+    "quality_nonfinite_report",
 ]
 
 # Queries whose exact-decimal accumulation the planted NON-FINITE

@@ -1060,3 +1060,37 @@ def test_nonfinite_measure_fails_loud(spark):
                   bad, [in_range("value_domain", "value", -1e15, 1e15)]
               ).collect()}
     assert report["value_domain"] == 3
+
+
+def test_nonfinite_report_counts(spark):
+    """nonfinite_report — the diagnostic companion to the fail-loud
+    NON_FINITE_MEASURE contract: exact per-column counts on planted
+    poison, array rows counted once per category (a vector holding BOTH
+    a NaN and an inf counts in n_nan AND n_inf — documented overlap),
+    NaN never double-counted as infinite, and an EMPTY feed reports
+    zeros (sum-over-zero-rows coalesce, the r8 empty-slice class)."""
+    from spreadsheet_etl_engine_spark.operators.quality import nonfinite_report
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1.0,   [0.1, 0.2]),
+            (nan,   [nan, 0.2]),
+            (inf,   [0.1, inf]),
+            (-inf,  [nan, -inf]),          # overlap row: nan AND inf
+            (None,  None),
+            (2.5,   [0.3, None]),          # NULL element is not non-finite
+        ],
+        "v double, e array<double>",
+    )
+    rows = {r["col_name"]: r for r in
+            nonfinite_report(df, ("v",), ("e",)).collect()}
+    v, e = rows["v"], rows["e"]
+    assert (v["n_rows"], v["n_null"], v["n_nan"], v["n_inf"], v["n_finite"]) \
+        == (6, 1, 1, 2, 2)
+    assert (e["n_rows"], e["n_null"], e["n_nan"], e["n_inf"], e["n_finite"]) \
+        == (6, 1, 2, 2, 2)
+    empty = df.filter(F.lit(False))
+    for r in nonfinite_report(empty, ("v",), ("e",)).collect():
+        assert (r["n_rows"], r["n_null"], r["n_nan"], r["n_inf"],
+                r["n_finite"]) == (0, 0, 0, 0, 0)

@@ -145,6 +145,8 @@ MUST_BE_IN_CHECK_BUDGET = [
     "embedding_cluster_stats",
     "dsl_v2_join_agg",
     "streaming_tumbling_counts",
+    # r9c new surface: never driver-verified, so it must sit in the head.
+    "quality_nonfinite_report",
 ]
 
 
