@@ -276,7 +276,7 @@ def run_workbook(
     *,
     mode: str = "fidelity",
     passthrough: bool = False,
-    max_rows: int = 1_048_576,
+    max_rows: int = 1_048_575,
 ) -> JobResult:
     """The reference's ENTIRE lifecycle on one workbook file
     (``main.gs:38-140``): read the Dashboard sheet (key/value config,
@@ -327,7 +327,13 @@ def run_workbook(
         out = ordered.orderBy("_row").drop("_row")
     else:
         out = run_mapping(source, spec, mode=mode)
-    out_rows = [tuple(r) for r in out.limit(max_rows).collect()]
+    out_rows = [tuple(r) for r in out.limit(max_rows + 1).collect()]
+    if len(out_rows) > max_rows:
+        raise EngineError(
+            f"run_workbook: output exceeds {max_rows} data rows (Excel's "
+            "grid holds 1,048,576 rows including the header) — route "
+            "outputs this size through run_job's parquet sink instead."
+        )
 
     def _revive(value: str, was_numeric: bool):
         # Cells that were number cells round-trip as numbers, not

@@ -2383,6 +2383,20 @@ def get(name: str) -> RegisteredQuery:
 # deferring a changed-bytes re-verification, which the budget invariant
 # makes mandatory.
 #
+# Fourth mid-r9 swap (review pass over sources/ + streaming/): the
+# fail-loud reader/sink hardening changed executed bytes for four tail
+# queries, which promote per the rotation guard: dsl_json_source
+# (read_json FAILFAST-with-schema default), dsl_xlsx_roundtrip +
+# dsl_workbook_job (xlsx sinks now RAISE past Excel's 1,048,575 data
+# rows instead of silently truncating), streaming_view_click_join
+# (read_event_stream construction-time schema validation).  Ceded
+# seats, all byte-unchanged greens, joining the r10 freshness queue:
+# dedup_minhash_lsh_pairs (r5), dedup_embedding_lsh_pairs (r4),
+# text_langid (r4), text_wordcount_top (r4).  load_table also changed
+# (the nanosAsLong conf is now scoped to the events read, restored
+# after — behavior-neutral for every fixture table, proven by the full
+# local parity gate both SFs run).
+#
 # r9c registry growth: ONE new query (quality_nonfinite_report — the
 # diagnostic companion to the new NON_FINITE_MEASURE contract: per-
 # column NaN/±inf/NULL/finite counts over the measure columns and the
@@ -2446,10 +2460,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #                               on its session sibling below) — re-verify
     # [EXT] dedup / text.
     "dedup_exact",                # r9 freshness: r4
-    "dedup_embedding_lsh_pairs",  # r9 freshness: r4
-    "dedup_minhash_lsh_pairs",    # r9 freshness: r5
-    "text_langid",                # r9 freshness: r4
-    "text_wordcount_top",         # r9 freshness: r4
+    "dsl_json_source",            # r9d: read_json FAILFAST default — re-verify
+    "dsl_xlsx_roundtrip",         # r9d: xlsx sink fail-loud cap — re-verify
+    "dsl_workbook_job",           # r9d: workbook sink fail-loud cap — re-verify
+    "streaming_view_click_join",  # r9d: stream schema validation — re-verify
     # Mid-r9 oracle changes (family-8 session-boundary fix: Spark's
     # session_window MERGES touching windows, oracles moved to strict >)
     # — both must re-verify; the dsl_workbook_job and multimodal_decode

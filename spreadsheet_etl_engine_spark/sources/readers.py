@@ -39,8 +39,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the (naive-timestamp) DuckDB oracles.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
+        # Scope the legacy conf to THIS read: schema resolution happens
+        # at read() time, so restoring the prior value immediately after
+        # is safe even on a genuine nanos layout (verified empirically —
+        # the resolved LongType plan still executes), and a LATER user
+        # read of some other nanos file keeps Spark's default fail-loud
+        # behavior instead of silently returning raw longs (r9 review
+        # find: the conf used to leak session-wide).
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
         from pyspark.sql.types import LongType, TimestampType
 
         if isinstance(df.schema["ts"].dataType, LongType):
@@ -96,7 +110,15 @@ def read_csv(
             schema = T.StructType(
                 [T.StructField(f.name, T.StringType(), f.nullable) for f in st.fields]
             )
-        reader = reader.schema(schema)
+        # enforceSchema=false: validate header names against the schema's
+        # field names (position-wise) and FAIL on mismatch — the default
+        # (true) ignores the header entirely, so an upstream column
+        # reorder/rename/insertion would silently land data in the wrong
+        # columns (r9 review find).  mode=FAILFAST (overridable): a
+        # malformed record raises instead of silently becoming NULLs.
+        reader = reader.schema(schema).option("enforceSchema", "false")
+        if "mode" not in options:
+            reader = reader.option("mode", "FAILFAST")
     elif fidelity:
         reader = reader.option("inferSchema", "false")
     else:
@@ -135,7 +157,21 @@ def read_json(
             schema = T.StructType(
                 [T.StructField(f.name, T.StringType(), f.nullable) for f in st.fields]
             )
+        # FAILFAST (overridable): a malformed line raises instead of
+        # silently becoming an all-NULL row (r9 review find).  A MISSING
+        # field still reads as NULL — JSON is schemaless, so absence is
+        # not malformation; rename-drift detection belongs to a quality
+        # constraint (not_null) on the required fields.
         reader = reader.schema(schema)
+        if "mode" not in options:
+            reader = reader.option("mode", "FAILFAST")
+    elif fidelity:
+        # Schemaless fidelity: keep the RAW lexeme.  Without this, Spark
+        # infers doubles and the final cast re-renders them ('1.50' ->
+        # '1.5', big ints lose precision through float64 — r9 review
+        # find); primitivesAsString preserves the source text.  The cast
+        # below still stringifies non-primitive (struct/array) fields.
+        reader = reader.option("primitivesAsString", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
     df = reader.json(path)

@@ -311,20 +311,32 @@ def write_xlsx(
     path: str,
     *,
     sheet_name: str = "Output",
-    max_rows: int = 1_048_576,
+    max_rows: int = 1_048_575,
 ) -> None:
     """Write a (sheet-sized) DataFrame to xlsx via the stdlib-native OOXML
     codec (``sources/xlsx_native.py``; no openpyxl in this environment).
 
     Collects to the driver — by definition a spreadsheet-sized sink
-    (Excel's own grid caps at ~1M rows, hence ``max_rows``); big outputs
-    belong in parquet.  Mirrors the reference's overwrite-sheet semantics
+    (Excel's grid caps at 1,048,576 rows INCLUDING the header, hence the
+    1,048,575 data-row default); big outputs belong in parquet.  A frame
+    larger than ``max_rows`` FAILS LOUD instead of silently truncating
+    (r9 review find: ``df.limit`` used to drop the excess without a
+    word, and the old default let the last row land one past Excel's
+    grid).  Mirrors the reference's overwrite-sheet semantics
     (``main.gs:124-129``): header row first, then data; string cells
     starting with ``=`` become live formula cells, exactly as
     ``setValues`` would make them (the pass-through mode's deferred
     evaluation rides on this).
     """
+    from spreadsheet_etl_engine_spark.errors import EngineError
     from spreadsheet_etl_engine_spark.sources import xlsx_native
 
-    rows = [tuple(r) for r in df.limit(max_rows).collect()]
+    rows = [tuple(r) for r in df.limit(max_rows + 1).collect()]
+    if len(rows) > max_rows:
+        raise EngineError(
+            f"write_xlsx: output exceeds {max_rows} data rows (Excel's "
+            "grid holds 1,048,576 rows including the header) — write "
+            "parquet/CSV for larger outputs, or raise max_rows if the "
+            "target app allows it."
+        )
     xlsx_native.write_workbook(path, list(df.columns), rows, sheet_name=sheet_name)

@@ -39,14 +39,41 @@ EVENT_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int = 8
+    spark: SparkSession, path: str, *, max_files_per_trigger: int = 8,
+    validate_schema: bool = True
 ) -> DataFrame:
     """File-source stream of event parquet files under ``path``.
 
     ``maxFilesPerTrigger`` keeps micro-batches bounded when backfilling a
     large directory (tests set 1 to force one file per micro-batch so
     watermark advancement between batches is observable).
+
+    ``validate_schema`` (default on) checks the files PRESENT AT
+    CONSTRUCTION against ``EVENT_SCHEMA`` by column NAME and fails loud
+    on a missing/renamed column — a parquet stream resolves columns by
+    name, so a renamed field would otherwise read as all-NULL in every
+    micro-batch with nothing failing (r9 review find).  Honest limits:
+    files arriving AFTER construction are not re-validated (the standard
+    streaming posture — pair with a not_null quality constraint on
+    required fields inside the pipeline for full drift coverage), and an
+    empty directory skips the check (a stream may legitimately start
+    before its first file).
     """
+    if validate_schema:
+        try:
+            present = set(spark.read.parquet(path).schema.names)
+        except Exception:
+            present = None  # no files yet — nothing to validate
+        if present is not None:
+            missing = [f.name for f in EVENT_SCHEMA.fields
+                       if f.name not in present]
+            if missing:
+                from spreadsheet_etl_engine_spark.errors import EngineError
+                raise EngineError(
+                    f"event stream at {path}: columns {missing} missing "
+                    f"from the files present (found {sorted(present)}) — "
+                    "a parquet stream would silently read them as NULL."
+                )
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -147,6 +147,13 @@ MUST_BE_IN_CHECK_BUDGET = [
     "streaming_tumbling_counts",
     # r9c new surface: never driver-verified, so it must sit in the head.
     "quality_nonfinite_report",
+    # r9d reader/sink fail-loud hardening (review pass): executed bytes
+    # changed, so each must re-verify.
+    "dsl_json_source",            # read_json: FAILFAST default with schema
+    "dsl_xlsx_roundtrip",         # write_xlsx: raise past Excel's grid
+    "dsl_workbook_job",           # run_workbook: same fail-loud cap
+    "streaming_view_click_join",  # read_event_stream: schema validation
+    "dsl_csv_roundtrip",          # read_csv: enforceSchema/FAILFAST path
 ]
 
 

@@ -13,17 +13,54 @@ from spreadsheet_etl_engine_spark.streaming import events as SE
 @pytest.fixture(scope="module")
 def event_dir(spark, sf_dir, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("events_stream") / "in")
-    # Several files so maxFilesPerTrigger yields multiple micro-batches.
+    # Randomly-split files: the fixture for tests that don't depend on
+    # arrival order (plan assertions, checkpoint resume, stream-stream
+    # join arms that bound their own lateness).
     load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(path)
     return path
+
+
+@pytest.fixture(scope="module")
+def event_dir_ordered(spark, sf_dir, tmp_path_factory):
+    """Four TIME-ORDERED files with controlled arrival order (names and
+    mtimes both increasing), read with max_files_per_trigger=1 so each
+    is its own micro-batch.  This is what makes the stream-equals-batch
+    tests exercise CROSS-BATCH semantics honestly (r9 review find: the
+    default 8-file trigger swallowed the old fixture in ONE batch, so
+    state restore and watermark advancement between batches ran in no
+    test): every event in file k+1 is newer than everything in file k,
+    so nothing is watermark-late and session windows must merge across
+    batch boundaries to equal the batch run — Spark DROPS
+    watermark-late rows for session aggregation even in complete mode
+    (numRowsDroppedByWatermark, verified against a random split), which
+    is the by-design behavior test_watermark_drops_late_data pins."""
+    import os
+
+    path = tmp_path_factory.mktemp("events_stream_ordered")
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    quarter = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter:(i + 1) * quarter]
+        f = str(path / f"{i:02d}.parquet")
+        spark.createDataFrame(chunk, schema=SE.EVENT_SCHEMA) \
+            .coalesce(1).write.mode("overwrite").parquet(f + ".dir")
+        import glob, shutil
+        part = glob.glob(f + ".dir/part-*.parquet")[0]
+        shutil.move(part, f)
+        shutil.rmtree(f + ".dir")
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return str(path)
 
 
 def _batch_events(spark, event_dir):
     return spark.read.schema(SE.EVENT_SCHEMA).parquet(event_dir)
 
 
-def test_tumbling_stream_equals_batch(spark, event_dir):
-    stream = SE.read_event_stream(spark, event_dir)
+def test_tumbling_stream_equals_batch(spark, event_dir_ordered):
+    stream = SE.read_event_stream(spark, event_dir_ordered, max_files_per_trigger=1)
     # complete mode: append would hold back windows the final watermark
     # hasn't passed, so the comparison against batch would miss the tail.
     SE.run_to_memory_sink(SE.tumbling_counts(stream), "t_tumbling", output_mode="complete")
@@ -33,13 +70,13 @@ def test_tumbling_stream_equals_batch(spark, event_dir):
     }
     exp = {
         (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
-        for r in SE.tumbling_counts(_batch_events(spark, event_dir)).collect()
+        for r in SE.tumbling_counts(_batch_events(spark, event_dir_ordered)).collect()
     }
     assert got == exp and len(got) > 0
 
 
-def test_session_stream_equals_batch(spark, event_dir):
-    stream = SE.read_event_stream(spark, event_dir)
+def test_session_stream_equals_batch(spark, event_dir_ordered):
+    stream = SE.read_event_stream(spark, event_dir_ordered, max_files_per_trigger=1)
     SE.run_to_memory_sink(SE.session_counts(stream), "t_session", output_mode="complete")
     got = {
         (r["user_id"], str(r["session_start"])): r["n_events"]
@@ -47,25 +84,55 @@ def test_session_stream_equals_batch(spark, event_dir):
     }
     exp = {
         (r["user_id"], str(r["session_start"])): r["n_events"]
-        for r in SE.session_counts(_batch_events(spark, event_dir)).collect()
+        for r in SE.session_counts(_batch_events(spark, event_dir_ordered)).collect()
     }
     assert got == exp and len(got) > 0
 
 
-def test_stateful_running_totals(spark, event_dir):
-    stream = SE.read_event_stream(spark, event_dir)
+def test_stateful_running_totals(spark, event_dir_ordered):
+    stream = SE.read_event_stream(spark, event_dir_ordered, max_files_per_trigger=1)
     SE.run_to_memory_sink(SE.running_user_totals(stream), "t_state", output_mode="update")
-    # The last emitted row per user must equal the batch per-user totals.
+    # The last emitted row per user must equal the batch per-user totals —
+    # counts AND the running value sum (r9 review find: only n_events was
+    # asserted, so a broken value accumulator passed).  With one file per
+    # micro-batch, most users' state is restored and updated across
+    # batches, not just created once.
     out = spark.table("t_state")
     final = (
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
         .collect()
     )
-    got = {r["user_id"]: r["n_events"] for r in final}
+    got_n = {r["user_id"]: r["n_events"] for r in final}
+    got_v = {r["user_id"]: r["total_value"] for r in final}
     exp = {
-        r["user_id"]: r["n"]
-        for r in _batch_events(spark, event_dir).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        r["user_id"]: (r["n"], r["v"])
+        for r in _batch_events(spark, event_dir_ordered).groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v")).collect()
+    }
+    assert got_n == {u: n for u, (n, _) in exp.items()} and len(got_n) > 0
+    for u, (_, v) in exp.items():
+        if v is None:
+            assert got_v[u] == 0.0 or got_v[u] is None
+        else:
+            # pandas accumulates in arrival order, batch sum in scan
+            # order — identical values modulo float association.
+            assert abs(got_v[u] - v) < 1e-6 * max(1.0, abs(v))
+
+
+def test_sliding_stream_equals_batch(spark, event_dir_ordered):
+    """sliding_counts had NO caller anywhere (r9 review find) — the same
+    stream-equals-batch contract the other window shapes carry, one file
+    per micro-batch."""
+    stream = SE.read_event_stream(spark, event_dir_ordered, max_files_per_trigger=1)
+    SE.run_to_memory_sink(SE.sliding_counts(stream), "t_sliding", output_mode="complete")
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.table("t_sliding").collect()
+    }
+    exp = {
+        str(r["window_start"]): r["n_events"]
+        for r in SE.sliding_counts(_batch_events(spark, event_dir_ordered)).collect()
     }
     assert got == exp and len(got) > 0
 
