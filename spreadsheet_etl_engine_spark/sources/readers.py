@@ -84,10 +84,18 @@ def with_ingest_ordinal(df: DataFrame, *, name: str = "_ordinal") -> DataFrame:
 
 def read_csv(
     spark: SparkSession, path: str, *, fidelity: bool = False,
-    schema=None, **options: str
+    schema=None, multiline: bool | None = None, **options: str
 ) -> DataFrame:
     """CSV scan. ``fidelity=True`` keeps every column a string (display-value
     semantics); otherwise Spark infers a typed schema.
+
+    ``multiline`` controls RFC4180 quoted-newline support.  Default:
+    ``True`` in fidelity mode (spreadsheet-lossless, sheet-sized data —
+    without it a quoted embedded newline SPLITS the record and emits
+    garbage fragment rows, r9 edge-family-10 find), ``False`` in typed
+    mode (each file stays byte-splittable — the 100 TB scan path; a
+    typed feed carrying embedded newlines should pass multiline=True
+    and accept per-file parallelism, or use parquet).
 
     Pass ``schema`` (a StructType or DDL string) for production feeds,
     same contract as ``read_json``: inference needs rows (typed mode) or
@@ -103,7 +111,12 @@ def read_csv(
     semantics mean the raw cell text, losslessly (r9 review find)."""
     from pyspark.sql import types as T
 
-    reader = spark.read.option("header", "true")
+    if multiline is None:
+        multiline = fidelity
+    reader = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true" if multiline else "false")
+    )
     if schema is not None:
         if fidelity:
             st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema

@@ -191,6 +191,17 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000018, 'astral key doc body words', chr(127760),
                chr(119982) || 'rc', 25
+        -- tenth family (r9d): a 20k-char SINGLE token (tokenizers,
+        -- shingles, the BPE-ish regex and length stats all meet one
+        -- unsplittable monster) and invisible-character text (BOM
+        -- U+FEFF mid-string + zero-width space U+200B — characters
+        -- that look like boundaries but are NOT \s in either regex
+        -- dialect).
+        UNION ALL
+        SELECT 90000019, repeat('x', 20000), 'en', 'edge', 20000
+        UNION ALL
+        SELECT 90000020, 'bom' || chr(65279) || 'mid zwsp' ||
+               chr(8203) || 'end', 'en', 'edge', 17
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -281,6 +292,13 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000016, TIMESTAMP '2025-01-01 00:11:00', 7,
                chr(128722) || 'cart', 1.0, NULL
+        -- tenth family (r9d): NEGATIVE ZERO — IEEE -0.0 equals 0.0 and
+        -- must group/sum/sort with it identically in both engines (a
+        -- decimal cast erases the sign; float paths must not let the
+        -- sign leak into comparisons).
+        UNION ALL
+        SELECT 90000017, TIMESTAMP '2025-01-01 00:12:00', 7, 'view',
+               -0.0, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -372,6 +390,35 @@ _AUGMENT = {
         SELECT 90000001::BIGINT AS c_custkey, 'edge-null-cust' AS c_name,
                NULL::INTEGER AS c_nationkey, NULL::DOUBLE AS c_acctbal,
                NULL::VARCHAR AS c_mktsegment
+        -- tenth family (r9d): JSON-hostile names with positive balances
+        -- so they ride dsl_json_source's write->read->filter round trip
+        -- (escapes: quote, backslash, newline, tab — JSON must escape
+        -- all four losslessly).
+        UNION ALL
+        SELECT 90000002, 'json "q" back\slash', 1, 500.0, 'BUILDING'
+        UNION ALL
+        SELECT 90000003, 'json line1' || chr(10) || 'line2' || chr(9) ||
+               'tab', 1, 500.0, 'BUILDING'
+    """,
+    # tenth family (r9d): CSV-hostile nation names — dsl_csv_roundtrip
+    # writes nation to headered CSV and reads it back in fidelity mode,
+    # so embedded separators/quotes/newlines/CRLF/padding ride the full
+    # RFC4180 write->read path under the sweep (the oracle recomputes
+    # from parquet, so any CSV mangling breaks parity).  regionkey 2
+    # keeps every row past the query's parseFloat filter.
+    "nation": """
+        SELECT 900001::INTEGER AS n_nationkey, 'comma, inc' AS n_name,
+               2::INTEGER AS n_regionkey
+        UNION ALL
+        SELECT 900002, 'quote "hi" end', 2
+        UNION ALL
+        SELECT 900003, 'line1' || chr(10) || 'line2', 2
+        UNION ALL
+        SELECT 900004, 'crlf' || chr(13) || chr(10) || 'end', 2
+        UNION ALL
+        SELECT 900005, '  padded  ', 2
+        UNION ALL
+        SELECT 900006, 'tab' || chr(9) || 'here', 2
     """,
     "embeddings": """
         SELECT 90000001::BIGINT AS vec_id,
@@ -409,6 +456,12 @@ _AUGMENT = {
                               i -> CASE WHEN i = 1 THEN 'Infinity'::FLOAT
                                         WHEN i = 2 THEN '-Infinity'::FLOAT
                                         ELSE 0.2::FLOAT END), 2
+        -- tenth family (r9d): a vector of NEGATIVE ZEROS — dot products
+        -- and norms are -0.0/0.0, and the zero-norm cosine contract
+        -- (maps to 0.0) must not be dodged by the sign bit.
+        UNION ALL
+        SELECT 90000007,
+               list_transform(range(64), i -> (-0.0)::FLOAT), 0
     """,
 }
 
@@ -486,7 +539,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 18
+    assert n == 20
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
@@ -505,7 +558,8 @@ def test_edge_rows_present(edge_dir, edge_duck):
         "count(*) FILTER (len(list_filter(embedding, x -> x != 0)) = 0) "
         "FROM embeddings WHERE vec_id >= 90000000"
     ).fetchone()
-    assert vec_edges == (1, 1)
+    # two zero-norm vectors since family 10: all-+0.0 and all--0.0
+    assert vec_edges == (1, 2)
 
 
 # Fixtures are pulled lazily via request.getfixturevalue so a -k subset

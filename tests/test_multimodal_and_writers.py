@@ -780,3 +780,42 @@ def test_xlsx_write_failure_does_not_truncate_target(tmp_path):
         XN.write_workbook_multi(
             path, [("ok", ["A"], [(1,)]), ("bad", ["A"], [(float("inf"),)])])
     assert open(path, "rb").read() == before  # original intact
+
+
+def test_csv_hostile_roundtrip(spark, tmp_path):
+    """RFC4180 hostile content through write_csv -> read_csv(fidelity):
+    embedded separators, quotes, LF, CRLF, padding and tabs must come
+    back byte-identical with NO fragment rows (r9 family-10 find: the
+    default reader split quoted newlines into garbage rows, and the
+    writer stripped padding).  Pinned format limitation: NULL and ''
+    both serialize as an empty field, so BOTH read back as NULL — CSV
+    cannot carry the distinction (use parquet/ORC/JSON when it
+    matters)."""
+    from spreadsheet_etl_engine_spark.sources.readers import read_csv
+    from spreadsheet_etl_engine_spark.sources.writers import write_csv
+
+    hostile = [
+        (1, "comma, inc"),
+        (2, 'quote "hi" end'),
+        (3, "line1\nline2"),
+        (4, "crlf\r\nend"),
+        (5, "  padded  "),
+        (8, "back\\slash"),
+        (9, "tab\there"),
+    ]
+    df = spark.createDataFrame(
+        hostile + [(6, ""), (7, None)], "k int, v string"
+    )
+    path = str(tmp_path / "hostile_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, fidelity=True)
+    assert back.count() == 9, "quoted newline split records into fragments"
+    got = {r["k"]: r["v"] for r in back.collect()}
+    for k, v in hostile:
+        assert got[str(k)] == v, (k, v, got[str(k)])
+    assert got["6"] is None and got["7"] is None  # the documented conflation
+    # Typed mode stays on the splittable single-line path by default;
+    # a multiline feed opts in explicitly.
+    typed = read_csv(spark, path, schema="k int, v string", multiline=True,
+                     mode="PERMISSIVE")
+    assert typed.count() == 9
