@@ -64,7 +64,17 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     registry.get("dsl_flagship").fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    names = HEADLINE + [n for n in OPTIONAL if n in registry.REGISTRY]
+    # Every name must resolve: a renamed/deleted OPTIONAL query used to
+    # be silently dropped, shrinking the headline set and reading as a
+    # perf win (r9 lattice review) — the recording is only comparable
+    # across rounds if the set is pinned.
+    missing = [n for n in HEADLINE + OPTIONAL if n not in registry.REGISTRY]
+    if missing:
+        raise LookupError(
+            f"bench set names not in REGISTRY: {missing}; update "
+            "HEADLINE/OPTIONAL in bench.py alongside the rename"
+        )
+    names = HEADLINE + OPTIONAL
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
     for name in names:

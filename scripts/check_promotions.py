@@ -30,7 +30,15 @@ def main() -> int:
     if not args:
         print(__doc__)
         return 2
-    names = list(registry.DRIVER_PRIORITY) if args == ["--promoted"] else args
+    # --promoted gates what the driver will actually verify: the first
+    # DRIVER_CHECK_BUDGET entries of queries() — identical to
+    # DRIVER_PRIORITY today (50 == 50), but if the priority list ever
+    # shrinks, insertion-order fillers enter the driver head and must
+    # pass this gate too (r9 lattice review).
+    if args == ["--promoted"]:
+        names = list(registry.queries())[: registry.DRIVER_CHECK_BUDGET]
+    else:
+        names = args
     unknown = [n for n in names if n not in registry.REGISTRY]
     if unknown:
         print(f"not registered: {unknown}")

@@ -30,6 +30,18 @@ def main() -> int:
            "-q", "--no-header", "-p", "no:cacheprovider"]
     names = sys.argv[1:]
     if names:
+        # Validate against the registry BEFORE building -k: pytest exits
+        # 0 when any one name matches, so a typo'd second name would be
+        # silently skipped and the gate recorded green without sweeping
+        # the changed query (r9 lattice review; same pattern as
+        # check_promotions.py).
+        sys.path.insert(0, repo)
+        from spreadsheet_etl_engine_spark import registry
+        import spreadsheet_etl_engine_spark.ext_queries  # noqa: F401
+        unknown = [n for n in names if n not in registry.REGISTRY]
+        if unknown:
+            print(f"not registered: {unknown}")
+            return 2
         cmd += ["-k", " or ".join(f"[{n}]" for n in names)]
     return subprocess.call(cmd, env=env, cwd=repo)
 

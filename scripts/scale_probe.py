@@ -353,7 +353,11 @@ PROBES = {
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--probe", nargs="*", default=list(PROBES))
+    # nargs='+' + choices: a bare `--probe` used to run NOTHING and
+    # exit 0 (vacuous green), and a typo died with a raw KeyError
+    # (r9 lattice review).
+    ap.add_argument("--probe", nargs="+", choices=list(PROBES),
+                    default=list(PROBES))
     args = ap.parse_args()
     spark = _spark()
     for name in args.probe:

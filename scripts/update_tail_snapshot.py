@@ -36,20 +36,51 @@ def fingerprint(name: str) -> str:
 # into (the r7 review's transitive blind spot) would never drift it.
 # These module hashes make that loud: any edit fails the guard until the
 # editor audits which tail queries execute the changed code, promotes
-# the affected ones, and re-pins.  registry.py / ext_queries.py are NOT
-# hashed (their query-fn bodies are covered per-query, and every head
-# edit or new registration would otherwise drift the snapshot into a
-# rubber stamp) — helpers living inside them, like pack_sequences, stay
-# a documented residual blind spot (COVERAGE.md rotation policy).
+# the affected ones, and re-pins.  registry.py / ext_queries.py are
+# hashed with every @register'd query-fn span STRIPPED (r9 lattice
+# review: helpers living inside them — _dec_sum, _cents, the v2 rule
+# runner glue — are executed by tail queries too, and r9 edited the
+# decimal-sum semantics twice with only a manual audit catching the
+# affected tail queries; query-fn bodies stay excluded because they are
+# covered per-query and every head edit would otherwise rubber-stamp
+# the snapshot).  Rotation-comment edits in registry.py now also drift
+# the module hash — re-pinning after a rotation is already part of the
+# standing workflow, so that costs one command.
 SHARED_MODULE_GLOBS = (
     # Recursive: every package module is pinned (future subpackages
-    # included) EXCEPT registry.py / ext_queries.py, excluded below.
+    # included); registry.py / ext_queries.py via the stripped variant.
     "**/*.py",
 )
 
-# Excluded from the hash (see rationale above): query-fn bodies are
-# covered per-query and head edits would otherwise rubber-stamp drift.
-_EXCLUDED_MODULES = frozenset({"registry.py", "ext_queries.py"})
+# Hashed with query-fn spans stripped instead of raw bytes.
+_STRIPPED_MODULES = frozenset({"registry.py", "ext_queries.py"})
+
+
+def _stripped_source(path: str) -> bytes:
+    """File text minus the source span of every registered query fn
+    (decorator included — the oracle strings ride the per-query
+    fingerprints).  What remains is exactly the shared surface: module
+    helpers, DRIVER_PRIORITY, imports."""
+    import inspect
+
+    with open(path) as f:
+        text = f.read()
+    modname = os.path.basename(path)
+    spans = []
+    for rq in registry.REGISTRY.values():
+        fn_file = getattr(rq.fn, "__code__", None)
+        if fn_file is None:
+            continue
+        if os.path.basename(fn_file.co_filename) != modname:
+            continue
+        try:
+            src = inspect.getsource(rq.fn)
+        except OSError:
+            continue
+        spans.append(src)
+    for span in spans:
+        text = text.replace(span, "", 1)
+    return text.encode()
 
 
 def module_hashes() -> dict[str, str]:
@@ -61,7 +92,8 @@ def module_hashes() -> dict[str, str]:
     for pattern in SHARED_MODULE_GLOBS:
         for path in sorted(glob.glob(os.path.join(pkg, pattern), recursive=True)):
             rel = os.path.relpath(path, pkg)
-            if rel in _EXCLUDED_MODULES:
+            if rel in _STRIPPED_MODULES:
+                out[rel] = hashlib.md5(_stripped_source(path)).hexdigest()[:12]
                 continue
             with open(path, "rb") as f:
                 out[rel] = hashlib.md5(f.read()).hexdigest()[:12]

@@ -48,13 +48,25 @@ STAGES: dict[str, tuple[list[str], dict[str, str]]] = {
     "bench": ([PY, "bench.py"], {}),
 }
 
+# Ambient SPARK_GRAFT_* overrides (a leftover debugging export) would
+# silently re-scope every stage — e.g. a stale SPARK_GRAFT_SF_DIR makes
+# bench record a 1/100-scale total under the sf0.1 header (r9 lattice
+# review).  The table's claim is "the documented scales", so strip the
+# semantic overrides; the stage-pinned vars above are re-applied on top.
+_SEMANTIC_ENV = (
+    "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_TEST_SF_DIR",
+    "SPARK_GRAFT_BENCH_REPS", "SPARK_GRAFT_EDGE_SWEEP",
+    "SPARK_GRAFT_SCALE_PROBE", "SPARK_GRAFT_CPUS",
+)
+
 
 LOG_DIR = os.path.join("/tmp", "spark_graft_verify")
 
 
 def run_stage(name: str) -> tuple[bool, float, str]:
     cmd, extra_env = STAGES[name]
-    env = dict(os.environ, **extra_env)
+    env = {k: v for k, v in os.environ.items() if k not in _SEMANTIC_ENV}
+    env.update(extra_env)
     t0 = time.monotonic()
     proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
                           text=True)
@@ -72,7 +84,16 @@ def run_stage(name: str) -> tuple[bool, float, str]:
         for line in reversed(proc.stdout.splitlines()):
             if line.startswith("{"):
                 try:
-                    tail = f"total {json.loads(line)['value']}s"
+                    rec = json.loads(line)
+                    # The evidence must match the header's claim: the
+                    # documented sf0.1 recording, not whatever scale an
+                    # ambient override selected.
+                    if rec.get("sf") != 0.1:
+                        ok, tail = False, f"bench ran at sf={rec.get('sf')}, not 0.1"
+                    else:
+                        tail = (f"total {rec['value']}s "
+                                f"(reps={rec.get('reps')}, "
+                                f"load={rec.get('load_avg_1m')})")
                 except (json.JSONDecodeError, KeyError):
                     # exit 0 without a parseable recording is NOT green —
                     # the recording IS the stage's evidence.
