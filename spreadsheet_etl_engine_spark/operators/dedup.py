@@ -567,6 +567,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair list → ``(node, component)`` with
     ``component`` = the minimum node id in the component (the canonical
@@ -577,24 +578,46 @@ def connected_components(
     each round replaces a node's label with the minimum over its
     neighborhood; converges in O(component diameter) rounds — small for
     dup clusters, which are near-cliques.  Each round is one shuffle
-    (join + groupBy on node id); ``localCheckpoint`` truncates the lineage
-    so the plan does not grow exponentially with iterations; the loop
-    exits early when a round changes nothing (one scalar count per round,
-    driver-side orchestration only — the same pattern MLlib iterative
-    algorithms use).  For web-scale graphs with long chains, the
-    large-star/small-star formulation (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") drops rounds to O(log n); dup
-    graphs do not need it.
+    (join + groupBy on node id); per-round checkpointing truncates the
+    lineage so the plan does not grow exponentially with iterations; the
+    loop exits early when a round changes nothing (one scalar count per
+    round, driver-side orchestration only).
+
+    ``checkpoint_dir`` selects the truncation mechanism — the difference
+    is FAULT TOLERANCE, not results (r9 re-execution review):
+
+    * ``None`` (default): ``localCheckpoint`` — blocks live on executor
+      storage with NO lineage to recompute them, so losing any executor
+      mid-run (spot reclaim, OOM, decommission) kills the job with
+      "checkpoint block not found"; it cannot silently corrupt output,
+      but a long run on preemptible hardware will not survive.  Fine on
+      a single-box deployment and for tests.
+    * a DFS path: reliable ``DataFrame.checkpoint`` — every round's
+      labels persist to fault-tolerant storage and executor loss
+      recomputes from there.  This is what MLlib's iterative algorithms
+      do (cache + periodic reliable checkpoints), and the setting a
+      100 TB multi-hour dedup run should use.
+
+    For web-scale graphs with long chains, the large-star/small-star
+    formulation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") drops rounds to O(log n); dup graphs do not need it.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter={max_iter} must be >= 1")
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    sym = _pin(sym)
+    labels = _pin(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -613,8 +636,8 @@ def connected_components(
                 F.least(F.col("component"),
                         F.coalesce("nbr_min", F.col("component"))).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _pin(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -56,21 +56,37 @@ def asof_join(
           for c in left.columns if c not in (by, on)],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
-    unioned = l_tag.unionByName(r_tag)
+    # Whole-ROW carry, not per-column: right values travel as ONE struct
+    # so the matched output always comes from a single right row — a
+    # per-column last(ignorenulls) would stitch columns from DIFFERENT
+    # right rows whenever the latest right row holds a NULL (and the
+    # native ASOF JOIN semantics both DuckDB and kdb implement carry the
+    # matched row's own NULLs).  Left rows carry a NULL struct, which
+    # ignorenulls skips.
+    unioned = l_tag.unionByName(r_tag).withColumn(
+        "_r",
+        F.when(
+            F.col("_is_left") == 0,
+            F.struct(*[F.col(f"_r_{c}") for c in right_cols]),
+        ),
+    )
     # Right rows sort before left rows at equal timestamps so an exact-tie
-    # right row is visible to the left row (asof <=).
-    order = [F.col(on).asc(), F.col("_is_left").asc()]
+    # right row is visible to the left row (asof <=).  The trailing _r
+    # struct makes the order TOTAL over tied right rows (same by, same
+    # on): without it, which tied row "wins" depended on shuffle-fetch
+    # arrival order and could flip under task retry or speculative
+    # execution (r9 re-execution review) — now the struct-max tied row
+    # wins deterministically (byte-identical duplicates tie harmlessly).
+    order = [F.col(on).asc(), F.col("_is_left").asc(), F.col("_r").asc()]
     if direction == "forward":
-        order = [F.col(on).desc(), F.col("_is_left").asc()]
+        order = [F.col(on).desc(), F.col("_is_left").asc(), F.col("_r").asc()]
     w = Window.partitionBy(by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(out)
-            for c, out in right_cols.items()
-        ],
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_rw"),
     )
-    keep = [c for c in left.columns] + list(right_cols.values())
+    keep = [F.col(c) for c in left.columns] + [
+        F.col(f"_rw._r_{c}").alias(out) for c, out in right_cols.items()
+    ]
     return carried.filter(F.col("_is_left") == 1).select(*keep)
 
 
@@ -331,9 +347,21 @@ def salted_join(
             "semi/anti) — an unmatched replicated right row would "
             "duplicate under right/full outer semantics"
         )
-    # Any salt value works (the small side is replicated for all of them),
-    # so a cheap row-local counter is enough to spread hot keys.
-    salted_left = skewed.withColumn("_salt", F.monotonically_increasing_id() % salt)
+    # Deterministic row-content salt: any salt value works (the small
+    # side is replicated for all of them), but it must be a PURE
+    # function of the row — monotonically_increasing_id depends on row
+    # POSITION within a partition, which is not stable for post-shuffle
+    # inputs (this operator's documented use case), and a
+    # nondeterministic expression inside a shuffle KEY tears the join
+    # under task retry/speculation: re-attempted map tasks re-salt rows
+    # differently and reducers see rows twice or never (the SPARK-23207
+    # class; r9 re-execution review).  xxhash64 over every column keeps
+    # the spread and is retry-stable; byte-identical duplicate rows
+    # share a salt — acceptable, hot-key rows differ elsewhere.
+    salted_left = skewed.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt)),
+    )
     exploded_right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -290,6 +290,16 @@ def parse_mapping_v2(
         raise EngineError("A _group: rule requires at least one agg: output column.")
     if having and not aggs:
         raise EngineError("A _having: rule requires an aggregating mapping.")
+    if limit is not None and not sort_keys:
+        # A bare .limit(n) keeps whichever partitions' rows arrive first —
+        # nondeterministic across runs, AQE layouts, and task retries
+        # (r9 re-execution review).  Same fail-loud stance as the
+        # subset-distinct rejection above; ties at the sort boundary
+        # remain the author's responsibility (declare a total order).
+        raise EngineError(
+            "A _limit: rule requires a _sort: rule — an unsorted limit "
+            "keeps an arbitrary, run-dependent subset of rows."
+        )
     return MappingSpecV2(
         joins=tuple(joins), group_by=tuple(group_by), aggs=tuple(aggs), base=base,
         having=tuple(having), sort_keys=tuple(sort_keys), limit=limit,

@@ -2397,6 +2397,18 @@ def get(name: str) -> RegisteredQuery:
 # after — behavior-neutral for every fixture table, proven by the full
 # local parity gate both SFs run).
 #
+# Fifth mid-r9 swap (re-execution review): asof_join reworked to carry
+# the matched right row as ONE struct with a total tie order (per-column
+# last(ignorenulls) could stitch columns from different tied right rows,
+# and the untied order flipped under task retry) — join_asof promotes to
+# re-verify, ceding dedup_exact's seat (byte-unchanged r4 green, r10
+# freshness queue).  Audited, no promotion needed: salted_join's salt is
+# now a deterministic row hash (results provably identical — the
+# equality-vs-plain-join test), connected_components gained an optional
+# reliable checkpoint_dir (default path result-identical, equivalence
+# pytest-pinned), and parse_mapping_v2's new limit-requires-sort raise
+# changes no passing mapping's behavior.
+#
 # r9c registry growth: ONE new query (quality_nonfinite_report — the
 # diagnostic companion to the new NON_FINITE_MEASURE contract: per-
 # column NaN/±inf/NULL/finite counts over the measure columns and the
@@ -2459,7 +2471,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #                               (plus the r9 session-boundary oracle fix
     #                               on its session sibling below) — re-verify
     # [EXT] dedup / text.
-    "dedup_exact",                # r9 freshness: r4
+    "join_asof",                  # r9e: whole-row carry + total tie order — re-verify
     "dsl_json_source",            # r9d: read_json FAILFAST default — re-verify
     "dsl_xlsx_roundtrip",         # r9d: xlsx sink fail-loud cap — re-verify
     "dsl_workbook_job",           # r9d: workbook sink fail-loud cap — re-verify

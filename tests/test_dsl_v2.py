@@ -192,6 +192,16 @@ def test_having_without_agg_raises(spark, tpch):
         )
 
 
+def test_limit_without_sort_raises(spark, tpch):
+    """A bare limit keeps an arbitrary run-dependent subset (partition
+    arrival order; flips under retries/AQE) — fail loud like
+    subset-distinct (r9 re-execution review)."""
+    with pytest.raises(EngineError, match="_limit.*requires a _sort"):
+        run_mapping_v2(
+            tpch, [("_limit:x", "5"), ("C", "src[c_name]")]
+        )
+
+
 def test_bad_limit_raises(spark, tpch):
     from spreadsheet_etl_engine_spark.errors import EngineError
 

@@ -1094,3 +1094,47 @@ def test_nonfinite_report_counts(spark):
     for r in nonfinite_report(empty, ("v",), ("e",)).collect():
         assert (r["n_rows"], r["n_null"], r["n_nan"], r["n_inf"],
                 r["n_finite"]) == (0, 0, 0, 0, 0)
+
+
+def test_asof_join_tied_right_rows_deterministic(spark):
+    """Two right rows tied on (by, on): the struct-max tied row wins, the
+    output carries that ONE row's values (never a per-column stitch of
+    two rows), and repeated runs agree (r9 re-execution review: the
+    untied window order committed whichever tied row happened to sort
+    last under shuffle-fetch arrival order)."""
+    from spreadsheet_etl_engine_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([("X", 10, "L1")], "k string, t int, who string")
+    # Tie at t=10: (price=11, size=NULL) is struct-max on the first field,
+    # so its NULL size must come through — a per-column ignorenulls would
+    # stitch price=11 with size=5 from the OTHER tied row.
+    right = spark.createDataFrame(
+        [("X", 10, 10.0, 5), ("X", 10, 11.0, None)],
+        "k string, t int, price double, size int",
+    )
+    for _ in range(3):
+        rows = asof_join(
+            left.repartition(7), right.repartition(5), on="t", by="k",
+            right_cols={"price": "price", "size": "size"},
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["price"] == 11.0 and rows[0]["size"] is None
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir selects reliable DataFrame.checkpoint (survives
+    executor loss at scale) — results must equal the localCheckpoint
+    default on the same graph."""
+    from spreadsheet_etl_engine_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    local = {(r["node"], r["component"])
+             for r in connected_components(edges).collect()}
+    reliable = {(r["node"], r["component"])
+                for r in connected_components(
+                    edges, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert local == reliable
+    assert {c for _, c in local} == {1, 10, 20}

@@ -154,6 +154,9 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_workbook_job",           # run_workbook: same fail-loud cap
     "streaming_view_click_join",  # read_event_stream: schema validation
     "dsl_csv_roundtrip",          # read_csv: enforceSchema/FAILFAST path
+    # r9e re-execution review: asof_join semantics reworked (whole-row
+    # struct carry, deterministic tie order) — must re-verify.
+    "join_asof",
 ]
 
 
