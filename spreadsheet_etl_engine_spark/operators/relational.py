@@ -69,7 +69,9 @@ def asof_join(
             F.col("_is_left") == 0,
             F.struct(*[F.col(f"_r_{c}") for c in right_cols]),
         ),
-    )
+    ).drop(*[f"_r_{c}" for c in right_cols])
+    # (the flat _r_ columns are dropped so right values cross the
+    # shuffle ONCE, inside the struct — not twice)
     # Right rows sort before left rows at equal timestamps so an exact-tie
     # right row is visible to the left row (asof <=).  The trailing _r
     # struct makes the order TOTAL over tied right rows (same by, same
