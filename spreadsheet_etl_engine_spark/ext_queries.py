@@ -376,7 +376,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_hashes=8, bands=4,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return DD.connected_components(pairs)
+    return DD.connected_components(
+        pairs, checkpoint_dir=DD.resolve_checkpoint_dir(spark))
 
 
 @register(
@@ -459,7 +460,8 @@ def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", num_hashes=8, bands=4,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    comp = DD.connected_components(pairs)
+    comp = DD.connected_components(
+        pairs, checkpoint_dir=DD.resolve_checkpoint_dir(spark))
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",

@@ -79,9 +79,16 @@ def asof_join(
     # arrival order and could flip under task retry or speculative
     # execution (r9 re-execution review) — now the struct-max tied row
     # wins deterministically (byte-identical duplicates tie harmlessly).
+    # A left row with a NULL as-of timestamp matches nothing (NULL >= x
+    # and NULL <= x are both unknown — DuckDB's native ASOF JOIN returns
+    # no match).  Backward gets this for free: asc is NULLS FIRST, so the
+    # NULL left row precedes every right row and carries a NULL struct.
+    # Forward must pin NULLS FIRST explicitly — bare desc() is NULLS
+    # LAST, which would put the NULL left row AFTER every right row and
+    # hand it the minimum-``on`` match (r9 advice finding).
     order = [F.col(on).asc(), F.col("_is_left").asc(), F.col("_r").asc()]
     if direction == "forward":
-        order = [F.col(on).desc(), F.col("_is_left").asc(), F.col("_r").asc()]
+        order = [F.desc_nulls_first(on), F.col("_is_left").asc(), F.col("_r").asc()]
     w = Window.partitionBy(by).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = unioned.select(
         "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_rw"),

@@ -2416,90 +2416,62 @@ def get(name: str) -> RegisteredQuery:
 # the seat of sort_topk (green r5, byte-unchanged, joins the r10
 # freshness queue).  New surface (1) ≤ first-time driver verifications
 # (1 — the query itself), per the standing growth rule.
+# r10 rotation - FINISH the freshness pass (r9 verdict item 1): the 23
+# queries whose newest driver row still predates r6 (computed from the
+# CORRECTNESS_r01-r09 union: 4 from r2, 7 from r3, 4 from r4, 8 from
+# r5) all take head seats, so after the r10 driver run NO query's
+# newest row predates r6.  Plus this round's forced re-verifications
+# (changed bytes, r9 ADVICE fixes + verdict item 5):
+#   * join_asof - asof_join forward order pinned desc_nulls_first (a
+#     NULL left timestamp now matches nothing in either direction);
+#   * dedup_components + curation_pipeline_decisions -
+#     connected_components' reliable mode reworked from the session-
+#     global setCheckpointDir mutation to explicit parquet round-trips
+#     with superseded-round deletion, and plumbed through the session
+#     conf key spark.spreadsheet_etl.checkpoint.dir (default path
+#     result-identical, equivalence pytest-pinned);
+#   * streaming_tumbling_counts / streaming_session_counts /
+#     streaming_view_click_join - read_event_stream's validation probe
+#     now swallows ONLY PATH_NOT_FOUND/UNABLE_TO_INFER_SCHEMA instead
+#     of every exception (valid-input behavior identical).
+# Displaced: the r9 head - all green r9 at current bytes and
+# byte-unchanged since (pinned by the tail fingerprint + shared-module
+# hash tripwire + the full local parity gate).  The ~21 unlisted head
+# slots fill by registration order (_ordered_names), and every name
+# entering the 50-slot head goes through scripts/check_promotions.py
+# at BOTH sf0.001 and sf0.01 before the round's driver run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Stale DSL attestations (the dsl_flagship sentinel ceded the last
-    # seat to the window_distribution NULL-ordering fix below: entry()
-    # still smoke-runs it every round and it is byte-unchanged r8-green,
-    # pinned by the tail fingerprint guard + local parity gate).
-    "dsl_direct_constant",        # r9 freshness: newest row was r4
-    "dsl_filter_ops",             # r9 freshness: r4
-    "dsl_csv_roundtrip",          # r9: read_csv explicit-schema param — re-verify
-    "dsl_orc_roundtrip",          # r9: read_orc explicit-schema param — re-verify
-    # Scalar / profiling / reshape (r2–r5 vintages).
-    "scalar_datetime",            # r9 freshness: r2
-    "scalar_string_math",         # r9 freshness: r5 + concat NULL fix
-    "events_json_extract",        # r9 freshness: r2
-    "agg_histogram",              # r9 freshness: r2
-    # ETL shapes.
-    "etl_snapshot_diff",          # r9 freshness: r2 + 1e12 key offset
-    "etl_scd2",                   # r9 freshness: r5 + 2e12 key offset
-    # (The four set ops ceded their seats to the second-review
-    # promotions below; they lead the r10 freshness queue with
-    # profile_columns, agg_cube, agg_grouping_sets, agg_pivot,
-    # join_anti, join_semi, distinct_nations_per_segment.)
-    # Aggregations.
-    "agg_moments",                # r9c: finite_or_fail (exact_moments) — re-verify
-    "agg_pricing_summary",        # r9 freshness: r5 + avg_qty divisor fix
-    "agg_corr_covar",             # r9: decimal(19,2) + pairwise filter — re-verify
-    "agg_linear_fit",             # r9: decimal(19,2) + min=max guard — re-verify
-    #                               (both regression queries also ride the
-    #                               r9c finite_or_fail guard on x and y)
-    # Joins.
-    "join_fact_fact",             # r9 freshness: r3
-    "join_range_window",          # r9 freshness: r3
-    "join_skew_salted",           # r9c: finite_or_fail on sum_qty — re-verify
-    "join_dims_broadcast",        # r9 freshness: r5
-    # Windows / sorts.
-    "window_first_last",          # r9 freshness: r3 + NULLS LAST pin — re-verify
-    "window_lag_lead",            # r9 freshness: r3 + NULLS LAST pin — re-verify
-    "window_rank_orders",         # r9 freshness: r3
-    "window_running_sum",         # r9 freshness: r3 + NULLS LAST pin — re-verify
-    "window_rank_variants",       # r9 freshness: r5
-    "window_distribution",        # r9: NULLS LAST pin (tail edit) — re-verify
-    "quality_nonfinite_report",   # r9c: NEW — first driver attestation
-    # Events.
-    "events_rolling_window",      # r9 freshness: r5 AND mid-r9 oracle change
-    #                               (VARCHAR cast route, family-8 fix) —
-    #                               re-verify on both grounds
-    "events_resample_gapfill",    # r9: exact span-cap fencepost + r9c
-    #                               finite_or_fail on the bucket sum — re-verify
-    "events_tumbling_window",     # r9c: finite_or_fail (_dec_sum) — re-verify
-    "events_value_outliers",      # r9c: finite_or_fail (exact_moments) — re-verify
-    "embedding_cluster_stats",    # r9c: finite_or_fail on embedding[i] — re-verify
-    "dsl_v2_join_agg",            # r9c: finite_or_fail in v2 sumd/avgd — re-verify
-    "streaming_tumbling_counts",  # r9c: finite_or_fail in the streaming agg
-    #                               (plus the r9 session-boundary oracle fix
-    #                               on its session sibling below) — re-verify
-    # [EXT] dedup / text.
-    "join_asof",                  # r9e: whole-row carry + total tie order — re-verify
-    "dsl_json_source",            # r9d: read_json FAILFAST default — re-verify
-    "dsl_xlsx_roundtrip",         # r9d: xlsx sink fail-loud cap — re-verify
-    "dsl_workbook_job",           # r9d: workbook sink fail-loud cap — re-verify
-    "streaming_view_click_join",  # r9d: stream schema validation — re-verify
-    # Mid-r9 oracle changes (family-8 session-boundary fix: Spark's
-    # session_window MERGES touching windows, oracles moved to strict >)
-    # — both must re-verify; the dsl_workbook_job and multimodal_decode
-    # sentinels ceded their seats (green r8, byte-unchanged, pinned by
-    # the tail fingerprint guard).
-    "events_sessionize",
-    "streaming_session_counts",
-    # Second-review promotions (r9 oracle-blind pass over ext_queries —
-    # every entry's fn or oracle bytes changed, so each must re-verify):
-    # \x0B whitespace-class pin (text_stats/text_quality), NUL in the
-    # control class, NULL-ts exclusions (decay, cohort), NULL-loses-ties
-    # mode, zero-vector cosine coalesce, NULL-safe incremental-dedup
-    # hash, survivorship curation, offset-bucketing doc honesty.
-    "text_stats",
-    "text_quality",
-    "text_encoding_quality",
-    "events_decayed_engagement",
-    "events_cohort_retention",
-    "events_mode_per_user",
-    "similarity_topk_bruteforce",
-    "dedup_incremental",
-    "dedup_index_probe",
-    "train_pack_sequences",
+    # --- freshness: newest driver row r2-r5, byte-unchanged since ---
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_pivot",
+    "sort_topk",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "join_semi",
+    "join_anti",
+    "distinct_nations_per_segment",
+    "profile_columns",
+    "reshape_unpivot",
+    "etl_upsert",
+    "dsl_formula_chain",
+    "dsl_a1_formula",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
+    "text_langid",
+    "text_wordcount_top",
+    # --- r10 changed-bytes re-verifications (see block comment) ---
+    "join_asof",
+    "dedup_components",
     "curation_pipeline_decisions",
+    "streaming_tumbling_counts",
+    "streaming_session_counts",
+    "streaming_view_click_join",
 )
 
 DRIVER_CHECK_BUDGET = 50

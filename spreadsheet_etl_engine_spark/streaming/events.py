@@ -60,9 +60,19 @@ def read_event_stream(
     before its first file).
     """
     if validate_schema:
+        from pyspark.errors import AnalysisException
+
         try:
             present = set(spark.read.parquet(path).schema.names)
-        except Exception:
+        except AnalysisException as exc:
+            # Only the two empty/missing-path shapes may skip validation
+            # (a stream may legitimately start before its first file);
+            # everything else — corrupt footer, permission denied — is a
+            # genuine failure and must propagate, not silently disable
+            # the check (r9 advice finding).
+            cond = exc.getCondition() or ""
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
             present = None  # no files yet — nothing to validate
         if present is not None:
             missing = [f.name for f in EVENT_SCHEMA.fields

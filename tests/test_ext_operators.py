@@ -944,6 +944,21 @@ def test_oracle_blind_edge_fixes(spark):
     got = asof_join(left, right, on="ts", by="k", right_cols={"v": "v"}).collect()
     assert got[0]["v"] is None
 
+    # asof_join: a NULL LEFT timestamp matches nothing in EITHER
+    # direction (NULL >= x and NULL <= x are both unknown; DuckDB's
+    # native ASOF JOIN returns no match).  Forward used to hand it the
+    # minimum-ts right row because bare desc() sorts NULLS LAST (r10
+    # advice fix: desc_nulls_first).
+    nleft = spark.createDataFrame([(1, None), (1, 7)], "k long, ts long")
+    nright = spark.createDataFrame([(1, 10, 1), (1, 20, 2)],
+                                   "k long, ts long, v long")
+    for direction in ("backward", "forward"):
+        rows = {r["ts"]: r["v"] for r in asof_join(
+            nleft, nright, on="ts", by="k",
+            right_cols={"v": "v"}, direction=direction).collect()}
+        assert rows[None] is None, direction
+        assert rows[7] == (1 if direction == "forward" else None), direction
+
     # hash_sample: percent=100 returns EVERY row, NULL keys included.
     keyed = spark.createDataFrame([(1,), (None,)], "k long")
     assert hash_sample(keyed, F.col("k"), percent=100).count() == 2
@@ -1122,19 +1137,62 @@ def test_asof_join_tied_right_rows_deterministic(spark):
 
 
 def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
-    """checkpoint_dir selects reliable DataFrame.checkpoint (survives
-    executor loss at scale) — results must equal the localCheckpoint
-    default on the same graph."""
+    """checkpoint_dir selects the fault-tolerant parquet round-trip
+    truncation (survives executor loss at scale) — results must equal
+    the localCheckpoint default on the same graph, the session-global
+    checkpoint dir must be untouched (r9 advice: setCheckpointDir is a
+    global mutation), and superseded rounds must be deleted (only the
+    sym pin + the final labels round may remain on disk)."""
     from spreadsheet_etl_engine_spark.operators.dedup import connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long",
     )
+    before_ckpt_dir = spark.sparkContext.getCheckpointDir()
     local = {(r["node"], r["component"])
              for r in connected_components(edges).collect()}
-    reliable = {(r["node"], r["component"])
-                for r in connected_components(
-                    edges, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    ckpt = tmp_path / "ckpt"
+    reliable_df = connected_components(edges, checkpoint_dir=str(ckpt))
+    reliable = {(r["node"], r["component"]) for r in reliable_df.collect()}
     assert local == reliable
     assert {c for _, c in local} == {1, 10, 20}
+    assert spark.sparkContext.getCheckpointDir() == before_ckpt_dir
+    rounds = sorted(p.name for p in ckpt.iterdir())
+    # round-00000 is the sym pin (kept: referenced all run), round-00001
+    # is the initial labels (superseded, deleted), the rest of the label
+    # rounds are deleted as they are superseded — exactly the final
+    # labels round survives alongside sym.
+    assert len(rounds) == 2 and rounds[0] == "round-00000", rounds
+    # the returned DataFrame stays readable from the surviving files
+    assert reliable_df.count() == len(local)
+    # fail-loud on directory reuse: round files from a previous run must
+    # never silently mix into a new one
+    with pytest.raises(Exception, match="round-00000|already exists"):
+        connected_components(edges, checkpoint_dir=str(ckpt)).collect()
+
+
+def test_checkpoint_dir_conf_reachable_from_registry(spark, sf_dir, tmp_path):
+    """r9 verdict item 5: the reliable-checkpoint mode must be reachable
+    from the PUBLIC query surface, not only the operator parameter.
+    Setting the session conf key must (a) route dedup_components through
+    the parquet round-trip truncation (files appear under the dir) and
+    (b) leave the result identical to the default local mode."""
+    from spreadsheet_etl_engine_spark.operators.dedup import CHECKPOINT_DIR_CONF
+    from spreadsheet_etl_engine_spark.registry import REGISTRY
+
+    fn = REGISTRY["dedup_components"].fn
+    base = {(r["node"], r["component"]) for r in fn(spark, sf_dir).collect()}
+    root = tmp_path / "cc_root"
+    root.mkdir()
+    spark.conf.set(CHECKPOINT_DIR_CONF, str(root))
+    try:
+        reliable = {(r["node"], r["component"])
+                    for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == base
+    runs = list(root.iterdir())
+    assert len(runs) == 1 and runs[0].name.startswith("cc-")
+    # superseded rounds were deleted: sym + final labels only
+    assert len(list(runs[0].iterdir())) == 2

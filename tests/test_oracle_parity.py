@@ -86,77 +86,30 @@ def test_entry_contract(spark):
 # row sits inside the budget", plus the flagship sentinels.  Earlier
 # rounds also parked the whole DSL/[EXT] surface here while it was
 # earning first-time rows; since r8 every query is attested at current
-# bytes and byte-pinned by the tail snapshot guard below, so the r9
-# head spends its slots on the FRESHNESS rotation instead (42 stale
-# r2–r5 attestations — see the DRIVER_PRIORITY comment), and this list
-# shrinks to the entries with a hard re-verification reason.
+# bytes and byte-pinned by the tail snapshot guard below, so the head
+# spends its slots on the FRESHNESS rotation (r9 rotated 42 stale rows,
+# r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
+# the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # (dsl_flagship ceded its sentinel seat mid-r9 to the
-    # window_distribution NULL-ordering fix: entry() still smoke-runs it
-    # every round, and the local parity gate + edge sweeps cover its
-    # oracle at every pytest run.)
-    # r9 changed code or oracle — must re-verify.
-    "agg_corr_covar",         # oracle: DECIMAL(19,2) products (family-7 fix)
-    "agg_linear_fit",         # oracle: DECIMAL(19,2) products (family-7 fix)
-    "events_resample_gapfill",  # exact span-cap fencepost (guard fires at >=)
-    "dsl_csv_roundtrip",      # read_csv gained explicit-schema parameter
-    "dsl_orc_roundtrip",      # read_orc gained explicit-schema parameter
-    "events_rolling_window",  # oracle: VARCHAR cast route (family-8 fix)
-    "events_sessionize",      # oracle: strict-> gap boundary (family-8 fix)
-    "streaming_session_counts",  # oracle: same strict-> gap boundary fix
-    # r9 review fixes (code or oracle changed — must re-verify).
-    "agg_pricing_summary",    # avg_qty divisor: count(l_quantity)
-    "agg_corr_covar",         # pairwise-complete filter (COVAR_POP semantics)
-    "agg_linear_fit",         # exact min=max degenerate-x guard
-    "scalar_string_math",     # concat NULL-propagation matches the oracle's ||
-    "etl_snapshot_diff",      # synthetic-key offset 1e12 (collision at SF>=7)
-    "etl_scd2",               # synthetic-key offset 2e12 (collision at SF>=13)
-    "window_running_sum",     # NULLS LAST pinned both sides
-    "window_lag_lead",        # NULLS LAST pinned both sides
-    "window_first_last",      # NULLS LAST pinned both sides
-    "window_distribution",    # NULLS LAST pinned both sides (tail edit)
-    # r9 second-review fixes (ext_queries oracle-blind pass).
-    "window_rank_variants",   # NULLS LAST on the ntile tiebreak
-    "text_stats",             # explicit whitespace class (Java \s vs RE2 \s)
-    "text_quality",           # same whitespace-class pin
-    "text_encoding_quality",  # NUL included in the control class
-    "events_decayed_engagement",  # NULL-ts excluded (was k=40 clamp)
-    "events_cohort_retention",    # NULL-ts excluded (spurious NULL cells)
-    "events_mode_per_user",   # NULL type loses count ties (matches oracle)
-    "similarity_topk_bruteforce",  # zero-vector cosine 0.0 in the oracle
-    "dedup_incremental",      # NULL-safe content hash
-    "dedup_index_probe",      # NULL-safe content hash
-    "train_pack_sequences",   # offset-bucketing doc honesty
-    "curation_pipeline_decisions",  # survivorship representative
-    # r9 edge-family-9 fix (finite_or_fail: ANSI decimal casts silently
-    # NULL NaN/±Infinity — every deterministic-decimal-sum path now
-    # fails loud).  All 13 queries whose engine bytes carry the guard
-    # must re-verify: FIVE are already listed above for other reasons
-    # (agg_corr_covar, agg_linear_fit, window_running_sum,
-    # events_rolling_window, events_resample_gapfill), the EIGHT below
-    # are new to this list (join_dims_broadcast held a head seat via
-    # the freshness rotation but had no must-verify entry until now;
-    # the other seven promote into the head alongside this addition).
-    "join_dims_broadcast",
-    "events_tumbling_window",
-    "join_skew_salted",
-    "agg_moments",
-    "events_value_outliers",
-    "embedding_cluster_stats",
-    "dsl_v2_join_agg",
-    "streaming_tumbling_counts",
-    # r9c new surface: never driver-verified, so it must sit in the head.
-    "quality_nonfinite_report",
-    # r9d reader/sink fail-loud hardening (review pass): executed bytes
-    # changed, so each must re-verify.
-    "dsl_json_source",            # read_json: FAILFAST default with schema
-    "dsl_xlsx_roundtrip",         # write_xlsx: raise past Excel's grid
-    "dsl_workbook_job",           # run_workbook: same fail-loud cap
-    "streaming_view_click_join",  # read_event_stream: schema validation
-    "dsl_csv_roundtrip",          # read_csv: enforceSchema/FAILFAST path
-    # r9e re-execution review: asof_join semantics reworked (whole-row
-    # struct carry, deterministic tie order) — must re-verify.
-    "join_asof",
+    # r10 freshness rotation (r9 verdict item 1): the 23 queries whose
+    # newest driver row predates r6 — all byte-unchanged since their
+    # green row, promoted so the rotation FINISHES this round.
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_quantiles",
+    "agg_pivot", "sort_topk",
+    "set_union_distinct", "set_intersect", "set_except", "set_except_all",
+    "join_semi", "join_anti",
+    "distinct_nations_per_segment", "profile_columns", "reshape_unpivot",
+    "etl_upsert",
+    "dsl_formula_chain", "dsl_a1_formula",
+    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_embedding_lsh_pairs",
+    "text_langid", "text_wordcount_top",
+    # r10 changed bytes (ADVICE fixes + verdict item 5) — must re-verify.
+    "join_asof",                  # forward order desc_nulls_first
+    "dedup_components",           # parquet round-trip checkpointing + conf plumbing
+    "curation_pipeline_decisions",  # same connected_components rework
+    "streaming_tumbling_counts",  # read_event_stream probe exception filter
+    "streaming_session_counts",   # same
+    "streaming_view_click_join",  # same
 ]
 
 
@@ -167,6 +120,11 @@ def test_driver_priority_ordering():
     names = list(registry.queries())
     head = names[: registry.DRIVER_CHECK_BUDGET]
     assert len(registry.DRIVER_PRIORITY) == len(set(registry.DRIVER_PRIORITY))
+    # r10 advice fix: duplicates here pad the list and invite
+    # miscounting against the 50-slot budget.
+    assert len(MUST_BE_IN_CHECK_BUDGET) == len(set(MUST_BE_IN_CHECK_BUDGET)), \
+        sorted({n for n in MUST_BE_IN_CHECK_BUDGET
+                if MUST_BE_IN_CHECK_BUDGET.count(n) > 1})
     assert len(registry.DRIVER_PRIORITY) <= registry.DRIVER_CHECK_BUDGET
     unregistered = [n for n in registry.DRIVER_PRIORITY if n not in registry.REGISTRY]
     assert not unregistered, f"priority names not registered: {unregistered}"

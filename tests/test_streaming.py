@@ -496,3 +496,37 @@ def test_stream_stream_join_kill_and_resume_equals_uninterrupted(
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_read_event_stream_schema_validation_paths(spark, sf_dir, tmp_path):
+    """The construction-time schema check (r9 review find) must: fail
+    loud on a missing/renamed column; skip ONLY the legitimate
+    empty/missing-path shapes; and PROPAGATE genuine read failures like
+    a corrupt parquet footer instead of silently disabling itself under
+    a bare except (r10 advice fix)."""
+    from spreadsheet_etl_engine_spark.errors import EngineError
+
+    # 1. Renamed column: fails loud naming the missing field.
+    renamed = str(tmp_path / "renamed")
+    load_table(spark, sf_dir, "events").withColumnRenamed(
+        "user_id", "uid").write.parquet(renamed)
+    with pytest.raises(EngineError, match="user_id"):
+        SE.read_event_stream(spark, renamed)
+
+    # 2. Empty dir (stream starting before its first file): validation
+    # skips (UNABLE_TO_INFER_SCHEMA), stream constructs.  A MISSING dir
+    # fails either way — readStream.parquet itself raises
+    # PATH_NOT_FOUND at construction — so the validation probe's skip
+    # of that condition never masks anything.
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert SE.read_event_stream(spark, str(empty)).isStreaming
+
+    # 3. Corrupt footer: the probe's failure must propagate (it is not
+    # an empty-directory shape), not be swallowed into skipping.
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"PAR1 this is not parquet")
+    with pytest.raises(Exception) as exc_info:
+        SE.read_event_stream(spark, str(corrupt))
+    assert not isinstance(exc_info.value, EngineError)
