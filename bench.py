@@ -55,6 +55,23 @@ OPTIONAL = [
 ]
 
 
+def cpu_probe() -> float:
+    """Single-threaded pure-Python workload (~1s on an idle box), timed.
+
+    Run before and after the reps and recorded in the JSON line: the r9
+    degraded-host window was INVISIBLE to load_avg_1m (near-idle load,
+    2-4x wall elevation from guest-invisible contention) and was only
+    caught by running a probe like this by hand — now every recording
+    carries its own evidence.  The workload is fixed and allocation-free
+    so its wall time tracks available CPU, not GC or memory state."""
+    start = time.perf_counter()
+    acc = 0
+    for i in range(6_000_000):
+        acc += i * i & 0xFFFF
+    assert acc != 0
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -76,6 +93,7 @@ def main() -> None:
         )
     names = HEADLINE + OPTIONAL
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    probe_before = cpu_probe()
     timings: dict[str, float] = {}
     for name in names:
         fn = registry.get(name).fn
@@ -111,6 +129,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "load_avg_1m": load1,
+                # Host-contention evidence (see cpu_probe docstring):
+                # compare against the recording's own idle baseline in
+                # BENCH_NOTES before believing any cross-round delta.
+                "cpu_probe_s": {"before": probe_before, "after": cpu_probe()},
             }
         )
     )
