@@ -182,13 +182,20 @@ def run_mapping_reference(
     rules: list[tuple[str, str]],
     *,
     evaluator=safe_eval,
+    formula_eval=None,
 ) -> tuple[list[str], list[list[str]]]:
     """Row-at-a-time reference semantics over an all-string table.
 
-    Only DIRECT/CONSTANT output columns and eval filters are modeled (the
-    formula path emits text and is pinned by dedicated unit tests instead).
-    Pass ``evaluator=safe_eval_v2`` to model the DSL v2 expression grammar
-    (``&&`` enabled).  Returns (output_headers, output_rows).
+    DIRECT/CONSTANT output columns and eval filters are modeled directly.
+    FORMULA columns default to the reference's pass-through behavior
+    (substituted text — the formula lands in the sheet unevaluated); pass
+    ``formula_eval(body, row_map, out_map) -> value`` to model the
+    engine's COMPILED value semantics instead (``row_map`` maps source
+    headers to this row's values, ``out_map`` maps the already-produced
+    output columns of THIS row to their values — the ``self[...]`` chain
+    state).  Pass ``evaluator=safe_eval_v2`` to model the DSL v2
+    expression grammar (``&&`` enabled).
+    Returns (output_headers, output_rows).
     """
     filters: list[tuple[str, bool, str]] = []
     columns: list[tuple[str, str, str]] = []
@@ -220,8 +227,16 @@ def run_mapping_reference(
                 break
         if not passes:
             continue
-        out_row: list[str] = []
+        out_row: list = []
         for name, kind, instruction in columns:
+            if kind == "FORMULA" and formula_eval is not None:
+                out_map = {
+                    c[0]: v for c, v in zip(columns, out_row)
+                }
+                out_row.append(
+                    formula_eval(instruction, dict(zip(headers, row)), out_map)
+                )
+                continue
             val = substitute_src(instruction, headers, row)
             if kind in ("CONSTANT", "FORMULA"):
                 out_row.append(val)

@@ -92,6 +92,14 @@ EDGE_QUERIES = [
     # so on the same planted NaN/±inf rows it must VALUE-match the
     # oracle (and is the query an operator would run after the raise).
     "quality_nonfinite_report",
+    # r10 family 11 (Unicode/bidi + hostile serialization): the four
+    # round-trip queries the family's planted supplier/nation/customer
+    # rows target — XML-special + RTL + combining + astral names through
+    # the OOXML codec, RFC4180 CSV, and JSON escaping.
+    "dsl_xlsx_roundtrip",
+    "dsl_workbook_job",
+    "dsl_csv_roundtrip",
+    "dsl_json_source",
 ]
 
 # Queries whose exact-decimal accumulation the planted NON-FINITE
@@ -202,6 +210,27 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000020, 'bom' || chr(65279) || 'mid zwsp' ||
                chr(8203) || 'end', 'en', 'edge', 17
+        -- eleventh family (r10): bidirectional text.  (a) RTL Arabic
+        -- with an embedded RLM (U+200F) and an RLO..PDF override span
+        -- (U+202E/U+202C) — bidi controls are invisible, are NOT
+        -- whitespace in either regex dialect, and must ride
+        -- tokenization/shingling/fingerprints as ordinary codepoints;
+        -- (b) NBSP (U+00A0) + LINE SEPARATOR (U+2028): look like
+        -- boundaries, are not ' ' and not ASCII \\s — single-space
+        -- tokenization must keep them glued inside tokens in both
+        -- engines.  (Case-divergent codepoints — ß, İ, Σ, ligatures —
+        -- are deliberately ABSENT from every column that feeds an
+        -- upper()/lower() path: Java full case mapping and DuckDB's
+        -- utf8proc simple mapping genuinely differ there; the
+        -- divergence is pinned per-codepoint by
+        -- test_case_mapping_divergence_pinned below instead.)
+        UNION ALL
+        SELECT 90000021, 'النص' || chr(8207) || ' العربي ' || chr(8238) ||
+               'reversed' || chr(8236) || ' تجربة كلمات مكررة تجربة',
+               'ar', 'edge', 44
+        UNION ALL
+        SELECT 90000022, 'nbsp' || chr(160) || 'glue linesep' ||
+               chr(8232) || 'glue tail words here', 'en', 'edge', 30
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -299,6 +328,17 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000017, TIMESTAMP '2025-01-01 00:12:00', 7, 'view',
                -0.0, NULL
+        -- eleventh family (r10): a decomposed/precomposed combining-mark
+        -- event_type PAIR ('e'+U+0301 vs 'é') — byte-distinct keys that
+        -- render identically; grouping, funnel/transition keys and
+        -- sorts must keep them apart in both engines (binary collation;
+        -- neither engine normalizes).
+        UNION ALL
+        SELECT 90000018, TIMESTAMP '2025-01-01 00:13:00', 7,
+               'e' || chr(769) || 'vent', 1.0, NULL
+        UNION ALL
+        SELECT 90000019, TIMESTAMP '2025-01-01 00:14:00', 7,
+               'évent', 1.0, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -399,6 +439,16 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000003, 'json line1' || chr(10) || 'line2' || chr(9) ||
                'tab', 1, 500.0, 'BUILDING'
+        -- eleventh family (r10): an RTL name with an embedded RLM and a
+        -- quote — JSON escaping of multibyte + escape-needing chars in
+        -- one value; rides dsl_json_source's write->read->filter round
+        -- trip.  (Arabic is UNCASED, so the etl_upsert upper() path is
+        -- an identity on it in both engines — cased Greek/Turkish/ß
+        -- names would hit the pinned case-mapping divergence and are
+        -- deliberately not planted here.)
+        UNION ALL
+        SELECT 90000004, 'عميل' || chr(8207) || ' "اقتباس"', 1, 500.0,
+               'BUILDING'
     """,
     # tenth family (r9d): CSV-hostile nation names — dsl_csv_roundtrip
     # writes nation to headered CSV and reads it back in fidelity mode,
@@ -419,6 +469,48 @@ _AUGMENT = {
         SELECT 900005, '  padded  ', 2
         UNION ALL
         SELECT 900006, 'tab' || chr(9) || 'here', 2
+        -- eleventh family (r10): multibyte through the RFC4180 path —
+        -- a decomposed combining-mark name (byte-distinct from its
+        -- precomposed twin below; CSV must round-trip the raw bytes,
+        -- not a normalization) and an RTL name with an embedded RLM.
+        UNION ALL
+        SELECT 900007, 'cafe' || chr(769) || ' nation', 2
+        UNION ALL
+        SELECT 900008, 'café nation', 2
+        UNION ALL
+        SELECT 900009, 'دولة' || chr(8207) || ' عربية', 2
+    """,
+    # eleventh family (r10): the first SUPPLIER augmentation — names
+    # chosen to ride the xlsx write->read round trip (dsl_xlsx_roundtrip
+    # writes them to a real workbook and hashes the read-back;
+    # dsl_workbook_job routes them through TWO write->read trips):
+    # XML-special characters (escape/unescape), the CDATA terminator, a
+    # formula-leading name (round-trips via the <f> cell by design —
+    # spreadsheet semantics), xml:space whitespace preservation, an OOXML
+    # escape-literal ('_x000D_' stays the literal 7 characters: the
+    # inlineStr codec neither emits nor decodes _xHHHH_ sequences — an
+    # interop caveat vs shared-strings readers, pinned honest here), RTL
+    # Arabic with an embedded RLM, a decomposed/precomposed combining
+    # pair (byte-distinct, must stay distinct through the workbook), and
+    # astral-plane letters.  s_acctbal 2000 > both queries' filters
+    # (1000 / 0) so every row surfaces in both outputs; distinct
+    # suppkeys, valid nationkey.
+    "supplier": """
+        SELECT 90000001::BIGINT AS s_suppkey,
+               'xml <angle> & "quote" probe' AS s_name,
+               1::INTEGER AS s_nationkey, 2000.0::DOUBLE AS s_acctbal
+        UNION ALL SELECT 90000002, 'cdata ]]> terminator', 1, 2000.0
+        UNION ALL SELECT 90000003, '=SUM(A1:A2)', 1, 2000.0
+        UNION ALL SELECT 90000004, '  padded name  ', 1, 2000.0
+        UNION ALL SELECT 90000005, 'tab' || chr(9) || 'in name', 1, 2000.0
+        UNION ALL SELECT 90000006, '_x000D_ literal', 1, 2000.0
+        UNION ALL SELECT 90000007, 'شركة' || chr(8207) || ' التوريد', 1,
+                  2000.0
+        UNION ALL SELECT 90000008, 'suppe' || chr(769) || ' acute', 1,
+                  2000.0
+        UNION ALL SELECT 90000009, 'suppé acute', 1, 2000.0
+        UNION ALL SELECT 90000010, chr(119982) || 'upply ' || chr(127744)
+                  || ' co', 1, 2000.0
     """,
     "embeddings": """
         SELECT 90000001::BIGINT AS vec_id,
@@ -539,7 +631,11 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 20
+    assert n == 22
+    sup = edge_duck.execute(
+        "SELECT count(*) FROM supplier WHERE s_suppkey >= 90000000"
+    ).fetchone()[0]
+    assert sup == 10
     tie = edge_duck.execute(
         "SELECT count(*) FROM events WHERE user_id = 7 "
         "AND ts = TIMESTAMP '2025-01-01 00:00:00'"
@@ -560,6 +656,49 @@ def test_edge_rows_present(edge_dir, edge_duck):
     ).fetchone()
     # two zero-norm vectors since family 10: all-+0.0 and all--0.0
     assert vec_edges == (1, 2)
+
+
+# r10 family 11 companion: upper()/lower() on cased non-ASCII genuinely
+# DIVERGE between the engines — Spark runs Java's full (length-changing,
+# context-sensitive) case mapping, DuckDB runs utf8proc's simple
+# codepoint-wise mapping.  Neither is wrong; they implement different
+# Unicode case operations.  The engine's semantics is Spark's (the
+# built-in upper/lower IS the fast path; a UDF matching utf8proc would
+# be backwards), so parity fixtures must not route these codepoints
+# through an upper()/lower() query — this pin makes that contract, and
+# both engines' exact behavior, fail loud if a Spark or DuckDB upgrade
+# shifts either side.
+CASEMAP_PROBES = [
+    # (input, fn, spark_result, duckdb_result)
+    ("straße", "upper", "STRASSE", "STRAẞE"),      # full ß->SS vs ẞ
+    ("İstanbul", "lower", "i̇stanbul", "istanbul"),  # full i+dot
+    ("ΣΟΦΟΣ", "lower", "σοφος", "σοφοσ"),          # final sigma
+    ("ﬃ", "upper", "FFI", "ﬃ"),                    # ligature expansion
+]
+
+
+def test_case_mapping_divergence_pinned(spark):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = spark.createDataFrame(
+        [(s,) for s, _, _, _ in CASEMAP_PROBES], "s string"
+    )
+    from pyspark.sql import functions as SF
+
+    got = {
+        r["s"]: (r["u"], r["l"])
+        for r in rows.select(
+            "s", SF.upper("s").alias("u"), SF.lower("s").alias("l")
+        ).collect()
+    }
+    for text, fn, spark_exp, duck_exp in CASEMAP_PROBES:
+        spark_got = got[text][0 if fn == "upper" else 1]
+        duck_got = con.execute(f"SELECT {fn}(?)", [text]).fetchone()[0]
+        assert spark_got == spark_exp, (text, fn, spark_got)
+        assert duck_got == duck_exp, (text, fn, duck_got)
+        assert spark_got != duck_got  # the divergence itself, pinned
+    con.close()
 
 
 # Fixtures are pulled lazily via request.getfixturevalue so a -k subset

@@ -71,6 +71,141 @@ def test_fidelity_matches_reference(spark, data, fexprs, directs):
     assert got_rows == sorted(exp_rows)
 
 
+# --- Full map tables: filters + DIRECT + CONSTANT + FORMULA columns +
+# self-chains + comment rows in ONE generated spec (r9 verdict item 6 —
+# the mechanical version of the oracle-blind review for the DSL surface).
+#
+# FORMULA columns draw from a restricted template family that is TOTAL on
+# display strings (UPPER/LOWER/&-concat/LEFT/LEN/IF-string-equality and a
+# self[...]-chain suffix) so the generator never wanders into ANSI
+# numeric casts of non-numeric text (those fail loud by design and are
+# pinned by dedicated unit tests).  Each template carries its own Python
+# evaluator, handed to the model via ``formula_eval`` — so the model
+# stays an independent row-at-a-time implementation of the ENGINE's
+# documented compiled-value semantics (value-level self refs, codepoint
+# substring/length), not a re-parse of the engine's compiler.
+
+_FORMULA_TEMPLATES = [
+    # (tag, instruction-builder, python evaluator(row, out, *ops))
+    ("upper", lambda a: f"formula:=UPPER({a})",
+     lambda va: va.upper()),
+    ("lower", lambda a: f"formula:=LOWER({a})",
+     lambda va: va.lower()),
+    ("concat", lambda a, b: f"formula:={a} & {b}",
+     lambda va, vb: va + vb),
+    ("left2", lambda a: f"formula:=LEFT({a}, 2)",
+     lambda va: va[:2]),
+    ("len", lambda a: f"formula:=LEN({a})",
+     lambda va: len(va)),
+    ("ifeq", lambda a, b: f'formula:=IF({a} = {b}, "eq", "ne")',
+     lambda va, vb: "eq" if va == vb else "ne"),
+]
+
+_FORMULA_ARITY = {"upper": 1, "lower": 1, "concat": 2, "left2": 1,
+                  "len": 1, "ifeq": 2}
+
+# Operands: a source column or a plain string literal (formula grammar
+# quotes literals; letters only so no escaping interactions).
+_F_LITERALS = ["qq", "eq", "B", "pad"]
+
+
+@st.composite
+def map_table_specs(draw):
+    """One whole mapping spec: comment rows interleaved with filters,
+    DIRECT/CONSTANT columns, then FORMULA columns that may self-chain
+    onto ANY earlier output column (including earlier formulas)."""
+    rules: list[tuple[str, str]] = []
+    evals: dict[str, object] = {}   # out-name -> (tag, operand descriptors)
+
+    n_comments = draw(st.integers(0, 2))
+    for i in range(n_comments):
+        rules.append((f"// note {i}", draw(st.sampled_from(["", "x", "src[A]"]))))
+
+    for i, e in enumerate(draw(st.lists(filter_expr, min_size=0, max_size=2))):
+        rules.append((f"_filter:f{i}", f"eval: {e}"))
+
+    base_cols = draw(st.lists(direct_instruction, min_size=1, max_size=2))
+    out_names: list[str] = []
+    for i, ins in enumerate(base_cols):
+        name = f"Out{i}"
+        rules.append((name, ins))
+        out_names.append(name)
+
+    n_formula = draw(st.integers(1, 3))
+    for j in range(n_formula):
+        tag, build, _fn = draw(st.sampled_from(_FORMULA_TEMPLATES))
+        arity = _FORMULA_ARITY[tag]
+        ops = []
+        for _ in range(arity):
+            # ifeq compares with `=`: an int-valued self[...] (LEN) on
+            # one side would make Spark coerce the STRING side to a
+            # number — an ANSI runtime error on non-numeric text (the
+            # engine's documented fail-loud), so equality operands stay
+            # src/lit.  Every other template casts to string explicitly.
+            kinds = ["src", "lit"] if tag == "ifeq" else ["src", "lit", "self"]
+            kind = draw(st.sampled_from(kinds))
+            if kind == "src":
+                ops.append(("src", draw(st.sampled_from(HEADERS))))
+            elif kind == "lit":
+                ops.append(("lit", draw(st.sampled_from(_F_LITERALS))))
+            else:
+                ops.append(("self", draw(st.sampled_from(out_names))))
+        texts = [
+            f"src[{v}]" if k == "src"
+            else (f'"{v}"' if k == "lit" else f"self[{v}]")
+            for k, v in ops
+        ]
+        name = f"Out{len(out_names)}"
+        rules.append((name, build(*texts)))
+        evals[name] = (tag, ops)
+        out_names.append(name)
+    return rules, evals
+
+
+def _model_formula_eval(evals):
+    def formula_eval(body, row_map, out_map):
+        # Identify the column by matching the body against the recorded
+        # template of the output being produced: out_map holds exactly
+        # the columns already produced, so the one being evaluated is
+        # the first registered name not yet in out_map.
+        name = next(n for n in evals if n not in out_map)
+        tag, ops = evals[name]
+        fn = next(f for t, _, f in _FORMULA_TEMPLATES if t == tag)
+
+        def val(op):
+            k, v = op
+            if k == "src":
+                return row_map[v]
+            if k == "lit":
+                return v
+            out_v = out_map[v]
+            # self[...] into a & / UPPER context: the engine casts the
+            # referenced expression to string, so an int (LEN output)
+            # chains as its decimal text.
+            return str(out_v) if not isinstance(out_v, str) else out_v
+
+        return fn(*[val(op) for op in ops])
+    return formula_eval
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(data=rows, spec=map_table_specs())
+def test_full_map_table_matches_reference(spark, data, spec):
+    rules, evals = spec
+    exp_headers, exp_rows = run_mapping_reference(
+        HEADERS, data, rules, formula_eval=_model_formula_eval(evals))
+
+    if data:
+        df = spark.createDataFrame([tuple(r) for r in data], HEADERS)
+    else:
+        df = spark.createDataFrame([], "A string, B string, C string")
+    got = run_mapping(df, parse_mapping(rules, HEADERS), mode="fidelity")
+    assert got.columns == exp_headers
+    got_rows = sorted([list(r) for r in got.collect()])
+    assert got_rows == sorted(exp_rows)
+
+
 # v2 grammar: conditions joined by a random mix of && and ||.  The model
 # applies JS precedence (&& binds tighter), so any compiled divergence in
 # grouping, short-circuit equivalence, or empty-conjunct handling breaks
