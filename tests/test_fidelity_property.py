@@ -206,6 +206,128 @@ def test_full_map_table_matches_reference(spark, data, spec):
     assert got_rows == sorted(exp_rows)
 
 
+# --- A1-reference map tables: formulas that reference OTHER output
+# columns by A1 ordinal (letter = 1-based output position, row 2 = the
+# current-row placeholder), including FORWARD references resolved by the
+# compiler's multi-pass topological compile.  Generation is acyclic by
+# construction: declaration order is [base DIRECT/CONSTANT] then
+# [reffing formulas] then [grounded formulas (src/lit operands only)];
+# a reffing formula may point backward at a base column or FORWARD at a
+# grounded formula, which can always be evaluated from the row alone.
+
+_STR_TOTAL_TAGS = ["upper", "lower", "concat", "left2", "len"]
+
+
+def _a1_letter(ordinal: int) -> str:
+    assert 1 <= ordinal <= 26
+    return chr(64 + ordinal)
+
+
+@st.composite
+def a1_map_specs(draw):
+    rules: list[tuple[str, str]] = []
+    for i, e in enumerate(draw(st.lists(filter_expr, min_size=0, max_size=1))):
+        rules.append((f"_filter:f{i}", f"eval: {e}"))
+
+    base_cols = draw(st.lists(direct_instruction, min_size=1, max_size=2))
+    names: list[str] = []
+    for i, ins in enumerate(base_cols):
+        rules.append((f"Out{i}", ins))
+        names.append(f"Out{i}")
+    n_base = len(names)
+    n_reffing = draw(st.integers(1, 2))
+    n_grounded = draw(st.integers(1, 2))
+    grounded_names = [f"Out{n_base + n_reffing + j}" for j in range(n_grounded)]
+    # final output order = base + reffing + grounded; ordinal = pos + 1
+    all_names = (names
+                 + [f"Out{n_base + j}" for j in range(n_reffing)]
+                 + grounded_names)
+    ordinal = {n: i + 1 for i, n in enumerate(all_names)}
+
+    evals: dict[str, object] = {}
+    grounded_specs: dict[str, object] = {}
+
+    def draw_ops(tag, kinds):
+        ops = []
+        for _ in range(_FORMULA_ARITY[tag]):
+            kind = draw(st.sampled_from(kinds))
+            if kind == "src":
+                ops.append(("src", draw(st.sampled_from(HEADERS))))
+            elif kind == "lit":
+                ops.append(("lit", draw(st.sampled_from(_F_LITERALS))))
+            else:
+                ops.append(("a1", draw(st.sampled_from(names + grounded_names))))
+        return ops
+
+    reff_rules: list[tuple[str, str]] = []
+    for j in range(n_reffing):
+        name = f"Out{n_base + j}"
+        tag = draw(st.sampled_from(_STR_TOTAL_TAGS))
+        ops = draw_ops(tag, ["src", "lit", "a1"])
+        texts = [
+            f"src[{v}]" if k == "src"
+            else (f'"{v}"' if k == "lit" else f"{_a1_letter(ordinal[v])}2")
+            for k, v in ops
+        ]
+        build = next(b for t, b, _ in _FORMULA_TEMPLATES if t == tag)
+        reff_rules.append((name, build(*texts)))
+        evals[name] = (tag, ops)
+    grounded_rules: list[tuple[str, str]] = []
+    for gname in grounded_names:
+        tag = draw(st.sampled_from(_STR_TOTAL_TAGS))
+        ops = draw_ops(tag, ["src", "lit"])
+        texts = [f"src[{v}]" if k == "src" else f'"{v}"' for k, v in ops]
+        build = next(b for t, b, _ in _FORMULA_TEMPLATES if t == tag)
+        grounded_rules.append((gname, build(*texts)))
+        evals[gname] = (tag, ops)
+        grounded_specs[gname] = (tag, ops)
+    rules += reff_rules + grounded_rules
+    return rules, evals, grounded_specs
+
+
+def _model_a1_eval(evals, grounded_specs):
+    fns = {t: f for t, _, f in _FORMULA_TEMPLATES}
+
+    def compute(tag, ops, row_map, out_map):
+        def val(op):
+            k, v = op
+            if k == "src":
+                return row_map[v]
+            if k == "lit":
+                return v
+            if v in out_map:                     # backward ref
+                out_v = out_map[v]
+            else:                                # forward ref: grounded
+                gt, gops = grounded_specs[v]
+                out_v = compute(gt, gops, row_map, out_map)
+            return str(out_v) if not isinstance(out_v, str) else out_v
+        return fns[tag](*[val(op) for op in ops])
+
+    def formula_eval(body, row_map, out_map):
+        name = next(n for n in evals if n not in out_map)
+        tag, ops = evals[name]
+        return compute(tag, ops, row_map, out_map)
+    return formula_eval
+
+
+@settings(max_examples=24, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(data=rows, spec=a1_map_specs())
+def test_a1_reference_map_table_matches_reference(spark, data, spec):
+    rules, evals, grounded_specs = spec
+    exp_headers, exp_rows = run_mapping_reference(
+        HEADERS, data, rules, formula_eval=_model_a1_eval(evals, grounded_specs))
+
+    if data:
+        df = spark.createDataFrame([tuple(r) for r in data], HEADERS)
+    else:
+        df = spark.createDataFrame([], "A string, B string, C string")
+    got = run_mapping(df, parse_mapping(rules, HEADERS), mode="fidelity")
+    assert got.columns == exp_headers
+    got_rows = sorted([list(r) for r in got.collect()])
+    assert got_rows == sorted(exp_rows)
+
+
 # v2 grammar: conditions joined by a random mix of && and ||.  The model
 # applies JS precedence (&& binds tighter), so any compiled divergence in
 # grouping, short-circuit equivalence, or empty-conjunct handling breaks
