@@ -1279,6 +1279,74 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Invisible-codepoint classes for text_unicode_hygiene, shared verbatim
+# by the Spark expression and the DuckDB oracle (built from the same
+# lists, so the classes can never drift apart).  translate() is
+# codepoint-wise in both engines — no regex, so none of the \s-dialect
+# divergence the r9 review found can reappear here.
+_BIDI_CONTROLS = [0x200E, 0x200F, 0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+                  0x2066, 0x2067, 0x2068, 0x2069]
+_ZERO_WIDTH = [0x200B, 0x200C, 0x200D, 0xFEFF]
+_INVISIBLE_SPACES = [0x00A0, 0x202F]
+
+
+def _hygiene_chars(codes: list[int]) -> str:
+    return "".join(chr(c) for c in codes)
+
+
+def _hygiene_sql(codes: list[int]) -> str:
+    return " || ".join(f"chr({c})" for c in codes)
+
+
+@register(
+    "text_unicode_hygiene",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) - length(translate(text,
+                {_hygiene_sql(_BIDI_CONTROLS)}, '')) AS BIGINT) AS n_bidi,
+           CAST(length(text) - length(translate(text,
+                {_hygiene_sql(_ZERO_WIDTH)}, '')) AS BIGINT) AS n_zero_width,
+           CAST(length(text) - length(translate(text,
+                {_hygiene_sql(_INVISIBLE_SPACES)}, ''))
+                AS BIGINT) AS n_invisible_space,
+           (length(text) - length(translate(text,
+                {_hygiene_sql(_BIDI_CONTROLS + _ZERO_WIDTH)}, ''))) = 0
+               AS is_clean
+    FROM documents
+    """,
+    doc="Unicode-hygiene curation signals per document: bidi-control "
+        "count (LRM/RLM, LRE/RLE/LRO/RLO/PDF, the U+2066-2069 isolates "
+        "— the invisible-reordering class used for source/prompt "
+        "spoofing), zero-width count (ZWSP/ZWNJ/ZWJ/BOM-in-text — "
+        "invisible-injection and word-boundary poisoning), and "
+        "invisible-space count (NBSP/NNBSP — layout residue, excluded "
+        "from is_clean because it is common in legitimate web text).  "
+        "The companion to text_encoding_quality (which covers "
+        "U+FFFD/C0 controls/non-ASCII fraction): together they are the "
+        "cheap pre-filter a 100 TB ingest runs before model-based "
+        "scoring.  Counting is length-minus-translate — codepoint-wise "
+        "in both engines, no regex dialect in play — per-row, zero "
+        "shuffles.  NULL text yields NULL counts (no text is not clean "
+        "text).",
+)
+def text_unicode_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def count_of(codes: list[int]) -> F.Column:
+        return (
+            F.length(t) - F.length(F.translate(t, _hygiene_chars(codes), ""))
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        count_of(_BIDI_CONTROLS).alias("n_bidi"),
+        count_of(_ZERO_WIDTH).alias("n_zero_width"),
+        count_of(_INVISIBLE_SPACES).alias("n_invisible_space"),
+        (count_of(_BIDI_CONTROLS + _ZERO_WIDTH) == 0).alias("is_clean"),
+    )
+
+
 @register(
     "text_tfidf_top_terms",
     oracle="""

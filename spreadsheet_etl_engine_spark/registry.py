@@ -2490,6 +2490,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r10 in-round change: empty-token exclusion (the r9 review's one
     # deferred find) — needs a fresh driver attestation.
     "agg_heavy_hitters",
+    # r10 new query (growth rule: one per round) — first attestation.
+    "text_unicode_hygiene",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -1196,3 +1196,56 @@ def test_checkpoint_dir_conf_reachable_from_registry(spark, sf_dir, tmp_path):
     assert len(runs) == 1 and runs[0].name.startswith("cc-")
     # superseded rounds were deleted: sym + final labels only
     assert len(list(runs[0].iterdir())) == 2
+
+
+def test_text_unicode_hygiene_counts(spark, tmp_path):
+    """Pin exact per-class counts on literal probe strings through the
+    registered query (r10 growth query): bidi controls, zero-width chars
+    and invisible spaces are counted codepoint-wise, NBSP stays out of
+    is_clean, NULL text yields NULL counts."""
+    import duckdb as _dd
+
+    from spreadsheet_etl_engine_spark.registry import REGISTRY
+
+    rows = [
+        # (id, text): RLM + RLO + PDF -> 3 bidi; clean of zero-width
+        (1, "a‏b‮c‬d"),
+        # ZWJ-family emoji: 3 ZWJ + a BOM + a ZWSP -> 5 zero-width
+        (2, "x‍‍‍﻿​y"),
+        # NBSP + NNBSP -> 2 invisible spaces, still is_clean
+        (3, "p q r"),
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(out_dir)
+    # The query loads <sf_dir>/documents.parquet: stage the fixture.
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_bidi"], r["n_zero_width"],
+                      r["n_invisible_space"], r["is_clean"])
+        for r in REGISTRY["text_unicode_hygiene"].fn(spark, str(sf)).collect()
+    }
+    assert got[1] == (3, 0, 0, False)
+    assert got[2] == (0, 5, 0, False)
+    assert got[3] == (0, 0, 2, True)
+    assert got[4] == (0, 0, 0, True)
+    assert got[5] == (None, None, None, None)
+    # Oracle agreement on the same staged table (the local mini-parity —
+    # the driver/sweep runs the full comparator).
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    exp = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            REGISTRY["text_unicode_hygiene"].oracle + " ORDER BY doc_id"
+        ).fetchall()
+    }
+    con.close()
+    assert exp == got

@@ -110,6 +110,9 @@ MUST_BE_IN_CHECK_BUDGET = [
     "streaming_tumbling_counts",  # read_event_stream probe exception filter
     "streaming_session_counts",   # same
     "streaming_view_click_join",  # same
+    # r10 in-round changes — must earn/refresh a driver row this round.
+    "agg_heavy_hitters",          # empty-token exclusion (r9 deferred find)
+    "text_unicode_hygiene",       # new query (growth rule), first row
 ]
 
 
