@@ -338,6 +338,47 @@ def probe_gapfill(spark: SparkSession, reps: int, n: int) -> dict:
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
 
+def synth_asof_sides(spark: SparkSession, n: int, *,
+                     n_keys: int = 1000) -> tuple[DataFrame, DataFrame]:
+    """n left 'trades' + n right 'quotes' over a FIXED key population:
+    growing n grows rows-per-key 10x, so the probe measures the window
+    sort the union-and-window asof actually pays (per-key n log n),
+    not key-count parallelism."""
+    left = spark.range(n).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.abs(F.xxhash64(F.col("id"))) % 1_000_000_000).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("lv"),
+    )
+    right = spark.range(n).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.abs(F.xxhash64(F.col("id"), F.lit(7))) % 1_000_000_000).alias("ts"),
+        (F.col("id") % 89).cast("double").alias("rv"),
+    )
+    return left, right
+
+
+def probe_asof(spark: SparkSession, reps: int, n: int) -> dict:
+    """asof_join at n and 10n rows per side, fixed 1000 keys: ONE
+    shuffle on the by-key regardless of size, then a per-key sort of
+    2n/1000 union rows — the r9 determinism rework (whole-row struct
+    carry, total tie order) is IN the measured path, so a regression
+    that makes the struct ordering super-linear (or reintroduces a
+    per-column carry that ships right values twice) moves this ratio.
+    The consumer sums BOTH a left and a carried right column so the
+    forward-fill window cannot be pruned from the plan."""
+    from spreadsheet_etl_engine_spark.operators.relational import asof_join
+
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        l, r = synth_asof_sides(spark, size)
+        arms[label] = lambda l=l, r=r: asof_join(
+            l, r, on="ts", by="k", right_cols={"rv": "rv"}
+        ).agg(F.sum("rv"), F.sum("lv")).collect()
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    return {"probe": "join_asof_union_window", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
 PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
@@ -347,6 +388,8 @@ PROBES = {
     # 1M events -> ~5M grid rows in the small arm: large enough that the
     # grid explode (not session overhead) is what the ratio measures.
     "gapfill": (probe_gapfill, 1_000_000),
+    # 500k/side -> 1M union rows small arm: the window sort dominates.
+    "asof": (probe_asof, 500_000),
 }
 
 

@@ -58,6 +58,12 @@ BOUNDS = {
     # guarantee), which pushed one in-suite run past 8x.  The bound is a
     # catastrophic ceiling: a keys^2 grid blowup reads ~100x.
     "gapfill": 12.0,    # recorded 3.95x standalone
+    # r10 addition: asof union-and-window at 10x rows per key (fixed
+    # 1000 keys).  Recorded 2.03x — the small arm (~0.9s) is overhead-
+    # diluted, so the bound is a catastrophic ceiling well under the
+    # ~10x a per-key sort funnel (or a double-shipped right payload)
+    # would read, not a precision pin.
+    "asof": 8.0,        # recorded 2.03x
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
