@@ -372,12 +372,18 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
+    # r10: routed through duplicate_clusters — result-identical to the
+    # old minhash_lsh_pairs -> connected_components chain (the oracle is
+    # unchanged) but mega-duplicate-safe: identical-signature groups are
+    # collapsed to one representative BEFORE the bucket self-join, so a
+    # million-copy boilerplate cluster costs O(m) star edges instead of
+    # O(m^2) pairs.  Equivalence proof + edge accounting in
+    # operators/dedup.py::duplicate_clusters and its tests.
+    return DD.duplicate_clusters(
         docs, "text", "doc_id", num_hashes=8, bands=4,
         parallelism=spark.sparkContext.defaultParallelism,
+        checkpoint_dir=DD.resolve_checkpoint_dir(spark),
     )
-    return DD.connected_components(
-        pairs, checkpoint_dir=DD.resolve_checkpoint_dir(spark))
 
 
 @register(
@@ -456,12 +462,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_pipeline_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_lsh_pairs(
+    # Same r10 rerouting as dedup_components: the collapsed-signature
+    # cluster path (mega-duplicate-safe), result-identical to the old
+    # pairs -> components chain.
+    comp = DD.duplicate_clusters(
         docs, "text", "doc_id", num_hashes=8, bands=4,
         parallelism=spark.sparkContext.defaultParallelism,
+        checkpoint_dir=DD.resolve_checkpoint_dir(spark),
     )
-    comp = DD.connected_components(
-        pairs, checkpoint_dir=DD.resolve_checkpoint_dir(spark))
     key = F.col("doc_id").cast("string")
     d = docs.select(
         "doc_id",

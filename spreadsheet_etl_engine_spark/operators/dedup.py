@@ -125,6 +125,20 @@ def minhash_signature(
     )
 
 
+def _validate_banding(num_hashes: int, bands: int) -> None:
+    """Shared banding invariant: a silent remainder drops hashes (recall
+    below configured), and num_hashes <= 0 passes the modulus check
+    (0 % 4 == 0) while giving every doc the same empty band hash — the
+    all-pairs blowup LSH exists to prevent.  Raised from every entry
+    point (incl. direct seen_dedup_index / band_keys_from_signature use)
+    so no caller can reach the degenerate join."""
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must evenly divide num_hashes={num_hashes} "
+            "with at least one hash per band"
+        )
+
+
 def minhash_band_keys(
     df: DataFrame,
     content_col: str,
@@ -140,21 +154,29 @@ def minhash_band_keys(
     vs-seen-corpus (:func:`incremental_dedup`) and the maintained-index
     (:func:`seen_dedup_index`) paths.  One row per (document, band);
     signatures stay per-row, the explode is narrow."""
-    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
-        # Validated here so every caller (incl. direct seen_dedup_index
-        # use) inherits it: a silent remainder drops hashes, and
-        # num_hashes <= 0 passes the modulus check (0 % 4 == 0) while
-        # giving every doc the same empty band hash — the all-pairs
-        # blowup this guard exists to prevent.
-        raise ValueError(
-            f"bands={bands} must evenly divide num_hashes={num_hashes} "
-            "with at least one hash per band"
-        )
-    rows_per_band = num_hashes // bands
+    _validate_banding(num_hashes, bands)
     sig = minhash_signature(
         df, content_col, id_col,
         num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
     )
+    return band_keys_from_signature(sig, id_col, num_hashes=num_hashes, bands=bands)
+
+
+def band_keys_from_signature(
+    sig: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """Banding step over an already-computed signature frame
+    (``h0..h{num_hashes-1}`` columns) — shared by
+    :func:`minhash_band_keys` and :func:`duplicate_clusters`, which
+    derives band keys for signature-group REPRESENTATIVES without
+    re-minhashing (the group-by already shuffled the signature columns;
+    re-shingling the content would rescan the corpus)."""
+    _validate_banding(num_hashes, bands)
+    rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -292,14 +314,7 @@ def minhash_lsh_pairs(
     is uniform under md5, and oversized buckets (degenerate content) can
     be capped with a count filter before the self-join.
     """
-    if bands < 1 or num_hashes % bands != 0:
-        # Same invariant as embedding_lsh_pairs: a silent remainder drops
-        # hashes (recall below configured); rows_per_band=0 would make
-        # every band hash identical and the join a full cross product.
-        raise ValueError(
-            f"bands={bands} must evenly divide num_hashes={num_hashes} "
-            "with at least one hash per band"
-        )
+    _validate_banding(num_hashes, bands)
     bucketed = minhash_band_keys(
         df, content_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
@@ -701,6 +716,95 @@ def connected_components(
         f"rounds ({changed} labels still changing); the graph has a "
         "component with diameter > max_iter — raise max_iter, or switch "
         "to the large-star/small-star formulation for long-chain graphs"
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Duplicate clusters ``(node, component)`` — result-identical to
+    ``connected_components(minhash_lsh_pairs(df))`` but safe under
+    MEGA-DUPLICATE clusters, the dominant pathology of a 100 TB crawl
+    corpus (boilerplate pages, mirrored sites: millions of byte-identical
+    documents).
+
+    The naive path's contract is all candidate PAIRS, which is inherently
+    quadratic in duplicate-cluster size: one band bucket holding an
+    m-document identical cluster emits m(m-1)/2 pairs — at m = 1e6 that
+    is 5e11 rows out of a single bucket's self-join, and the job dies
+    long before components run.  This path never materializes those
+    pairs:
+
+    1. per-row MinHash signatures (no shuffle, same as the naive path);
+    2. collapse identical SIGNATURES to their min-id representative —
+       one map-side-combinable groupBy, so even a 1e6-row hot signature
+       reduces to one row per map partition before the shuffle;
+    3. band keys + bucket self-join over REPRESENTATIVES only (the
+       banding step reuses the grouped signature columns — the corpus
+       text is scanned exactly once, in step 1);
+    4. STAR edges (representative -> member) attach the collapsed rows:
+       linear in cluster size, and a 1:N equi-join on the signature, not
+       a self-join;
+    5. min-label components over (rep pairs UNION star edges).
+
+    Result equivalence is exact, not approximate: documents with equal
+    signatures share every band key, so each signature group is a clique
+    in the naive pair graph with identical external adjacency —
+    contracting the group to one vertex plus star edges preserves the
+    component partition, the node set (a member of a >=2 group always
+    has its clique edge; a lone signature appears iff it collides, same
+    as naive), and the min-id labels (the representative is the group
+    minimum, so the component minimum is unchanged).  Pinned by
+    ``test_duplicate_clusters_equals_naive_path`` including an injected
+    mega-cluster, where the edge-volume accounting shows the naive path
+    quadratic and this one linear.
+    """
+    # Validated up front: num_hashes=0 would otherwise produce an empty
+    # signature-column list and a degenerate zero-key join below, long
+    # before band_keys_from_signature could reject it.
+    _validate_banding(num_hashes, bands)
+    sig = minhash_signature(
+        df, content_col, id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
+    )
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    # min() is map-side combinable: the hot (mega-cluster) signature
+    # arrives at the reducer as one row per map partition, never m rows.
+    reps = sig.groupBy(*hcols).agg(F.min(id_col).alias(id_col))
+    star = (
+        sig.join(
+            reps.select(*hcols, F.col(id_col).alias("_rep")), hcols)
+        .filter(F.col(id_col) != F.col("_rep"))
+        # rep = min of the group, so id_a < id_b holds by construction.
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    keys = band_keys_from_signature(
+        reps, id_col, num_hashes=num_hashes, bands=bands)
+    a = keys.alias("a")
+    b = keys.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return connected_components(
+        rep_pairs.unionByName(star),
+        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
     )
 
 

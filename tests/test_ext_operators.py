@@ -221,6 +221,68 @@ def test_connected_components_chain_triangle_pair(spark):
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
 
 
+def test_duplicate_clusters_equals_naive_path(spark):
+    """duplicate_clusters must return EXACTLY the naive
+    connected_components(minhash_lsh_pairs(...)) output — including on a
+    corpus with an injected mega-duplicate cluster, the pathology the
+    collapsed path exists for.  Also pins the edge-volume claim: the
+    naive path's pair count is quadratic in the cluster size while the
+    collapsed path's edge count is linear."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.001", "documents")
+    mega = spark.range(200).select(
+        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("boilerplate terms of service text repeated on every "
+              "mirrored page of the crawl").alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(mega)
+
+    kw = dict(num_hashes=8, bands=4)
+    naive_pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id", **kw)
+    naive = {(r["node"], r["component"])
+             for r in DD.connected_components(naive_pairs).collect()}
+    collapsed = {(r["node"], r["component"])
+                 for r in DD.duplicate_clusters(
+                     docs, "text", "doc_id", **kw).collect()}
+    assert collapsed == naive
+    # The mega-cluster is one component labelled by its min id, and every
+    # injected doc is in it.
+    assert {(1_000_000 + i, 1_000_000) for i in range(200)} <= collapsed
+
+    # Edge accounting: 200 identical docs cost the naive path
+    # >= C(200,2) = 19900 pairs; the collapsed path's whole edge list
+    # (star + rep pairs) stays linear in the corpus.
+    n_naive = naive_pairs.count()
+    sig = DD.minhash_signature(docs, "text", "doc_id", num_hashes=8)
+    hcols = [f"h{i}" for i in range(8)]
+    reps = sig.groupBy(*hcols).agg(F.min("doc_id").alias("doc_id"))
+    n_star = sig.count() - reps.count()
+    keys = DD.band_keys_from_signature(reps, "doc_id", num_hashes=8, bands=4)
+    a, b = keys.alias("a"), keys.alias("b")
+    n_rep_pairs = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert n_naive >= 19_900                       # quadratic in the cluster
+    assert n_star + n_rep_pairs < 2 * docs.count() # linear in the corpus
+
+
+def test_duplicate_clusters_banding_validated(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four")], ["doc_id", "text"])
+    for nh, bands in ((8, 3), (8, 0), (0, 4)):
+        with pytest.raises(ValueError, match="evenly divide"):
+            DD.duplicate_clusters(docs, "text", "doc_id",
+                                  num_hashes=nh, bands=bands)
+    with pytest.raises(ValueError, match="evenly divide"):
+        DD.band_keys_from_signature(
+            spark.createDataFrame([(1, 2)], ["doc_id", "h0"]),
+            "doc_id", num_hashes=1, bands=0)
+
+
 def test_upsert_semantics(spark):
     from spreadsheet_etl_engine_spark.operators.relational import upsert
 
