@@ -2313,11 +2313,25 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                      / count(CAST(value AS DECIMAL(18,2))), 2), 0)) AS sigma
       FROM events GROUP BY event_type
+    ),
+    -- Degenerate (constant-valued) groups excluded EXACTLY via
+    -- min = max on the decimal values (r10 review pass 4 — the
+    -- agg_linear_fit r9 pattern): sigma for such a group is double
+    -- cancellation residue (~1e-18) or exact 0, so the raw-vs-rounded
+    -- mean difference (~1e-17) "exceeds 3 sigma" and every row would
+    -- be flagged with a garbage z-score — or the division dies
+    -- outright (Spark ANSI errors on double division by zero).
+    r AS (
+      SELECT event_type,
+             min(CAST(value AS DECIMAL(18,2))) AS mn,
+             max(CAST(value AS DECIMAL(18,2))) AS mx
+      FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
            (e.value - m.mu) / m.sigma AS zscore
     FROM events e JOIN m ON e.event_type = m.event_type
-    WHERE abs(e.value - m.mu) > 3 * m.sigma
+                  JOIN r ON e.event_type = r.event_type
+    WHERE r.mn <> r.mx AND abs(e.value - m.mu) > 3 * m.sigma
     """,
     doc="Per-group z-score outliers: exact one-pass decimal moments per "
         "event_type (operators/relational.py:exact_moments — associative "
@@ -2330,10 +2344,22 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators.relational import exact_moments
 
     ev = load_table(spark, sf_dir, "events")
-    m = exact_moments(ev, ["event_type"], "value", alias_prefix="v")
+    # include_range: the exact degenerate-group detector.  A constant-
+    # valued group's sigma is cancellation residue (~1e-18) or exact 0;
+    # without the min != max guard the raw-vs-rounded mean difference
+    # (~1e-17) "exceeds 3 sigma" and either floods the output with
+    # garbage z-scores or kills the query with an ANSI DIVIDE_BY_ZERO
+    # (r10 review pass 4 find, reproduced live; same class as
+    # agg_linear_fit's r9 fix).  Exact decimal min/max ride the same
+    # single-pass agg — no extra scan.
+    m = exact_moments(ev, ["event_type"], "value", alias_prefix="v",
+                      include_range=True)
     return (
         ev.join(F.broadcast(m), "event_type")
-        .filter(F.abs(F.col("value") - F.col("v_mean")) > 3 * F.col("v_std"))
+        .filter(
+            (F.col("v_min") != F.col("v_max"))
+            & (F.abs(F.col("value") - F.col("v_mean")) > 3 * F.col("v_std"))
+        )
         .select(
             "event_id",
             "event_type",

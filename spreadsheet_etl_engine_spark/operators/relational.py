@@ -378,7 +378,14 @@ def salted_join(
     return out.drop("_salt")
 
 
-def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias_prefix: str) -> DataFrame:
+def exact_moments(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    alias_prefix: str,
+    include_range: bool = False,
+) -> DataFrame:
     """Mean / population variance / stddev computed from exact decimal
     power sums (Σx, Σx²) in ONE pass: algebraic aggregates that combine
     associatively across partitions — the scale-correct way to get exact,
@@ -393,7 +400,17 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
     Values must fit decimal(18,2): larger magnitudes fail loud under
     ANSI (null out under non-ANSI, shrinking ``n``'s basis) — pre-filter
     or widen the cast for such feeds.  NaN/±Infinity fail loud via
-    finite_or_fail (ANSI would silently NULL them out of the cast)."""
+    finite_or_fail (ANSI would silently NULL them out of the cast).
+
+    ``include_range=True`` appends exact decimal ``_min``/``_max``
+    columns — the EXACT degenerate-group detector (min = max ⟺ the
+    group is constant-valued).  Consumers that divide by ``_std`` need
+    it: for a constant group the double subtraction leaves ±1e-18
+    cancellation residue (or exact 0), so testing the float variance
+    is the same parity-blind trap agg_linear_fit fixed in r9 — a
+    zero-or-garbage sigma divides into garbage z-scores or an ANSI
+    DIVIDE_BY_ZERO that kills the whole query (r10 review pass 4,
+    found live in events_value_outliers)."""
     x = finite_or_fail(F.col(value_col), value_col).cast("decimal(18,2)")
     n = F.count(x)
     sx = F.sum(x)
@@ -402,12 +419,18 @@ def exact_moments(df: DataFrame, group_cols: list[str], value_col: str, *, alias
     # Clamp at 0: the final double subtraction can land at -1e-18 for
     # constant-valued groups, which would turn the stddev into NaN.
     var = F.greatest((sxx.cast("double") / n) - mean * mean, F.lit(0.0))
-    return df.groupBy(*group_cols).agg(
+    aggs = [
         n.alias(f"{alias_prefix}_n"),
         mean.alias(f"{alias_prefix}_mean"),
         var.alias(f"{alias_prefix}_var"),
         F.sqrt(var).alias(f"{alias_prefix}_std"),
-    )
+    ]
+    if include_range:
+        aggs += [
+            F.min(x).alias(f"{alias_prefix}_min"),
+            F.max(x).alias(f"{alias_prefix}_max"),
+        ]
+    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def resample_gapfill(

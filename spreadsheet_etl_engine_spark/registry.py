@@ -2492,6 +2492,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters",
     # r10 new query (growth rule: one per round) — first attestation.
     "text_unicode_hygiene",
+    # r10 review-pass-4 fix: degenerate-group guard (exact min=max) in
+    # the outlier filter — changed bytes on both engine and oracle need
+    # a fresh driver attestation.
+    "events_value_outliers",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -270,6 +270,39 @@ def test_duplicate_clusters_equals_naive_path(spark):
     assert n_star + n_rep_pairs < 2 * docs.count() # linear in the corpus
 
 
+def test_value_outliers_constant_group_flags_nothing(spark, tmp_path):
+    """A constant-valued group has no 3-sigma outliers — and must not
+    kill the query.  Without the exact min=max guard, sigma is double
+    cancellation residue (or exact 0) while the raw double value differs
+    from the decimal-rounded mean by ~1e-17, so every row of the group
+    'exceeded 3 sigma' and the z-score division was a garbage ~1e6 or an
+    ANSI DIVIDE_BY_ZERO that crashed the whole query (r10 review pass 4,
+    reproduced before the fix)."""
+    from spreadsheet_etl_engine_spark.registry import REGISTRY
+
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    # 99 small + 1 extreme: a single outlier among n rows is bounded at
+    # z <= (n-1)/sqrt(n), so n must be large enough for 3 sigma to be
+    # reachable at all (n=10 caps at 2.85).
+    rows = (
+        [(i, t0, 7, "buy", 0.11, None) for i in range(10)]      # constant
+        + [(100 + i, t0, 8, "view", float(i % 10), None) for i in range(99)]
+        + [(199, t0, 8, "view", 1000.0, None)]                  # outlier
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = REGISTRY["events_value_outliers"].fn(spark, sf).collect()
+    assert {r["event_type"] for r in out} == {"view"}
+    assert [r["event_id"] for r in out] == [199]
+    assert abs(out[0]["zscore"]) < 15  # sane magnitude, not residue junk
+
+
 def test_duplicate_clusters_banding_validated(spark):
     docs = spark.createDataFrame(
         [(1, "one two three four")], ["doc_id", "text"])
