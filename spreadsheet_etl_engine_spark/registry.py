@@ -2233,7 +2233,11 @@ def join_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
     """,
     doc="Unpivot/melt (wide->long): each measure column becomes a "
-        "(metric, value) row — per-row expansion, no shuffle.",
+        "(metric, value) row — per-row expansion, no shuffle.  NULL "
+        "measures are KEPT as (metric, NULL) rows (r10 review pass 4, "
+        "verified empirically): the DataFrame unpivot API emits them "
+        "and the UNION ALL oracle matches, i.e. melt semantics — note "
+        "SQL's UNPIVOT clause would EXCLUDE them by default.",
 )
 def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
