@@ -745,16 +745,15 @@ def duplicate_clusters(
     pairs:
 
     1. per-row MinHash signatures (no shuffle, same as the naive path);
-    2. collapse identical SIGNATURES to their min-id representative —
-       one map-side-combinable groupBy, so even a 1e6-row hot signature
-       reduces to one row per map partition before the shuffle;
+    2. ONE window shuffle on the signature columns yields both the
+       min-id representative per signature group AND the linear STAR
+       edges (representative -> member); the hot (mega-cluster)
+       signature is one window partition doing a linear, spillable min
+       over narrow rows — never a self-join;
     3. band keys + bucket self-join over REPRESENTATIVES only (the
-       banding step reuses the grouped signature columns — the corpus
+       banding step reuses the shuffled signature columns — the corpus
        text is scanned exactly once, in step 1);
-    4. STAR edges (representative -> member) attach the collapsed rows:
-       linear in cluster size, and a 1:N equi-join on the signature, not
-       a self-join;
-    5. min-label components over (rep pairs UNION star edges).
+    4. min-label components over (rep pairs UNION star edges).
 
     Result equivalence is exact, not approximate: documents with equal
     signatures share every band key, so each signature group is a clique
@@ -772,21 +771,28 @@ def duplicate_clusters(
     # signature-column list and a degenerate zero-key join below, long
     # before band_keys_from_signature could reject it.
     _validate_banding(num_hashes, bands)
+    from pyspark.sql.window import Window
+
     sig = minhash_signature(
         df, content_col, id_col,
         num_hashes=num_hashes, shingle_k=shingle_k, parallelism=parallelism,
     )
     hcols = [f"h{i}" for i in range(num_hashes)]
-    # min() is map-side combinable: the hot (mega-cluster) signature
-    # arrives at the reducer as one row per map partition, never m rows.
-    reps = sig.groupBy(*hcols).agg(F.min(id_col).alias(id_col))
+    # ONE shuffle produces both the representatives and the star edges:
+    # an unordered min-over-partition window on the signature columns
+    # (a groupBy + join-back costs a second shuffle of the same table —
+    # measured 1.25x the whole operator at sf0.1).  The hot (mega-
+    # cluster) signature lands in one window partition, but the work
+    # there is a linear whole-partition min over narrow (id, h0..h7)
+    # rows — spillable, never quadratic.
+    w = Window.partitionBy(*hcols)
+    tagged = sig.withColumn("_rep", F.min(id_col).over(w))
     star = (
-        sig.join(
-            reps.select(*hcols, F.col(id_col).alias("_rep")), hcols)
-        .filter(F.col(id_col) != F.col("_rep"))
+        tagged.filter(F.col(id_col) != F.col("_rep"))
         # rep = min of the group, so id_a < id_b holds by construction.
         .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
     )
+    reps = tagged.filter(F.col(id_col) == F.col("_rep")).select(id_col, *hcols)
     keys = band_keys_from_signature(
         reps, id_col, num_hashes=num_hashes, bands=bands)
     a = keys.alias("a")
