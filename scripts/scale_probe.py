@@ -379,6 +379,48 @@ def probe_asof(spark: SparkSession, reps: int, n: int) -> dict:
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
 
+_MEGA_TEXT = " ".join(f"boiler{i}" for i in range(30))
+
+
+def synth_megadup_docs(spark: SparkSession, n: int) -> DataFrame:
+    """Half the corpus is ONE byte-identical 30-token boilerplate doc (the
+    mega-duplicate cluster grows WITH the data — the crawl pathology),
+    the other half unique docs over an n-scaled vocabulary."""
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64(F.col("id"), i)) % F.lit(n * 30)).cast("string"),
+        ),
+    )
+    text = F.when(F.col("id") % 2 == 0, F.lit(_MEGA_TEXT)).otherwise(
+        F.concat_ws(" ", words)
+    )
+    return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+
+def probe_megadup(spark: SparkSession, reps: int, n: int) -> dict:
+    """duplicate_clusters at n and 10n docs where HALF the corpus is one
+    byte-identical mega-cluster (it grows 10x with the data): the
+    all-pairs naive form is quadratic in the cluster — C(n/2, 2) pairs
+    per band, 5e7 at the small arm and 5e9 at the big, unrunnable — so
+    only the collapsed path is timed and its ratio must stay ~linear.
+    The consumer counts both nodes and distinct components so the star
+    edges and the rep pairs are both in the measured plan."""
+    from spreadsheet_etl_engine_spark.operators.dedup import duplicate_clusters
+
+    arms = {}
+    for label, size in (("n", n), ("10n", 10 * n)):
+        docs = synth_megadup_docs(spark, size)
+        arms[label] = lambda d=docs: duplicate_clusters(
+            d, "text", "doc_id", num_hashes=8, bands=4,
+        ).agg(F.countDistinct("component"), F.count("*")).collect()
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    return {"probe": "duplicate_clusters_megadup", "n": n,
+            "t_n": round(t1, 2), "t_10n": round(t10, 2),
+            "ratio": round(t10 / t1, 2)}
+
+
 PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
@@ -390,6 +432,10 @@ PROBES = {
     "gapfill": (probe_gapfill, 1_000_000),
     # 500k/side -> 1M union rows small arm: the window sort dominates.
     "asof": (probe_asof, 500_000),
+    # 20k docs -> 10k-copy mega-cluster small arm (100k-copy at 10n):
+    # the all-pairs form would emit C(cluster,2) pairs per band —
+    # unrunnable at the big arm, which is the point of the collapse.
+    "megadup": (probe_megadup, 20_000),
 }
 
 

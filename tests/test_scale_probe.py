@@ -64,6 +64,13 @@ BOUNDS = {
     # ~10x a per-key sort funnel (or a double-shipped right payload)
     # would read, not a precision pin.
     "asof": 8.0,        # recorded 2.03x
+    # r10 addition: duplicate_clusters with HALF the corpus one
+    # byte-identical mega-cluster growing 10x with the data (10k ->
+    # 100k copies).  Recorded 2.39x — the quadratic all-pairs form
+    # would not even finish the big arm (C(100k,2) = 5e9 pairs per
+    # band), so any bound that completes is already the proof; 7.0 is
+    # ~3x the recorded median for ambient headroom.
+    "megadup": 7.0,     # recorded 2.39x
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
@@ -89,7 +96,10 @@ def _drop_probe_residue(spark):
 # gapfill in alphabetical order pushed an in-suite gapfill run to 19x —
 # standalone re-measured 3.4x on the same bytes, confirming ordering
 # residue, not a regression.)
-PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph", "components"]
+# megadup also ends in connected_components (localCheckpoint residue),
+# so it runs with components at the tail of the order.
+PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
+               "megadup", "components"]
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
 
