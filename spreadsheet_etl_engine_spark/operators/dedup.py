@@ -767,6 +767,56 @@ def duplicate_clusters(
     mega-cluster, where the edge-volume accounting shows the naive path
     quadratic and this one linear.
     """
+    # Pin the tagged signature frame ONCE before the edge fan-out: the
+    # window output feeds three consumers (both sides of the rep band
+    # self-join + the star filter), and Spark's ReuseExchange does not
+    # collapse them (verified on the executed plan: 3 corpus scans,
+    # 2 window shuffles without the pin).  Same fault-tolerance story
+    # as the components call below: localCheckpoint by default, an
+    # explicit parquet round-trip under checkpoint_dir for preemptible
+    # clusters (the file lives next to the round files and follows the
+    # same drop-the-directory-after-consuming lifecycle).
+    if checkpoint_dir is None:
+        def _pin_tagged(t: DataFrame) -> DataFrame:
+            return t.localCheckpoint(eager=True)
+    else:
+        def _pin_tagged(t: DataFrame) -> DataFrame:
+            path = f"{checkpoint_dir}/signature-tags"
+            t.write.mode("error").parquet(path)
+            return t.sparkSession.read.parquet(path)
+
+    edges = duplicate_cluster_edges(
+        df, content_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        parallelism=parallelism, _pin_tagged=_pin_tagged,
+    )
+    return connected_components(
+        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
+
+
+def duplicate_cluster_edges(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    parallelism: int | None = None,
+    _pin_tagged=None,
+) -> DataFrame:
+    """The edge list :func:`duplicate_clusters` feeds to components —
+    ``(id_a, id_b)`` with ``id_a < id_b``, representative pairs UNION
+    star edges.  Exposed separately so the plan is inspectable (the
+    clusters output materializes through checkpoints, which hides the
+    shape behind a Scan ExistingRDD) and so pipelines can persist the
+    edge list itself.
+
+    ``_pin_tagged`` (internal, used by :func:`duplicate_clusters`)
+    materializes the window-tagged signature frame before the edge
+    fan-out; without it the pure-lineage plan recomputes the corpus
+    scan per consumer (kept pure here so the dumped plan shows the
+    true shape)."""
     # Validated up front: num_hashes=0 would otherwise produce an empty
     # signature-column list and a degenerate zero-key join below, long
     # before band_keys_from_signature could reject it.
@@ -787,6 +837,8 @@ def duplicate_clusters(
     # rows — spillable, never quadratic.
     w = Window.partitionBy(*hcols)
     tagged = sig.withColumn("_rep", F.min(id_col).over(w))
+    if _pin_tagged is not None:
+        tagged = _pin_tagged(tagged)
     star = (
         tagged.filter(F.col(id_col) != F.col("_rep"))
         # rep = min of the group, so id_a < id_b holds by construction.
@@ -808,10 +860,7 @@ def duplicate_clusters(
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return connected_components(
-        rep_pairs.unionByName(star),
-        max_iter=max_iter, checkpoint_dir=checkpoint_dir,
-    )
+    return rep_pairs.unionByName(star)
 
 
 def random_hyperplanes(n_planes: int, dim: int, *, seed: int = 7) -> list[list[float]]:

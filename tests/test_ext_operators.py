@@ -1289,8 +1289,11 @@ def test_checkpoint_dir_conf_reachable_from_registry(spark, sf_dir, tmp_path):
     assert reliable == base
     runs = list(root.iterdir())
     assert len(runs) == 1 and runs[0].name.startswith("cc-")
-    # superseded rounds were deleted: sym + final labels only
-    assert len(list(runs[0].iterdir())) == 2
+    # superseded rounds were deleted: the pinned signature tags (r10:
+    # duplicate_clusters materializes the window output once before the
+    # edge fan-out), sym, and the final labels — nothing else
+    names = sorted(p.name for p in runs[0].iterdir())
+    assert "signature-tags" in names and len(names) == 3, names
 
 
 def test_text_unicode_hygiene_counts(spark, tmp_path):
