@@ -36,7 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # Timestamp-to-string casts in query outputs assume a UTC session —
     # pin it here so driver-created sessions with another TZ still match
-    # the (naive-timestamp) DuckDB oracles.
+    # the (naive-timestamp) DuckDB oracles.  Deliberately session-GLOBAL
+    # and persistent (r10 review pass 5: same mutation class as the r9
+    # setCheckpointDir finding, here it IS the contract): every query in
+    # this engine assumes UTC, and a session that loads these tables is
+    # running this engine.  A caller that needs another display TZ for
+    # its own frames should restore the conf after loading.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # Scope the legacy conf to THIS read: schema resolution happens
