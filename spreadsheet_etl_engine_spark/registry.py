@@ -2448,7 +2448,12 @@ def get(name: str) -> RegisteredQuery:
 #     global setCheckpointDir mutation to explicit parquet round-trips
 #     with superseded-round deletion, and plumbed through the session
 #     conf key spark.spreadsheet_etl.checkpoint.dir (default path
-#     result-identical, equivalence pytest-pinned);
+#     result-identical, equivalence pytest-pinned); then rerouted
+#     through duplicate_clusters (r10 late): identical-signature docs
+#     collapse to a min-id representative BEFORE the band self-join, so
+#     a mega-duplicate cluster costs O(m) star edges instead of O(m^2)
+#     pairs — result-identical (clique-contraction proof + equivalence
+#     test in operators/dedup.py), oracles unchanged;
 #   * streaming_tumbling_counts / streaming_session_counts /
 #     streaming_view_click_join - read_event_stream's validation probe
 #     now swallows ONLY PATH_NOT_FOUND/UNABLE_TO_INFER_SCHEMA instead
