@@ -52,6 +52,10 @@ OPTIONAL = [
     # r6: sub-document dedup (new operator; gets its own line per
     # BENCH_NOTES — the 21-query r5 set stays 1:1 comparable).
     "dedup_paragraphs",
+    # r10: the mega-duplicate-safe cluster path (signature-collapse ->
+    # rep band join -> components) — new line, prior lines stay 1:1
+    # comparable.
+    "dedup_components",
 ]
 
 
