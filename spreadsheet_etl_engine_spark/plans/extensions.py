@@ -38,6 +38,9 @@ syntax, so this extension keeps the reference's idiom — one rule per row,
 * ``_sort:<name>``: ``by: src[col] [asc|desc], ...`` and
   ``_limit:<name>``: ``<n>`` — applied after projection/aggregation
   (together they plan as TakeOrderedAndProject, never a global sort).
+  NULL keys order LAST in both directions (pinned — Spark's bare asc
+  defaults NULLS FIRST where most engines default LAST, and with
+  ``_limit:`` that selects different ROWS per engine).
 * ``_distinct:<name>`` (instruction empty): full-row DISTINCT over the
   projected output, applied before sort/limit.  Only the full-row form
   exists — subset-distinct keeps an arbitrary survivor per key, which is
@@ -468,8 +471,16 @@ def run_mapping_v2(
         # columns (Catalyst plans dropDuplicates as partial+final agg).
         out = out.dropDuplicates()
     if spec.sort_keys:
+        # NULLS LAST pinned in BOTH directions (r10 review pass 6 — the
+        # same latent-divergence class as the r9 window pins): Spark's
+        # bare asc defaults NULLS FIRST while DuckDB/most engines default
+        # NULLS LAST, so a v2 sort on a NULL-able key would order — and
+        # with _limit:, SELECT — different rows per engine.  desc already
+        # defaults NULLS LAST in both; pinned anyway so the contract is
+        # explicit, not inherited.
         out = out.orderBy(
-            *[F.desc(k.column) if k.descending else F.asc(k.column) for k in spec.sort_keys]
+            *[F.desc_nulls_last(k.column) if k.descending
+              else F.asc_nulls_last(k.column) for k in spec.sort_keys]
         )
     if spec.limit is not None:
         out = out.limit(spec.limit)

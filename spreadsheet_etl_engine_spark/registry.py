@@ -2505,6 +2505,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the outlier filter — changed bytes on both engine and oracle need
     # a fresh driver attestation.
     "events_value_outliers",
+    # r10 review-pass-6 fix: v2 _sort: now pins NULLS LAST in both
+    # directions (extensions.py changed bytes; this is the registered
+    # consumer of the sort/limit path — its driver keys are non-NULL so
+    # values are provably identical, re-attested anyway).
+    "dsl_v2_having_topn",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -555,3 +555,23 @@ def test_v2_right_join_type_mismatched_collision_keeps_left(spark):
     # right string is dropped, while the matching-type key column still
     # rescues the row identity.
     assert [(r["K"], r["V"]) for r in out] == [("a", 1), ("b", None)]
+
+
+def test_v2_sort_orders_nulls_last_both_directions(spark):
+    """NULLS LAST pinned on _sort: in BOTH directions (r10 review pass 6):
+    Spark's bare asc defaults NULLS FIRST where DuckDB (and the repo-wide
+    pinned stance) defaults LAST — with _limit: that silently SELECTS
+    different rows per engine on any NULL-able sort key."""
+    src = spark.createDataFrame(
+        [("a", 2), ("b", None), ("c", 1)], "k string, v long"
+    )
+    asc = run_mapping_v2(
+        {"src": src},
+        [("K", "src[k]"), ("_sort:s", "by: src[v] asc"), ("_limit:l", "2")],
+    ).collect()
+    assert [r["K"] for r in asc] == ["c", "a"]        # NULL row not selected
+    desc = run_mapping_v2(
+        {"src": src},
+        [("K", "src[k]"), ("_sort:s", "by: src[v] desc"), ("_limit:l", "2")],
+    ).collect()
+    assert [r["K"] for r in desc] == ["a", "c"]
