@@ -295,6 +295,10 @@ class _Parser:
 
         if name == "IF":
             if len(args) == 2:
+                # Typed-engine choice: IF(c, a) is NULL when c is false
+                # (Sheets returns the boolean FALSE there — a type a
+                # typed column can't mix with a's; documented divergence,
+                # r10 review pass 6).
                 return F.when(args[0], args[1])
             arity(3)
             return F.when(args[0], args[1]).otherwise(args[2])
@@ -318,9 +322,10 @@ class _Parser:
             if len(args) == 1:
                 return F.round(args[0], 0)
             arity(2)
-            # Sheets rounds half away from zero; Spark F.round is HALF_UP —
-            # same behavior for non-negative inputs and close enough for the
-            # supported numeric domain.
+            # Sheets rounds half away from zero; Spark F.round is Java
+            # HALF_UP, which IS ties-away-from-zero for negatives too
+            # (r10 review pass 6: exact match for the whole signed
+            # domain, modulo binary-double representation of the input).
             return F.round(args[0], self._literal_int(name, literals, 1))
         if name in ("MIN", "LEAST"):
             return args[0] if len(args) == 1 else F.least(*args)
