@@ -100,6 +100,14 @@ EDGE_QUERIES = [
     "dsl_workbook_job",
     "dsl_csv_roundtrip",
     "dsl_json_source",
+    # r10 family 12 (heavy duplication): the 12-copy identical cluster +
+    # near-dup chain target the cluster/pairs surface — the
+    # signature-collapse path (star edges + rep pairs vs the recursive-
+    # CTE oracle), the banded pairs queries whose buckets now hold a
+    # 12-row clique, and the df-threshold ops the cluster spikes.
+    "dedup_components",
+    "dedup_minhash_lsh_pairs",
+    "agg_heavy_hitters",
 ]
 
 # Queries whose exact-decimal accumulation the planted NON-FINITE
@@ -231,6 +239,32 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000022, 'nbsp' || chr(160) || 'glue linesep' ||
                chr(8232) || 'glue tail words here', 'en', 'edge', 30
+        -- twelfth family (r10): HEAVY DUPLICATION.  (a) a 12-copy
+        -- byte-identical boilerplate cluster under DISTINCT ids —
+        -- family 8's pair at cluster scale: the signature-collapse
+        -- path's target workload (11 star edges, one representative;
+        -- C(12,2)=66 pairs in every pairs query), survivorship picking
+        -- ONE winner of 12 in the curation pipeline, and a 12x df
+        -- spike through tfidf/ngram/heavy-hitters; (b) a near-dup
+        -- CHAIN (three docs, each one word from the next) so clusters
+        -- can also form through REPRESENTATIVE pairs — multi-hop
+        -- components, not only star edges.  Whether a chain hop
+        -- collides is set by the fixed MinHash banding (deterministic
+        -- on both engines), so parity holds for either outcome.
+        UNION ALL
+        SELECT 90000030 + i,
+               'duplicate cluster boilerplate terms of service apply ' ||
+               'to every mirror page', 'en', 'edge', 73
+        FROM range(12) t(i)
+        UNION ALL
+        SELECT 90000042, 'chain alpha beta gamma delta epsilon zeta ' ||
+               'eta theta iota', 'en', 'edge', 56
+        UNION ALL
+        SELECT 90000043, 'chain alpha beta gamma delta epsilon zeta ' ||
+               'eta theta swapped', 'en', 'edge', 59
+        UNION ALL
+        SELECT 90000044, 'start alpha beta gamma delta epsilon zeta ' ||
+               'eta theta swapped', 'en', 'edge', 59
     """,
     "events": """
         SELECT 90000001::BIGINT AS event_id,
@@ -631,7 +665,7 @@ def test_edge_rows_present(edge_dir, edge_duck):
     n = edge_duck.execute(
         "SELECT count(*) FROM documents WHERE doc_id >= 90000000"
     ).fetchone()[0]
-    assert n == 22
+    assert n == 37  # 22 through family 11 + family 12's 12-copy cluster and 3-doc chain
     sup = edge_duck.execute(
         "SELECT count(*) FROM supplier WHERE s_suppkey >= 90000000"
     ).fetchone()[0]
