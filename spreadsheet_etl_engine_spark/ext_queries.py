@@ -1089,6 +1089,65 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stateful_totals",
+    # The stateful operator is deterministic in its FINAL per-user row:
+    # n_events is an exact count, and the operator accumulates integer
+    # cents under the engine-wide decimal(18,2) measure contract (cast
+    # Spark-side, summed as exact Python ints — see
+    # running_user_totals' docstring), so the last emitted row per user
+    # (the one with max n_events — n strictly increases across
+    # micro-batches) carries a sum that is arrival-order-independent
+    # and bit-identical to the oracle's exact decimal sum cast to
+    # double.  pytest additionally pins stream == batch and checkpoint
+    # kill-and-resume (tests/test_streaming.py).
+    oracle="""
+    -- coalesce: a user whose every value is NULL sums to 0 cents in
+    -- the operator (missing entries just don't contribute) while SQL
+    -- sum() yields NULL
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState) "
+        "executed as a real Structured Streaming query: running per-user "
+        "event count and value sum, file source, availableNow, update-"
+        "mode memory sink, 2 files per micro-batch so most users' state "
+        "is restored and updated across batches rather than created "
+        "once (streaming/events.py:running_user_totals).",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_in"
+        # 8 files + 2 per trigger => ~4 micro-batches: the state-restore
+        # path (get/update across batches) is what this row attests.
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+        stream = SE.read_event_stream(spark, src, max_files_per_trigger=2)
+        name = "streaming_stateful_totals_sink"
+        SE.run_to_memory_sink(
+            SE.running_user_totals(stream), name, output_mode="update"
+        )
+        out = spark.table(name)
+        final = (
+            out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                # the row with max n_events is the final state emission
+                # (n strictly increases per user across micro-batches)
+                F.max_by("total_value", "n_events").alias("total_value"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
+@register(
     "quality_constraint_report",
     oracle="""
     -- coalesce on every sum: over zero rows SQL sum() is NULL, but an
@@ -2331,7 +2390,18 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            (e.value - m.mu) / m.sigma AS zscore
     FROM events e JOIN m ON e.event_type = m.event_type
                   JOIN r ON e.event_type = r.event_type
-    WHERE r.mn <> r.mx AND abs(e.value - m.mu) > 3 * m.sigma
+    -- sigma > 0 (r10 ADVICE): min<>max only excludes EXACTLY-constant
+    -- groups; a non-constant group with large magnitudes near the
+    -- decimal cap (values ~1e8, spread 0.01) has sxx/n and mu^2 ~1e16
+    -- where double ulp is ~2, so the clamped variance can still land
+    -- at exactly 0.0 with min<>max — the division then raises ANSI
+    -- DIVIDE_BY_ZERO in Spark while DuckDB yields Infinity.  Both
+    -- engines compute sigma as the IDENTICAL double expression from
+    -- exact decimal sums, so this predicate is bit-identical across
+    -- engines and strictly stronger than the min/max test (kept for
+    -- the comment trail: it documents the common constant-group case).
+    WHERE r.mn <> r.mx AND m.sigma > 0
+      AND abs(e.value - m.mu) > 3 * m.sigma
     """,
     doc="Per-group z-score outliers: exact one-pass decimal moments per "
         "event_type (operators/relational.py:exact_moments — associative "
@@ -2356,8 +2426,15 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       include_range=True)
     return (
         ev.join(F.broadcast(m), "event_type")
+        # v_std > 0 (r10 ADVICE fix): min != max misses near-constant
+        # large-magnitude groups whose clamped double variance lands at
+        # exactly 0.0 (sxx/n ~ 1e16 has ulp ~2); v_std is the identical
+        # double expression on both engine and oracle (exact decimal
+        # sums -> the same sqrt/greatest arithmetic), so the predicate
+        # is bit-identical across engines and strictly stronger.
         .filter(
             (F.col("v_min") != F.col("v_max"))
+            & (F.col("v_std") > 0)
             & (F.abs(F.col("value") - F.col("v_mean")) > 3 * F.col("v_std"))
         )
         .select(

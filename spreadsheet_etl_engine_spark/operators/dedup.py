@@ -596,6 +596,15 @@ def resolve_checkpoint_dir(spark: SparkSession) -> str | None:
     return f"{root.rstrip('/')}/cc-{uuid.uuid4().hex}"
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete through the Hadoop FS of ``path`` (works for any
+    scheme the session can write — not os-module local-only)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -603,6 +612,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    _after_edges_pinned=None,
 ) -> DataFrame:
     """Connected components over a pair list → ``(node, component)`` with
     ``component`` = the minimum node id in the component (the canonical
@@ -652,13 +662,6 @@ def connected_components(
     if max_iter < 1:
         raise ValueError(f"max_iter={max_iter} must be >= 1")
     spark = edges.sparkSession
-
-    def _delete_path(path: str) -> None:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
-
     _round_no = 0
 
     def _pin(df: DataFrame) -> tuple[DataFrame, str | None]:
@@ -673,6 +676,13 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym, _ = _pin(sym)  # referenced every round — never deleted mid-run
+    if _after_edges_pinned is not None:
+        # The edge lineage's own inputs are dead weight once sym is
+        # durable: duplicate_clusters hooks this to delete its corpus-
+        # sized signature-tags file (r10 ADVICE finding 2 — it was
+        # retained, as the directory's LARGEST file, for the whole of
+        # the multi-hour preemptible runs reliable mode exists for).
+        _after_edges_pinned()
     labels, labels_path = _pin(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -705,7 +715,7 @@ def connected_components(
         # The changed-count above was the last reader of round N-1:
         # delete it now that round N is durable (reliable mode only).
         if labels_path is not None:
-            _delete_path(labels_path)
+            _delete_path(spark, labels_path)
         labels, labels_path = new_labels, new_path
         if changed == 0:
             return labels.select(F.col("node"), F.col("component"))
@@ -774,16 +784,29 @@ def duplicate_clusters(
     # 2 window shuffles without the pin).  Same fault-tolerance story
     # as the components call below: localCheckpoint by default, an
     # explicit parquet round-trip under checkpoint_dir for preemptible
-    # clusters (the file lives next to the round files and follows the
-    # same drop-the-directory-after-consuming lifecycle).
+    # clusters.  The file is deleted as soon as connected_components
+    # durably pins the symmetrized edge list (its last reader) — see
+    # after_edges_pinned below.
+    after_edges_pinned = None
     if checkpoint_dir is None:
         def _pin_tagged(t: DataFrame) -> DataFrame:
             return t.localCheckpoint(eager=True)
     else:
+        tags_path = f"{checkpoint_dir}/signature-tags"
+
         def _pin_tagged(t: DataFrame) -> DataFrame:
-            path = f"{checkpoint_dir}/signature-tags"
-            t.write.mode("error").parquet(path)
-            return t.sparkSession.read.parquet(path)
+            t.write.mode("error").parquet(tags_path)
+            return t.sparkSession.read.parquet(tags_path)
+
+        def after_edges_pinned() -> None:
+            # signature-tags is corpus-sized (one row per shingleable
+            # doc) and its last reader is the edge lineage; once
+            # connected_components has durably pinned the symmetrized
+            # edge list as round-00000 it is dead weight — delete it
+            # there and then instead of retaining the directory's
+            # largest file for the whole multi-hour run (r10 ADVICE
+            # finding 2).
+            _delete_path(df.sparkSession, tags_path)
 
     edges = duplicate_cluster_edges(
         df, content_col, id_col,
@@ -791,7 +814,8 @@ def duplicate_clusters(
         parallelism=parallelism, _pin_tagged=_pin_tagged,
     )
     return connected_components(
-        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
+        edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
+        _after_edges_pinned=after_edges_pinned)
 
 
 def duplicate_cluster_edges(

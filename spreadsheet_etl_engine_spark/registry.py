@@ -2435,11 +2435,20 @@ def get(name: str) -> RegisteredQuery:
 # the seat of sort_topk (green r5, byte-unchanged, joins the r10
 # freshness queue).  New surface (1) ≤ first-time driver verifications
 # (1 — the query itself), per the standing growth rule.
+# r11 rotation (r10 verdict item 3): keep the freshness treadmill
+# moving — the 11 queries whose newest driver row is r6-r7 (computed
+# from the CORRECTNESS_r01-r10 union) take head seats so nothing older
+# than r8 remains after the r11 driver run.  Plus the r11 growth query
+# (streaming_stateful_totals — the one streaming surface with no driver
+# attestation, r10 verdict item 2) and this round's changed-bytes
+# re-verifications, each annotated inline below.
+#
+# --- prior (r10) head rationale, kept for the audit trail ---
 # r10 rotation - FINISH the freshness pass (r9 verdict item 1): the 23
 # queries whose newest driver row still predates r6 (computed from the
 # CORRECTNESS_r01-r09 union: 4 from r2, 7 from r3, 4 from r4, 8 from
 # r5) all take head seats, so after the r10 driver run NO query's
-# newest row predates r6.  Plus this round's forced re-verifications
+# newest row predates r6.  Plus that round's forced re-verifications
 # (changed bytes, r9 ADVICE fixes + verdict item 5):
 #   * join_asof - asof_join forward order pinned desc_nulls_first (a
 #     NULL left timestamp now matches nothing in either direction);
@@ -2465,51 +2474,36 @@ def get(name: str) -> RegisteredQuery:
 # entering the 50-slot head goes through scripts/check_promotions.py
 # at BOTH sf0.001 and sf0.01 before the round's driver run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- freshness: newest driver row r2-r5, byte-unchanged since ---
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_quantiles",
-    "agg_pivot",
-    "sort_topk",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "join_semi",
-    "join_anti",
-    "distinct_nations_per_segment",
-    "profile_columns",
-    "reshape_unpivot",
-    "etl_upsert",
-    "dsl_formula_chain",
-    "dsl_a1_formula",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_lsh_pairs",
-    "text_langid",
-    "text_wordcount_top",
-    # --- r10 changed-bytes re-verifications (see block comment) ---
-    "join_asof",
+    # --- r11 freshness: newest driver row r6-r7, byte-unchanged since
+    # (pinned by the tail fingerprint + shared-module hash tripwire) ---
+    "dedup_embedding_neardup",
+    "dedup_keep_best",
+    "dedup_minhash_signature",
+    "events_funnel",
+    "profile_key_skew",
+    "text_contamination",
+    "text_repetition",
+    "sample_cap_per_source",
+    "sample_hash",
+    "text_collocations_pmi",
+    "text_tfidf_top_terms",
+    # --- r11 new query (growth rule: one per round; r10 verdict item
+    # 2): the stateful applyInPandasWithState operator run as a real
+    # stream — first driver attestation. ---
+    "streaming_stateful_totals",
+    # --- r11 changed-bytes re-verifications ---
+    # r10 ADVICE finding 1: events_value_outliers' degenerate-group
+    # guard strengthened from min!=max to v_std>0 on BOTH engine and
+    # oracle (bit-identical double predicate) — changed bytes.
+    "events_value_outliers",
+    # r10 ADVICE finding 2: duplicate_clusters' reliable-checkpoint
+    # lifecycle now deletes the corpus-sized signature-tags file once
+    # connected_components durably pins the symmetrized edges (dedup.py
+    # changed bytes; default-path results provably identical — the
+    # callback is None outside reliable mode — re-attested anyway, the
+    # standing changed-bytes rule).
     "dedup_components",
     "curation_pipeline_decisions",
-    "streaming_tumbling_counts",
-    "streaming_session_counts",
-    "streaming_view_click_join",
-    # r10 in-round change: empty-token exclusion (the r9 review's one
-    # deferred find) — needs a fresh driver attestation.
-    "agg_heavy_hitters",
-    # r10 new query (growth rule: one per round) — first attestation.
-    "text_unicode_hygiene",
-    # r10 review-pass-4 fix: degenerate-group guard (exact min=max) in
-    # the outlier filter — changed bytes on both engine and oracle need
-    # a fresh driver attestation.
-    "events_value_outliers",
-    # r10 review-pass-6 fix: v2 _sort: now pins NULLS LAST in both
-    # directions (extensions.py changed bytes; this is the registered
-    # consumer of the sort/limit path — its driver keys are non-NULL so
-    # values are provably identical, re-attested anyway).
-    "dsl_v2_having_topn",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -207,36 +207,86 @@ def running_user_totals(
     catch-up/backfill runs — whose state is bounded by the run's total
     key count anyway — should leave it off and continuous deployments
     should turn it on.
+
+    The running sum is EXACT, not float (r11): ``value`` is cast to
+    integer cents Spark-side under the engine-wide decimal(18,2)
+    measure contract — the ANSI decimal cast fails loud on NaN/±inf and
+    on magnitudes past the cap, the same stance as
+    ``functions.numeric.finite_or_fail`` and the same arithmetic every
+    batch twin's oracle uses — and the state accumulates Python ints
+    (arbitrary precision; the int64 state-store boundary is guarded
+    fail-loud).  A float64 accumulator drifted ~1e-2 on 1e12-magnitude
+    values depending on arrival order (edge family 5), which is both
+    nondeterministic across retries and unreconcilable with an exact
+    decimal oracle.  The emitted ``total_value`` is the correctly-
+    rounded double of the exact cent total.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     output_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    state_schema = "n long, total_cents long"
     timeout = (GroupStateTimeout.NoTimeout if idle_timeout_ms is None
                else GroupStateTimeout.ProcessingTimeTimeout)
 
+    def _as_double(cents: int) -> float:
+        from decimal import Decimal
+
+        # float(Decimal)/100 in one exact step: correctly rounded for ANY
+        # cent total (float(cents)/100.0 double-rounds past 2^53).
+        return float(Decimal(cents) / 100)
+
     def update(key, pdf_iter, state):
+        import numpy as np
+
         if state.hasTimedOut:
-            n, total = state.get if state.exists else (0, 0.0)
+            n, cents = state.get if state.exists else (0, 0)
             state.remove()          # evict: bounded state
             yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+                {"user_id": [key[0]], "n_events": [n],
+                 "total_value": [_as_double(cents)]}
             )
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # value_cents arrives as float64 when the batch has NULLs
+            # (Arrow int64+nulls -> pandas NaN); each non-null entry is
+            # an exact integer < 2^53, and tolist()+sum accumulates in
+            # Python ints so the batch subtotal is exact at any size.
+            c = pdf["value_cents"].to_numpy(dtype="float64", copy=False)
+            cents += int(sum(int(x) for x in c[~np.isnan(c)]))
+        if not (-(2**63) < cents < 2**63):  # pragma: no cover — 9.2e16 units
+            raise ValueError(
+                f"running_user_totals: total for user {key[0]} overflows "
+                "the int64 cent state (|total| >= 2^63 cents); this feed "
+                "needs a wider state type or per-window totals"
+            )
+        state.update((n, cents))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [_as_double(cents)]}
         )
 
+    # Project BEFORE the stateful op: applyInPandasWithState ships every
+    # input column through Arrow into pandas, so (a) wide rows (props,
+    # event_type) would cross the Python boundary for nothing — at
+    # 100 TB the Arrow batch width IS the transfer cost — and (b) a
+    # timestamp column would hit pandas' ns-range limit (year 9999
+    # overflows timestamp[ns]; ArrowInvalid kills the stream — edge
+    # family 2 find).  The cents cast lives here too, so every value
+    # semantics decision (rounding, NaN, overflow) is made by the SAME
+    # Spark/ANSI arithmetic the batch twins and their oracles use —
+    # Python only ever sees exact integers.
     return (
-        events.groupBy("user_id")
+        events.select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long").alias("value_cents"),
+        )
+        .groupBy("user_id")
         .applyInPandasWithState(
             update, output_schema, state_schema, "update", timeout
         )

@@ -303,6 +303,38 @@ def test_value_outliers_constant_group_flags_nothing(spark, tmp_path):
     assert abs(out[0]["zscore"]) < 15  # sane magnitude, not residue junk
 
 
+def test_value_outliers_near_constant_large_magnitude_group(spark, tmp_path):
+    """r10 ADVICE finding 1: min != max only excludes EXACTLY-constant
+    groups.  A non-constant group near the decimal cap (values ~1e8,
+    spread 0.01) has sxx/n and mean^2 ~1e16 where double ulp is ~2, so
+    the clamped variance lands at exactly 0.0 WITH min != max — the
+    z-score division then raised ANSI DIVIDE_BY_ZERO (verified: the
+    variance really is 0.0 for this fixture).  The fix filters v_std > 0
+    on the engine and m.sigma > 0 on the oracle — the identical double
+    expression both sides, so parity is preserved by construction."""
+    from spreadsheet_etl_engine_spark.registry import REGISTRY
+
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = (
+        # near-constant at large magnitude: min != max, variance -> 0.0
+        [(i, t0, 7, "buy", 1e8 + (0.01 if i % 2 else 0.0), None)
+         for i in range(100)]
+        + [(200 + i, t0, 8, "view", float(i % 10), None) for i in range(99)]
+        + [(299, t0, 8, "view", 1000.0, None)]                  # outlier
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = REGISTRY["events_value_outliers"].fn(spark, sf).collect()
+    assert {r["event_type"] for r in out} == {"view"}
+    assert [r["event_id"] for r in out] == [299]
+
+
 def test_duplicate_clusters_banding_validated(spark):
     docs = spark.createDataFrame(
         [(1, "one two three four")], ["doc_id", "text"])
@@ -1289,11 +1321,15 @@ def test_checkpoint_dir_conf_reachable_from_registry(spark, sf_dir, tmp_path):
     assert reliable == base
     runs = list(root.iterdir())
     assert len(runs) == 1 and runs[0].name.startswith("cc-")
-    # superseded rounds were deleted: the pinned signature tags (r10:
-    # duplicate_clusters materializes the window output once before the
-    # edge fan-out), sym, and the final labels — nothing else
+    # superseded rounds were deleted — INCLUDING the corpus-sized
+    # signature-tags pin (r10 ADVICE finding 2: it used to be retained,
+    # as the directory's largest file, for the whole run; it is now
+    # deleted the moment connected_components durably pins the
+    # symmetrized edge list, its last reader).  Surviving files: sym
+    # (round-00000) and the final labels round — nothing else.
     names = sorted(p.name for p in runs[0].iterdir())
-    assert "signature-tags" in names and len(names) == 3, names
+    assert "signature-tags" not in names and len(names) == 2, names
+    assert names[0] == "round-00000", names
 
 
 def test_text_unicode_hygiene_counts(spark, tmp_path):
