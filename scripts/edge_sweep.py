@@ -42,6 +42,17 @@ def main() -> int:
         if unknown:
             print(f"not registered: {unknown}")
             return 2
+        # The sweep tests parametrize over ORACLED queries only, so a
+        # registered-but-oracle-less name would match zero tests and be
+        # silently skipped while the gate reads green (r11 scripts
+        # review — the same silent-drop class the registry check above
+        # fixed).  Fail loud instead: no-oracle queries have no edge-
+        # parity form to sweep.
+        no_oracle = [n for n in names if registry.REGISTRY[n].oracle is None]
+        if no_oracle:
+            print(f"no oracle (nothing to sweep, would silently skip): "
+                  f"{no_oracle}")
+            return 2
         cmd += ["-k", " or ".join(f"[{n}]" for n in names)]
     return subprocess.call(cmd, env=env, cwd=repo)
 

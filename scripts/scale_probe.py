@@ -297,6 +297,63 @@ def probe_components(spark: SparkSession, reps: int, n: int) -> dict:
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
 
+def probe_stardiam(spark: SparkSession, reps: int, n: int) -> dict:
+    """label vs star components as component DIAMETER grows at a fixed
+    edge budget (r10 verdict item 4).  Two axes in one probe:
+
+    * default-choice evidence: on the dup-shaped arm (diameter 15,
+      chains of 16 — already the worst REALISTIC dup shape; cliques
+      converge in 1 round) compare label vs star wall time.  If label
+      wins here, it stays the default.
+    * diameter growth: the same total edges re-wired into chains of 50
+      (diameter 49, past the default max_iter=25 fail-loud bound).
+      label's round count grows with the diameter; star's stays
+      O(log n) — star must converge under the SAME budget with wall
+      time far below label-at-49's extrapolation.
+
+    Total edge count is FIXED across arms so any wall-time movement is
+    round structure, not data volume."""
+    from spreadsheet_etl_engine_spark.operators.dedup import connected_components
+
+    def chains(chain_len: int) -> DataFrame:
+        n_chains = max(1, n // (chain_len - 1))
+        return synth_chain_edges(spark, n_chains, chain_len=chain_len)
+
+    def dup_stars(members_per_cluster: int = 10) -> DataFrame:
+        # What duplicate_cluster_edges actually emits: min-id star
+        # edges per cluster (diameter 2) — the REAL dup workload the
+        # default must serve, vs the chain arms below (diameter = the
+        # algorithmic stressor).
+        m = members_per_cluster
+        return spark.range(n).select(
+            (F.xxhash64(F.expr(f"id div {m}") * (m + 1))).alias("id_a"),
+            (F.xxhash64(F.expr(f"id div {m}") * (m + 1)
+                        + F.col("id") % m + 1)).alias("id_b"),
+        )
+
+    def run(edges: DataFrame, algorithm: str):
+        return connected_components(
+            edges, max_iter=60, algorithm=algorithm
+        ).agg(F.countDistinct("component")).collect()
+
+    edup, e16, e50 = dup_stars(), chains(16), chains(50)
+    t_label_dup, t_star_dup = ab_medians(
+        lambda: run(edup, "label"), lambda: run(edup, "star"), reps)
+    t_label16, t_star16 = ab_medians(
+        lambda: run(e16, "label"), lambda: run(e16, "star"), reps)
+    t_label50, t_star50 = ab_medians(
+        lambda: run(e50, "label"), lambda: run(e50, "star"), reps)
+    return {
+        "probe": "components_label_vs_star", "edges": n,
+        "t_label_dup": round(t_label_dup, 2),
+        "t_star_dup": round(t_star_dup, 2),
+        "t_label_d15": round(t_label16, 2), "t_star_d15": round(t_star16, 2),
+        "t_label_d49": round(t_label50, 2), "t_star_d49": round(t_star50, 2),
+        "label_growth_d15_to_d49": round(t_label50 / t_label16, 2),
+        "star_growth_d15_to_d49": round(t_star50 / t_star16, 2),
+    }
+
+
 def synth_keyed_events(spark: SparkSession, n: int, *,
                        events_per_key: int = 100,
                        span_hours: int = 500) -> DataFrame:
@@ -436,6 +493,10 @@ PROBES = {
     # the all-pairs form would emit C(cluster,2) pairs per band —
     # unrunnable at the big arm, which is the point of the collapse.
     "megadup": (probe_megadup, 20_000),
+    # 30k edges fixed across arms: enough that per-round shuffles (not
+    # session overhead) dominate, small enough that label's 49-diameter
+    # arm (50 rounds) finishes in probe time.
+    "stardiam": (probe_stardiam, 30_000),
 }
 
 

@@ -57,6 +57,11 @@ _SEMANTIC_ENV = (
     "SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_TEST_SF_DIR",
     "SPARK_GRAFT_BENCH_REPS", "SPARK_GRAFT_EDGE_SWEEP",
     "SPARK_GRAFT_SCALE_PROBE", "SPARK_GRAFT_CPUS",
+    # r11: the bench idle-qualification knobs are evidence-semantic too —
+    # a stale SPARK_GRAFT_IDLE_WAIT_S=0 or PROBE_FLOOR override would
+    # make idle_qualified meaningless while the table reads green.
+    "SPARK_GRAFT_IDLE_WAIT_S", "SPARK_GRAFT_PROBE_FLOOR",
+    "SPARK_GRAFT_PROBE_MARGIN",
 )
 
 
@@ -93,7 +98,9 @@ def run_stage(name: str) -> tuple[bool, float, str]:
                     else:
                         tail = (f"total {rec['value']}s "
                                 f"(reps={rec.get('reps')}, "
-                                f"load={rec.get('load_avg_1m')})")
+                                f"load={rec.get('load_avg_1m')}, "
+                                f"idle_qualified="
+                                f"{rec.get('idle_qualified')})")
                 except (json.JSONDecodeError, KeyError):
                     # exit 0 without a parseable recording is NOT green —
                     # the recording IS the stage's evidence.

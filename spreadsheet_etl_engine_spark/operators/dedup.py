@@ -612,6 +612,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
     _after_edges_pinned=None,
 ) -> DataFrame:
     """Connected components over a pair list → ``(node, component)`` with
@@ -655,12 +656,31 @@ def connected_components(
       ``mode("error")`` — reusing a dir across runs would silently mix
       rounds).
 
-    For web-scale graphs with long chains, the large-star/small-star
-    formulation (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") drops rounds to O(log n); dup graphs do not need it.
+    ``algorithm`` picks the round structure — results are identical
+    (both return min-id component labels; equivalence is pytest-pinned
+    on chains, triangles, mega-duplicate cliques and random graphs):
+
+    * ``"label"`` (default): min-label propagation, one shuffle per
+      round, O(component diameter) rounds.  The right default for dup
+      graphs, whose components are star/clique shaped (diameter 2-3):
+      on the measured dup-shaped arm (30k star edges, diameter 2) label
+      runs 3.3s vs star's 3.7s — fewer rounds AND a lighter per-round
+      plan (scripts/scale_probe.py --probe stardiam, BENCH_NOTES r11).
+    * ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", 2014) —
+      O(log n) rounds INDEPENDENT of diameter, each star op one
+      window shuffle over the edge list.  The escape hatch the label
+      loop's non-convergence error names, and the right choice once
+      diameter grows past ~10: measured at the same 30k-edge budget,
+      star's wall time is FLAT as chains grow from diameter 15 to 49
+      (6.0s -> 6.8s) while label's grows 2.8x (8.4s -> 23.5s) and
+      fails loud past max_iter.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter={max_iter} must be >= 1")
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"algorithm={algorithm!r} must be 'label' or 'star'")
     spark = edges.sparkSession
     _round_no = 0
 
@@ -683,6 +703,8 @@ def connected_components(
         # retained, as the directory's LARGEST file, for the whole of
         # the multi-hour preemptible runs reliable mode exists for).
         _after_edges_pinned()
+    if algorithm == "star":
+        return _star_components(spark, sym, max_iter, _pin)
     labels, labels_path = _pin(
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
@@ -724,8 +746,98 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
         f"rounds ({changed} labels still changing); the graph has a "
-        "component with diameter > max_iter — raise max_iter, or switch "
-        "to the large-star/small-star formulation for long-chain graphs"
+        "component with diameter > max_iter — raise max_iter, or rerun "
+        "with algorithm='star' (O(log n) rounds independent of diameter)"
+    )
+
+
+def _star_components(
+    spark: SparkSession, sym: DataFrame, max_iter: int, _pin
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014)
+    over the pinned symmetric edge list ``sym`` → min-id ``(node,
+    component)`` labels.  Called only by :func:`connected_components`
+    (``algorithm="star"``), which owns validation and the checkpoint
+    lifecycle (``_pin`` is its round-pinning closure).
+
+    Each round: large-star hangs every neighbor LARGER than u off u's
+    minimum; small-star re-hangs the smaller neighbors (and u itself)
+    off that minimum.  Both are ONE window shuffle over narrow (u, v)
+    rows — the per-partition work is a running min, spillable, never
+    quadratic — and both strictly preserve connectivity while only
+    ever lowering a node's parent, so the process contracts every
+    component onto its minimum id in O(log n) rounds regardless of
+    diameter (the paper's Theorem 3) where min-label propagation needs
+    O(diameter).  Fixed point ⟺ the canonical edge set is unchanged by
+    a round ⟺ the edges form stars rooted at component minima: the
+    roots are then the labels.  Every edge emitted by either star op
+    has parent < child by construction, so the fixed-point star set is
+    directly the (node, component) map for non-root nodes; roots and
+    isolated nodes (self-loop inputs) coalesce to themselves."""
+    from pyspark.sql.window import Window
+
+    # Canonical undirected edges (hi, lo), self-loops dropped: sym holds
+    # both directions, so one strict filter yields each edge once.
+    E, e_path = _pin(
+        sym.filter(F.col("a") > F.col("b"))
+        .select(F.col("a").alias("hi"), F.col("b").alias("lo"))
+        .distinct()
+    )
+    n_e = E.count()
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    w_u = Window.partitionBy("u")
+    for _ in range(max_iter):
+        if n_e == 0:
+            break
+        # Large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for
+        # v ∈ Γ(u), v > u.  m <= u < v keeps (hi, lo) canonical.
+        bidir = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        large = (
+            bidir.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # Small-star on the (hi -> lo) orientation: for each u,
+        # m = min of its smaller neighbors; re-hang the others and u
+        # itself off m.  Again parent < child by construction.
+        tagged = (
+            large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            .withColumn("m", F.min("v").over(w_u))
+        )
+        new_e, new_path = _pin(
+            tagged.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .union(tagged.select(F.col("u").alias("hi"),
+                                 F.col("m").alias("lo")))
+            .distinct()
+        )
+        n_new = new_e.count()
+        # Fixed point = set equality; both sides are distinct sets, so
+        # equal counts + empty one-sided difference suffice.  The
+        # difference check is the last reader of the previous round.
+        converged = n_new == n_e and new_e.exceptAll(E).isEmpty()
+        if e_path is not None:
+            _delete_path(spark, e_path)
+        E, e_path, n_e = new_e, new_path, n_new
+        if converged:
+            star = E.select(F.col("hi").alias("node"),
+                            F.col("lo").alias("component"))
+            return nodes.join(star, "node", "left").select(
+                "node",
+                F.coalesce("component", F.col("node")).alias("component"),
+            )
+    if n_e == 0:
+        # Edgeless graph (only self-loops survived canonicalization):
+        # every node is its own component.
+        return nodes.withColumn("component", F.col("node"))
+    raise RuntimeError(
+        f"connected_components(algorithm='star') did not reach a fixed "
+        f"point within max_iter={max_iter} rounds ({n_e} edges in the "
+        "working set); this exceeds the O(log n) bound for any realistic "
+        "graph — raise max_iter and report the graph shape"
     )
 
 
@@ -740,6 +852,7 @@ def duplicate_clusters(
     parallelism: int | None = None,
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Duplicate clusters ``(node, component)`` — result-identical to
     ``connected_components(minhash_lsh_pairs(df))`` but safe under
@@ -815,7 +928,7 @@ def duplicate_clusters(
     )
     return connected_components(
         edges, max_iter=max_iter, checkpoint_dir=checkpoint_dir,
-        _after_edges_pinned=after_edges_pinned)
+        algorithm=algorithm, _after_edges_pinned=after_edges_pinned)
 
 
 def duplicate_cluster_edges(

@@ -108,6 +108,17 @@ EDGE_QUERIES = [
     "dedup_components",
     "dedup_minhash_lsh_pairs",
     "agg_heavy_hitters",
+    # r11 family 13 (signed zero / subnormals): the queries whose keys
+    # or outputs the planted rows target — the -0.0/+0.0 window-order
+    # tie on customer 90000 (rank decided by the zero comparison), the
+    # distinct/min-max profile over l_quantity now containing -0.0 AND
+    # 5e-324, the quantile interpolation with the near-zero pair in the
+    # 'O' mass, and the running decimal sum over the signed-zero pair.
+    "window_rank_orders",
+    "window_running_sum",
+    "profile_columns",
+    "agg_quantiles",
+    "sort_topk",
 ]
 
 # Queries whose exact-decimal accumulation the planted NON-FINITE
@@ -373,6 +384,20 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000019, TIMESTAMP '2025-01-01 00:14:00', 7,
                'évent', 1.0, NULL
+        -- thirteenth family (r11): a SUBNORMAL value (5e-324) — rides
+        -- the z-score float arithmetic (identical IEEE ops both
+        -- engines), the decimal measure contract (0.00), and the
+        -- stateful streaming cents cast (0 cents).  NaN-as-measure is
+        -- deliberately NOT planted here: every events.value consumer
+        -- sums under the decimal(18,2) contract whose NaN behavior is
+        -- already pinned fail-loud by family 9's
+        -- NONFINITE_DECIMAL_CONTRACT — a planted NaN would just flip
+        -- every green row into that contract, probing nothing new
+        -- (NaN equality/ordering as a VALUE is probed on the pure-
+        -- double embedding paths, family 9).
+        UNION ALL
+        SELECT 90000020, TIMESTAMP '2025-01-01 00:15:00', 7, 'view',
+               5e-324, NULL
     """,
     "lineitem": """
         SELECT 90000001::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
@@ -431,6 +456,28 @@ _AUGMENT = {
         UNION ALL
         SELECT 91000005, 1, 1, 1, 7.0, NULL, 0.0, 0.0,
                'A', 'F', TIMESTAMP '2025-01-02 00:00:00'
+        -- thirteenth family (r11): SIGNED ZERO and SUBNORMALS.
+        -- (a) l_quantity = -0.0 alongside family 3's +0.0: both engines
+        -- normalize the pair in DISTINCT (1) and grouping (+0.0 key) —
+        -- verified empirically — so n_distinct/count paths must agree;
+        -- the decimal cast erases the sign (0.00 both).  The planted
+        -- row keeps -0.0 AWAY from any min/max OUTPUT extremum
+        -- (l_quantity's fixture min is -5.25): Spark's min AND max over
+        -- {-0.0, 0.0} return -0.0 while DuckDB returns +0.0 — equal
+        -- under IEEE compare (local parity is blind to it) but distinct
+        -- under any byte/string value hash, so a -0.0 extremum is a
+        -- locally-green, driver-red trap; the family comment IS the
+        -- guard (see test_negative_zero_minmax_sign_divergence).
+        -- (b) a SUBNORMAL quantity (5e-324, the smallest positive
+        -- double): distinct from zero in both engines, 0.00 under the
+        -- decimal measure contract, and exercises quantile/moment
+        -- arithmetic at the bottom of the exponent range.
+        UNION ALL
+        SELECT 91000006, 1, 1, 1, -0.0, 100.0, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '2025-01-03 00:00:00'
+        UNION ALL
+        SELECT 91000007, 1, 1, 1, 5e-324, 100.0, 0.0, 0.0,
+               'A', 'F', TIMESTAMP '2025-01-03 00:00:00'
     """,
     "orders": """
         SELECT NULL::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
@@ -454,6 +501,24 @@ _AUGMENT = {
         UNION ALL
         SELECT 90000004, 1, 'Z', 20.0,
                TIMESTAMP '2025-01-05 00:00:00', '1-URGENT'
+        -- thirteenth family (r11): a -0.0/+0.0 WINDOW-ORDER-KEY tie on
+        -- a FRESH customer (90000: these two are its only orders, so
+        -- both rows land in window_rank_orders' rnk<=3 output and the
+        -- rank assignment is decided BY the signed-zero comparison).
+        -- Row 13 carries -0.0 and the SMALLER orderkey: engines that
+        -- treat the zeros as equal under ORDER BY ... DESC fall through
+        -- to the orderkey tiebreak (13 -> rnk 1); an engine ordering
+        -- -0.0 strictly below +0.0 would rank 14 first — verified
+        -- empirically that Spark and DuckDB both normalize, so this
+        -- pins the agreement.  Prices ~0 sit at the bottom of every
+        -- top-k, so sort_topk membership is untouched; the decimal
+        -- cast in window_running_sum erases the sign (0.00).
+        UNION ALL
+        SELECT 90000013, 90000, 'O', -0.0,
+               TIMESTAMP '2025-01-06 00:00:00', '1-URGENT'
+        UNION ALL
+        SELECT 90000014, 90000, 'O', 0.0,
+               TIMESTAMP '2025-01-07 00:00:00', '1-URGENT'
     """,
     # fourth family (r8): the previously-unaugmented tables.  A customer
     # with every nullable attribute NULL (NULL join key -> dim-join miss,
@@ -733,6 +798,45 @@ def test_case_mapping_divergence_pinned(spark):
         assert duck_got == duck_exp, (text, fn, duck_got)
         assert spark_got != duck_got  # the divergence itself, pinned
     con.close()
+
+
+def test_negative_zero_minmax_sign_divergence(spark):
+    """Family-13 guard (r11): over the value set {-0.0, +0.0}, the SIGN
+    of min()/max() is FIRST-SEEN — scan-order-dependent — in BOTH
+    engines (verified: DuckDB returns +0.0 with +0.0 listed first and
+    -0.0 with -0.0 listed first; Spark likewise keeps the first zero
+    its combiner meets).  The zeros compare equal under IEEE, so pandas
+    parity and every comparison path are blind to the sign — but any
+    BYTE or STRING value hash tells them apart, which makes a zero
+    min/max whose input set contains -0.0 a locally-green, driver-red
+    trap that not even a fixed oracle can pin (the engine side isn't
+    deterministic across partitionings).  This test pins the DuckDB
+    order-dependence so the planted family rows can rely on the rule
+    they follow: keep -0.0 away from min/max OUTPUT extremums, or
+    normalize with `+ 0.0` (maps -0.0 to +0.0, identity on every other
+    double including NaN)."""
+    import math
+
+    import duckdb as _dd
+
+    from pyspark.sql import functions as SF
+
+    con = _dd.connect()
+    mn_pos_first, _ = con.execute(
+        "SELECT min(v), max(v) FROM (VALUES (0.0::DOUBLE),"
+        "(-0.0::DOUBLE)) t(v)").fetchone()
+    mn_neg_first, _ = con.execute(
+        "SELECT min(v), max(v) FROM (VALUES (-0.0::DOUBLE),"
+        "(0.0::DOUBLE)) t(v)").fetchone()
+    con.close()
+    assert math.copysign(1.0, mn_pos_first) == 1.0   # first-seen: +0.0
+    assert math.copysign(1.0, mn_neg_first) == -1.0  # first-seen: -0.0
+    # Spark returns A zero (sign unspecified — partition-order-
+    # dependent), and the normalization identity holds.
+    pair = spark.createDataFrame([(-0.0,), (0.0,)], "v double")
+    got = pair.agg(SF.min("v").alias("mn"), SF.max("v").alias("mx")).collect()[0]
+    assert got["mn"] == 0.0 and got["mx"] == 0.0
+    assert math.copysign(1.0, -0.0 + 0.0) == 1.0
 
 
 # Fixtures are pulled lazily via request.getfixturevalue so a -k subset

@@ -221,6 +221,86 @@ def test_connected_components_chain_triangle_pair(spark):
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
 
 
+def test_star_components_equals_label_propagation(spark):
+    """algorithm='star' (alternating large-star/small-star, Kiveris et
+    al. 2014) must produce EXACTLY the min-label labels on every graph
+    shape the label tests cover — chains, triangles, cliques (the
+    megadup shape), self-loops/isolated nodes, id-reversed chains, and
+    a seeded random graph."""
+    import random
+
+    rng = random.Random(11)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 20)],
+        "reversed-chain": [(i + 1, i) for i in range(1, 20)],
+        "triangle+pair": [(10, 11), (11, 12), (12, 13), (20, 21),
+                          (21, 22), (20, 22), (30, 31)],
+        "clique": [(i, j) for i in range(1, 12) for j in range(i + 1, 12)],
+        "selfloop+pair": [(5, 5), (1, 2)],
+        "random": [(rng.randrange(60), rng.randrange(60))
+                   for _ in range(80)],
+    }
+    for name, e in shapes.items():
+        edges = spark.createDataFrame(e, "id_a long, id_b long")
+        lab = {(r["node"], r["component"])
+               for r in DD.connected_components(edges, max_iter=40).collect()}
+        star = {(r["node"], r["component"])
+                for r in DD.connected_components(
+                    edges, algorithm="star").collect()}
+        assert lab == star, f"{name}: {sorted(lab ^ star)[:10]}"
+
+
+def test_star_components_converges_where_label_cannot(spark):
+    """The documented escape hatch: a 200-node chain (diameter 199)
+    exceeds any reasonable label max_iter but the star formulation
+    contracts it in O(log n) rounds under the SAME budget."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 200)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="algorithm='star'"):
+        DD.connected_components(chain, max_iter=25).collect()
+    got = {r["node"]: r["component"]
+           for r in DD.connected_components(
+               chain, max_iter=25, algorithm="star").collect()}
+    assert got == {i: 1 for i in range(1, 201)}
+
+
+def test_star_components_validates_algorithm(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError, match="'label' or 'star'"):
+        DD.connected_components(edges, algorithm="bfs")
+
+
+def test_star_components_reliable_checkpoint_mode(spark, tmp_path):
+    """The star loop must honor the same explicit parquet round
+    lifecycle as the label loop: superseded rounds deleted, the result
+    readable from the surviving files, session checkpoint dir
+    untouched."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)] + [(100, 101)],
+        "id_a long, id_b long")
+    before_ckpt_dir = spark.sparkContext.getCheckpointDir()
+    local = {(r["node"], r["component"])
+             for r in DD.connected_components(
+                 edges, algorithm="star").collect()}
+    ckpt = tmp_path / "ckpt"
+    reliable_df = DD.connected_components(
+        edges, algorithm="star", checkpoint_dir=str(ckpt))
+    reliable = {(r["node"], r["component"]) for r in reliable_df.collect()}
+    assert local == reliable
+    assert {c for _, c in local} == {1, 100}
+    assert spark.sparkContext.getCheckpointDir() == before_ckpt_dir
+    rounds = sorted(p.name for p in ckpt.iterdir())
+    # surviving: the sym pin (round-00000, referenced by the node set
+    # until the end) and the final edge round — superseded edge rounds
+    # (incl. the initial canonicalization) are deleted as they go.
+    assert len(rounds) == 2 and rounds[0] == "round-00000", rounds
+    assert reliable_df.count() == len(local)
+
+
 def test_duplicate_clusters_equals_naive_path(spark):
     """duplicate_clusters must return EXACTLY the naive
     connected_components(minhash_lsh_pairs(...)) output — including on a

@@ -91,28 +91,21 @@ def test_entry_contract(spark):
 # r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # r10 freshness rotation (r9 verdict item 1): the 23 queries whose
-    # newest driver row predates r6 — all byte-unchanged since their
-    # green row, promoted so the rotation FINISHES this round.
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_quantiles",
-    "agg_pivot", "sort_topk",
-    "set_union_distinct", "set_intersect", "set_except", "set_except_all",
-    "join_semi", "join_anti",
-    "distinct_nations_per_segment", "profile_columns", "reshape_unpivot",
-    "etl_upsert",
-    "dsl_formula_chain", "dsl_a1_formula",
-    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_embedding_lsh_pairs",
-    "text_langid", "text_wordcount_top",
-    # r10 changed bytes (ADVICE fixes + verdict item 5) — must re-verify.
-    "join_asof",                  # forward order desc_nulls_first
-    "dedup_components",           # parquet round-trip checkpointing + conf plumbing
-    "curation_pipeline_decisions",  # same connected_components rework
-    "streaming_tumbling_counts",  # read_event_stream probe exception filter
-    "streaming_session_counts",   # same
-    "streaming_view_click_join",  # same
-    # r10 in-round changes — must earn/refresh a driver row this round.
-    "agg_heavy_hitters",          # empty-token exclusion (r9 deferred find)
-    "text_unicode_hygiene",       # new query (growth rule), first row
+    # r11 freshness rotation (r10 verdict item 3): the 11 queries whose
+    # newest driver row is r6-r7 — all byte-unchanged since their green
+    # row, promoted so nothing older than r8 remains after r11.
+    "dedup_embedding_neardup", "dedup_keep_best", "dedup_minhash_signature",
+    "events_funnel", "profile_key_skew",
+    "text_contamination", "text_repetition",
+    "sample_cap_per_source", "sample_hash",
+    "text_collocations_pmi", "text_tfidf_top_terms",
+    # r11 new query (growth rule; r10 verdict item 2) — first row.
+    "streaming_stateful_totals",
+    # r11 changed bytes (r10 ADVICE fixes) — must re-verify.
+    "events_value_outliers",      # v_std>0 / sigma>0 degenerate guard
+    "dedup_components",           # signature-tags checkpoint lifecycle +
+                                  # star components branch in dedup.py
+    "curation_pipeline_decisions",  # same module
 ]
 
 

@@ -103,6 +103,17 @@ PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
 
+def test_every_probe_is_gated():
+    """A probe registered in scale_probe.py but asserted nowhere would
+    be a silently-ungated curve (the r9 vacuous-green class): every
+    PROBES entry must either carry a BOUNDS ratio or be named by a
+    dedicated test below."""
+    import scale_probe as SP
+
+    dedicated = {"salted", "stardiam"}
+    assert set(SP.PROBES) == set(BOUNDS) | dedicated
+
+
 @pytest.mark.parametrize("name", PROBE_ORDER)
 def test_ratio_within_bound(spark, name):
     import scale_probe as SP
@@ -114,6 +125,24 @@ def test_ratio_within_bound(spark, name):
     if name == "ivf":
         assert out["recall_n"] >= MIN_IVF_RECALL, out
         assert out["recall_10n"] >= MIN_IVF_RECALL, out
+
+
+def test_star_components_flat_under_diameter_growth(spark):
+    """r11 (r10 verdict item 4): the algorithm='star' formulation must
+    stay ~flat as component diameter grows (recorded 1.13x from d15 to
+    d49 at a fixed 30k-edge budget, while label grew 2.8x and fails
+    loud past max_iter), and on the dup-shaped arm (star edges,
+    diameter 2 — the registry's real workload) the label default must
+    remain competitive (recorded: label 3.3s vs star 3.7s — why label
+    stays the default).  Runs last-ish: both algorithms leave
+    localCheckpoint residue, hence the explicit cleanup."""
+    import scale_probe as SP
+
+    _drop_probe_residue(spark)
+    fn, n = SP.PROBES["stardiam"]
+    out = fn(spark, 2, n)
+    assert out["star_growth_d15_to_d49"] <= 2.0, out
+    assert out["t_label_dup"] <= out["t_star_dup"] * 2.0, out
 
 
 def test_salted_join_not_worse_than_plain(spark):
