@@ -943,6 +943,94 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_features",
+    # Drives the two multimodal compute kernels that previously had no
+    # driver-oracled row (r10 verdict item 6): resize_images (real
+    # nearest-neighbor resize + re-encode through the numpy BMP/PPM/PNG
+    # codecs) and extract_features (per-channel stats for decodable
+    # media, md5 fallback otherwise), both Arrow-batched mapInPandas.
+    # Oracle-able because every assertion reduces to the generative
+    # formula: images all decode to exactly 4x2 after the resize (and
+    # their re-encoded payload hash must CHANGE — original dims are
+    # never 4x2); audio/video pass through byte-identical; the feature
+    # vector's last two slots for images are w/4096 and h/4096 =
+    # 2^-10 / 2^-11 — exact in float32, so the equality count is
+    # bit-safe, and PROVABLY unreachable by the md5-fallback values
+    # (nearest uint16/65535 quotient sits ~2e-8 away, ~200 float32
+    # ulps) and by audio's samples/1e6, rate/1e5 slots.
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             256 + i % 64 AS ns,
+             4 + i % 8 AS nf
+      FROM range(96) t(i)
+    )
+    SELECT kind, count(*) AS n_media,
+           CAST(min(CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
+                     ELSE 64 END) AS BIGINT) AS min_width,
+           CAST(max(CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
+                     ELSE 64 END) AS BIGINT) AS max_width,
+           CAST(min(CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
+                     ELSE 48 END) AS BIGINT) AS min_height,
+           CAST(max(CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
+                     ELSE 48 END) AS BIGINT) AS max_height,
+           CAST(sum(CASE kind WHEN 'video' THEN nf ELSE 1 END) AS BIGINT)
+               AS total_frames,
+           CAST(sum(CASE kind WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_payload_changed,
+           count(*) AS n_feature_dim8,
+           CAST(sum(CASE kind WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dim_features
+    FROM m GROUP BY kind
+    """,
+    doc="Multimodal compute kernels end-to-end: resize_images to 4x2 "
+        "(real nearest-neighbor through the numpy BMP/PPM/PNG codecs; "
+        "non-images pass through byte-identical) then decode_media and "
+        "extract_features over the RESIZED bytes — per-kind dimension "
+        "accounting, payload-hash change counts, and exact feature-slot "
+        "checks (operators/multimodal.py:213,267).",
+)
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+
+    media = MM.synth_media(spark, 96, real=True)
+    orig = MM.decode_media(media).select(
+        "media_id", F.col("payload_hash").alias("orig_hash"))
+    resized = MM.resize_images(media, width=4, height=2)
+    dec = MM.decode_media(resized)
+    feats = MM.extract_features(resized).select(
+        "media_id",
+        F.size("feature").alias("f_dim"),
+        # slots 7/8 (1-based): images carry w/4096, h/4096 there —
+        # exact powers of two in float32, so equality is bit-safe.
+        F.element_at("feature", 7).alias("f_w"),
+        F.element_at("feature", 8).alias("f_h"),
+    )
+    return (
+        dec.join(orig, "media_id").join(feats, "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("width").cast("long").alias("min_width"),
+            F.max("width").cast("long").alias("max_width"),
+            F.min("height").cast("long").alias("min_height"),
+            F.max("height").cast("long").alias("max_height"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum(
+                (F.col("payload_hash") != F.col("orig_hash")).cast("long")
+            ).alias("n_payload_changed"),
+            F.sum((F.col("f_dim") == 8).cast("long")).alias("n_feature_dim8"),
+            F.sum(
+                ((F.col("f_w") == F.lit(4.0 / 4096.0))
+                 & (F.col("f_h") == F.lit(2.0 / 4096.0))).cast("long")
+            ).alias("n_dim_features"),
+        )
+    )
+
+
+@register(
     "streaming_tumbling_counts",
     # availableNow over a static file source is deterministic and complete
     # output mode emits every window, so the batch twin's SQL oracle

@@ -99,8 +99,10 @@ MUST_BE_IN_CHECK_BUDGET = [
     "text_contamination", "text_repetition",
     "sample_cap_per_source", "sample_hash",
     "text_collocations_pmi", "text_tfidf_top_terms",
-    # r11 new query (growth rule; r10 verdict item 2) — first row.
+    # r11 new queries (judge-directed, r10 verdict items 2 + 6) —
+    # first rows.
     "streaming_stateful_totals",
+    "multimodal_resize_features",
     # r11 changed bytes (r10 ADVICE fixes) — must re-verify.
     "events_value_outliers",      # v_std>0 / sigma>0 degenerate guard
     "dedup_components",           # signature-tags checkpoint lifecycle +
