@@ -72,8 +72,6 @@ def read_history(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> DataFrame:
-    import os
-
     if name_or_path.endswith(".parquet"):
         return spark.read.parquet(name_or_path)
     if name_or_path.endswith(".json"):
@@ -90,10 +88,25 @@ def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> D
         return read_orc(spark, name_or_path, fidelity=fidelity)
     if name_or_path.endswith(".csv") or name_or_path.endswith("/"):
         return read_csv(spark, name_or_path, fidelity=fidelity)
-    if os.path.isdir(name_or_path):
-        # Bare directory: sniff the format from the part files.
-        entries = os.listdir(name_or_path)
-        if any(e.endswith(".parquet") for e in entries):
+    # Bare path with no recognized suffix: sniff the format from the
+    # part files through the HADOOP filesystem (r10 verdict stretch 8 /
+    # pass-5 note): the old os.listdir sniff only ever saw the LOCAL
+    # filesystem, so a bare hdfs://, s3a:// or file: directory skipped
+    # the sniff and fell through to tableExists — MissingSheetError for
+    # a directory that exists.  getFileSystem resolves whatever scheme
+    # the session can reach; a plain table NAME is also a valid relative
+    # Path that simply isn't a directory, so it falls through to the
+    # catalog exactly as before (and a malformed URI falls through
+    # rather than erroring — the catalog raise names the input).
+    try:
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(name_or_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.isDirectory(hpath)
+    except Exception:
+        is_dir = False
+    if is_dir:
+        names = [s.getPath().getName() for s in fs.listStatus(hpath)]
+        if any(n.endswith(".parquet") for n in names):
             return spark.read.parquet(name_or_path)
         return read_csv(spark, name_or_path, fidelity=fidelity)
     if spark.catalog.tableExists(name_or_path):

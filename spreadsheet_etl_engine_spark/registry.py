@@ -2509,6 +2509,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # standing changed-bytes rule).
     "dedup_components",
     "curation_pipeline_decisions",
+    # r11 stretch (r10 verdict item 8): _load_source's bare-directory
+    # sniff now lists through the Hadoop FS instead of os.listdir
+    # (jobs.py changed bytes; local-path behavior identical — the
+    # Hadoop local FS sniffs the same part files — re-attested via the
+    # registered jobs.py consumer).
+    "dsl_workbook_job",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -45,6 +45,38 @@ def test_run_job_temp_view_source(spark, sf_dir, tmp_path):
     assert result.rows_written > 0
 
 
+def test_run_job_bare_directory_sniff_via_hadoop_fs(spark, sf_dir, tmp_path):
+    """r10 verdict stretch 8: the bare-directory format sniff now lists
+    through the Hadoop FS, so a scheme-qualified directory (file: here —
+    the same code path hdfs:// and s3a:// take) sniffs its parquet part
+    files instead of falling through to tableExists and raising
+    MissingSheetError for a directory that exists.  The old os.listdir
+    sniff could not see scheme-qualified paths at all."""
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(50)
+    bare = tmp_path / "bare_parquet_dir"
+    src.write.parquet(str(bare))
+    for path in (str(bare), f"file:{bare}"):      # plain and scheme-qualified
+        result = run_job(
+            spark,
+            config={"source": path, "output": str(tmp_path / "o")},
+            map_table=MAP_TABLE,
+            write=False,
+        )
+        assert result.rows_written > 0
+    # a bare directory of csv part files routes to the csv reader
+    csv_dir = tmp_path / "bare_csv_dir"
+    src.select("l_orderkey", "l_quantity", "l_extendedprice",
+               "l_discount", "l_returnflag").write.option(
+        "header", True).csv(str(csv_dir))
+    result = run_job(
+        spark,
+        config={"source": f"file:{csv_dir}", "output": str(tmp_path / "o2")},
+        map_table=MAP_TABLE,
+        write=False,
+    )
+    assert result.rows_written > 0
+
+
 def test_run_job_missing_source(spark, tmp_path):
     with pytest.raises(MissingSheetError):
         run_job(

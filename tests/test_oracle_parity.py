@@ -108,6 +108,7 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dedup_components",           # signature-tags checkpoint lifecycle +
                                   # star components branch in dedup.py
     "curation_pipeline_decisions",  # same module
+    "dsl_workbook_job",           # jobs.py Hadoop-FS bare-dir sniff
 ]
 
 
