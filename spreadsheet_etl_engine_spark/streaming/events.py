@@ -250,12 +250,23 @@ def running_user_totals(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # value_cents arrives as float64 when the batch has NULLs
-            # (Arrow int64+nulls -> pandas NaN); each non-null entry is
-            # an exact integer < 2^53, and tolist()+sum accumulates in
-            # Python ints so the batch subtotal is exact at any size.
-            c = pdf["value_cents"].to_numpy(dtype="float64", copy=False)
-            cents += int(sum(int(x) for x in c[~np.isnan(c)]))
+            # value_cents is coalesced to 0 Spark-side (NULL value =
+            # zero contribution, exactly SQL sum semantics), so the
+            # Arrow batch is null-free and pandas keeps int64 — a
+            # nullable column would arrive as float64, which silently
+            # rounds ODD cent totals past 2^53 (reachable inside the
+            # decimal(18,2) domain: 90071992547409.93 units is 2^53+1
+            # cents).  tolist() yields Python ints; sum() over them is
+            # exact at any magnitude.  The dtype check fails loud if a
+            # float column ever sneaks back in.
+            c = pdf["value_cents"]
+            if not np.issubdtype(c.dtype, np.integer):
+                raise TypeError(
+                    f"value_cents arrived as {c.dtype}, not int64 — the "
+                    "exact-cents contract requires a null-free integer "
+                    "column (see the coalesce in running_user_totals)"
+                )
+            cents += sum(c.tolist())
         if not (-(2**63) < cents < 2**63):  # pragma: no cover — 9.2e16 units
             raise ValueError(
                 f"running_user_totals: total for user {key[0]} overflows "
@@ -283,8 +294,14 @@ def running_user_totals(
     return (
         events.select(
             "user_id",
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("long").alias("value_cents"),
+            # coalesce(., 0): NULL contributes nothing to the sum (SQL
+            # semantics) AND keeps the Arrow batch null-free so pandas
+            # receives exact int64, never float64 — see the dtype check
+            # in update().
+            F.coalesce(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("value_cents"),
         )
         .groupBy("user_id")
         .applyInPandasWithState(

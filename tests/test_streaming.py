@@ -120,6 +120,46 @@ def test_stateful_running_totals(spark, event_dir_ordered):
             assert abs(got_v[u] - v) < 1e-6 * max(1.0, abs(v))
 
 
+def test_stateful_totals_exact_past_2_53_cents(spark, tmp_path):
+    """r11 self-review find: forcing the cents column through float64
+    silently rounds ODD cent values past 2^53 — 90071992547409.93 units
+    is 2^53 + 1 cents, inside the decimal(18,2) domain.  The fixture
+    sums two such rows per user; a float64 hop loses a cent on each.
+    The engine total must equal the Python-exact cent arithmetic to
+    the bit (see the oracle note below on why DuckDB can't judge at
+    this magnitude)."""
+    vals = [90071992547409.93, 90071992547409.93, 0.07]
+    df = spark.createDataFrame(
+        [(i, None, 1, "view", v, None) for i, v in enumerate(vals)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING")
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    SE.run_to_memory_sink(
+        SE.running_user_totals(SE.read_event_stream(spark, src)),
+        "t_state_253", output_mode="update")
+    final = (
+        spark.table("t_state_253")
+        .groupBy("user_id")
+        .agg(F.max_by("total_value", "n_events").alias("t"))
+        .collect()
+    )
+    assert len(final) == 1
+    # Python-exact oracle, NOT DuckDB: at this magnitude (ulp 0.03125)
+    # the engines' double->DECIMAL casts genuinely diverge per row —
+    # Spark rounds the shortest repr (".93" -> 93 cents) while DuckDB
+    # reads .92 for the same stored double — so DuckDB cannot oracle
+    # this probe (the registered query's fixtures stay in magnitudes
+    # where the casts agree, families 5/7).  What THIS test pins is the
+    # engine side: Spark's cast yields the ODD cent value 2^53 + 1 per
+    # row, and the state total must carry it exactly.
+    from decimal import Decimal as _D
+
+    per_row_cents = 2**53 + 1              # Spark's cast of the stored double
+    exact_cents = 2 * per_row_cents + 7
+    assert final[0]["t"] == float(_D(exact_cents) / 100)
+
+
 def test_sliding_stream_equals_batch(spark, event_dir_ordered):
     """sliding_counts had NO caller anywhere (r9 review find) — the same
     stream-equals-batch contract the other window shapes carry, one file
