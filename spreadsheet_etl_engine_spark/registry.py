@@ -1628,18 +1628,24 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "profile_columns",
     oracle="""
-    SELECT 'l_quantity' AS col, CAST(min(l_quantity) AS DOUBLE) AS mn,
-           CAST(max(l_quantity) AS DOUBLE) AS mx,
+    -- + 0.0 on the extremes mirrors the engine (family 13): min/max
+    -- over a set containing -0.0 keep the first-seen zero in BOTH
+    -- engines (scan-order-dependent sign); the addition normalizes to
+    -- +0.0 and is the identity on every other double.
+    SELECT 'l_quantity' AS col,
+           CAST(min(l_quantity) AS DOUBLE) + 0.0 AS mn,
+           CAST(max(l_quantity) AS DOUBLE) + 0.0 AS mx,
            count(*) AS n_rows, count(l_quantity) AS n_non_null,
            count(DISTINCT l_quantity) AS n_distinct
     FROM lineitem
     UNION ALL
-    SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE),
-           CAST(max(l_discount) AS DOUBLE),
+    SELECT 'l_discount', CAST(min(l_discount) AS DOUBLE) + 0.0,
+           CAST(max(l_discount) AS DOUBLE) + 0.0,
            count(*), count(l_discount), count(DISTINCT l_discount)
     FROM lineitem
     UNION ALL
-    SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE),
+    SELECT 'l_tax', CAST(min(l_tax) AS DOUBLE) + 0.0,
+           CAST(max(l_tax) AS DOUBLE) + 0.0,
            count(*), count(l_tax), count(DISTINCT l_tax)
     FROM lineitem
     """,
@@ -1652,10 +1658,17 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def one(col: str) -> DataFrame:
+        # + 0.0 on the double extremes (family 13): when the extremum
+        # set contains -0.0, min/max keep the FIRST-SEEN zero — the
+        # sign is partition-order-nondeterministic and engines disagree
+        # on it while comparing equal under IEEE, so a raw min/max is
+        # value-hash-unstable.  Adding +0.0 maps -0.0 to +0.0 and is
+        # the identity on every other double; the oracle applies the
+        # same normalization.
         return li.agg(
             F.lit(col).alias("col"),
-            F.min(col).cast("double").alias("mn"),
-            F.max(col).cast("double").alias("mx"),
+            (F.min(col).cast("double") + 0.0).alias("mn"),
+            (F.max(col).cast("double") + 0.0).alias("mx"),
             F.count("*").alias("n_rows"),
             F.count(col).alias("n_non_null"),
             F.countDistinct(col).alias("n_distinct"),
@@ -2515,6 +2528,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Hadoop local FS sniffs the same part files — re-attested via the
     # registered jobs.py consumer).
     "dsl_workbook_job",
+    # r11 family-13 hardening: min/max extremes normalized with + 0.0
+    # on BOTH engine and oracle (a -0.0 extremum's sign is first-seen,
+    # partition-order-nondeterministic) — changed bytes.
+    "profile_columns",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -109,6 +109,7 @@ MUST_BE_IN_CHECK_BUDGET = [
                                   # star components branch in dedup.py
     "curation_pipeline_decisions",  # same module
     "dsl_workbook_job",           # jobs.py Hadoop-FS bare-dir sniff
+    "profile_columns",            # +0.0 extremum normalization (family 13)
 ]
 
 
