@@ -329,6 +329,13 @@ def test_duplicate_clusters_equals_naive_path(spark):
     # The mega-cluster is one component labelled by its min id, and every
     # injected doc is in it.
     assert {(1_000_000 + i, 1_000_000) for i in range(200)} <= collapsed
+    # r11: the star round structure must compose with the collapsed
+    # edge build end-to-end (the long-chain deployment path) and give
+    # the identical clustering.
+    star = {(r["node"], r["component"])
+            for r in DD.duplicate_clusters(
+                docs, "text", "doc_id", algorithm="star", **kw).collect()}
+    assert star == naive
 
     # Edge accounting: 200 identical docs cost the naive path
     # >= C(200,2) = 19900 pairs; the collapsed path's whole edge list
