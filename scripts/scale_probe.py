@@ -354,6 +354,51 @@ def probe_stardiam(spark: SparkSession, reps: int, n: int) -> dict:
     }
 
 
+def probe_statefulstream(spark: SparkSession, reps: int, n: int) -> dict:
+    """running_user_totals (applyInPandasWithState) as a REAL availableNow
+    stream at n and 10n events, users growing with the corpus (n/100
+    keys): state rows, groups per batch and Arrow transfer all grow 10x
+    while the file/trigger layout (8 files, 2 per trigger = 4
+    micro-batches) stays fixed, so the ratio measures per-batch state
+    and transfer growth, not micro-batch scheduling.  Sink is noop
+    (full execution, no materialization); each run gets a fresh
+    temp checkpoint so state never carries across reps."""
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    def make_arm(size: int):
+        n_users = max(1, size // 100)
+        ev = spark.range(size).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + F.col("id") % 86_400).alias("ts"),
+            (F.col("id") % n_users).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            ((F.col("id") % 1_000) / 100.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        src = tempfile.mkdtemp(prefix=f"statefulstream_{size}_") + "/in"
+        ev.repartition(8).write.mode("overwrite").parquet(src)
+
+        def run():
+            q = (
+                SE.running_user_totals(
+                    SE.read_event_stream(spark, src, max_files_per_trigger=2))
+                .writeStream.format("noop")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        return run
+
+    t1, t10 = ab_medians(make_arm(n), make_arm(10 * n), reps)
+    return {"probe": "stateful_stream_totals", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
 def synth_keyed_events(spark: SparkSession, n: int, *,
                        events_per_key: int = 100,
                        span_hours: int = 500) -> DataFrame:
@@ -497,6 +542,9 @@ PROBES = {
     # session overhead) dominate, small enough that label's 49-diameter
     # arm (50 rounds) finishes in probe time.
     "stardiam": (probe_stardiam, 30_000),
+    # 200k events -> 2k users small arm: 4 fixed micro-batches, so the
+    # per-batch stateful work (not trigger scheduling) sets the ratio.
+    "statefulstream": (probe_statefulstream, 200_000),
 }
 
 

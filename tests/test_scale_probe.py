@@ -110,7 +110,7 @@ def test_every_probe_is_gated():
     dedicated test below."""
     import scale_probe as SP
 
-    dedicated = {"salted", "stardiam"}
+    dedicated = {"salted", "stardiam", "statefulstream"}
     assert set(SP.PROBES) == set(BOUNDS) | dedicated
 
 
@@ -143,6 +143,21 @@ def test_star_components_flat_under_diameter_growth(spark):
     out = fn(spark, 2, n)
     assert out["star_growth_d15_to_d49"] <= 2.0, out
     assert out["t_label_dup"] <= out["t_star_dup"] * 2.0, out
+
+
+def test_stateful_stream_scales_with_state(spark):
+    """r11: the applyInPandasWithState operator as a REAL availableNow
+    stream at 10x events AND 10x users (state rows, groups per batch
+    and Arrow transfer all grow 10x; micro-batch count fixed at 4).
+    Recorded 2.14x — fixed per-batch overhead dilutes the growth; the
+    bound is a catastrophic ceiling (a per-key quadratic or state
+    explosion reads >10x), not a precision pin."""
+    import scale_probe as SP
+
+    _drop_probe_residue(spark)
+    fn, n = SP.PROBES["statefulstream"]
+    out = fn(spark, 2, n)
+    assert out["ratio"] <= 8.0, out
 
 
 def test_salted_join_not_worse_than_plain(spark):
