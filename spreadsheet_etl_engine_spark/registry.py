@@ -2532,6 +2532,44 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # on BOTH engine and oracle (a -0.0 extremum's sign is first-seen,
     # partition-order-nondeterministic) — changed bytes.
     "profile_columns",
+    # --- r11 filler rotation: rather than letting the remaining 32
+    # head slots fall to registration order (already-fresh queries),
+    # spend them on the treadmill — ALL 17 queries whose newest driver
+    # row is r8, then the 15 alphabetically-first r9 rows.  All
+    # byte-unchanged since their green row (tail snapshot); after the
+    # r11 run nothing in the registry predates r9. ---
+    "dedup_ngram_jaccard_pairs",
+    "dedup_paragraphs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dsl_fidelity_strings",
+    "dsl_v2_and_filter",
+    "dsl_v2_distinct",
+    "events_sliding_window",
+    "events_transitions",
+    "mix_weights_by_source",
+    "multimodal_decode",
+    "quality_constraint_report",
+    "sample_stratified",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_quality_rank",
+    "train_split_assign",
+    "agg_corr_covar",
+    "agg_histogram",
+    "agg_linear_fit",
+    "agg_moments",
+    "dedup_incremental",
+    "dedup_index_probe",
+    "dsl_v2_join_agg",
+    "embedding_cluster_stats",
+    "etl_scd2",
+    "etl_snapshot_diff",
+    "events_cohort_retention",
+    "events_decayed_engagement",
+    "events_json_extract",
+    "events_mode_per_user",
+    "events_resample_gapfill",
 )
 
 DRIVER_CHECK_BUDGET = 50
