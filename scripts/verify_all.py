@@ -16,8 +16,12 @@ failure so the table is complete):
               — measured ~10x scaling-ratio bounds + IVF recall floors
   promotions  scripts/check_promotions.py --promoted — the DRIVER_PRIORITY
               head at BOTH sf0.001 and sf0.01 (what the driver will run)
+  determinism scripts/determinism_sweep.py — every oracled query
+              hash-identical under 3 shuffle-partition/AQE configs
+              (partition-order-stability, mechanically)
   bench       python bench.py — the sf0.1 headline recording (one JSON
-              line; pass/fail is exit code + parseable output only)
+              line; pass/fail is exit code + parseable output only;
+              self-qualifying idle gate since r11)
 
 Usage:
     python scripts/verify_all.py              # everything (~25-35 min)
@@ -45,6 +49,11 @@ STAGES: dict[str, tuple[list[str], dict[str, str]]] = {
                "--no-header", "-p", "no:cacheprovider"],
               {"SPARK_GRAFT_SCALE_PROBE": "1"}),
     "promotions": ([PY, "scripts/check_promotions.py", "--promoted"], {}),
+    # r11: every oracled query hash-identical under 3 shuffle/AQE
+    # configs — catches partition-order-dependent output (first-seen
+    # zero signs, float-order sums, untied ranks) that the fixed-config
+    # parity gates are blind to.
+    "determinism": ([PY, "scripts/determinism_sweep.py"], {}),
     "bench": ([PY, "bench.py"], {}),
 }
 
