@@ -839,6 +839,66 @@ def test_negative_zero_minmax_sign_divergence(spark):
     assert math.copysign(1.0, -0.0 + 0.0) == 1.0
 
 
+def test_decimal_cast_divergence_pinned(spark):
+    """r11 mechanism pin (found while hardening the stateful 2^53
+    probe).  Above ~2^53 cents the double->DECIMAL(18,2) conversions of
+    the two engines use DIFFERENT algorithms, verified here value by
+    value so the fixture-domain rules rest on tests:
+
+    1. Spark casts via the double's SHORTEST REPR (BigDecimal.valueOf):
+       the distinguishing double is ...410.09375, whose exact value
+       rounds to .09 but whose shortest repr is '...410.1' — Spark
+       yields .10.
+    2. DuckDB rounds value*100 computed IN float64: for the double
+       ...409.953125 that product's nearest float64 lands at cents
+       ...996 while Spark's shortest repr gives .95 -> ...995 — the
+       engines DIVERGE on the same input double.
+    3. DuckDB's SQL *literal* path ('x.yz::DOUBLE') adds a third
+       variation: the literal parses as DECIMAL and converts via int64
+       cents -> float64, losing the odd bit (...409.93::DOUBLE is one
+       ulp BELOW Python/parquet's float('...409.93')).  Oracles at
+       these magnitudes must read the shared parquet, never inline
+       VALUES literals.
+    4. In the fixtures' domain (2-decimal values <= 1e12, family-5/7
+       plants) all mechanisms agree — witnessed below.
+    The int64-cents-through-float64 conversion is also the MECHANISM
+    behind the family-8 finding (DuckDB wide-decimal -> DOUBLE up to
+    2 ulp off past 2^53 cents; VARCHAR route is the documented fix)."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as SF
+
+    def spark_cents(v: float) -> int:
+        return (spark.range(1)
+                .select((SF.lit(v).cast("decimal(18,2)") * 100)
+                        .cast("long").alias("c")).collect()[0]["c"])
+
+    con = _dd.connect()
+
+    def duck_cents(v: float) -> int:
+        return con.execute(
+            "SELECT CAST(CAST(? AS DECIMAL(18,2)) * 100 AS BIGINT)",
+            [v]).fetchone()[0]
+
+    # fact 1: shortest repr beats exact-value rounding in Spark
+    assert spark_cents(90071992547410.10) == 9007199254741010  # not ...09
+    # fact 2: same double, different engines, different cents
+    v2 = 90071992547409.95
+    assert spark_cents(v2) == 9007199254740995
+    assert duck_cents(v2) == 9007199254740996
+    # fact 3: duck's literal path is a third double entirely
+    lit_double, lit_cents = con.execute(
+        "SELECT 90071992547409.93::DOUBLE, "
+        "CAST(CAST(90071992547409.93::DOUBLE AS DECIMAL(18,2)) * 100 "
+        "AS BIGINT)").fetchone()
+    assert lit_double != 90071992547409.93
+    assert lit_cents == 9007199254740992
+    # fact 4: in-domain agreement witness (family-5 value class)
+    assert spark_cents(123456789012.34) == duck_cents(123456789012.34) \
+        == 12345678901234
+    con.close()
+
+
 # Fixtures are pulled lazily via request.getfixturevalue so a -k subset
 # of non-UNIQUE_ID_CONTRACT queries never pays the duplicate twin-free
 # table build (r8 review finding).

@@ -121,16 +121,44 @@ def test_stateful_running_totals(spark, event_dir_ordered):
 
 
 def test_stateful_totals_exact_past_2_53_cents(spark, tmp_path):
-    """r11 self-review find: forcing the cents column through float64
-    silently rounds ODD cent values past 2^53 — 90071992547409.93 units
-    is 2^53 + 1 cents, inside the decimal(18,2) domain.  The fixture
-    sums two such rows per user; a float64 hop loses a cent on each.
-    The engine total must equal the Python-exact cent arithmetic to
-    the bit (see the oracle note below on why DuckDB can't judge at
-    this magnitude)."""
-    vals = [90071992547409.93, 90071992547409.93, 0.07]
+    """r11 self-review find: a float64 hop on the cents column silently
+    rounds ODD cent values past 2^53 to their even neighbor — reachable
+    inside the decimal(18,2) domain.  Spark's double->decimal cast goes
+    through the double's SHORTEST repr (BigDecimal.valueOf — verified
+    against the exact-value-rounding alternative on the distinguishing
+    double ...410.09375, which casts to .10, not .09), so the Python
+    mirror here quantizes repr(v).  The fixture has two users chosen so
+    the old float64 hop is caught in BOTH rounding directions:
+
+    * user 1: two copies of 90071992547409.95 (cents 9007199254740995,
+      odd; float64 reads +1 per element) + 0.07
+    * user 2: one 90071992547409.97 (cents ...997, odd; float64 reads
+      -1) + 0.07
+
+    each with a corrupted total that maps to a DIFFERENT output double.
+    The oracle is Python-exact cent arithmetic, NOT DuckDB: DuckDB's
+    double->decimal rounds value*100 computed IN float64 (it reads .96
+    for the .95 value's double — test_decimal_cast_divergence_pinned),
+    so only magnitudes where the two mechanisms agree are
+    DuckDB-oracle-able; the registered query's fixtures stay there
+    (families 5/7)."""
+    from decimal import ROUND_HALF_UP, Decimal as _D
+
+    def cents(v: float) -> int:  # mirror of Spark's shortest-repr cast
+        return int(_D(repr(v)).quantize(_D("0.01"),
+                                        rounding=ROUND_HALF_UP) * 100)
+
+    users = {
+        1: [90071992547409.95, 90071992547409.95, 0.07],
+        2: [90071992547409.97, 0.07],
+    }
+    rows, i = [], 0
+    for u, vs in users.items():
+        for v in vs:
+            rows.append((i, None, u, "view", v, None))
+            i += 1
     df = spark.createDataFrame(
-        [(i, None, 1, "view", v, None) for i, v in enumerate(vals)],
+        rows,
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING")
     src = str(tmp_path / "in")
@@ -138,26 +166,25 @@ def test_stateful_totals_exact_past_2_53_cents(spark, tmp_path):
     SE.run_to_memory_sink(
         SE.running_user_totals(SE.read_event_stream(spark, src)),
         "t_state_253", output_mode="update")
-    final = (
-        spark.table("t_state_253")
+    got = {
+        r["user_id"]: r["t"]
+        for r in spark.table("t_state_253")
         .groupBy("user_id")
         .agg(F.max_by("total_value", "n_events").alias("t"))
         .collect()
-    )
-    assert len(final) == 1
-    # Python-exact oracle, NOT DuckDB: at this magnitude (ulp 0.03125)
-    # the engines' double->DECIMAL casts genuinely diverge per row —
-    # Spark rounds the shortest repr (".93" -> 93 cents) while DuckDB
-    # reads .92 for the same stored double — so DuckDB cannot oracle
-    # this probe (the registered query's fixtures stay in magnitudes
-    # where the casts agree, families 5/7).  What THIS test pins is the
-    # engine side: Spark's cast yields the ODD cent value 2^53 + 1 per
-    # row, and the state total must carry it exactly.
-    from decimal import Decimal as _D
-
-    per_row_cents = 2**53 + 1              # Spark's cast of the stored double
-    exact_cents = 2 * per_row_cents + 7
-    assert final[0]["t"] == float(_D(exact_cents) / 100)
+    }
+    assert set(got) == set(users)
+    for u, vs in users.items():
+        per_elem = [cents(v) for v in vs]
+        exact = sum(per_elem)
+        # hostile = at least one per-element cent value that float64
+        # cannot represent (odd, above 2^53) — the element conversion
+        # is where the old bug lost the cent
+        assert any(c % 2 == 1 and c > 2**53 for c in per_elem)
+        assert got[u] == float(_D(exact) / 100), (u, got[u], exact)
+        # and the float64-hop corruption would have been visible:
+        corrupted = sum(int(float(cents(v))) for v in vs)
+        assert float(_D(corrupted) / 100) != float(_D(exact) / 100), u
 
 
 def test_sliding_stream_equals_batch(spark, event_dir_ordered):
