@@ -84,7 +84,13 @@ def main() -> int:
         # restore the baseline config before the next query
         spark.conf.set("spark.sql.shuffle.partitions", str(CONFIGS[0][0]))
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        if len(set(hashes)) != 1:
+        # An ERROR under every config hashes identically — that is NOT
+        # determinism evidence, it's a broken query reading as green
+        # (the vacuous-green class this repo's gates keep finding).
+        if any(h.startswith("ERROR:") for h in hashes):
+            failures.append(name)
+            print(f"ERRORED {name}: {hashes}", flush=True)
+        elif len(set(hashes)) != 1:
             failures.append(name)
             print(f"NONDETERMINISTIC {name}: {hashes}", flush=True)
         else:
