@@ -577,6 +577,28 @@ def ngram_jaccard_pairs(
 
 
 CHECKPOINT_DIR_CONF = "spark.spreadsheet_etl.checkpoint.dir"
+COMPONENTS_ALGORITHM_CONF = "spark.spreadsheet_etl.components.algorithm"
+
+
+def resolve_components_algorithm(spark: SparkSession) -> str:
+    """Session-conf plumbing for :func:`connected_components`' round
+    structure (same pattern as :func:`resolve_checkpoint_dir` — the r9
+    lesson that an operator parameter no registry caller can reach is
+    not really shipped).  Set
+    ``spark.conf.set("spark.spreadsheet_etl.components.algorithm",
+    "star")`` to route every components run in the session through the
+    large-star/small-star formulation — the long-chain escape hatch;
+    unset keeps the measured default (``"label"``, which wins on
+    star/clique-shaped dup graphs).  Invalid values fail loud here, at
+    configuration time, rather than deep inside a running job."""
+    algo = spark.conf.get(COMPONENTS_ALGORITHM_CONF, None)
+    if algo is None or algo == "":
+        return "label"
+    if algo not in ("label", "star"):
+        raise ValueError(
+            f"{COMPONENTS_ALGORITHM_CONF}={algo!r} must be 'label' or "
+            "'star'")
+    return algo
 
 
 def resolve_checkpoint_dir(spark: SparkSession) -> str | None:

@@ -1419,6 +1419,34 @@ def test_checkpoint_dir_conf_reachable_from_registry(spark, sf_dir, tmp_path):
     assert names[0] == "round-00000", names
 
 
+def test_components_algorithm_conf_reachable_from_registry(spark, sf_dir):
+    """r11 (same lesson as the r9 checkpoint-dir item: an operator
+    parameter no registry caller can reach is not really shipped):
+    setting the session conf key must route dedup_components through
+    the star formulation with the identical result, and an invalid
+    value must fail loud at configuration time."""
+    from spreadsheet_etl_engine_spark.operators.dedup import (
+        COMPONENTS_ALGORITHM_CONF,
+    )
+    from spreadsheet_etl_engine_spark.registry import REGISTRY
+
+    fn = REGISTRY["dedup_components"].fn
+    base = {(r["node"], r["component"]) for r in fn(spark, sf_dir).collect()}
+    spark.conf.set(COMPONENTS_ALGORITHM_CONF, "star")
+    try:
+        star = {(r["node"], r["component"])
+                for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.unset(COMPONENTS_ALGORITHM_CONF)
+    assert star == base and len(base) > 0
+    spark.conf.set(COMPONENTS_ALGORITHM_CONF, "bfs")
+    try:
+        with pytest.raises(ValueError, match="'label' or 'star'"):
+            fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(COMPONENTS_ALGORITHM_CONF)
+
+
 def test_text_unicode_hygiene_counts(spark, tmp_path):
     """Pin exact per-class counts on literal probe strings through the
     registered query (r10 growth query): bidi controls, zero-width chars
