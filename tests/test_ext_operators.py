@@ -250,6 +250,45 @@ def test_star_components_equals_label_propagation(spark):
         assert lab == star, f"{name}: {sorted(lab ^ star)[:10]}"
 
 
+def test_components_property_vs_union_find(spark):
+    """Property fuzz (r11): BOTH round structures must equal a trivial
+    pure-Python union-find on arbitrary small graphs — duplicate edges,
+    reversed orientations, self-loops, isolated stars, whatever
+    Hypothesis finds.  Comparing both against an independent model is
+    stronger than star==label alone (a shared defect cannot hide)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 23), st.integers(0, 23))
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(edges=st.lists(edge, min_size=1, max_size=40))
+    def run(edges):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {(n, find(n)) for n in list(parent)}
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for algo in ("label", "star"):
+            got = {(r["node"], r["component"])
+                   for r in DD.connected_components(
+                       df, max_iter=40, algorithm=algo).collect()}
+            assert got == expected, (algo, sorted(got ^ expected)[:8])
+
+    run()
+
+
 def test_star_components_converges_where_label_cannot(spark):
     """The documented escape hatch: a 200-node chain (diameter 199)
     exceeds any reasonable label max_iter but the star formulation
