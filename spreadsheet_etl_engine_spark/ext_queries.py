@@ -980,6 +980,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 48 END) AS BIGINT) AS max_height,
            CAST(sum(CASE kind WHEN 'video' THEN nf ELSE 1 END) AS BIGINT)
                AS total_frames,
+           -- frame_sample(every_k=2) keeps indices 0,2,..,nf-1:
+           -- ceil(nf/2) frames per video, none for other kinds
+           CAST(sum(CASE kind WHEN 'video' THEN (nf + 1) // 2
+                     ELSE 0 END) AS BIGINT) AS total_sampled_frames,
            CAST(sum(CASE kind WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_payload_changed,
            count(*) AS n_feature_dim8,
@@ -989,10 +993,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal compute kernels end-to-end: resize_images to 4x2 "
         "(real nearest-neighbor through the numpy BMP/PPM/PNG codecs; "
-        "non-images pass through byte-identical) then decode_media and "
-        "extract_features over the RESIZED bytes — per-kind dimension "
-        "accounting, payload-hash change counts, and exact feature-slot "
-        "checks (operators/multimodal.py:213,267).",
+        "non-images pass through byte-identical) then decode_media, "
+        "extract_features over the RESIZED bytes, and frame_sample "
+        "(every_k=2) — per-kind dimension accounting, payload-hash "
+        "change counts, exact feature-slot checks, and sampled-frame "
+        "accounting (operators/multimodal.py:213,267,320).",
 )
 def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators import multimodal as MM
@@ -1002,6 +1007,14 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("payload_hash").alias("orig_hash"))
     resized = MM.resize_images(media, width=4, height=2)
     dec = MM.decode_media(resized)
+    # frame_sample covers the fourth multimodal kernel in the same row:
+    # ceil(n_frames / every_k) sampled indices per video, zero for
+    # other kinds (posexplode over the frame-index sequence).
+    sampled = (
+        MM.frame_sample(media, every_k=2)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_sampled"))
+    )
     feats = MM.extract_features(resized).select(
         "media_id",
         F.size("feature").alias("f_dim"),
@@ -1012,6 +1025,7 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dec.join(orig, "media_id").join(feats, "media_id")
+        .join(sampled, "media_id", "left")
         .groupBy("kind")
         .agg(
             F.count("*").alias("n_media"),
@@ -1020,6 +1034,8 @@ def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("height").cast("long").alias("min_height"),
             F.max("height").cast("long").alias("max_height"),
             F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum(F.coalesce("n_sampled", F.lit(0))).cast("long")
+            .alias("total_sampled_frames"),
             F.sum(
                 (F.col("payload_hash") != F.col("orig_hash")).cast("long")
             ).alias("n_payload_changed"),
