@@ -119,7 +119,12 @@ def idle_wait() -> dict:
         # — scheduler noise only ever inflates the probe, so min is the
         # honest estimate of available CPU).
         probe = min(cpu_probe() for _ in range(3))
-        qualified = load1 is not None and load1 < 1.0 and probe <= probe_limit
+        # No getloadavg on this platform -> qualify on the probe alone
+        # (qualify_load_avg_1m records null); requiring load1 here
+        # would guarantee a full-deadline wait on such hosts and then
+        # flag a possibly-idle recording unqualified (r11 ADVICE).
+        load_ok = load1 < 1.0 if load1 is not None else True
+        qualified = load_ok and probe <= probe_limit
         waited = time.monotonic() - start
         if qualified or waited + 20.0 > deadline_s:
             return {

@@ -81,9 +81,12 @@ def main() -> int:
                 hashes.append(_normalize_hash(fn(spark, SF_DIR).toPandas()))
             except Exception as exc:  # fail loud per query, keep sweeping
                 hashes.append(f"ERROR:{type(exc).__name__}")
-        # restore the baseline config before the next query
+        # restore the baseline config before the next query — derived
+        # from CONFIGS[0] so reordering/editing CONFIGS can't silently
+        # desynchronize the restored baseline from the declared one
+        # (r11 ADVICE).
         spark.conf.set("spark.sql.shuffle.partitions", str(CONFIGS[0][0]))
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", str(CONFIGS[0][1]).lower())
         # An ERROR under every config hashes identically — that is NOT
         # determinism evidence, it's a broken query reading as green
         # (the vacuous-green class this repo's gates keep finding).

@@ -363,9 +363,12 @@ def probe_statefulstream(spark: SparkSession, reps: int, n: int) -> dict:
     and transfer growth, not micro-batch scheduling.  Sink is noop
     (full execution, no materialization); each run gets a fresh
     temp checkpoint so state never carries across reps."""
+    import shutil
     import tempfile
 
     from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    arm_dirs: list[str] = []
 
     def make_arm(size: int):
         n_users = max(1, size // 100)
@@ -378,7 +381,10 @@ def probe_statefulstream(spark: SparkSession, reps: int, n: int) -> dict:
             ((F.col("id") % 1_000) / 100.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
         )
-        src = tempfile.mkdtemp(prefix=f"statefulstream_{size}_") + "/in"
+        base = tempfile.mkdtemp(prefix=f"statefulstream_{size}_")
+        arm_dirs.append(base)  # removed in the finally below (r11 ADVICE:
+        # mkdtemp leaked ~2.2M-row parquet arms across probe runs)
+        src = base + "/in"
         ev.repartition(8).write.mode("overwrite").parquet(src)
 
         def run():
@@ -394,7 +400,11 @@ def probe_statefulstream(spark: SparkSession, reps: int, n: int) -> dict:
 
         return run
 
-    t1, t10 = ab_medians(make_arm(n), make_arm(10 * n), reps)
+    try:
+        t1, t10 = ab_medians(make_arm(n), make_arm(10 * n), reps)
+    finally:
+        for d in arm_dirs:
+            shutil.rmtree(d, ignore_errors=True)
     return {"probe": "stateful_stream_totals", "n": n, "t_n": round(t1, 2),
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 

@@ -102,7 +102,26 @@ def _load_source(spark: SparkSession, name_or_path: str, *, fidelity: bool) -> D
         hpath = spark._jvm.org.apache.hadoop.fs.Path(name_or_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         is_dir = fs.isDirectory(hpath)
-    except Exception:
+    except Exception as exc:
+        # Malformed URI / illegal Path argument means "this string was
+        # never a directory" — fall through to the catalog silently.
+        # ANYTHING ELSE (transient FS fault, permission denial on a
+        # real hdfs:// or s3a:// dir) must not silently degrade to the
+        # catalog and a misleading MissingSheetError (r11 ADVICE), so
+        # log the swallowed exception before falling through.
+        jexc = getattr(exc, "java_exception", None)
+        jcls = jexc.getClass().getName() if jexc is not None else ""
+        benign = isinstance(exc, ValueError) or jcls.endswith(
+            ("IllegalArgumentException", "URISyntaxException")
+        )
+        if not benign:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "directory probe for %r failed (%s: %s); treating as "
+                "not-a-directory and falling through to the catalog",
+                name_or_path, type(exc).__name__, exc,
+            )
         is_dir = False
     if is_dir:
         names = [s.getPath().getName() for s in fs.listStatus(hpath)]
