@@ -56,6 +56,9 @@ OPTIONAL = [
     # rep band join -> components) — new line, prior lines stay 1:1
     # comparable.
     "dedup_components",
+    # r12: SemDeDup-style semantic dedup (kernel assignment + within-
+    # cluster prune) — new line, prior lines stay 1:1 comparable.
+    "dedup_semantic",
 ]
 
 

@@ -235,6 +235,30 @@ def probe_ivf(spark: SparkSession, reps: int, n: int) -> dict:
             "recall_n": round(rec_n, 3), "recall_10n": round(rec_10n, 3)}
 
 
+def probe_semantic(spark: SparkSession, reps: int, n: int) -> dict:
+    """SemDeDup semantic_dedup under the paper's operating discipline:
+    nlist grows WITH the corpus (10x rows, 10x centroids) so expected
+    cluster size stays fixed and within-cluster pair work — the
+    dominant term, Σ cluster² ≈ n²/nlist — grows ~linearly.  A fixed
+    nlist would be the quadratic regime this gate exists to catch
+    (ratio would read ~10x the linear reading: n²/nlist grows 100x)."""
+    from spreadsheet_etl_engine_spark.operators.dedup import semantic_dedup
+
+    arms = {}
+    for label, size, nlist in (("n", n, 8), ("10n", 10 * n, 80)):
+        vecs = synth_vectors(spark, size)
+        cents = [
+            [float(v) for v in r["embedding"]]
+            for r in vecs.orderBy("vec_id").limit(nlist).collect()
+        ]
+        arms[label] = lambda d=vecs, c=cents: semantic_dedup(
+            d, "embedding", "vec_id", centroids=c, threshold=0.8
+        ).filter(~F.col("kept")).count()
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    return {"probe": "semantic_dedup", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
 def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
     from spreadsheet_etl_engine_spark.operators.relational import salted_join
 
@@ -555,6 +579,10 @@ PROBES = {
     # 200k events -> 2k users small arm: 4 fixed micro-batches, so the
     # per-batch stateful work (not trigger scheduling) sets the ratio.
     "statefulstream": (probe_statefulstream, 200_000),
+    # 2k vectors / 8 centroids small arm (~250-row clusters, the
+    # fixture's density); the big arm scales BOTH 10x per the SemDeDup
+    # operating discipline, so the pair term n²/nlist grows ~linearly.
+    "semantic": (probe_semantic, 2_000),
 }
 
 

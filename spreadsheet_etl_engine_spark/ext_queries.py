@@ -647,6 +647,122 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    -- cid = position in the engine's collected centroid list (ordered
+    -- by vec_id, NULL embeddings skipped) — identical to vec_id on the
+    -- clean fixture, renumbered the same way on NULL-variant sweeps
+    cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+        FROM v WHERE vec_id < 8 AND e IS NOT NULL
+    ),
+    -- CASE den=0: the engine's cosine maps a zero-norm side to 0.0
+    -- (functions/vectors.py contract); DuckDB's bare 0/0 is NULL
+    scored AS (
+        SELECT v.vec_id, c.cid, v.e,
+               CASE WHEN sqrt(list_sum(list_transform(v.e, x -> x*x))) *
+                         sqrt(list_sum(list_transform(c.ce, x -> x*x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(v.e, c.ce),
+                                                 p -> p[1]*p[2]))
+                         / (sqrt(list_sum(list_transform(v.e, x -> x*x))) *
+                            sqrt(list_sum(list_transform(c.ce, x -> x*x))))
+               END AS cosc
+        FROM v, cents c
+        WHERE v.e IS NOT NULL
+    ),
+    a AS (
+        SELECT vec_id, cid AS cluster_id, cosc AS cos_centroid
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cosc DESC, cid) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    removed AS (
+        SELECT DISTINCT y.vec_id AS rid
+        FROM a x JOIN a y ON x.cluster_id = y.cluster_id
+         AND (x.cos_centroid < y.cos_centroid
+              OR (x.cos_centroid = y.cos_centroid AND x.vec_id < y.vec_id))
+        JOIN v vx ON vx.vec_id = x.vec_id
+        JOIN v vy ON vy.vec_id = y.vec_id
+        WHERE CASE WHEN sqrt(list_sum(list_transform(vx.e, x -> x*x))) *
+                        sqrt(list_sum(list_transform(vy.e, x -> x*x))) = 0
+                   THEN 0.0
+                   ELSE list_sum(list_transform(list_zip(vx.e, vy.e),
+                                                p -> p[1]*p[2]))
+                        / (sqrt(list_sum(list_transform(vx.e, x -> x*x))) *
+                           sqrt(list_sum(list_transform(vy.e, x -> x*x))))
+              END >= 0.40
+    )
+    -- anchored on v: NULL-embedding rows (and every row when no
+    -- centroid exists) surface with NULL cluster/cos/decision — the
+    -- operator's NULL-in/NULL-out totality contract
+    SELECT v.vec_id, a.cluster_id, a.cos_centroid,
+           CASE WHEN a.vec_id IS NULL THEN NULL
+                WHEN r.rid IS NULL THEN 'keep'
+                ELSE 'drop:semantic_dup' END AS decision
+    FROM v LEFT JOIN a ON v.vec_id = a.vec_id
+    LEFT JOIN removed r ON v.vec_id = r.rid
+    """,
+    doc="SemDeDup-style semantic dedup (operators/dedup.py:"
+        "semantic_dedup; Abbas et al. 2023, arXiv:2303.09540): assign "
+        "every embedding to its nearest centroid, then within each "
+        "cluster drop any vector cosine>=0.40-close to an earlier "
+        "member, ordering by (cos_to_centroid ASC, id) so the LEAST "
+        "prototypical copy of a near-duplicate group survives — the "
+        "cluster-level semantic prune document-level near-dup cannot "
+        "express.  Centroids here are the 8 lowest-vec_id vectors "
+        "(Forgy init — deterministic at every SF, so the oracle fetches "
+        "the SAME centroids by self-join; production swaps in "
+        "similarity.py:train_centroids_kmeans, same downstream plan).  "
+        "The registry row runs the REAL scale path: Arrow-kernel matmul "
+        "assignment (per-row, zero shuffle; fixture min top-2 centroid "
+        "gap 4.7e-5 — ten orders above BLAS-vs-fold float noise, and "
+        "the fold-based assign='exact' twin is equality-pinned in "
+        "tests), one self-join shuffle on cluster_id whose pair cost is "
+        "bounded by nlist ∝ corpus size, distinct removed-ids, one join "
+        "back.  Output cos_centroid is always the sequential fold — "
+        "bit-identical to list_sum.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()  # <= 8 rows by contract — the pinned Forgy centroids
+    )
+    centroids = [
+        [float(v) for v in r["embedding"]]
+        for r in cent_rows
+        if r["embedding"] is not None
+    ]
+    if not centroids:
+        # Degenerate corpus (empty slice / all-NULL sweep variants):
+        # nothing can be assigned, every row NULL-outs.
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit(None).cast("double").alias("cos_centroid"),
+            F.lit(None).cast("string").alias("decision"),
+        )
+    out = DD.semantic_dedup(
+        emb, "embedding", "vec_id", centroids=centroids, threshold=0.40
+    )
+    return out.select(
+        "vec_id", "cluster_id", "cos_centroid",
+        F.when(F.col("kept").isNull(), F.lit(None).cast("string"))
+        .when(F.col("kept"), F.lit("keep"))
+        .otherwise(F.lit("drop:semantic_dup"))
+        .alias("decision"),
+    )
+
+
+@register(
     "similarity_topk_bruteforce",
     oracle="""
     WITH v AS (

@@ -1147,6 +1147,163 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    centroids: list[list[float]],
+    threshold: float,
+    assign: str = "kernel",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings, then within each cluster prune every vector that
+    is ``cosine >= threshold``-close to an earlier-ordered cluster member.
+
+    Ordering within a cluster is (cos_to_centroid ASC, id ASC) — the
+    LEAST prototypical member of a near-duplicate group is kept, the
+    paper's keep-far-from-centroid rule — and "x removed" means *some*
+    earlier member is within the threshold, whether or not that member
+    was itself removed (the pairwise-max-over-earlier-columns semantics
+    of the published implementation; deterministic, no greedy chain).
+
+    Returns one row per input row: ``(id, cluster_id, cos_centroid,
+    kept)`` — callers filter ``kept`` to materialize the pruned corpus.
+
+    ``centroids`` come from the IVF machinery
+    (operators/similarity.py:train_centroids_kmeans at scale; any pinned
+    deterministic list for oracle-exact verification).  ``assign``:
+
+    * ``"kernel"`` (default, the 100 TB path) — the Arrow-batched
+      ``(batch × dim) @ (dim × nlist)`` matmul from
+      operators/similarity.py:assign_centroid: per-partition, zero
+      shuffle, centroids ride the closure.
+    * ``"exact"`` — broadcast the centroid table and argmax the same
+      sequential-fold cosine the outputs use: nlist-fold row
+      amplification (verification / oracle-twin path only; equivalence
+      with the kernel is pinned by tests on fixture data).
+
+    The kernel and the fold compute the argmax over DIFFERENT float
+    summation orders (blocked BLAS vs sequential), so assignments could
+    in principle diverge on a near-tie; ``cos_centroid`` in the OUTPUT
+    is always the sequential fold, so any such flip is a visible
+    cluster_id change, never a silent value drift.
+
+    Scale shape: assignment is per-row; the prune self-join shuffles
+    once on cluster_id and costs O(Σ cluster_size²) pair cosines — the
+    operating discipline (as in the paper) is nlist ∝ corpus size so
+    cluster size, and with it per-cluster quadratic cost, stays bounded;
+    removed-id set reduces via distinct, then one join back on id.
+    """
+    if assign not in ("kernel", "exact"):
+        raise ValueError(f'assign must be "kernel" or "exact", got {assign!r}')
+    spark = df.sparkSession
+    nlist = len(centroids)
+    if nlist == 0:
+        raise ValueError("semantic_dedup needs at least one centroid")
+    cents = spark.createDataFrame(
+        [(int(k), [float(x) for x in centroids[k]]) for k in range(nlist)],
+        "cluster_id int, ce array<double>",
+    ).withColumn("cnrm", F.sqrt(VEC.dot_precast(F.col("ce"), F.col("ce"))))
+
+    all_rows = df.select(
+        F.col(id_col), VEC.to_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", F.sqrt(VEC.dot_precast(F.col("v"), F.col("v"))))
+    # NULL-embedding totality: a row with no vector cannot be clustered
+    # or pruned — it surfaces with NULL cluster/cos/kept (SQL NULL-in/
+    # NULL-out, same contract as the topk oracles), and never reaches
+    # the Arrow kernel, whose np.stack cannot represent missing rows.
+    base = all_rows.filter(F.col("v").isNotNull())
+    null_rows = all_rows.filter(F.col("v").isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("cluster_id"),
+        F.lit(None).cast("double").alias("cos_centroid"),
+        F.lit(None).cast("boolean").alias("kept"),
+    )
+
+    # Zero-vector contract (matches VEC.cosine): 0.0, never a NULL that
+    # silently fails threshold filters / reorders the prune ordering.
+    def _cos(va, na, vb, nb):
+        den = na * nb
+        return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(
+            VEC.dot_precast(va, vb) / den
+        )
+
+    if assign == "kernel":
+        from spreadsheet_etl_engine_spark.operators import similarity as SIM
+
+        assigned = (
+            SIM.assign_centroid(base, "v", centroids)
+            .withColumnRenamed("centroid_id", "cluster_id")
+            .join(F.broadcast(cents), "cluster_id")
+            .select(
+                F.col(id_col), "v", "nrm",
+                F.col("cluster_id").cast("long").alias("cluster_id"),
+                _cos(F.col("v"), F.col("nrm"), F.col("ce"), F.col("cnrm"))
+                .alias("cos_centroid"),
+            )
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col), "v", "nrm",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            _cos(F.col("v"), F.col("nrm"), F.col("ce"), F.col("cnrm"))
+            .alias("cos_centroid"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cos_centroid"), F.asc("cluster_id")
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    x = assigned.select(
+        F.col(id_col).alias("_idx"), F.col("v").alias("vx"),
+        F.col("nrm").alias("nx"), F.col("cluster_id").alias("_cx"),
+        F.col("cos_centroid").alias("_ccx"),
+    )
+    y = assigned.select(
+        F.col(id_col).alias("_idy"), F.col("v").alias("vy"),
+        F.col("nrm").alias("ny"), F.col("cluster_id").alias("_cy"),
+        F.col("cos_centroid").alias("_ccy"),
+    )
+    earlier = (F.col("_ccx") < F.col("_ccy")) | (
+        (F.col("_ccx") == F.col("_ccy")) & (F.col("_idx") < F.col("_idy"))
+    )
+    # One join condition with the conjuncts in evaluation order: the
+    # interpreted fold cosine LAST, behind the cheap ordering predicate
+    # (And short-circuits left-to-right; a post-join .filter() gets
+    # pushed in FRONT of the ordering conjunct and doubles the cosine
+    # evaluations — measured on the sf0.1 fixture).
+    removed = (
+        x.join(
+            y,
+            (F.col("_cx") == F.col("_cy"))
+            & earlier
+            & (
+                _cos(F.col("vx"), F.col("nx"), F.col("vy"), F.col("ny"))
+                >= F.lit(threshold)
+            ),
+        )
+        .select(F.col("_idy").alias("_removed_id"))
+        .distinct()
+    )
+    flagged = (
+        assigned.join(
+            removed, assigned[id_col] == removed["_removed_id"], "left"
+        )
+        .select(
+            F.col(id_col), "cluster_id", "cos_centroid",
+            F.col("_removed_id").isNull().alias("kept"),
+        )
+    )
+    return flagged.unionByName(null_rows)
+
+
 def paragraph_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -110,6 +110,10 @@ def _cosine_to_centroids(vs, Cn):
     """(batch × dim) unit-normalized matmul against the centroid matrix."""
     import numpy as np
 
+    if len(vs) == 0:
+        # Arrow can hand the kernel a zero-row batch (empty partition /
+        # empty source slice); np.stack raises on an empty list.
+        return np.zeros((0, Cn.shape[0]))
     M = np.stack(vs.to_numpy()).astype(np.float64)
     M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     return M @ Cn.T

@@ -1537,3 +1537,86 @@ def test_text_unicode_hygiene_counts(spark, tmp_path):
     }
     con.close()
     assert exp == got
+
+
+def test_semantic_dedup_keeps_least_prototypical(spark):
+    # Two well-separated centroids; in cluster 0 a near-identical pair
+    # (10, 11) and one distinct vector (12); in cluster 1 a
+    # near-identical pair (13, 14).  tau=0.99: only the near-identical
+    # pairs collide.  Ordering is cos_to_centroid ASC -> the member
+    # FARTHER from the centroid survives (the SemDeDup keep rule).
+    rows = [
+        (10, [1.0, 0.1, 0.0, 0.0]),
+        (11, [1.0, 0.100001, 0.0, 0.0]),   # near-dup of 10, farther from c0
+        (12, [0.9, 0.5, 0.0, 0.0]),        # same cluster, cos~0.92 < tau
+        (13, [0.0, 1.0, 0.2, 0.0]),
+        (14, [0.0, 1.0, 0.2001, 0.0]),     # near-dup of 13, farther from c1
+    ]
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = DD.semantic_dedup(
+        df, "emb", "vid", centroids=cents, threshold=0.99
+    ).collect()
+    got = {r["vid"]: (r["cluster_id"], r["kept"]) for r in out}
+    assert got[10] == (0, False) and got[11] == (0, True)
+    assert got[12] == (0, True)
+    assert got[13] == (1, False) and got[14] == (1, True)
+
+
+def test_semantic_dedup_prunes_against_removed_members_too(spark):
+    # x at 0deg, y at 9deg, z at 18deg in one plane; tau between cos(9)
+    # and cos(18): cos(x,y) and cos(y,z) >= tau but cos(x,z) < tau.
+    # Centroid at 85deg makes the ASC order x, y, z.  The documented
+    # (and SemDeDup-published) semantics drop z because its earlier
+    # neighbor y is within tau EVEN THOUGH y itself was dropped — a
+    # greedy keep-set scan would have kept z; this pins the difference.
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    df = spark.createDataFrame(
+        [(1, at(0)), (2, at(9)), (3, at(18))], "vid long, emb array<double>"
+    )
+    cents = [at(85), [0.0, 0.0, 1.0]]
+    out = DD.semantic_dedup(
+        df, "emb", "vid", centroids=cents, threshold=math.cos(math.radians(10))
+    ).collect()
+    got = {r["vid"]: (r["cluster_id"], r["kept"]) for r in out}
+    assert got == {1: (0, True), 2: (0, False), 3: (0, False)}
+
+
+def test_semantic_dedup_kernel_and_exact_assign_agree(spark, sf_dir):
+    # The Arrow-matmul assignment (scale path, BLAS summation order)
+    # and the broadcast sequential-fold argmax (oracle-twin path) must
+    # place every fixture vector in the same cluster with the same
+    # fold-computed cos_centroid and kept flag.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    kw = dict(centroids=cents, threshold=0.40)
+    kern = DD.semantic_dedup(emb, "embedding", "vec_id", **kw).collect()
+    exact = DD.semantic_dedup(
+        emb, "embedding", "vec_id", assign="exact", **kw
+    ).collect()
+    key = lambda r: r["vec_id"]
+    assert sorted(
+        [(r["vec_id"], r["cluster_id"], r["cos_centroid"], r["kept"])
+         for r in kern]
+    ) == sorted(
+        [(r["vec_id"], r["cluster_id"], r["cos_centroid"], r["kept"])
+         for r in exact]
+    )
+
+
+def test_semantic_dedup_arg_validation(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vid long, emb array<double>")
+    with pytest.raises(ValueError, match="kernel.*exact|exact.*kernel"):
+        DD.semantic_dedup(df, "emb", "vid", centroids=[[1.0, 0.0]],
+                          threshold=0.9, assign="bogus")
+    with pytest.raises(ValueError, match="at least one centroid"):
+        DD.semantic_dedup(df, "emb", "vid", centroids=[], threshold=0.9)

@@ -71,6 +71,12 @@ BOUNDS = {
     # band), so any bound that completes is already the proof; 7.0 is
     # ~3x the recorded median for ambient headroom.
     "megadup": 7.0,     # recorded 2.39x
+    # r12 addition: semantic_dedup under the SemDeDup discipline (10x
+    # vectors AND 10x centroids, cluster size fixed): pair work
+    # n²/nlist grows linearly; recorded 1.51x (small arm overhead-
+    # diluted).  A fixed-nlist quadratic regime reads ~10x the linear
+    # reading — the catastrophe this bound exists to catch.
+    "semantic": 5.0,    # recorded 1.51x
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
@@ -99,7 +105,7 @@ def _drop_probe_residue(spark):
 # megadup also ends in connected_components (localCheckpoint residue),
 # so it runs with components at the tail of the order.
 PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
-               "megadup", "components"]
+               "semantic", "megadup", "components"]
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
 
