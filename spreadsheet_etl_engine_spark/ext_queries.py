@@ -998,8 +998,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/multimodal.py:synth_media), so DuckDB can recompute the
     # EXPECTED metadata — dimensions and exact container byte sizes (BMP
     # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, PNG with
-    # level-0 zlib = 68 fixed bytes + h*(1+3w) stored scanlines, WAV
-    # 44+2n, fake VID header) — from range(96) without parsing binary.
+    # level-0 zlib = 68 fixed bytes + h*(1+3w) stored scanlines, palette
+    # PNG = 128 fixed bytes (incl. the 16-entry PLTE) + h*(1+w) index
+    # scanlines, WAV 44+2n, fake VID header) — from range(96) without
+    # parsing binary.
     # The Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/PNG/
     # WAV kernels via Arrow-batched mapInPandas), so both the encoder and
     # the decoder sit under the hash; a one-byte layout bug (or a wrong
@@ -1022,11 +1024,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 48 END AS height,
              CASE kind WHEN 'video' THEN nf ELSE 1 END AS n_frames,
              CASE kind
-               WHEN 'image' THEN CASE (i // 3) % 3
+               WHEN 'image' THEN CASE (i // 3) % 4
                  WHEN 0 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
                  WHEN 1 THEN 9 + len(CAST(iw AS VARCHAR))
                       + len(CAST(ih AS VARCHAR)) + 3 * iw * ih
-                 ELSE 68 + ih * (1 + 3 * iw)
+                 WHEN 2 THEN 68 + ih * (1 + 3 * iw)
+                 -- palette PNG (r12): 16-entry PLTE, one index byte
+                 -- per pixel in level-0 stored scanlines
+                 ELSE 80 + 3 * 16 + ih * (1 + iw)
                END
                WHEN 'audio' THEN 44 + 2 * ns
                ELSE 11 + len(CAST(nf AS VARCHAR)) + plen

@@ -6,16 +6,19 @@ Real decode/encode with no media libraries needed:
   4-byte row padding;
 * **PPM** (binary ``P6``) — ASCII header then RGB bytes;
 * **WAV** (PCM16 mono/stereo RIFF) — canonical 44-byte header;
-* **PNG** (non-interlaced 8-bit gray/RGB/RGBA) — stdlib ``zlib`` inflate
-  plus numpy unfiltering of all five scanline filters (None/Sub/Up/
-  Average/Paeth); the encoder can emit any filter type, so the decoder's
-  reconstruction paths are round-trip testable.
+* **PNG** (non-interlaced 8-bit gray/RGB/RGBA plus 8-bit palette with
+  optional tRNS transparency — r12, the most common gated format in real
+  corpora: screenshots/diagrams) — stdlib ``zlib`` inflate plus numpy
+  unfiltering of all five scanline filters (None/Sub/Up/Average/Paeth);
+  the encoder can emit any filter type (and ``encode_png_palette`` emits
+  color-type-3 files), so the decoder's reconstruction paths are
+  round-trip testable.
 * **JPEG** (baseline sequential DCT, Huffman, 4:4:4 / 4:2:0, restart
   markers) — full pure-numpy pipeline in ``jpeg_codec``, re-exported
   here as ``decode_jpeg`` / ``encode_jpeg``.
 
 Still genuinely out of reach without PIL/cv2/ffmpeg: progressive JPEG,
-palette/16-bit/interlaced PNG, MP3, H.264 — those stay behind
+16-bit/interlaced/sub-byte-depth PNG, MP3, H.264 — those stay behind
 the marked extension points in ``operators.multimodal``.  These codecs
 make the decode / resize / feature-extract pipeline REAL end-to-end for
 the formats above, which is all the plumbing contract needs: at scale the
@@ -154,17 +157,21 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+# (type 3 scanlines carry ONE palette index per pixel; the palette
+# lookup after unfiltering expands to RGB, or RGBA when tRNS is present)
 
 
 def decode_png(data: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG → (h, w, channels) uint8 array.
 
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
-    bit depth 8.  Palette (type 3), 1/2/4/16-bit depths and Adam7
-    interlacing raise ``ValueError`` — they'd be silent wrong-pixels bugs
-    if half-supported, and real corpora re-encode those through the same
-    extension point as JPEG.
+    Supports color types 0 (gray), 2 (RGB), 3 (palette — expanded
+    through PLTE to RGB, or to RGBA when a tRNS chunk supplies per-entry
+    alpha; r11 verdict Next 3: the most common previously-gated format
+    in real corpora), 4 (gray+alpha), 6 (RGBA) at bit depth 8.
+    1/2/4/16-bit depths and Adam7 interlacing raise ``ValueError`` —
+    they'd be silent wrong-pixels bugs if half-supported, and real
+    corpora re-encode those through the same extension point as JPEG.
 
     Throughput (measured, 512x512 RGB): filters None/Sub/Up decode
     vectorized in 1-4 ms; Average/Paeth carry a strict left-neighbor
@@ -177,6 +184,8 @@ def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
     ihdr: bytes | None = None
+    plte: bytes | None = None
+    trns: bytes | None = None
     idat: list[bytes] = []
     pos = 8
     while pos + 8 <= len(data):
@@ -187,6 +196,10 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
             ihdr = chunk
+        elif ctype == b"PLTE":
+            plte = chunk
+        elif ctype == b"tRNS":
+            trns = chunk
         elif ctype == b"IDAT":
             idat.append(chunk)
         elif ctype == b"IEND":
@@ -199,7 +212,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported (depth={depth})")
     if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if color_type == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+    elif plte is not None and color_type in (0, 4):
+        raise ValueError(f"PLTE chunk forbidden for color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace != 0:
@@ -246,6 +264,24 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
         prev = rec
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            # The spec calls an out-of-range index an error; mapping it
+            # to black/modulo would be a silent wrong-pixels bug.
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range "
+                f"(palette has {pal.shape[0]} entries)"
+            )
+        rgb = pal[idx]  # (h, w, 3)
+        if trns is None:
+            return rgb.copy()
+        if len(trns) > pal.shape[0]:
+            raise ValueError("tRNS longer than the palette")
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2).copy()
     return out.reshape(h, w, ch).copy()
 
 
@@ -303,6 +339,79 @@ def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0) -> byte
             + chunk(b"IEND", b""))
 
 
+def encode_png_palette(
+    indexes: np.ndarray,
+    palette: np.ndarray,
+    *,
+    trns: np.ndarray | None = None,
+    level: int = 6,
+    filter_type: int = 0,
+) -> bytes:
+    """(h, w) uint8 index array + (P, 3) uint8 palette → color-type-3
+    PNG bytes (optionally with a tRNS alpha chunk of up to P entries).
+
+    Same filter/level contract as :func:`encode_png`; scanlines carry
+    one index byte per pixel, so a level-0 file's size is the closed
+    formula 8 + 25 + (12+3P) [+ (12+len(trns))] + (12+11+h*(1+w)) + 12
+    the generative oracles recompute."""
+    if indexes.dtype != np.uint8 or indexes.ndim != 2:
+        raise ValueError("encode_png_palette needs a (h, w) uint8 index array")
+    if palette.dtype != np.uint8 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("palette must be a (P, 3) uint8 array")
+    npal = palette.shape[0]
+    if not 1 <= npal <= 256:
+        raise ValueError(f"palette must have 1..256 entries, got {npal}")
+    if int(indexes.max(initial=0)) >= npal:
+        raise ValueError(
+            f"index {int(indexes.max())} out of range for {npal}-entry palette"
+        )
+    if trns is not None and (
+        trns.dtype != np.uint8 or trns.ndim != 1 or len(trns) > npal
+    ):
+        raise ValueError("trns must be a uint8 vector of at most P entries")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    h, w = indexes.shape
+    # Index scanlines filter exactly like 1-channel samples (ch=1).
+    flat = indexes.reshape(h, w).astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, 1:] = flat[:, :-1]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    up_left = np.zeros_like(flat)
+    up_left[1:, 1:] = flat[:-1, :-1]
+    if filter_type == 0:
+        filtered = flat
+    elif filter_type == 1:
+        filtered = flat - left
+    elif filter_type == 2:
+        filtered = flat - up
+    elif filter_type == 3:
+        filtered = flat - ((left + up) >> 1)
+    else:
+        p = left + up - up_left
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, up_left))
+        filtered = flat - pred
+    scanlines = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8),
+         (filtered & 0xFF).astype(np.uint8)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    parts = [_PNG_SIG, chunk(b"IHDR", ihdr), chunk(b"PLTE", palette.tobytes())]
+    if trns is not None:
+        parts.append(chunk(b"tRNS", trns.tobytes()))
+    parts.append(chunk(b"IDAT", zlib.compress(scanlines, level)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
 def probe_png_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the PNG IHDR alone — no inflate, no
     unfiltering.  O(header) vs ``decode_png``'s O(pixels): the right
@@ -320,7 +429,7 @@ def probe_png_dims(data: bytes) -> tuple[int, int]:
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported (depth={depth})")
     if color_type not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported PNG color type {color_type} (palette?)")
+        raise ValueError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     if interlace != 0:

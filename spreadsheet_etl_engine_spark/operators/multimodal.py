@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
-PCM16 WAV, non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering),
-and baseline JPEG (pure-numpy DCT + Huffman, 4:4:4/4:2:0, restart
-markers) via the codecs in ``functions.media_codecs`` — no media libs.
+PCM16 WAV, non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering;
+gray/RGB/RGBA plus palette with optional tRNS since r12), and baseline
+JPEG (pure-numpy DCT + Huffman, 4:4:4/4:2:0, restart markers) via the
+codecs in ``functions.media_codecs`` — no media libs.
 The remaining compressed formats (progressive JPEG, MP3, H.264,
-palette/16-bit PNG) genuinely require PIL/cv2/ffmpeg, which this
+16-bit/interlaced PNG) genuinely require PIL/cv2/ffmpeg, which this
 container lacks: those route through the marked import-try extension
 points and otherwise fall back to the deterministic fake header format,
 so the Arrow plumbing is exercised for every kind.
@@ -62,11 +63,12 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     media column — this feeds the plumbing tests and the registry query).
 
     ``real=True`` emits genuine containers (24-bit BMP / binary PPM /
-    zlib-stored PNG gradients cycling per image row, PCM16 sine WAVs for
-    audio) so the numpy decode kernels run end-to-end; video rows keep
-    the fake header (an uncompressed video container would just be a
-    frame list).  PNG rows use ``level=0`` (stored deflate blocks) so
-    their byte size stays a closed formula the generative oracle can
+    zlib-stored truecolor PNG / zlib-stored 16-entry palette PNG
+    gradients cycling per image row, PCM16 sine WAVs for audio) so the
+    numpy decode kernels run end-to-end; video rows keep the fake
+    header (an uncompressed video container would just be a frame
+    list).  PNG rows use ``level=0`` (stored deflate blocks) so their
+    byte size stays a closed formula the generative oracle can
     recompute."""
     import numpy as np
 
@@ -79,10 +81,20 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 w, h = 8 + i % 16, 6 + i % 8
                 img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256
                        ).astype(np.uint8)
-                container = (i // 3) % 3
-                payload = (MC.encode_bmp(img) if container == 0
-                           else MC.encode_ppm(img) if container == 1
-                           else MC.encode_png(img, level=0))
+                container = (i // 3) % 4
+                if container == 3:
+                    # Palette (color-type 3) PNG — r12: fixed 16-entry
+                    # palette so the level-0 size stays the closed
+                    # formula 80 + 3*16 + h*(1+w).
+                    idx = ((np.arange(h * w).reshape(h, w) * (i + 1)) % 16
+                           ).astype(np.uint8)
+                    pal = ((np.arange(48).reshape(16, 3) * 7 + i) % 256
+                           ).astype(np.uint8)
+                    payload = MC.encode_png_palette(idx, pal, level=0)
+                else:
+                    payload = (MC.encode_bmp(img) if container == 0
+                               else MC.encode_ppm(img) if container == 1
+                               else MC.encode_png(img, level=0))
             else:
                 payload = (f"IMG:{32 + i % 64}x{16 + i % 32}:" + "p" * (i % 17 + 1)).encode()
         elif kind == "audio":
@@ -101,15 +113,16 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
 
 def _decode_compressed(data: bytes) -> tuple[int, int, int]:
     """Extension point for the containers the numpy codecs can't express:
-    progressive JPEG, palette/16-bit/interlaced PNG, MP3, H.264 —
+    progressive JPEG, 16-bit/interlaced/sub-byte-depth PNG, MP3, H.264 —
     requires PIL/cv2/ffmpeg, absent here.  Non-interlaced 8-bit PNG
-    (``media_codecs.decode_png``) and baseline JPEG
-    (``media_codecs.decode_jpeg``) decode for real."""
+    (gray/RGB/RGBA and palette+tRNS — ``media_codecs.decode_png``) and
+    baseline JPEG (``media_codecs.decode_jpeg``) decode for real."""
     raise NotImplementedError(
-        "MP3/H.264 (and progressive JPEG, palette/16-bit/interlaced PNG) "
-        "decoding requires PIL/cv2/librosa/ffmpeg, which are not "
-        "installed; BMP/PPM/WAV, non-interlaced 8-bit PNG and baseline "
-        "JPEG decode is real (functions.media_codecs)"
+        "MP3/H.264 (and progressive JPEG, 16-bit/interlaced/sub-byte "
+        "PNG) decoding requires PIL/cv2/librosa/ffmpeg, which are not "
+        "installed; BMP/PPM/WAV, non-interlaced 8-bit PNG (incl. "
+        "palette) and baseline JPEG decode is real "
+        "(functions.media_codecs)"
     )
 
 

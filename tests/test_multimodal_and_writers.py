@@ -819,3 +819,81 @@ def test_csv_hostile_roundtrip(spark, tmp_path):
     typed = read_csv(spark, path, schema="k int, v string", multiline=True,
                      mode="PERMISSIVE")
     assert typed.count() == 9
+
+
+def test_palette_png_roundtrip_all_filters_and_trns():
+    """Color-type-3 round trip (r11 verdict Next 3): encode_png_palette
+    -> decode_png must reproduce palette[indexes] exactly for every
+    scanline filter, expand tRNS alpha (short vector = remaining
+    entries opaque), and match the level-0 closed size formula the
+    generative oracle recomputes."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 9), dtype=np.uint8)
+    for ft in range(5):
+        for lvl in (0, 6):
+            got = MC.decode_png(MC.encode_png_palette(
+                idx, pal, level=lvl, filter_type=ft))
+            assert got.shape == (6, 9, 3), (ft, lvl)
+            assert np.array_equal(got, pal[idx]), (ft, lvl)
+
+    # tRNS: 3 explicit alphas, entries 3..15 default to opaque 255.
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    got = MC.decode_png(MC.encode_png_palette(idx, pal, trns=trns, level=0))
+    assert got.shape == (6, 9, 4)
+    alpha = np.full(16, 255, np.uint8)
+    alpha[:3] = trns
+    assert np.array_equal(got[..., 3], alpha[idx])
+    assert np.array_equal(got[..., :3], pal[idx])
+
+    # Closed level-0 size: 80 fixed + 3P palette + h*(1+w) scanlines.
+    h, w, P = idx.shape[0], idx.shape[1], 16
+    assert len(MC.encode_png_palette(idx, pal, level=0)) == \
+        80 + 3 * P + h * (1 + w)
+    # probe agrees with decode on dims and acceptance.
+    assert MC.probe_png_dims(MC.encode_png_palette(idx, pal)) == (w, h)
+
+
+def test_palette_png_fail_loud_gates():
+    """Out-of-range indexes, malformed PLTE and oversized tRNS raise
+    instead of mis-decoding (the silent wrong-pixels class)."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    pal = (np.arange(24) % 256).astype(np.uint8).reshape(8, 3)
+    idx = np.full((3, 4), 7, dtype=np.uint8)
+    with pytest.raises(ValueError, match="out of range"):
+        MC.encode_png_palette(idx, pal[:4])
+    with pytest.raises(ValueError, match="1..256|entries"):
+        MC.encode_png_palette(idx, pal[:0])
+    with pytest.raises(ValueError, match="trns"):
+        MC.encode_png_palette(idx, pal,
+                              trns=np.zeros(9, dtype=np.uint8))
+    good = MC.encode_png_palette(idx, pal)
+
+    # Decoder-side: a file whose pixel indexes exceed its PLTE. Craft by
+    # splicing the 4-entry palette file's PLTE chunk in place of the
+    # 8-entry one (chunk layout: 8 sig + 25 IHDR, then PLTE).
+    small = MC.encode_png_palette(np.zeros((3, 4), dtype=np.uint8), pal[:4])
+    plte_small = small[33:33 + 12 + 12]          # len+type+12 bytes+crc
+    spliced = good[:33] + plte_small + good[33 + 12 + 24:]
+    with pytest.raises(ValueError, match="out of range"):
+        MC.decode_png(spliced)
+
+    # PLTE on a grayscale file is spec-forbidden — gate, don't ignore.
+    gray = MC.encode_png(np.zeros((3, 4), dtype=np.uint8))
+    g = gray[:33] + plte_small + gray[33:]
+    with pytest.raises(ValueError, match="forbidden"):
+        MC.decode_png(g)
+
+    # Palette file with its PLTE chunk stripped entirely.
+    stripped = good[:33] + good[33 + 12 + 24:]
+    with pytest.raises(ValueError, match="PLTE"):
+        MC.decode_png(stripped)
