@@ -259,6 +259,48 @@ def probe_semantic(spark: SparkSession, reps: int, n: int) -> dict:
             "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
 
 
+def probe_wideschema(spark: SparkSession, reps: int, n: int) -> dict:
+    """The untested scale axis (r11 verdict item 4): COLUMNS, not rows.
+    nonfinite_report and check_constraints build per-column expression
+    lists — one agg with 4 (resp. 1) expressions per column — and the
+    classic wide-feature-table failure mode is Catalyst analysis /
+    codegen superlinearity in the expression count, invisible to every
+    row-growth curve.  ``n`` is the COLUMN count (rows fixed at 50k);
+    the 10n arm therefore has 10x the cells AND 10x the expressions, so
+    a healthy reading is ~linear (~10x at most, sub-linear in practice
+    because fixed per-query overhead dilutes the small arm) and a
+    quadratic-analysis regime reads ~50x+.  Timing includes Python
+    expression construction + analysis + execution end-to-end — plan
+    BUILD cost is exactly what this probe exists to see."""
+    from spreadsheet_etl_engine_spark.operators.quality import (
+        check_constraints, in_range, nonfinite_report,
+    )
+
+    rows = 50_000
+
+    def make_arm(ncols: int):
+        def run():
+            cols = [
+                ((F.col("id") * (i + 1)) % 997 / 7.0).alias(f"c{i}")
+                for i in range(ncols)
+            ]
+            df = spark.range(rows).select(*cols)
+            names = tuple(f"c{i}" for i in range(ncols))
+            assert nonfinite_report(df, double_cols=names).count() == ncols
+            cons = [
+                in_range(f"r{i}", f"c{i}", -1.0, 1000.0)
+                for i in range(ncols)
+            ]
+            assert check_constraints(df, cons).count() == ncols
+
+        return run
+
+    t1, t10 = ab_medians(make_arm(n), make_arm(10 * n), reps)
+    return {"probe": "wide_schema_aggs", "n_cols": n, "rows": rows,
+            "t_n": round(t1, 2), "t_10n": round(t10, 2),
+            "ratio": round(t10 / t1, 2)}
+
+
 def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
     from spreadsheet_etl_engine_spark.operators.relational import salted_join
 
@@ -583,6 +625,10 @@ PROBES = {
     # fixture's density); the big arm scales BOTH 10x per the SemDeDup
     # operating discipline, so the pair term n²/nlist grows ~linearly.
     "semantic": (probe_semantic, 2_000),
+    # n = COLUMN count (60 -> 600 at fixed 50k rows): the per-column-
+    # expression operators' plan-build + execution growth on wide
+    # feature tables.
+    "wideschema": (probe_wideschema, 60),
 }
 
 

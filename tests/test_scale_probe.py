@@ -77,6 +77,12 @@ BOUNDS = {
     # diluted).  A fixed-nlist quadratic regime reads ~10x the linear
     # reading — the catastrophe this bound exists to catch.
     "semantic": 5.0,    # recorded 1.51x
+    # r12 addition: the COLUMN axis (60 -> 600 cols at fixed 50k rows;
+    # r11 verdict item 4).  10x columns = 10x cells AND 10x agg
+    # expressions, so linear reads ~10; recorded 9.55x.  The failure
+    # mode this gate exists to catch — superlinear Catalyst analysis /
+    # codegen in the expression count — reads ~50x+.
+    "wideschema": 15.0,  # recorded 9.55x
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
@@ -105,7 +111,7 @@ def _drop_probe_residue(spark):
 # megadup also ends in connected_components (localCheckpoint residue),
 # so it runs with components at the tail of the order.
 PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
-               "semantic", "megadup", "components"]
+               "semantic", "wideschema", "megadup", "components"]
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
 
