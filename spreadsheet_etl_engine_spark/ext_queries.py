@@ -1375,6 +1375,132 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_events",
+    # The source feed is events UNION an exact re-delivery of the
+    # event_id%7==3 subset (at-least-once transport), spread over 8
+    # files with 2 per trigger so copies land in DIFFERENT micro-
+    # batches and the cross-batch seen-key state is what actually
+    # removes them.  dropDuplicates over ALL columns makes the final
+    # output set equal batch SELECT DISTINCT * under any micro-batch
+    # layout (exact copies: any survivor is every survivor), so the
+    # oracle ignores the injection entirely — the duplicates it never
+    # sees are exactly the ones the stream must drop.  The deduped
+    # stream lands in a PARQUET sink (the production shape — nothing
+    # corpus-sized touches the driver) and the compact per-type rollup
+    # reads the sink back.
+    oracle="""
+    WITH d AS (SELECT DISTINCT * FROM events)
+    SELECT event_type, count(*) AS n_events,
+           count(DISTINCT event_id) AS n_event_ids,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM d GROUP BY event_type
+    """,
+    doc="Streaming dedup on ingest (streaming/dedup.py:"
+        "dedup_within_watermark): exact-copy removal behind a watermark "
+        "executed as a real Structured Streaming query (file source, "
+        "availableNow, parquet sink).  The event-time column sits in "
+        "the dedup key, so seen-key state evicts behind the watermark — "
+        "O(redelivery horizon) state, never O(stream).",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    ev = load_table(spark, sf_dir, "events")
+    redelivered = ev.filter(F.col("event_id") % 7 == 3)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events_in"
+        ev.unionByName(redelivered).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = SE.read_event_stream(spark, src, max_files_per_trigger=2)
+        # Backfill watermark sizing (the streaming_view_click_join rule,
+        # made data-driven): the delay must cover the REPLAYED span or
+        # rows in files processed after a newer file are dropped as
+        # late — one poison timestamp (epoch/9999) in an early micro-
+        # batch would otherwise advance the watermark past the whole
+        # feed (the resample_gapfill poison-ts class, streaming form).
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span_days = (hi - lo).days + 2 if lo is not None else 31
+        deduped = SD.dedup_within_watermark(stream, "ts", f"{span_days} days")
+        out_dir = f"{tmp}/deduped"
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = (
+            spark.read.schema(SE.EVENT_SCHEMA).parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("event_id").alias("n_event_ids"),
+                F.sum(
+                    finite_or_fail(F.col("value"), "value")
+                    .cast("decimal(18,2)")
+                ).cast("double").alias("total_value"),
+            )
+        )
+        # Materialize before the temp dir disappears (per-type rollup —
+        # aggregate-state-sized, same contract as the memory sinks).
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
+@register(
+    "streaming_seen_index",
+    # Same injection scheme (documents re-delivered for doc_id%5==2),
+    # so the oracle counts 1 + [doc_id%5=2] copies per document row
+    # WITHOUT seeing the stream.  The stateful operator's final
+    # emission per content hash is (count, min id) — both commutative,
+    # so the last row per hash (max n_copies; n strictly increases) is
+    # arrival-order-independent and equals the batch exact_dedup row.
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS rep_doc_id,
+           CAST(sum(1 + CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="The incremental_dedup seen-index as streaming state "
+        "(streaming/dedup.py:seen_index_stream, applyInPandasWithState):"
+        " one (n_copies, min_id) state row per distinct content hash, "
+        "updated across micro-batches (8 files, 2 per trigger) — the "
+        "state-store form of the persisted parquet index, emitting the "
+        "batch exact-dedup survivorship row per hash.",
+)
+def streaming_seen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+    from spreadsheet_etl_engine_spark.streaming import events as SE
+
+    docs = load_table(spark, sf_dir, "documents")
+    redelivered = docs.filter(F.col("doc_id") % 5 == 2)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/docs_in"
+        docs.unionByName(redelivered).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
+        name = "streaming_seen_index_sink"
+        SE.run_to_memory_sink(
+            SD.seen_index_stream(stream), name, output_mode="update"
+        )
+        out = spark.table(name)
+        final = out.groupBy("content_hash").agg(
+            F.max("n_copies").alias("n_copies"),
+            F.max_by("rep_doc_id", "n_copies").alias("rep_doc_id"),
+        ).select("content_hash", "rep_doc_id", "n_copies")
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
+@register(
     "quality_constraint_report",
     oracle="""
     -- coalesce on every sum: over zero rows SQL sum() is NULL, but an

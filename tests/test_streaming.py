@@ -597,3 +597,113 @@ def test_read_event_stream_schema_validation_paths(spark, sf_dir, tmp_path):
     with pytest.raises(Exception) as exc_info:
         SE.read_event_stream(spark, str(corrupt))
     assert not isinstance(exc_info.value, EngineError)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, tmp_path):
+    """dedup_within_watermark's final output set must equal batch
+    SELECT DISTINCT * when copies of the same row land in DIFFERENT
+    micro-batches (the cross-batch seen-key state path), including an
+    exact-epoch timestamp row (the inclusive-late-predicate /
+    watermark-floor class the clamp exists for)."""
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    epoch_row = spark.createDataFrame(
+        [(90_000_001, "1970-01-01 00:00:00", 1, "view", 3.0, None)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = ev.unionByName(epoch_row)
+    # Re-deliver half the rows; 8 files x 2-per-trigger spreads copies
+    # across micro-batches.
+    feed = base.unionByName(base.filter(F.col("event_id") % 2 == 0))
+    src = str(tmp_path / "in")
+    feed.repartition(8).write.parquet(src)
+    stream = SE.read_event_stream(spark, src, max_files_per_trigger=2)
+    # Backfill sizing rule: the delay must cover the replayed span —
+    # here epoch 1970 through the fixture's ~2025 events (~55 years).
+    deduped = SD.dedup_within_watermark(stream, "ts", "20200 days")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.schema(SE.EVENT_SCHEMA).parquet(str(tmp_path / "out"))
+    want = base.distinct()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_seen_index_stream_equals_batch_exact_dedup(spark, sf_dir, tmp_path):
+    """seen_index_stream's final per-hash state must equal the batch
+    exact_dedup row (min-id representative + copy count) under
+    cross-batch arrival, with NULL doc ids following SQL min semantics
+    (the sentinel contract) and NULL text hashing to the NULL group."""
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    extra = spark.createDataFrame(
+        [(None, "planted duplicate text", "en", "web", 22),
+         (7_000, "planted duplicate text", "en", "web", 22),
+         (7_001, None, "en", "web", None)],
+        SD.DOC_SCHEMA,
+    )
+    base = docs.unionByName(extra)
+    feed = base.unionByName(base.filter(F.col("doc_id") % 3 == 1))
+    src = str(tmp_path / "docs_in")
+    feed.repartition(8).write.parquet(src)
+    stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
+    out = SD.seen_index_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seen_index_eq_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table("seen_index_eq_sink")
+        .groupBy("content_hash")
+        .agg(
+            F.max("n_copies").alias("n_copies"),
+            F.max_by("rep_doc_id", "n_copies").alias("rep_doc_id"),
+        )
+    )
+    want = feed.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+    got_rows = {
+        r["content_hash"]: (r["rep_doc_id"], r["n_copies"])
+        for r in final.collect()
+    }
+    want_rows = {
+        r["content_hash"]: (r["rep_doc_id"], r["n_copies"])
+        for r in want.collect()
+    }
+    assert got_rows == want_rows
+    # The planted pair: NULL-id copy + id-7000 copy -> rep is 7000
+    # (min skips NULL via the sentinel), n_copies counts both plus any
+    # redelivery.
+    import hashlib
+
+    h = hashlib.md5(b"planted duplicate text").hexdigest()
+    assert got_rows[h][0] == 7_000
+
+
+def test_read_document_stream_validates_columns(spark, tmp_path):
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    bad = spark.createDataFrame(
+        [(1, "txt")], "document_id long, text string"
+    )
+    src = str(tmp_path / "bad_docs")
+    bad.write.parquet(src)
+    with pytest.raises(ValueError, match="missing column"):
+        SD.read_document_stream(spark, src)
