@@ -104,7 +104,15 @@ def test_semi_join_hides_right_columns(spark, tpch):
             ("Cust", "src[c_custkey]"),
         ],
     )
-    assert out.count() > 0
+    # Exact pin vs a direct semi join (r12 test-suite review: a bare
+    # `> 0` could not tell a working semi join from a broken one that
+    # degraded to inner-with-duplicates or full passthrough).
+    expected = tpch["src"].join(
+        tpch["orders"],
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_semi",
+    ).count()
+    assert out.count() == expected and expected > 0
     with pytest.raises(MissingColumnError):
         run_mapping_v2(
             tpch,
@@ -157,7 +165,17 @@ def test_having_sort_limit(spark, tpch):
         ],
     )
     rows = out.collect()
-    assert len(rows) <= 3
+    # Exact expected rows from a direct DataFrame computation — an
+    # upper-bound-only `<= 3` would stay green if the filter or join
+    # broke and returned nothing (r12 test-suite review: the
+    # vacuous-empty class).
+    expected_n = (
+        tpch["src"].join(
+            tpch["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name").count().filter(F.col("count") >= 5).count()
+    )
+    assert len(rows) == min(3, expected_n) and expected_n > 0
     counts = [r["n_customers"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c >= 5 for c in counts)

@@ -37,6 +37,9 @@ def test_corrupt_media_never_kills_the_job(spark):
     decoded = {r["media_id"]: r for r in MM.decode_media(media).collect()}
     assert all((decoded[i]["width"], decoded[i]["height"]) == (0, 0) for i in (1, 3))
     feats = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    # len pin first: an empty feats dict would make the all() vacuous
+    # (r12 test-suite review).
+    assert len(feats) == len(bad)
     assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
     resized = {r["media_id"]: bytes(r["data"])
                for r in MM.resize_images(media, width=4, height=4).collect()}
@@ -187,6 +190,7 @@ def test_png_through_spark_pipeline(spark):
     assert (dec[10]["width"], dec[10]["height"], dec[10]["n_frames"]) == (0, 0, 0)
     bad_feats = {r["media_id"]: r["feature"]
                  for r in MM.extract_features(bad).collect()}
+    assert len(bad_feats) == 2  # non-empty: the all() below must bite
     assert all(len(v) == MM.FEATURE_DIM for v in bad_feats.values())
 
 
