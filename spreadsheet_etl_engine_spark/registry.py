@@ -2448,13 +2448,31 @@ def get(name: str) -> RegisteredQuery:
 # the seat of sort_topk (green r5, byte-unchanged, joins the r10
 # freshness queue).  New surface (1) ≤ first-time driver verifications
 # (1 — the query itself), per the standing growth rule.
+# r12 rotation (r11 verdict items 1 + 6): the five rows-only
+# approximate queries re-attest through the head — their newest driver
+# rows (r8/r5/r3) were the stalest evidence in the ledger while the
+# oracled floor sat at r9.  Plus the three r12 growth queries (all
+# judge-directed: dedup_semantic = r11 Next 2, the two streaming-dedup
+# rows = r11 Next 7; first-time driver verifications (3) >= new
+# surface (3), the standing growth rule), this round's changed-bytes
+# re-verifications, all 19 r9-vintage oracled rows, and the 20
+# alphabetically-first r10 rows as freshness fillers — after the r12
+# run the newest-green floor moves to r10.  Shared-module audit for
+# the round's edits: similarity.py's _cosine_to_centroids empty-batch
+# guard executes only under similarity_topk_ivf (promoted) and
+# dedup_semantic (new); dedup.py gained semantic_dedup as a PURE
+# ADDITION (no existing query's executed bytes changed); ext_queries'
+# multimodal edits re-attest via both multimodal rows below;
+# jobs.py's bare-dir probe logging re-attests via dsl_workbook_job.
+#
+# --- prior (r11) head rationale, kept for the audit trail ---
 # r11 rotation (r10 verdict item 3): keep the freshness treadmill
 # moving — the 11 queries whose newest driver row is r6-r7 (computed
 # from the CORRECTNESS_r01-r10 union) take head seats so nothing older
 # than r8 remains after the r11 driver run.  Plus the r11 growth query
 # (streaming_stateful_totals — the one streaming surface with no driver
 # attestation, r10 verdict item 2) and this round's changed-bytes
-# re-verifications, each annotated inline below.
+# re-verifications.
 #
 # --- prior (r10) head rationale, kept for the audit trail ---
 # r10 rotation - FINISH the freshness pass (r9 verdict item 1): the 23
@@ -2487,89 +2505,72 @@ def get(name: str) -> RegisteredQuery:
 # entering the 50-slot head goes through scripts/check_promotions.py
 # at BOTH sf0.001 and sf0.01 before the round's driver run.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r11 freshness: newest driver row r6-r7, byte-unchanged since
-    # (pinned by the tail fingerprint + shared-module hash tripwire) ---
-    "dedup_embedding_neardup",
-    "dedup_keep_best",
-    "dedup_minhash_signature",
-    "events_funnel",
-    "profile_key_skew",
-    "text_contamination",
-    "text_repetition",
-    "sample_cap_per_source",
-    "sample_hash",
-    "text_collocations_pmi",
-    "text_tfidf_top_terms",
-    # --- r11 new queries (both judge-directed: r10 verdict items 2 and
-    # 6; first-time driver verifications (2) >= new surface (2), the
-    # standing growth rule) ---
-    # the stateful applyInPandasWithState operator run as a real
-    # stream — first driver attestation.
-    "streaming_stateful_totals",
-    # the resize/feature Arrow kernels driven end-to-end over the
-    # synthetic media corpus — first driver attestation.
-    "multimodal_resize_features",
-    # --- r11 changed-bytes re-verifications ---
-    # r10 ADVICE finding 1: events_value_outliers' degenerate-group
-    # guard strengthened from min!=max to v_std>0 on BOTH engine and
-    # oracle (bit-identical double predicate) — changed bytes.
-    "events_value_outliers",
-    # r10 ADVICE finding 2: duplicate_clusters' reliable-checkpoint
-    # lifecycle now deletes the corpus-sized signature-tags file once
-    # connected_components durably pins the symmetrized edges (dedup.py
-    # changed bytes; default-path results provably identical — the
-    # callback is None outside reliable mode — re-attested anyway, the
-    # standing changed-bytes rule).
-    "dedup_components",
-    "curation_pipeline_decisions",
-    # r11 stretch (r10 verdict item 8): _load_source's bare-directory
-    # sniff now lists through the Hadoop FS instead of os.listdir
-    # (jobs.py changed bytes; local-path behavior identical — the
-    # Hadoop local FS sniffs the same part files — re-attested via the
-    # registered jobs.py consumer).
-    "dsl_workbook_job",
-    # r11 family-13 hardening: min/max extremes normalized with + 0.0
-    # on BOTH engine and oracle (a -0.0 extremum's sign is first-seen,
-    # partition-order-nondeterministic) — changed bytes.
-    "profile_columns",
-    # --- r11 filler rotation: rather than letting the remaining 32
-    # head slots fall to registration order (already-fresh queries),
-    # spend them on the treadmill — ALL 17 queries whose newest driver
-    # row is r8, then the 15 alphabetically-first r9 rows.  All
-    # byte-unchanged since their green row (tail snapshot); after the
-    # r11 run nothing in the registry predates r9. ---
-    "dedup_ngram_jaccard_pairs",
-    "dedup_paragraphs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dsl_fidelity_strings",
-    "dsl_v2_and_filter",
-    "dsl_v2_distinct",
-    "events_sliding_window",
-    "events_transitions",
-    "mix_weights_by_source",
+    # --- r12 new queries (judge-directed; first rows) ---
+    "dedup_semantic",
+    "streaming_dedup_events",
+    "streaming_seen_index",
+    # --- r12: the five rows-only approximate queries (r11 verdict
+    # item 1 — newest driver rows r8/r5/r3, the stalest evidence in
+    # the ledger; rows-only checks, so they cost almost nothing) ---
+    "similarity_topk_ivf",
+    "text_quality_rank_approx",
+    "agg_heavy_hitters_approx",
+    "agg_approx_quantile",
+    "agg_approx_distinct",
+    # --- r12 changed-bytes re-verifications ---
+    # palette-PNG container joined synth_media + both generative
+    # oracles recompute it (media_codecs/multimodal/ext_queries bytes).
     "multimodal_decode",
-    "quality_constraint_report",
-    "sample_stratified",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_quality_rank",
-    "train_split_assign",
-    "agg_corr_covar",
-    "agg_histogram",
-    "agg_linear_fit",
-    "agg_moments",
-    "dedup_incremental",
-    "dedup_index_probe",
-    "dsl_v2_join_agg",
-    "embedding_cluster_stats",
-    "etl_scd2",
-    "etl_snapshot_diff",
-    "events_cohort_retention",
-    "events_decayed_engagement",
-    "events_json_extract",
-    "events_mode_per_user",
-    "events_resample_gapfill",
+    "multimodal_resize_features",
+    # jobs.py bare-dir probe now logs swallowed non-benign exceptions
+    # (r11 ADVICE 1; valid-input behavior identical — re-attested via
+    # the registered jobs.py consumer, the standing changed-bytes rule).
+    "dsl_workbook_job",
+    # --- r12 freshness: ALL 19 queries whose newest driver row is r9,
+    # byte-unchanged since (tail fingerprint + shared-module hash
+    # tripwire) ---
+    "events_rolling_window",
+    "events_sessionize",
+    "events_tumbling_window",
+    "join_range_window",
+    "join_skew_salted",
+    "quality_nonfinite_report",
+    "scalar_datetime",
+    "scalar_string_math",
+    "similarity_topk_bruteforce",
+    "text_encoding_quality",
+    "text_quality",
+    "text_stats",
+    "train_pack_sequences",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+    "window_rank_orders",
+    "window_rank_variants",
+    "window_running_sum",
+    # --- r12 filler rotation: the 20 alphabetically-first r10 rows
+    # (the oldest remaining vintage), byte-unchanged since their green
+    # row; the other 25 r10 rows lead the r13 freshness queue ---
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_heavy_hitters",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_quantiles",
+    "agg_rollup",
+    "dedup_embedding_lsh_pairs",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "distinct_nations_per_segment",
+    "dsl_a1_formula",
+    "dsl_a1_forward",
+    "dsl_csv_roundtrip",
+    "dsl_direct_constant",
+    "dsl_filter_ops",
+    "dsl_flagship",
+    "dsl_formula_chain",
+    "dsl_json_source",
+    "dsl_orc_roundtrip",
 )
 
 DRIVER_CHECK_BUDGET = 50
