@@ -1194,6 +1194,15 @@ def semantic_dedup(
     operating discipline (as in the paper) is nlist ∝ corpus size so
     cluster size, and with it per-cluster quadratic cost, stays bounded;
     removed-id set reduces via distinct, then one join back on id.
+
+    ``id_col`` contract: unique and non-NULL (the same PK stance as
+    ``paragraph_dedup``, enforceable upstream with a ``unique`` +
+    ``not_null`` quality constraint).  On garbage ids the two assign
+    paths legitimately diverge — the exact path's per-id argmax window
+    collapses duplicate-id rows to one while the kernel keeps every
+    row, and a NULL id can never be marked removed (the ordering
+    predicate is NULL) nor joined back by a NULL-equality oracle — so
+    fix the feed, don't reinterpret the output.
     """
     if assign not in ("kernel", "exact"):
         raise ValueError(f'assign must be "kernel" or "exact", got {assign!r}')
