@@ -1000,8 +1000,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, PNG with
     # level-0 zlib = 68 fixed bytes + h*(1+3w) stored scanlines, palette
     # PNG = 128 fixed bytes (incl. the 16-entry PLTE) + h*(1+w) index
-    # scanlines, WAV 44+2n, fake VID header) — from range(96) without
-    # parsing binary.
+    # scanlines, 16-bit gray PNG = 68 + h*(1+2w), Adam7 RGB PNG = 68 +
+    # the 7-pass scanline sum, 4-bit palette PNG = 128 + h*(1+ceil(w/2)),
+    # WAV 44+2n, fake VID header) — from range(96) without
+    # parsing binary.  r12: the three new containers drive the decoder's
+    # 16-bit, interlaced, and sub-byte paths under the driver hash.
     # The Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/PNG/
     # WAV kernels via Arrow-batched mapInPandas), so both the encoder and
     # the decoder sit under the hash; a one-byte layout bug (or a wrong
@@ -1024,14 +1027,31 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 48 END AS height,
              CASE kind WHEN 'video' THEN nf ELSE 1 END AS n_frames,
              CASE kind
-               WHEN 'image' THEN CASE (i // 3) % 4
+               WHEN 'image' THEN CASE (i // 3) % 7
                  WHEN 0 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
                  WHEN 1 THEN 9 + len(CAST(iw AS VARCHAR))
                       + len(CAST(ih AS VARCHAR)) + 3 * iw * ih
                  WHEN 2 THEN 68 + ih * (1 + 3 * iw)
                  -- palette PNG (r12): 16-entry PLTE, one index byte
                  -- per pixel in level-0 stored scanlines
-                 ELSE 80 + 3 * 16 + ih * (1 + iw)
+                 WHEN 3 THEN 80 + 3 * 16 + ih * (1 + iw)
+                 -- 16-bit grayscale PNG (r12): two bytes per sample
+                 WHEN 4 THEN 68 + ih * (1 + 2 * iw)
+                 -- Adam7-interlaced RGB PNG (r12): each of the 7
+                 -- passes is an independently-filtered mini-image of
+                 -- hp scanlines x (1 + 3*wp) bytes; all passes are
+                 -- non-empty at the fixture's iw>=8, ih>=6
+                 WHEN 5 THEN 68
+                   + ((ih + 7) // 8) * (1 + 3 * ((iw + 7) // 8))
+                   + ((ih + 7) // 8) * (1 + 3 * ((iw + 3) // 8))
+                   + ((ih + 3) // 8) * (1 + 3 * ((iw + 3) // 4))
+                   + ((ih + 3) // 4) * (1 + 3 * ((iw + 1) // 4))
+                   + ((ih + 1) // 4) * (1 + 3 * ((iw + 1) // 2))
+                   + ((ih + 1) // 2) * (1 + 3 * (iw // 2))
+                   + (ih // 2) * (1 + 3 * iw)
+                 -- 4-bit palette PNG (r12): sub-byte scanlines pack
+                 -- two indexes per byte (MSB-first), ceil(iw/2) bytes
+                 ELSE 80 + 3 * 16 + ih * (1 + (iw + 1) // 2)
                END
                WHEN 'audio' THEN 44 + 2 * ns
                ELSE 11 + len(CAST(nf AS VARCHAR)) + plen

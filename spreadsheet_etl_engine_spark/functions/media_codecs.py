@@ -6,19 +6,22 @@ Real decode/encode with no media libraries needed:
   4-byte row padding;
 * **PPM** (binary ``P6``) — ASCII header then RGB bytes;
 * **WAV** (PCM16 mono/stereo RIFF) — canonical 44-byte header;
-* **PNG** (non-interlaced 8-bit gray/RGB/RGBA plus 8-bit palette with
-  optional tRNS transparency — r12, the most common gated format in real
-  corpora: screenshots/diagrams) — stdlib ``zlib`` inflate plus numpy
-  unfiltering of all five scanline filters (None/Sub/Up/Average/Paeth);
-  the encoder can emit any filter type (and ``encode_png_palette`` emits
-  color-type-3 files), so the decoder's reconstruction paths are
+* **PNG** — the FULL static-image spec surface (r12): every legal
+  bit-depth/color-type combination (1/2/4/8/16-bit gray, 8/16-bit
+  RGB/gray+alpha/RGBA, 1/2/4/8-bit palette with optional tRNS
+  transparency) and both interlace methods (none + Adam7) — stdlib
+  ``zlib`` inflate plus numpy unfiltering of all five scanline filters
+  (None/Sub/Up/Average/Paeth; filters operate on BYTES with a
+  bit-depth-dependent lane distance, per spec).  The encoders can emit
+  any filter type, depth, and interlace mode (``encode_png_palette``
+  emits color-type-3 files), so every decoder reconstruction path is
   round-trip testable.
 * **JPEG** (baseline sequential DCT, Huffman, 4:4:4 / 4:2:0, restart
   markers) — full pure-numpy pipeline in ``jpeg_codec``, re-exported
   here as ``decode_jpeg`` / ``encode_jpeg``.
 
 Still genuinely out of reach without PIL/cv2/ffmpeg: progressive JPEG,
-16-bit/interlaced/sub-byte-depth PNG, MP3, H.264 — those stay behind
+MP3, H.264 — those stay behind
 the marked extension points in ``operators.multimodal``.  These codecs
 make the decode / resize / feature-extract pipeline REAL end-to-end for
 the formats above, which is all the plumbing contract needs: at scale the
@@ -160,18 +163,189 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
 # (type 3 scanlines carry ONE palette index per pixel; the palette
 # lookup after unfiltering expands to RGB, or RGBA when tRNS is present)
+# Legal bit depths per color type (PNG spec §11.2.2, Table 11.1).
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Sub-byte gray sample -> 8-bit scaling (bit replication: 255/(2^d-1)).
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_stride(w: int, ch: int, depth: int) -> int:
+    """Scanline payload bytes (excluding the filter byte)."""
+    return (w * ch * depth + 7) // 8
+
+
+def _png_bpp(ch: int, depth: int) -> int:
+    """Filter lane distance in bytes ('bpp' in the spec): the byte
+    offset of the corresponding byte one PIXEL to the left, floored
+    at 1 for sub-byte depths."""
+    return max(1, ch * depth // 8)
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes as (xs, ys, xstep, ystep, wp, hp).
+    Empty passes (small images) contribute NO scanlines — not even
+    filter bytes — per spec."""
+    for xs, ys, xstep, ystep in _ADAM7:
+        wp = (w - xs + xstep - 1) // xstep
+        hp = (h - ys + ystep - 1) // ystep
+        if wp > 0 and hp > 0:
+            yield xs, ys, xstep, ystep, wp, hp
+
+
+def _unfilter_bytes(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """(h, 1+stride) filtered scanlines -> (h, stride) reconstructed
+    bytes.  Filters None/Sub/Up vectorize (Sub is a per-lane cumulative
+    sum mod 256); Average/Paeth carry a strict left-neighbor recurrence
+    with no closed form, so those rows reconstruct per-byte in Python —
+    see decode_png's throughput note."""
+    h, stride1 = raw.shape
+    stride = stride1 - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ft == 0:      # None
+            rec = line.copy()
+        elif ft == 1:    # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(
+                line.reshape(-1, bpp).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif ft == 2:    # Up
+            rec = line + prev  # uint8 wraps mod 256
+        elif ft == 3:    # Average: left term is sequential
+            rec = np.empty_like(line)
+            up = prev.astype(np.int32)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(up[x])) >> 1)) & 0xFF
+        elif ft == 4:    # Paeth: predictor depends on reconstructed left
+            rec = np.empty_like(line)
+            up = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _bytes_to_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed scanline bytes -> (h, w, ch) sample
+    array: uint16 for depth 16, raw uint8 samples otherwise (sub-byte
+    gray scaling and palette expansion are the caller's job)."""
+    h = rows.shape[0]
+    if depth == 16:
+        b = rows.reshape(h, w * ch, 2).astype(np.uint16)
+        return ((b[..., 0] << 8) | b[..., 1]).reshape(h, w, ch)
+    if depth == 8:
+        return rows.reshape(h, w, ch).copy()
+    # 1/2/4-bit: single sample lane (gray or palette indexes), packed
+    # MSB-first within each byte; trailing pad bits crop off at w.
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(h, -1, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    packed = (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+    return packed[:, :w].reshape(h, w, 1)
+
+
+def _samples_to_bytes(img: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) sample array -> (h, stride) scanline payload bytes
+    (the inverse of :func:`_bytes_to_samples`)."""
+    h, w, ch = img.shape
+    if depth == 16:
+        a = np.ascontiguousarray(img.reshape(h, w * ch).astype(">u2"))
+        return a.view(np.uint8).reshape(h, w * ch * 2)
+    if depth == 8:
+        return img.reshape(h, w * ch).astype(np.uint8)
+    flat = img.reshape(h, w).astype(np.uint8)
+    bits = np.unpackbits(flat[..., None], axis=2)[:, :, 8 - depth:]
+    stride = _png_stride(w, ch, depth)
+    padded = np.zeros((h, stride * 8), dtype=np.uint8)
+    padded[:, : w * depth] = bits.reshape(h, w * depth)
+    return np.packbits(padded, axis=1)
+
+
+def _filter_bytes(rows: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
+    """Forward-filter (n, stride) scanline bytes -> (n, 1+stride) wire
+    scanlines.  Forward filtering is closed-form over the ORIGINAL
+    bytes (fully vectorized), which is what makes every decoder
+    reconstruction path exercisable."""
+    n, stride = rows.shape
+    flat = rows.astype(np.int32)
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    up_left = np.zeros_like(flat)
+    up_left[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_type == 0:
+        filtered = flat
+    elif filter_type == 1:
+        filtered = flat - left
+    elif filter_type == 2:
+        filtered = flat - up
+    elif filter_type == 3:
+        filtered = flat - ((left + up) >> 1)
+    else:
+        p = left + up - up_left
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, up_left))
+        filtered = flat - pred
+    return np.concatenate(
+        [np.full((n, 1), filter_type, dtype=np.uint8),
+         (filtered & 0xFF).astype(np.uint8)], axis=1)
+
+
+def _png_scanlines(img: np.ndarray, depth: int, filter_type: int,
+                   interlace: bool) -> bytes:
+    """Sample array -> the full (possibly Adam7-split) filtered
+    scanline byte stream that gets deflated into IDAT.  Each Adam7 pass
+    is an independent mini-image: its own filter bytes, its own
+    prev-row state."""
+    h, w, ch = img.shape
+    bpp = _png_bpp(ch, depth)
+    if not interlace:
+        return _filter_bytes(_samples_to_bytes(img, depth), bpp,
+                             filter_type).tobytes()
+    parts = []
+    for xs, ys, xstep, ystep, _wp, _hp in _adam7_passes(w, h):
+        sub = np.ascontiguousarray(img[ys::ystep, xs::xstep])
+        parts.append(_filter_bytes(_samples_to_bytes(sub, depth), bpp,
+                                   filter_type).tobytes())
+    return b"".join(parts)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG → (h, w, channels) uint8 array.
+    """PNG → (h, w, channels) sample array — the full static-image spec
+    surface (r12; the r11 palette lift covered color type 3 at depth 8):
 
-    Supports color types 0 (gray), 2 (RGB), 3 (palette — expanded
-    through PLTE to RGB, or to RGBA when a tRNS chunk supplies per-entry
-    alpha; r11 verdict Next 3: the most common previously-gated format
-    in real corpora), 4 (gray+alpha), 6 (RGBA) at bit depth 8.
-    1/2/4/16-bit depths and Adam7 interlacing raise ``ValueError`` —
-    they'd be silent wrong-pixels bugs if half-supported, and real
-    corpora re-encode those through the same extension point as JPEG.
+    * color types 0 (gray), 2 (RGB), 3 (palette — expanded through PLTE
+      to RGB, or to RGBA when a tRNS chunk supplies per-entry alpha),
+      4 (gray+alpha), 6 (RGBA);
+    * every legal bit depth per type (1/2/4/8/16 gray, 1/2/4/8 palette,
+      8/16 for the multi-channel types).  Depth 16 returns uint16
+      samples; sub-byte gray scales to 8-bit by bit replication
+      (0..2^d-1 → 0..255, spec §12.5); everything else returns uint8;
+    * both interlace methods: none and Adam7 (each of the 7 passes is
+      an independently-filtered mini-image scattered back on the
+      (x_start + x_step·i, y_start + y_step·j) grid).
+
+    Only PROGRESSIVE JPEG / MP3 / H.264 remain behind the PIL/ffmpeg
+    extension point in ``operators.multimodal`` — nothing in the PNG
+    spec's static surface does.
 
     Throughput (measured, 512x512 RGB): filters None/Sub/Up decode
     vectorized in 1-4 ms; Average/Paeth carry a strict left-neighbor
@@ -209,10 +383,11 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG IHDR missing or malformed")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr)
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {color_type}")
     if color_type == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
             raise ValueError("palette PNG without a valid PLTE chunk")
@@ -220,52 +395,42 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"PLTE chunk forbidden for color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0 or not idat:
         raise ValueError("empty PNG")
     ch = _PNG_CHANNELS[color_type]
+    bpp = _png_bpp(ch, depth)
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = 1 + w * ch  # filter byte + samples
-    if raw.size != h * stride:
-        raise ValueError("PNG scanline data size mismatch")
-    raw = raw.reshape(h, stride)
-    out = np.zeros((h, w * ch), dtype=np.uint8)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        ft = int(raw[y, 0])
-        line = raw[y, 1:]
-        if ft == 0:      # None
-            rec = line.copy()
-        elif ft == 1:    # Sub: per-lane cumulative sum mod 256
-            rec = np.cumsum(
-                line.reshape(w, ch).astype(np.uint64), axis=0
-            ).astype(np.uint8).reshape(-1)
-        elif ft == 2:    # Up
-            rec = line + prev  # uint8 wraps mod 256
-        elif ft == 3:    # Average: left term is sequential
-            rec = np.empty_like(line)
-            up = prev.astype(np.int32)
-            for x in range(w * ch):
-                left = int(rec[x - ch]) if x >= ch else 0
-                rec[x] = (int(line[x]) + ((left + int(up[x])) >> 1)) & 0xFF
-        elif ft == 4:    # Paeth: predictor depends on reconstructed left
-            rec = np.empty_like(line)
-            up = prev.astype(np.int32)
-            for x in range(w * ch):
-                a = int(rec[x - ch]) if x >= ch else 0
-                b = int(up[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(line[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y] = rec
-        prev = rec
+    if interlace == 0:
+        stride = _png_stride(w, ch, depth)
+        if raw.size != h * (1 + stride):
+            raise ValueError("PNG scanline data size mismatch")
+        rows = _unfilter_bytes(raw.reshape(h, 1 + stride), bpp)
+        out = _bytes_to_samples(rows, w, ch, depth)
+    else:
+        out = np.zeros((h, w, ch),
+                       dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for xs, ys, xstep, ystep, wp, hp in _adam7_passes(w, h):
+            stride = _png_stride(wp, ch, depth)
+            nbytes = hp * (1 + stride)
+            sub = raw[pos:pos + nbytes]
+            if sub.size != nbytes:
+                raise ValueError("PNG scanline data size mismatch")
+            pos += nbytes
+            rows = _unfilter_bytes(sub.reshape(hp, 1 + stride), bpp)
+            out[ys::ystep, xs::xstep] = _bytes_to_samples(rows, wp, ch, depth)
+        if pos != raw.size:
+            raise ValueError("PNG scanline data size mismatch")
+    if color_type == 0 and depth < 8:
+        out = (out.astype(np.uint16) * _PNG_GRAY_SCALE[depth]).astype(np.uint8)
     if color_type == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if pal.shape[0] > (1 << depth):
+            raise ValueError(
+                f"PLTE has {pal.shape[0]} entries, more than depth "
+                f"{depth} can address")
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= pal.shape[0]:
             # The spec calls an out-of-range index an error; mapping it
@@ -282,19 +447,32 @@ def decode_png(data: bytes) -> np.ndarray:
         alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
         alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
         return np.concatenate([rgb, alpha[idx][..., None]], axis=2).copy()
-    return out.reshape(h, w, ch).copy()
+    return out
 
 
-def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0) -> bytes:
-    """(h, w[, channels]) uint8 array → non-interlaced 8-bit PNG bytes.
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+
+def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """(h, w[, channels]) uint8 or uint16 array → PNG bytes (depth 8 or
+    16 inferred from the dtype; ``interlace=True`` emits Adam7).
 
     ``filter_type`` applies one filter to every scanline (0=None, 1=Sub,
     2=Up, 3=Average, 4=Paeth) — forward filtering is closed-form over the
     ORIGINAL pixels, so every decoder reconstruction path is exercisable.
     ``level=0`` emits zlib stored blocks, making the byte size a closed
-    formula (the generative-oracle property the driver check hashes)."""
-    if img.dtype != np.uint8:
-        raise ValueError("encode_png needs a uint8 array")
+    formula (the generative-oracle property the driver check hashes):
+    non-interlaced 68 + h*(1 + stride) for one stored block; Adam7 sums
+    the same per-pass."""
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError("encode_png needs a uint8 or uint16 array")
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -303,40 +481,12 @@ def encode_png(img: np.ndarray, *, level: int = 6, filter_type: int = 0) -> byte
         raise ValueError(f"unsupported channel count {ch}")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"unknown PNG filter type {filter_type}")
-    flat = img.reshape(h, w * ch).astype(np.int32)
-    left = np.zeros_like(flat)
-    left[:, ch:] = flat[:, :-ch]
-    up = np.zeros_like(flat)
-    up[1:] = flat[:-1]
-    up_left = np.zeros_like(flat)
-    up_left[1:, ch:] = flat[:-1, :-ch]
-    if filter_type == 0:
-        filtered = flat
-    elif filter_type == 1:
-        filtered = flat - left
-    elif filter_type == 2:
-        filtered = flat - up
-    elif filter_type == 3:
-        filtered = flat - ((left + up) >> 1)
-    else:
-        p = left + up - up_left
-        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
-        pred = np.where((pa <= pb) & (pa <= pc), left,
-                        np.where(pb <= pc, up, up_left))
-        filtered = flat - pred
-    scanlines = np.concatenate(
-        [np.full((h, 1), filter_type, dtype=np.uint8),
-         (filtered & 0xFF).astype(np.uint8)], axis=1
-    ).tobytes()
-
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + ctype + payload
-                + struct.pack(">I", zlib.crc32(ctype + payload)))
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(scanlines, level))
-            + chunk(b"IEND", b""))
+    scanlines = _png_scanlines(img, depth, filter_type, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines, level))
+            + _png_chunk(b"IEND", b""))
 
 
 def encode_png_palette(
@@ -346,21 +496,31 @@ def encode_png_palette(
     trns: np.ndarray | None = None,
     level: int = 6,
     filter_type: int = 0,
+    depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """(h, w) uint8 index array + (P, 3) uint8 palette → color-type-3
-    PNG bytes (optionally with a tRNS alpha chunk of up to P entries).
+    PNG bytes (optionally with a tRNS alpha chunk of up to P entries),
+    at any legal palette depth (1/2/4/8 — sub-byte indexes pack
+    MSB-first per spec) and either interlace mode.
 
-    Same filter/level contract as :func:`encode_png`; scanlines carry
-    one index byte per pixel, so a level-0 file's size is the closed
-    formula 8 + 25 + (12+3P) [+ (12+len(trns))] + (12+11+h*(1+w)) + 12
-    the generative oracles recompute."""
+    Same filter/level contract as :func:`encode_png`; at depth 8 the
+    scanlines carry one index byte per pixel, so a level-0 file's size
+    is the closed formula
+    8 + 25 + (12+3P) [+ (12+len(trns))] + (12+11+h*(1+w)) + 12
+    the generative oracles recompute (sub-byte depths replace w with
+    ceil(w·depth/8))."""
     if indexes.dtype != np.uint8 or indexes.ndim != 2:
         raise ValueError("encode_png_palette needs a (h, w) uint8 index array")
     if palette.dtype != np.uint8 or palette.ndim != 2 or palette.shape[1] != 3:
         raise ValueError("palette must be a (P, 3) uint8 array")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"illegal palette PNG depth {depth}")
     npal = palette.shape[0]
-    if not 1 <= npal <= 256:
-        raise ValueError(f"palette must have 1..256 entries, got {npal}")
+    if not 1 <= npal <= (1 << depth):
+        raise ValueError(
+            f"palette must have 1..{1 << depth} entries at depth {depth}, "
+            f"got {npal}")
     if int(indexes.max(initial=0)) >= npal:
         raise ValueError(
             f"index {int(indexes.max())} out of range for {npal}-entry palette"
@@ -372,43 +532,17 @@ def encode_png_palette(
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"unknown PNG filter type {filter_type}")
     h, w = indexes.shape
-    # Index scanlines filter exactly like 1-channel samples (ch=1).
-    flat = indexes.reshape(h, w).astype(np.int32)
-    left = np.zeros_like(flat)
-    left[:, 1:] = flat[:, :-1]
-    up = np.zeros_like(flat)
-    up[1:] = flat[:-1]
-    up_left = np.zeros_like(flat)
-    up_left[1:, 1:] = flat[:-1, :-1]
-    if filter_type == 0:
-        filtered = flat
-    elif filter_type == 1:
-        filtered = flat - left
-    elif filter_type == 2:
-        filtered = flat - up
-    elif filter_type == 3:
-        filtered = flat - ((left + up) >> 1)
-    else:
-        p = left + up - up_left
-        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
-        pred = np.where((pa <= pb) & (pa <= pc), left,
-                        np.where(pb <= pc, up, up_left))
-        filtered = flat - pred
-    scanlines = np.concatenate(
-        [np.full((h, 1), filter_type, dtype=np.uint8),
-         (filtered & 0xFF).astype(np.uint8)], axis=1
-    ).tobytes()
-
-    def chunk(ctype: bytes, payload: bytes) -> bytes:
-        return (struct.pack(">I", len(payload)) + ctype + payload
-                + struct.pack(">I", zlib.crc32(ctype + payload)))
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    parts = [_PNG_SIG, chunk(b"IHDR", ihdr), chunk(b"PLTE", palette.tobytes())]
+    # Index scanlines filter exactly like 1-sample-per-pixel lanes.
+    scanlines = _png_scanlines(indexes[:, :, None], depth, filter_type,
+                               interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                       1 if interlace else 0)
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr),
+             _png_chunk(b"PLTE", palette.tobytes())]
     if trns is not None:
-        parts.append(chunk(b"tRNS", trns.tobytes()))
-    parts.append(chunk(b"IDAT", zlib.compress(scanlines, level)))
-    parts.append(chunk(b"IEND", b""))
+        parts.append(_png_chunk(b"tRNS", trns.tobytes()))
+    parts.append(_png_chunk(b"IDAT", zlib.compress(scanlines, level)))
+    parts.append(_png_chunk(b"IEND", b""))
     return b"".join(parts)
 
 
@@ -417,23 +551,24 @@ def probe_png_dims(data: bytes) -> tuple[int, int]:
     unfiltering.  O(header) vs ``decode_png``'s O(pixels): the right
     kernel for a metadata sweep over a 100 TB corpus, where full decode
     belongs to the feature-extract stage, not the stats probe.  Validates
-    the same IHDR constraints decode_png enforces (8-bit, non-palette,
-    non-interlaced) so the probe and the decoder agree on what is
-    supported."""
+    the same IHDR constraints decode_png enforces (legal depth/color-type
+    combination, known interlace method) so the probe and the decoder
+    agree on what is supported."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG file")
     if data[12:16] != b"IHDR" or len(data) < 29:
         raise ValueError("PNG IHDR missing or malformed")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack_from(
         ">IIBBBBB", data, 16)
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (depth={depth})")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"illegal PNG depth {depth} for color type {color_type}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
     return int(w), int(h)

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
-PCM16 WAV, non-interlaced 8-bit PNG (stdlib zlib + numpy unfiltering;
-gray/RGB/RGBA plus palette with optional tRNS since r12), and baseline
-JPEG (pure-numpy DCT + Huffman, 4:4:4/4:2:0, restart markers) via the
-codecs in ``functions.media_codecs`` — no media libs.
-The remaining compressed formats (progressive JPEG, MP3, H.264,
-16-bit/interlaced PNG) genuinely require PIL/cv2/ffmpeg, which this
+PCM16 WAV, the full static PNG spec surface (stdlib zlib + numpy
+unfiltering; every legal bit-depth/color-type combination — 1/2/4/8/16
+gray, 8/16 RGB/gray+alpha/RGBA, 1/2/4/8 palette with optional tRNS —
+plus Adam7 interlacing, since r12), and baseline JPEG (pure-numpy DCT +
+Huffman, 4:4:4/4:2:0, restart markers) via the codecs in
+``functions.media_codecs`` — no media libs.
+The remaining compressed formats (progressive JPEG, MP3, H.264)
+genuinely require PIL/cv2/ffmpeg, which this
 container lacks: those route through the marked import-try extension
 points and otherwise fall back to the deterministic fake header format,
 so the Arrow plumbing is exercised for every kind.
@@ -62,14 +64,16 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     """Deterministic synthetic media table (the driver testdata has no
     media column — this feeds the plumbing tests and the registry query).
 
-    ``real=True`` emits genuine containers (24-bit BMP / binary PPM /
-    zlib-stored truecolor PNG / zlib-stored 16-entry palette PNG
-    gradients cycling per image row, PCM16 sine WAVs for audio) so the
-    numpy decode kernels run end-to-end; video rows keep the fake
-    header (an uncompressed video container would just be a frame
-    list).  PNG rows use ``level=0`` (stored deflate blocks) so their
-    byte size stays a closed formula the generative oracle can
-    recompute."""
+    ``real=True`` emits genuine containers cycling per image row —
+    24-bit BMP / binary PPM / zlib-stored truecolor PNG / 16-entry
+    palette PNG / 16-bit grayscale PNG / Adam7-interlaced RGB PNG /
+    4-bit (sub-byte) palette PNG gradients — plus PCM16 sine WAVs for
+    audio, so the numpy decode kernels run end-to-end across the whole
+    static PNG spec surface; video rows keep the fake header (an
+    uncompressed video container would just be a frame list).  PNG rows
+    use ``level=0`` (stored deflate blocks) so their byte size stays a
+    closed formula the generative oracle can recompute (the Adam7 row's
+    formula sums the seven per-pass scanline blocks)."""
     import numpy as np
 
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
@@ -81,16 +85,29 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 w, h = 8 + i % 16, 6 + i % 8
                 img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256
                        ).astype(np.uint8)
-                container = (i // 3) % 4
-                if container == 3:
-                    # Palette (color-type 3) PNG — r12: fixed 16-entry
-                    # palette so the level-0 size stays the closed
-                    # formula 80 + 3*16 + h*(1+w).
+                container = (i // 3) % 7
+                if container in (3, 6):
+                    # Palette (color-type 3) PNG — fixed 16-entry
+                    # palette; container 3 at depth 8 (level-0 size
+                    # 80 + 3*16 + h*(1+w)), container 6 at depth 4
+                    # (r12: sub-byte scanlines — size
+                    # 80 + 3*16 + h*(1+ceil(w/2))).
                     idx = ((np.arange(h * w).reshape(h, w) * (i + 1)) % 16
                            ).astype(np.uint8)
                     pal = ((np.arange(48).reshape(16, 3) * 7 + i) % 256
                            ).astype(np.uint8)
-                    payload = MC.encode_png_palette(idx, pal, level=0)
+                    payload = MC.encode_png_palette(
+                        idx, pal, level=0, depth=8 if container == 3 else 4)
+                elif container == 4:
+                    # 16-bit grayscale PNG (r12): level-0 size
+                    # 68 + h*(1+2w).
+                    g16 = ((np.arange(h * w).reshape(h, w) * (i + 1) * 257)
+                           % 65536).astype(np.uint16)
+                    payload = MC.encode_png(g16, level=0)
+                elif container == 5:
+                    # Adam7-interlaced RGB PNG (r12): level-0 size
+                    # 68 + sum over the 7 passes of hp*(1+3*wp).
+                    payload = MC.encode_png(img, level=0, interlace=True)
                 else:
                     payload = (MC.encode_bmp(img) if container == 0
                                else MC.encode_ppm(img) if container == 1
@@ -113,16 +130,16 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
 
 def _decode_compressed(data: bytes) -> tuple[int, int, int]:
     """Extension point for the containers the numpy codecs can't express:
-    progressive JPEG, 16-bit/interlaced/sub-byte-depth PNG, MP3, H.264 —
-    requires PIL/cv2/ffmpeg, absent here.  Non-interlaced 8-bit PNG
-    (gray/RGB/RGBA and palette+tRNS — ``media_codecs.decode_png``) and
-    baseline JPEG (``media_codecs.decode_jpeg``) decode for real."""
+    progressive JPEG, MP3, H.264 — requires PIL/cv2/ffmpeg, absent here.
+    The ENTIRE static PNG spec surface (all depths/color types, Adam7 —
+    ``media_codecs.decode_png``) and baseline JPEG
+    (``media_codecs.decode_jpeg``) decode for real."""
     raise NotImplementedError(
-        "MP3/H.264 (and progressive JPEG, 16-bit/interlaced/sub-byte "
-        "PNG) decoding requires PIL/cv2/librosa/ffmpeg, which are not "
-        "installed; BMP/PPM/WAV, non-interlaced 8-bit PNG (incl. "
-        "palette) and baseline JPEG decode is real "
-        "(functions.media_codecs)"
+        "MP3/H.264 (and progressive JPEG) decoding requires "
+        "PIL/cv2/librosa/ffmpeg, which are not installed; BMP/PPM/WAV, "
+        "the full static PNG surface (all bit depths/color types incl. "
+        "palette, both interlace modes) and baseline JPEG decode is "
+        "real (functions.media_codecs)"
     )
 
 
@@ -249,7 +266,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                            else MC.decode_ppm(raw) if container == "ppm"
                            else MC.to_rgb(MC.decode_png(raw)) if container == "png"
                            else MC.to_rgb(MC.decode_jpeg(raw)))
-                img = decoded.astype(np.float32) / 255.0
+                # 16-bit PNG decodes to uint16: normalize by the sample
+                # dtype's max so an image carries the same embedding at
+                # either depth.
+                scale = 65535.0 if decoded.dtype == np.uint16 else 255.0
+                img = decoded.astype(np.float32) / scale
                 h, w = img.shape[:2]
                 return [*img.mean(axis=(0, 1)).tolist(),
                         *img.std(axis=(0, 1)).tolist(),

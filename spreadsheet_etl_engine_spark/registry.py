@@ -2520,6 +2520,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r12 changed-bytes re-verifications ---
     # palette-PNG container joined synth_media + both generative
     # oracles recompute it (media_codecs/multimodal/ext_queries bytes).
+    # r12 late: the PNG codec now covers the FULL static spec surface
+    # (1/2/4/8/16-bit, all five color types, Adam7 interlace) and
+    # synth_media grew three more containers (16-bit gray / Adam7 RGB /
+    # 4-bit palette) with their closed size formulas in the decode
+    # oracle — only these two rows execute media_codecs/multimodal, so
+    # the module-hash drift re-attests entirely through them (the
+    # 8-bit non-interlaced encoder output is byte-identical to the old
+    # algorithm by test, so the four original containers' hashes are
+    # unchanged by construction).
     "multimodal_decode",
     "multimodal_resize_features",
     # jobs.py bare-dir probe now logs swallowed non-benign exceptions

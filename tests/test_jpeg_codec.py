@@ -172,8 +172,10 @@ def test_header_probes_agree_with_decoders():
     assert MC.probe_png_dims(png) == (18, 12)
     assert MC.probe_png_dims(png[:33]) == (18, 12)  # IDAT gone, IHDR enough
     bad = bytearray(png)
-    bad[8 + 4 + 4 + 12] = 1  # interlace flag
-    with pytest.raises(ValueError, match="interlaced"):
+    bad[8 + 4 + 4 + 12] = 1  # interlace flag: Adam7 probes fine (r12)
+    assert MC.probe_png_dims(bytes(bad)) == (18, 12)
+    bad[8 + 4 + 4 + 12] = 2  # unknown interlace method stays rejected
+    with pytest.raises(ValueError, match="interlace"):
         MC.probe_png_dims(bytes(bad))
     with pytest.raises(ValueError, match="IHDR"):
         MC.probe_png_dims(png[:20])

@@ -134,11 +134,16 @@ def test_png_stored_size_formula_and_rejects():
         MC.decode_png(b"\x89PNG\r\n\x1a" + good[8:])
     with pytest.raises(ValueError, match="truncated|IHDR|size|empty"):
         MC.decode_png(good[:40])
-    # Interlace flag flipped in IHDR (with CRC ignored by our parser, the
-    # gate must still catch it).
+    # Interlace flag flipped in IHDR (r12: Adam7 is now SUPPORTED, so
+    # the hybrid — interlaced header over sequential scanlines — must
+    # fail loud on the per-pass size accounting, not decode garbage).
     bad = bytearray(good)
     bad[8 + 4 + 4 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="size mismatch"):
+        MC.decode_png(bytes(bad))
+    # An UNKNOWN interlace method stays rejected by name.
+    bad[8 + 4 + 4 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
         MC.decode_png(bytes(bad))
     with pytest.raises(ValueError, match="uint8"):
         MC.encode_png(img.astype(np.int32))
@@ -901,3 +906,200 @@ def test_palette_png_fail_loud_gates():
     stripped = good[:33] + good[33 + 12 + 24:]
     with pytest.raises(ValueError, match="PLTE"):
         MC.decode_png(stripped)
+
+
+def test_png_full_depth_interlace_matrix_roundtrip():
+    """r12: the full static PNG spec surface round-trips — every legal
+    color-type/bit-depth combination x all five filters x both
+    interlace methods, at sizes that include empty Adam7 passes
+    (w or h < 5 leaves passes with no scanlines at all)."""
+    import itertools
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(1216)
+    sizes = ((1, 1), (2, 3), (4, 4), (6, 10), (13, 23))
+    for color, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for depth, ft, il in itertools.product(
+                (8, 16), range(5), (False, True)):
+            for h, w in sizes:
+                arr = rng.integers(0, 1 << depth, (h, w, ch)).astype(
+                    np.uint16 if depth == 16 else np.uint8)
+                data = MC.encode_png(arr, filter_type=ft, interlace=il)
+                got = MC.decode_png(data)
+                assert got.dtype == arr.dtype, (color, depth, ft, il)
+                assert np.array_equal(got, arr), (color, depth, ft, il, h, w)
+                assert MC.probe_png_dims(data) == (w, h)
+    # Palette at every legal depth, with and without tRNS.
+    for depth, ft, il in itertools.product((1, 2, 4, 8), range(5),
+                                           (False, True)):
+        npal = 1 << depth
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        for h, w in sizes:
+            idx = rng.integers(0, npal, (h, w)).astype(np.uint8)
+            data = MC.encode_png_palette(idx, pal, depth=depth,
+                                         filter_type=ft, interlace=il)
+            assert np.array_equal(MC.decode_png(data), pal[idx]), \
+                (depth, ft, il, h, w)
+            trns = rng.integers(0, 256, (max(1, npal // 2),),
+                                dtype=np.uint8)
+            data = MC.encode_png_palette(idx, pal, depth=depth, trns=trns,
+                                         filter_type=ft, interlace=il)
+            alpha = np.full(npal, 255, np.uint8)
+            alpha[:len(trns)] = trns
+            got = MC.decode_png(data)
+            assert np.array_equal(got[..., :3], pal[idx])
+            assert np.array_equal(got[..., 3], alpha[idx])
+
+
+def test_png_sub_byte_gray_scales_by_bit_replication():
+    """1/2/4-bit grayscale samples scale to 8-bit by bit replication
+    (0..2^d-1 -> 0..255 via 255/85/17), per spec §12.5 — NOT by a
+    left-shift, which would map max gray to 128/192/240.  Files are
+    hand-built through the codec's own scanline helpers (sub-byte
+    gray ENCODE has no public path — real corpora never need it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(7)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        for il in (False, True):
+            for h, w in ((1, 1), (3, 7), (6, 10), (9, 17)):
+                raw = rng.integers(0, 1 << depth, (h, w, 1)).astype(np.uint8)
+                scan = MC._png_scanlines(raw, depth, 1, il)
+                ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0,
+                                   1 if il else 0)
+                data = (MC._PNG_SIG + MC._png_chunk(b"IHDR", ihdr)
+                        + MC._png_chunk(b"IDAT", zlib.compress(scan, 6))
+                        + MC._png_chunk(b"IEND", b""))
+                got = MC.decode_png(data)
+                assert got.dtype == np.uint8
+                want = (raw.astype(np.uint16) * scale).astype(np.uint8)
+                assert np.array_equal(got, want), (depth, il, h, w)
+                assert MC.probe_png_dims(data) == (w, h)
+
+
+def test_png_16bit_feature_scale_matches_8bit_twin(spark):
+    """The dtype-aware feature normalization (r12): an 8-bit image and
+    its exact 16-bit upcast (x * 257 maps 0..255 onto 0..65535
+    proportionally) must produce the same embedding through
+    extract_features — a /255 constant on uint16 samples would blow the
+    means 257x."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    img8 = (np.arange(6 * 10) % 256).astype(np.uint8).reshape(6, 10)
+    img16 = img8.astype(np.uint16) * 257
+    media = spark.createDataFrame(
+        [(1, "image", MC.encode_png(img8), 0),
+         (2, "image", MC.encode_png(img16), 0),
+         (3, "image", MC.encode_png(img16, interlace=True), 0)],
+        MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    assert len(feats) == 3
+    assert np.allclose(feats[1], feats[2], atol=1e-6)
+    assert np.allclose(feats[2], feats[3], atol=1e-6)  # interlace-neutral
+    # Resize keeps 16-bit gray 16-bit: decode dtype survives the trip.
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=4, height=2).collect()}
+    out = MC.decode_png(resized[2])
+    assert out.dtype == np.uint16 and out.shape == (2, 4, 1)
+    assert np.array_equal(out, MC.resize_nearest(img16[:, :, None], 4, 2))
+
+
+def test_png_adam7_fail_loud_gates():
+    """Interlaced-stream accounting is exact: truncated or oversized
+    pass data raises instead of mis-scattering; unknown interlace
+    methods and illegal depth/color combinations are rejected by
+    name in both the decoder and the O(header) probe."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    img = (np.arange(5 * 9 * 3) % 256).astype(np.uint8).reshape(5, 9, 3)
+    good = MC.encode_png(img, level=0, interlace=True)
+
+    # Truncate the IDAT payload by one stored byte: rebuild the file
+    # with a shorter zlib stream (can't just cut bytes - zlib would
+    # error first, which is also a fail-loud path, but the accounting
+    # gate is the one under test here).
+    import struct
+    import zlib
+    scan = MC._png_scanlines(img, 8, 0, True)
+    ihdr = struct.pack(">IIBBBBB", 9, 5, 8, 2, 0, 0, 1)
+    short = (MC._PNG_SIG + MC._png_chunk(b"IHDR", ihdr)
+             + MC._png_chunk(b"IDAT", zlib.compress(scan[:-1], 0))
+             + MC._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        MC.decode_png(short)
+    over = (MC._PNG_SIG + MC._png_chunk(b"IHDR", ihdr)
+            + MC._png_chunk(b"IDAT", zlib.compress(scan + b"\x00", 0))
+            + MC._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        MC.decode_png(over)
+
+    # Illegal depth/color combinations rejected by both entry points.
+    bad = bytearray(good)
+    bad[24] = 4  # depth 4 with color type 2 (RGB) - spec-illegal
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        MC.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        MC.probe_png_dims(bytes(bad))
+
+    # Palette wider than the depth can address (decoder-side guard):
+    # a depth-1 file spliced onto a 4-entry PLTE.
+    pal = (np.arange(12) % 256).astype(np.uint8).reshape(4, 3)
+    idx = np.zeros((3, 4), dtype=np.uint8)
+    d1 = MC.encode_png_palette(idx, pal[:2], depth=1)
+    d4 = MC.encode_png_palette(idx, pal, depth=4)
+    plte4 = d4[33:33 + 12 + 12]  # 4-entry PLTE chunk (12 overhead + 12)
+    spliced = d1[:33] + plte4 + d1[33 + 12 + 6:]
+    with pytest.raises(ValueError, match="more than depth"):
+        MC.decode_png(spliced)
+
+    # Encoder-side palette/depth gates.
+    with pytest.raises(ValueError, match="illegal palette PNG depth"):
+        MC.encode_png_palette(idx, pal, depth=16)
+    with pytest.raises(ValueError, match="entries at depth"):
+        MC.encode_png_palette(idx, pal, depth=1)
+
+
+def test_synth_media_new_containers_spark_pipeline(spark):
+    """The three r12 containers (16-bit gray / Adam7 RGB / 4-bit
+    palette PNG) flow through decode -> resize -> feature-extract on
+    the Arrow path exactly like the old four: true dims from the
+    O(header) probe, every image payload changed by the 4x2 resize,
+    every feature vector 8-wide with the exact w/4096, h/4096 slots."""
+    import numpy as np
+
+    media = MM.synth_media(spark, 96, real=True)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert len(dec) == 96
+    for i, row in dec.items():
+        if row["kind"] == "image":
+            assert (row["width"], row["height"]) == (8 + i % 16, 6 + i % 8)
+    resized = MM.resize_images(media, width=4, height=2)
+    rdec = {r["media_id"]: r for r in MM.decode_media(resized).collect()}
+    for i, row in rdec.items():
+        if row["kind"] == "image":
+            assert (row["width"], row["height"]) == (4, 2), i
+            assert row["payload_hash"] != dec[i]["payload_hash"], i
+        else:
+            assert row["payload_hash"] == dec[i]["payload_hash"], i
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(resized).collect()}
+    assert len(feats) == 96
+    for i, v in feats.items():
+        assert len(v) == MM.FEATURE_DIM
+        if dec[i]["kind"] == "image":
+            assert v[6] == np.float32(4 / 4096.0) and \
+                v[7] == np.float32(2 / 4096.0), i
