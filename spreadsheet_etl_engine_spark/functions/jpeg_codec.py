@@ -1,6 +1,6 @@
-"""Pure-numpy baseline JPEG codec (ITU T.81 sequential DCT, Huffman).
+"""Pure-numpy JPEG codec (ITU T.81): baseline sequential AND progressive.
 
-Implements the full baseline pipeline with no media libraries:
+Implements the full pipeline with no media libraries:
 
 * **encode_jpeg** — RGB→YCbCr (BT.601/JFIF), optional 4:2:0 chroma
   subsampling (2x2 box mean) or 4:4:4, edge-replicated padding to the MCU
@@ -14,13 +14,22 @@ Implements the full baseline pipeline with no media libraries:
   APPn/COM skip), canonical-Huffman decode of the entropy stream, restart
   segmentation, dequantize + de-zigzag + batch inverse DCT (one einsum
   over every block of a component), chroma upsampling for any sampling
-  factor in {1, 2}, YCbCr→RGB, crop to the frame size.
+  factor in {1, 2}, YCbCr→RGB, crop to the frame size.  Both frame
+  types decode: baseline (SOF0/SOF1) and progressive (SOF2 — r12:
+  multi-scan spectral selection + successive approximation per T.81
+  Annex G, with EOB-run codes, AC/DC refinement scans, and per-scan
+  restart markers).
+* **encode_jpeg_progressive** — the same quantized coefficients as
+  ``encode_jpeg`` through a libjpeg-style scan script (DC first at Al=1,
+  spectral-banded AC first scans, successive-approximation refinements
+  to Al=0) with OPTIMAL per-scan Huffman tables (T.81 Annex K.2) — a
+  progressive file's pixels must therefore decode EXACTLY equal to the
+  baseline encode's, which is the round-trip equivalence the tests pin.
 
-Scope is baseline DCT (SOF0/SOF1) only: progressive (SOF2), arithmetic
-coding, hierarchical, 12-bit precision, and 16-bit quant tables raise
-``ValueError`` — they'd be silent wrong-pixel bugs if half-supported, and
-real corpora re-encode them through the same PIL extension point as video
-(`operators.multimodal._decode_compressed`).
+Scope: arithmetic coding, hierarchical, 12-bit precision, and 16-bit
+quant tables raise ``ValueError`` — they'd be silent wrong-pixel bugs if
+half-supported, and real corpora re-encode them through the same PIL
+extension point as video (`operators.multimodal._decode_compressed`).
 
 Validation stance: the container has no PIL/libjpeg to cross-check
 against, so conformance is established by (a) round-trip property tests
@@ -348,17 +357,13 @@ def _dht_payload(tclass: int, tid: int, bits: list[int], vals: list[int]) -> byt
     return bytes([(tclass << 4) | tid] + bits + vals)
 
 
-def encode_jpeg(img: np.ndarray, *, quality: int = 85,
-                subsampling: str = "444",
-                restart_interval: int | None = None) -> bytes:
-    """uint8 array -> baseline JFIF JPEG bytes.
-
-    (h, w, 3) RGB encodes 3-component YCbCr; (h, w) or (h, w, 1) encodes a
-    single-component grayscale JPEG.  ``subsampling`` is ``"444"`` (no
-    chroma subsampling) or ``"420"`` (2x2 box-mean chroma).
-    ``restart_interval`` (in MCUs) emits DRI + RST0-7 markers, the
-    mechanism a parallel decoder shards the entropy stream with.
-    """
+def _frame_setup(img: np.ndarray, quality: int, subsampling: str,
+                 restart_interval: int | None):
+    """Shared encoder front half: validation, color transform, padding,
+    subsampling, forward DCT + quantization.  Returns
+    (h, w, gray, factors, qy, qc, coeffs, mcus_x, mcus_y) where
+    ``coeffs[ci]`` is the (block_rows, block_cols, 64) zigzag coefficient
+    grid padded to the MCU lattice."""
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg needs a uint8 array")
     if img.ndim == 3 and img.shape[2] == 1:
@@ -398,6 +403,23 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
         qtables = [qy, qc, qc]
 
     coeffs = [_forward_dct_quant(p, q) for p, q in zip(planes, qtables)]
+    return h, w, gray, factors, qy, qc, coeffs, mcus_x, mcus_y
+
+
+def encode_jpeg(img: np.ndarray, *, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int | None = None) -> bytes:
+    """uint8 array -> baseline JFIF JPEG bytes.
+
+    (h, w, 3) RGB encodes 3-component YCbCr; (h, w) or (h, w, 1) encodes a
+    single-component grayscale JPEG.  ``subsampling`` is ``"444"`` (no
+    chroma subsampling) or ``"420"`` (2x2 box-mean chroma).
+    ``restart_interval`` (in MCUs) emits DRI + RST0-7 markers, the
+    mechanism a parallel decoder shards the entropy stream with.
+    """
+    (h, w, gray, factors, qy, qc, coeffs,
+     mcus_x, mcus_y) = _frame_setup(img, quality, subsampling,
+                                    restart_interval)
 
     writer = _BitWriter()
     out = bytearray(b"\xff\xd8")                              # SOI
@@ -450,6 +472,328 @@ def encode_jpeg(img: np.ndarray, *, quality: int = 85,
     return bytes(out)
 
 
+# --- progressive encoder (ITU T.81 Annex G) ---------------------------------
+
+
+def _optimal_huffman(freq_map: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2: optimal length-limited canonical Huffman table
+    from symbol frequencies.  The 257th pseudo-symbol (index 256, freq 1)
+    reserves the all-ones code as the spec requires; Figure K.3's
+    Adjust_BITS folds lengths >16 back into the 16-level histogram.
+    Returns (bits[1..16], huffval) ready for a DHT segment."""
+    freq = np.zeros(257, dtype=np.int64)
+    for sym, count in freq_map.items():
+        freq[sym] = count
+    freq[256] = 1
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        # v1 = least-frequency symbol (ties -> LARGEST index), v2 = next.
+        nz = np.flatnonzero(freq > 0)
+        if nz.size <= 1:
+            break
+        order = nz[np.lexsort((-nz, freq[nz]))]  # by freq asc, index desc
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    # A Huffman tree over 257 leaves can be up to 256 deep for
+    # pathologically skewed (Fibonacci-like) frequencies, so size the
+    # histogram by the actual maximum instead of K.3's literal 32.
+    bits = [0] * (max(17, int(codesize.max()) + 1))
+    for i in range(257):
+        if codesize[i]:
+            bits[int(codesize[i])] += 1
+    # Adjust_BITS: fold lengths >16 (K.3).
+    i = len(bits) - 1
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # remove the reserved pseudo-symbol
+    # HUFFVAL: symbols sorted by code length then value (K.4).
+    syms = [s for s in range(256) if codesize[s]]
+    syms.sort(key=lambda s: (int(codesize[s]), s))
+    return bits[1:17], syms
+
+
+class _ScanOps:
+    """Two-pass scan emission: record (table, symbol) / raw-bit ops while
+    counting per-table symbol frequencies, then render with the optimal
+    canonical tables built from those counts — the same
+    optimal-per-scan-table strategy libjpeg uses for progressive."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.freq: dict[int, dict[int, int]] = {}
+
+    def symbol(self, tid: int, sym: int) -> None:
+        self.ops.append(("s", tid, sym))
+        tbl = self.freq.setdefault(tid, {})
+        tbl[sym] = tbl.get(sym, 0) + 1
+
+    def bits(self, value: int, length: int) -> None:
+        if length:
+            self.ops.append(("b", value, length))
+
+    def rst(self, index: int) -> None:
+        self.ops.append(("r", index))
+
+    def render(self, writer: _BitWriter,
+               codes: dict[int, dict[int, tuple[int, int]]]) -> None:
+        for op in self.ops:
+            if op[0] == "s":
+                code, length = codes[op[1]][op[2]]
+                writer.write(code, length)
+            elif op[0] == "b":
+                writer.write(op[1], op[2])
+            else:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + op[1]])
+
+
+class _EobState:
+    """Pending end-of-block run + the buffered correction bits that must
+    ride behind its EOBn symbol (T.81 G.1.2.3; libjpeg's BE buffer)."""
+
+    def __init__(self) -> None:
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self, ops: _ScanOps, tid: int) -> None:
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            ops.symbol(tid, r << 4)
+            ops.bits(self.run - (1 << r), r)
+        for b in self.bits:
+            ops.bits(b, 1)
+        self.run = 0
+        self.bits = []
+
+
+def _prog_ac_first_block(ops: _ScanOps, tid: int, zz: np.ndarray,
+                         ss: int, se: int, al: int, eob: _EobState) -> None:
+    run = 0
+    coded_any = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        if not coded_any:
+            eob.flush(ops, tid)
+            coded_any = True
+        while run > 15:
+            ops.symbol(tid, 0xF0)
+            run -= 16
+        size = t.bit_length()
+        ops.symbol(tid, (run << 4) | size)
+        mag = t if v >= 0 else -t
+        ops.bits(mag if mag >= 0 else mag + (1 << size) - 1, size)
+        run = 0
+    if run or not coded_any:
+        eob.run += 1
+        if eob.run == 0x7FFF:
+            eob.flush(ops, tid)
+
+
+def _prog_ac_refine_block(ops: _ScanOps, tid: int, zz: np.ndarray,
+                          ss: int, se: int, al: int, eob: _EobState) -> None:
+    absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    last_new = -1
+    for i, t in enumerate(absval):
+        if t == 1:
+            last_new = i
+    run = 0
+    pending: list[int] = []
+    for i, t in enumerate(absval):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= last_new:
+            eob.flush(ops, tid)
+            ops.symbol(tid, 0xF0)
+            run -= 16
+            for b in pending:
+                ops.bits(b, 1)
+            pending = []
+        if t > 1:
+            # History coefficient: just its next magnitude bit, buffered
+            # behind whatever symbol gets emitted next.
+            pending.append(t & 1)
+            continue
+        eob.flush(ops, tid)
+        ops.symbol(tid, (run << 4) | 1)
+        ops.bits(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for b in pending:
+            ops.bits(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        eob.run += 1
+        eob.bits.extend(pending)
+        if eob.run == 0x7FFF:
+            eob.flush(ops, tid)
+
+
+def _comp_block_dims(h: int, w: int, fh: int, fv: int, hmax: int, vmax: int,
+                     ncomp: int) -> tuple[int, int]:
+    """True (block_rows, block_cols) of a component for non-interleaved
+    scans (T.81 A.2.2): from the component's own sample dims, not the
+    padded MCU lattice.  Single-component frames use the frame dims."""
+    if ncomp == 1:
+        ch, cw = h, w
+    else:
+        ch = -(-h * fv // vmax)
+        cw = -(-w * fh // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def encode_jpeg_progressive(img: np.ndarray, *, quality: int = 85,
+                            subsampling: str = "444",
+                            restart_interval: int | None = None) -> bytes:
+    """uint8 array -> progressive (SOF2) JFIF JPEG bytes.
+
+    Same input contract as :func:`encode_jpeg`; the quantized
+    coefficients are identical, only the entropy layer differs, so
+    ``decode_jpeg`` must reproduce the baseline encode's pixels EXACTLY
+    (the round-trip equivalence the tests pin).  The scan script mirrors
+    libjpeg's default: an Al=1 DC scan, spectral-banded AC first scans
+    (luma split 1-5 / 6-63, chroma 1-63), then successive-approximation
+    refinements down to Al=0.  Each scan gets optimal per-scan Huffman
+    tables (T.81 K.2) — which exercises the EOBn > 1 run codes the
+    Annex-K typical tables cannot express.  ``restart_interval`` (in
+    MCUs; blocks for the non-interleaved AC scans) emits DRI + RST0-7
+    in every scan."""
+    (h, w, gray, factors, qy, qc, coeffs,
+     mcus_x, mcus_y) = _frame_setup(img, quality, subsampling,
+                                    restart_interval)
+    ncomp = 1 if gray else 3
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    n_mcus = mcus_x * mcus_y
+    if gray:
+        script: list[tuple] = [
+            ("dc", [0], 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0], 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", [0, 1, 2], 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", [0, 1, 2], 0, 0, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    out += _segment(0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    out += _segment(0xDB, bytes([0x00]) + bytes(qy[ZIGZAG].tolist()))
+    if not gray:
+        out += _segment(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].tolist()))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hv = (factors[ci][0] << 4) | factors[ci][1]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += _segment(0xC2, sof)                                # SOF2
+    if restart_interval:
+        out += _segment(0xDD, struct.pack(">H", restart_interval))
+
+    for kind, comp, ss, se, ah, al in script:
+        ops = _ScanOps()
+        if kind == "dc":
+            pred = [0] * ncomp
+            rst = 0
+            for m in range(n_mcus):
+                if restart_interval and m and m % restart_interval == 0:
+                    ops.rst(rst)
+                    rst = (rst + 1) % 8
+                    pred = [0] * ncomp
+                my, mx = divmod(m, mcus_x)
+                for ci in comp:
+                    fh, fv = factors[ci] if ncomp > 1 else (1, 1)
+                    tid = 0 if ci == 0 else 1
+                    for r in range(fv):
+                        for c in range(fh):
+                            dc = int(coeffs[ci][my * fv + r, mx * fh + c, 0])
+                            if ah == 0:
+                                d = (dc >> al) - pred[ci]
+                                pred[ci] = dc >> al
+                                size = abs(d).bit_length()
+                                ops.symbol(tid, size)
+                                ops.bits(d if d >= 0 else d + (1 << size) - 1,
+                                         size)
+                            else:
+                                ops.bits((dc >> al) & 1, 1)
+        else:
+            ci = comp
+            fh, fv = factors[ci]
+            tid = 0 if ci == 0 else 1
+            bh, bw = _comp_block_dims(h, w, fh, fv, hmax, vmax, ncomp)
+            eob = _EobState()
+            rst = 0
+            for b in range(bh * bw):
+                if restart_interval and b and b % restart_interval == 0:
+                    eob.flush(ops, tid)
+                    ops.rst(rst)
+                    rst = (rst + 1) % 8
+                by, bx = divmod(b, bw)
+                zz = coeffs[ci][by, bx]
+                if ah == 0:
+                    _prog_ac_first_block(ops, tid, zz, ss, se, al, eob)
+                else:
+                    _prog_ac_refine_block(ops, tid, zz, ss, se, al, eob)
+            eob.flush(ops, tid)
+
+        # Per-scan optimal tables; DC refinement scans emit raw bits only.
+        codes: dict[int, dict[int, tuple[int, int]]] = {}
+        tclass = 0 if kind == "dc" else 1
+        for tid, freq in sorted(ops.freq.items()):
+            bits, vals = _optimal_huffman(freq)
+            out += _segment(0xC4, _dht_payload(tclass, tid, bits, vals))
+            codes[tid] = _canonical_codes(bits, vals)
+        sel = comp if kind == "dc" else [comp]
+        sos = bytes([len(sel)])
+        for ci in sel:
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1,
+                          (tid << 4) if kind == "dc" else tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _segment(0xDA, sos)
+        writer = _BitWriter()
+        ops.render(writer, codes)
+        writer.flush()
+        out += writer.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def probe_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the SOF header without touching the entropy
     stream — O(marker segments), not O(pixels).  Rejects exactly the
@@ -478,16 +822,12 @@ def _next_marker(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def _is_supported_sof(marker: int) -> bool:
-    """True for the supported baseline frame markers (SOF0/SOF1); raises
-    for every other SOF class.  The ONE list both the decoder and the
-    header probe consult, so they cannot drift apart on which coding
-    processes they reject."""
-    if marker in (0xC0, 0xC1):
+    """True for the supported frame markers (SOF0/SOF1 baseline, SOF2
+    progressive — r12); raises for every other SOF class.  The ONE list
+    both the decoder and the header probe consult, so they cannot drift
+    apart on which coding processes they reject."""
+    if marker in (0xC0, 0xC1, 0xC2):
         return True
-    if marker == 0xC2:
-        raise ValueError("progressive JPEG (SOF2) not supported; "
-                         "baseline only — re-encode or use the PIL "
-                         "extension point")
     if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                   0xCD, 0xCE, 0xCF):
         raise ValueError("unsupported JPEG coding process "
@@ -555,9 +895,176 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
+def _decode_prog_scan(segments: list[bytes], sel: list[tuple[int, int, int]],
+                      ss: int, se: int, ah: int, al: int, state: dict,
+                      dc_tables: dict, ac_tables: dict,
+                      restart_interval: int) -> None:
+    """Decode one progressive scan (T.81 Annex G.2), accumulating into
+    ``state['blocks']``.  Four scan shapes: DC first / DC refinement
+    (interleaved or not), AC first / AC refinement (spec-required
+    non-interleaved).  Restart markers reset both the DC predictors and
+    the EOB run."""
+    blocks = state["blocks"]
+    factors = state["factors"]
+    mcus_x, mcus_y = state["mcus_x"], state["mcus_y"]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            state["dc_done"].update(ci for ci, _, _ in sel)
+        elif not all(ci in state["dc_done"] for ci, _, _ in sel):
+            raise ValueError("JPEG DC refinement before DC first scan")
+    else:
+        if len(sel) > 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        if not 0 < ss <= se <= 63:
+            raise ValueError("invalid progressive spectral band")
+        if sel[0][0] not in state["dc_done"]:
+            raise ValueError("JPEG AC scan before the DC first scan")
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        units = mcus_x * mcus_y
+    else:
+        ci0 = sel[0][0]
+        fh0, fv0 = factors[ci0]
+        bh0, bw0 = _comp_block_dims(state["h"], state["w"], fh0, fv0,
+                                    state["hmax"], state["vmax"],
+                                    state["ncomp"])
+        units = bh0 * bw0
+
+    def block_views(unit: int):
+        """Yield (ci, dc_id, ac_id, coef_row) for every block of a unit."""
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for ci, dc_id, ac_id in sel:
+                fh, fv = factors[ci]
+                for r in range(fv):
+                    for c in range(fh):
+                        yield ci, dc_id, ac_id, blocks[ci][my * fv + r,
+                                                           mx * fh + c]
+        else:
+            ci, dc_id, ac_id = sel[0]
+            by, bx = divmod(unit, bw0)
+            yield ci, dc_id, ac_id, blocks[ci][by, bx]
+
+    p1 = 1 << al
+    m1 = -p1
+    done = 0
+    seg_idx = 0
+    while done < units:
+        count = (min(restart_interval, units - done)
+                 if restart_interval else units - done)
+        if seg_idx >= len(segments):
+            raise ValueError("JPEG restart segments missing")
+        reader = _BitReader(segments[seg_idx])
+        seg_idx += 1
+        pred = [0] * len(blocks)
+        eobrun = 0
+        for unit in range(done, done + count):
+            for ci, dc_id, ac_id, coef in block_views(unit):
+                if ss == 0 and ah == 0:          # DC first
+                    try:
+                        dc_tbl = dc_tables[dc_id]
+                    except KeyError:
+                        raise ValueError("JPEG scan references missing "
+                                         "Huffman table") from None
+                    size = _decode_symbol(reader, dc_tbl)
+                    if size > 11:
+                        raise ValueError(f"invalid JPEG DC category {size}")
+                    pred[ci] += _extend(reader.read(size), size)
+                    coef[0] = pred[ci] << al
+                elif ss == 0:                    # DC refinement: raw bit
+                    if reader.read(1):
+                        coef[0] |= p1
+                elif ah == 0:                    # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    try:
+                        ac_tbl = ac_tables[ac_id]
+                    except KeyError:
+                        raise ValueError("JPEG scan references missing "
+                                         "Huffman table") from None
+                    k = ss
+                    while k <= se:
+                        sym = _decode_symbol(reader, ac_tbl)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            k += 16              # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC run past band end")
+                            coef[k] = _extend(reader.read(s), s) << al
+                            k += 1
+                else:                            # AC refinement (G.2, the
+                    # libjpeg decode_mcu_AC_refine structure: correction
+                    # bits for history coefficients, ±1<<Al insertions)
+                    try:
+                        ac_tbl = ac_tables[ac_id]
+                    except KeyError:
+                        raise ValueError("JPEG scan references missing "
+                                         "Huffman table") from None
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _decode_symbol(reader, ac_tbl)
+                            r, s = sym >> 4, sym & 0xF
+                            val = 0
+                            if s == 0:
+                                if r < 15:
+                                    # NOTE the convention difference from
+                                    # the first-scan branch: the run count
+                                    # here INCLUDES the current block,
+                                    # whose remaining correction bits the
+                                    # tail below still has to consume —
+                                    # the tail decrements per block.
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read(r)
+                                    break
+                                # r == 15: ZRL, skip 16 zero-history slots
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid JPEG AC refinement "
+                                        "magnitude")
+                                val = p1 if reader.read(1) else m1
+                            while k <= se:
+                                c = int(coef[k])
+                                if c != 0:
+                                    if reader.read(1) and (c & p1) == 0:
+                                        coef[k] = c + (p1 if c >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError(
+                                        "JPEG refinement run past band end")
+                                coef[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            c = int(coef[k])
+                            if c != 0 and reader.read(1) and (c & p1) == 0:
+                                coef[k] = c + (p1 if c >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+        done += count
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 1) for
-    single-component grayscale streams).
+    """Baseline or progressive JPEG bytes -> (h, w, 3) uint8 RGB (or
+    (h, w, 1) for single-component grayscale streams).
 
     Total error contract: any malformed input raises ``ValueError`` —
     foreign exceptions from corrupt streams (truncated tables, insane
@@ -580,6 +1087,8 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     frame = None            # (h, w, [(comp_id, fh, fv, tq), ...])
     restart_interval = 0
     scan = None             # ([(comp_idx, dc_id, ac_id), ...], entropy segments)
+    progressive = False
+    prog: dict | None = None  # progressive accumulation state
 
     while pos + 2 <= n:
         marker, pos = _next_marker(data, pos)
@@ -616,7 +1125,10 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                 (dc_tables if tc == 0 else ac_tables)[th] = decode_map
                 p += 17 + nv
         elif marker != 0xDA and _is_supported_sof(marker):
-            # SOF0/SOF1: baseline Huffman (shared gate with the probe).
+            # SOF0/SOF1 baseline or SOF2 progressive (shared probe gate).
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
+            progressive = marker == 0xC2
             precision, fh_, fw_, nf = struct.unpack_from(">BHHB", payload, 0)
             if precision != 8:
                 raise ValueError("only 8-bit JPEG precision supported")
@@ -641,12 +1153,21 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
                     raise ValueError("JPEG scan references unknown component")
                 sel.append((comp_ids.index(cid), tbls >> 4, tbls & 0xF))
             segments, pos = _split_entropy(data, pos)
-            scan = (sel, segments)
-            break                       # single-scan baseline: decode now
+            if not progressive:
+                scan = (sel, segments)
+                break                   # single-scan baseline: decode now
+            ss, se, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            if prog is None:
+                prog = _prog_state(frame, segments, ss, ahal >> 4)
+            _decode_prog_scan(segments, sel, ss, se, ahal >> 4, ahal & 0xF,
+                              prog, dc_tables, ac_tables, restart_interval)
         # else: APPn / COM / unknown — skipped via the length field
 
-    if frame is None or scan is None:
+    if frame is None or (scan is None and prog is None):
         raise ValueError("JPEG SOF/SOS missing")
+    if progressive:
+        return _reconstruct(frame, prog["factors"], prog["blocks"],
+                            prog["hmax"], prog["vmax"], qtables)
     h, w, comps = frame
     sel, segments = scan
     if len(sel) != len(comps):
@@ -733,6 +1254,50 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     else:
         decode_mcu_range(_BitReader(segments[0]), 0, n_mcus, [0] * len(comps))
 
+    return _reconstruct(frame, factors, blocks, hmax, vmax, qtables)
+
+
+def _prog_state(frame: tuple, segments: list[bytes], ss: int,
+                ah: int) -> dict:
+    """Allocate the progressive coefficient accumulators at the first
+    SOS.  Spec order: the first scan of a progressive frame must be a DC
+    first scan (T.81 G.1.1.1.1), which also gives the allocation guard —
+    a DC first scan Huffman-codes every block of its components at ≥1
+    bit, so corrupt SOF dims cannot demand a buffer the stream could
+    never fill."""
+    h, w, comps = frame
+    for _, fh, fv, _ in comps:
+        if fh not in (1, 2) or fv not in (1, 2):
+            raise ValueError(f"unsupported sampling factor {fh}x{fv}")
+    if ss != 0 or ah != 0:
+        raise ValueError("progressive JPEG must start with a DC first scan")
+    if len(comps) == 1:
+        hmax = vmax = 1
+        factors = [(1, 1)]
+    else:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        factors = [(c[1], c[2]) for c in comps]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    entropy_bits = 8 * sum(len(s) for s in segments)
+    if mcus_x * mcus_y > entropy_bits + 16:
+        raise ValueError("truncated JPEG entropy stream for declared "
+                         "frame size")
+    blocks = [np.zeros((mcus_y * fv, mcus_x * fh, 64), dtype=np.int64)
+              for fh, fv in factors]
+    return {"blocks": blocks, "factors": factors, "hmax": hmax,
+            "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+            "h": h, "w": w, "ncomp": len(comps), "dc_done": set()}
+
+
+def _reconstruct(frame: tuple, factors: list[tuple[int, int]],
+                 blocks: list[np.ndarray], hmax: int, vmax: int,
+                 qtables: dict[int, np.ndarray]) -> np.ndarray:
+    """Shared decoder back half: dequantize + IDCT every component grid,
+    crop to true dims, upsample to the frame lattice, color-convert."""
+    h, w, comps = frame
+    single = len(comps) == 1
     planes = []
     for ci, (cid, fh_c, fv_c, tq) in enumerate(comps):
         if tq not in qtables:

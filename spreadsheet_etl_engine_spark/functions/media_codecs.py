@@ -16,12 +16,13 @@ Real decode/encode with no media libraries needed:
   any filter type, depth, and interlace mode (``encode_png_palette``
   emits color-type-3 files), so every decoder reconstruction path is
   round-trip testable.
-* **JPEG** (baseline sequential DCT, Huffman, 4:4:4 / 4:2:0, restart
-  markers) — full pure-numpy pipeline in ``jpeg_codec``, re-exported
-  here as ``decode_jpeg`` / ``encode_jpeg``.
+* **JPEG** (baseline sequential AND progressive DCT — spectral
+  selection + successive approximation, r12 — Huffman, 4:4:4 / 4:2:0,
+  restart markers) — full pure-numpy pipeline in ``jpeg_codec``,
+  re-exported here as ``decode_jpeg`` / ``encode_jpeg``.
 
-Still genuinely out of reach without PIL/cv2/ffmpeg: progressive JPEG,
-MP3, H.264 — those stay behind
+Still genuinely out of reach without PIL/cv2/ffmpeg: MP3 and
+H.264 — those stay behind
 the marked extension points in ``operators.multimodal``.  These codecs
 make the decode / resize / feature-extract pipeline REAL end-to-end for
 the formats above, which is all the plumbing contract needs: at scale the
@@ -38,6 +39,7 @@ import numpy as np
 from spreadsheet_etl_engine_spark.functions.jpeg_codec import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -343,7 +345,7 @@ def decode_png(data: bytes) -> np.ndarray:
       an independently-filtered mini-image scattered back on the
       (x_start + x_step·i, y_start + y_step·j) grid).
 
-    Only PROGRESSIVE JPEG / MP3 / H.264 remain behind the PIL/ffmpeg
+    Only MP3 / H.264 remain behind the PIL/ffmpeg
     extension point in ``operators.multimodal`` — nothing in the PNG
     spec's static surface does.
 

@@ -4,10 +4,11 @@ Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
 PCM16 WAV, the full static PNG spec surface (stdlib zlib + numpy
 unfiltering; every legal bit-depth/color-type combination — 1/2/4/8/16
 gray, 8/16 RGB/gray+alpha/RGBA, 1/2/4/8 palette with optional tRNS —
-plus Adam7 interlacing, since r12), and baseline JPEG (pure-numpy DCT +
-Huffman, 4:4:4/4:2:0, restart markers) via the codecs in
+plus Adam7 interlacing, since r12), and both JPEG DCT frame types
+(baseline AND progressive since r12; pure-numpy DCT + Huffman,
+4:4:4/4:2:0, restart markers) via the codecs in
 ``functions.media_codecs`` — no media libs.
-The remaining compressed formats (progressive JPEG, MP3, H.264)
+The remaining compressed formats (MP3, H.264)
 genuinely require PIL/cv2/ffmpeg, which this
 container lacks: those route through the marked import-try extension
 points and otherwise fall back to the deterministic fake header format,
@@ -130,16 +131,17 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
 
 def _decode_compressed(data: bytes) -> tuple[int, int, int]:
     """Extension point for the containers the numpy codecs can't express:
-    progressive JPEG, MP3, H.264 — requires PIL/cv2/ffmpeg, absent here.
-    The ENTIRE static PNG spec surface (all depths/color types, Adam7 —
-    ``media_codecs.decode_png``) and baseline JPEG
-    (``media_codecs.decode_jpeg``) decode for real."""
+    MP3 and H.264 — requires PIL/cv2/ffmpeg, absent here.  The ENTIRE
+    static PNG spec surface (all depths/color types, Adam7 —
+    ``media_codecs.decode_png``) and both JPEG DCT frame types
+    (baseline + progressive — ``media_codecs.decode_jpeg``) decode for
+    real."""
     raise NotImplementedError(
-        "MP3/H.264 (and progressive JPEG) decoding requires "
+        "MP3/H.264 decoding requires "
         "PIL/cv2/librosa/ffmpeg, which are not installed; BMP/PPM/WAV, "
         "the full static PNG surface (all bit depths/color types incl. "
-        "palette, both interlace modes) and baseline JPEG decode is "
-        "real (functions.media_codecs)"
+        "palette, both interlace modes) and baseline + progressive "
+        "JPEG decode is real (functions.media_codecs)"
     )
 
 

@@ -2529,6 +2529,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # 8-bit non-interlaced encoder output is byte-identical to the old
     # algorithm by test, so the four original containers' hashes are
     # unchanged by construction).
+    # r12 later: progressive JPEG (SOF2, T.81 Annex G) decode+encode
+    # joined jpeg_codec — the synth_media fixture has no JPEG container
+    # (compressed sizes have no closed formula for the generative
+    # oracle), so both rows' outputs are unchanged; the jpeg_codec
+    # module-hash drift still re-attests through these two rows, which
+    # exercise its sniff/probe paths, and the progressive surface is
+    # pinned by the baseline-equality pytest matrix
+    # (tests/test_jpeg_codec.py::test_progressive_*).
     "multimodal_decode",
     "multimodal_resize_features",
     # jobs.py bare-dir probe now logs swallowed non-benign exceptions

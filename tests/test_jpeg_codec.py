@@ -129,7 +129,11 @@ def test_error_paths():
     enc = encode_jpeg(img, quality=85)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01\x02")
-    with pytest.raises(ValueError, match="progressive"):
+    # Flipping SOF0->SOF2 over a BASELINE scan makes an invalid hybrid
+    # (the full-band Ss=0..Se=63 scan is illegal in a progressive
+    # frame): fail loud, never decode garbage (r12 — SOF2 itself is
+    # supported now, real progressive files decode).
+    with pytest.raises(ValueError, match="progressive DC scan"):
         sof = enc.index(b"\xff\xc0")
         decode_jpeg(enc[:sof] + b"\xff\xc2" + enc[sof + 2:])
     with pytest.raises(ValueError, match="16-bit quant"):
@@ -163,8 +167,12 @@ def test_header_probes_agree_with_decoders():
             decode_jpeg(enc[:-40])
     enc = encode_jpeg(img)
     sof = enc.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="progressive"):
-        MC.probe_jpeg_dims(enc[:sof] + b"\xff\xc2" + enc[sof + 2:])
+    # SOF2 probes fine since r12 (progressive decode is real); the
+    # never-supported SOF classes stay rejected by both entry points.
+    assert MC.probe_jpeg_dims(enc[:sof] + b"\xff\xc2" + enc[sof + 2:]) \
+        == (18, 12)
+    with pytest.raises(ValueError, match="coding process"):
+        MC.probe_jpeg_dims(enc[:sof] + b"\xff\xc3" + enc[sof + 2:])
     with pytest.raises(ValueError, match="not a JPEG"):
         MC.probe_jpeg_dims(b"nope")
 
@@ -298,3 +306,158 @@ def test_fill_bytes_before_markers_are_skipped():
               + b"\xff" + enc[sof:])
     assert MC.probe_jpeg_dims(padded) == (14, 10)
     assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
+
+
+def test_progressive_decodes_exactly_like_baseline():
+    """r12: encode_jpeg_progressive carries the SAME quantized
+    coefficients as encode_jpeg — only the entropy layer differs — so
+    the progressive file's decoded pixels must equal the baseline
+    file's EXACTLY (not approximately), across color/gray, both
+    subsampling modes, qualities, and non-MCU-aligned sizes.  This
+    pins the whole Annex-G surface: spectral selection bands,
+    successive-approximation DC/AC refinement, EOB-run codes, and the
+    per-scan optimal Huffman tables."""
+    from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(1217)
+    cases = [((16, 16, 3), "444"), ((17, 23, 3), "420"), ((8, 8), "444"),
+             ((30, 50, 3), "420"), ((1, 1, 3), "444"), ((9, 13), "444")]
+    for shape, sub in cases:
+        for q in (85, 100, 30):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = encode_jpeg(img, quality=q, subsampling=sub)
+            prog = encode_jpeg_progressive(img, quality=q, subsampling=sub)
+            assert prog != base
+            assert np.array_equal(decode_jpeg(prog), decode_jpeg(base)), \
+                (shape, sub, q)
+            assert MC.probe_jpeg_dims(prog) == (shape[1], shape[0])
+
+    # Smooth image: long EOB runs, including EOBn>1 codes that the
+    # Annex-K typical tables cannot even express (the optimal per-scan
+    # tables can).
+    img = np.full((40, 40, 3), 128, np.uint8)
+    img[5, 7] = [200, 10, 50]
+    img[30, 20] = [0, 255, 0]
+    base = encode_jpeg(img, quality=85, subsampling="420")
+    prog = encode_jpeg_progressive(img, quality=85, subsampling="420")
+    assert len(prog) < len(base)  # EOB runs beat per-block EOBs here
+    assert np.array_equal(decode_jpeg(prog), decode_jpeg(base))
+
+
+def test_progressive_restart_intervals():
+    """Restart markers inside every progressive scan (DC and AC) reset
+    the predictors and the EOB run; output must be byte-for-byte the
+    same pixels as the unsegmented encode."""
+    from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 41, 3), dtype=np.uint8)
+    want = decode_jpeg(encode_jpeg_progressive(img, quality=85,
+                                               subsampling="420"))
+    for ri in (1, 2, 5, 7):
+        p = encode_jpeg_progressive(img, quality=85, subsampling="420",
+                                    restart_interval=ri)
+        assert b"\xff\xd0" in p or b"\xff\xd1" in p or ri > 6
+        assert np.array_equal(decode_jpeg(p), want), ri
+
+
+def test_progressive_fail_loud_gates():
+    """Spec-order and corruption gates: a progressive stream whose
+    first scan is not DC-first, AC scans claiming interleaving, and
+    truncation all raise ValueError by name instead of mis-decoding."""
+    from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    prog = encode_jpeg_progressive(img, quality=85)
+
+    # Truncate mid-way through the scans.
+    with pytest.raises(ValueError):
+        decode_jpeg(prog[: len(prog) // 2])
+
+    # Flip the first SOS's Ss byte so the first scan claims to be AC:
+    # the spec requires a DC first scan first (G.1.1.1.1).
+    sos = prog.index(b"\xff\xda")
+    ns = prog[sos + 4]
+    ss_off = sos + 5 + 2 * ns
+    bad = bytearray(prog)
+    bad[ss_off] = 1
+    bad[ss_off + 1] = 63
+    with pytest.raises(ValueError, match="DC first|non-interleaved"):
+        decode_jpeg(bytes(bad))
+
+    # An AC refinement symbol with magnitude size > 1 is malformed.
+    # (Constructed indirectly: corrupting entropy bytes must never
+    # produce anything but ValueError — fuzz the scan bodies.)
+    rng2 = np.random.default_rng(5)
+    for _ in range(60):
+        b = bytearray(prog)
+        i = rng2.integers(sos + 10, len(prog) - 3)
+        b[i] = int(rng2.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == (16, 16, 3)  # decoded garbage is fine
+        except ValueError:
+            pass  # fail-loud is fine; anything else propagates and fails
+
+
+def test_progressive_through_spark_pipeline(spark):
+    """Progressive JPEG bytes flow through decode_media /
+    extract_features / resize_images on the Arrow path: header probe
+    dims, identical embedding to the baseline twin, real resize."""
+    from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+
+    img = _smooth(12, 18)
+    rows = [
+        (1, "image", encode_jpeg(img, quality=95), 0),
+        (2, "image", encode_jpeg_progressive(img, quality=95), 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (18, 12)
+    assert (got[2]["width"], got[2]["height"]) == (18, 12)
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    # Same pixels decoded from either container -> identical embedding.
+    assert feats[1] == feats[2]
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=6, height=4).collect()}
+    assert decode_jpeg(resized[2]).shape == (4, 6, 3)
+
+
+def test_optimal_huffman_tables_are_canonical_and_complete():
+    """The K.2 builder: every emitted table must round-trip through the
+    strict canonical constructor (prefix-feasible), cover exactly the
+    requested symbols, reserve the all-ones code, and respect the
+    16-bit cap even for degenerate frequency shapes."""
+    from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+        _canonical_codes,
+        _optimal_huffman,
+    )
+
+    rng = np.random.default_rng(11)
+    shapes = [
+        {0: 1},                                   # single symbol
+        {i: 1 for i in range(256)},               # uniform, max alphabet
+        {i: 2 ** min(i, 40) for i in range(50)},  # wildly skewed
+        {int(s): int(c) for s, c in
+         zip(rng.integers(0, 256, 30), rng.integers(1, 1000, 30))},
+    ]
+    for freq in shapes:
+        bits, vals = _optimal_huffman(freq)
+        assert len(bits) == 16 and sum(bits) == len(vals)
+        assert sorted(vals) == sorted(set(freq))
+        codes = _canonical_codes(bits, vals)  # raises if infeasible
+        # all-ones code of the longest used length stays reserved
+        maxlen = max(length for _, length in codes.values())
+        assert all(code != (1 << length) - 1 or length < maxlen
+                   for code, length in codes.values())
