@@ -599,6 +599,95 @@ def probe_megadup(spark: SparkSession, reps: int, n: int) -> dict:
             "ratio": round(t10 / t1, 2)}
 
 
+def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
+    """Distributed deterministic media corpus: ONE mapInPandas over
+    spark.range (no driver-side rows) emitting real container bytes
+    derived from the row id — images cycle truecolor / palette /
+    16-bit / Adam7 PNG / baseline JPEG / progressive JPEG, videos are
+    4-frame animated GIFs, audio is PCM16 WAV."""
+    from spreadsheet_etl_engine_spark.operators.multimodal import MEDIA_SCHEMA
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+        from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    h, w = 12, 16
+                    img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1))
+                           % 256).astype(np.uint8)
+                    c = (i // 3) % 6
+                    if c == 0:
+                        payload = MC.encode_png(img)
+                    elif c == 1:
+                        idx = (img[:, :, 0] % 16).astype(np.uint8)
+                        pal = ((np.arange(48) * 5 + i) % 256
+                               ).astype(np.uint8).reshape(16, 3)
+                        payload = MC.encode_png_palette(idx, pal, depth=4)
+                    elif c == 2:
+                        payload = MC.encode_png(
+                            (img[:, :, 0].astype(np.uint16) * 257))
+                    elif c == 3:
+                        payload = MC.encode_png(img, interlace=True)
+                    elif c == 4:
+                        payload = MC.encode_jpeg(img, quality=85)
+                    else:
+                        payload = MC.encode_jpeg_progressive(img, quality=85)
+                elif kind == "audio":
+                    t = np.arange(256 + i % 64)
+                    wave = (1000 * np.sin(t * ((i % 7) + 1) * 0.1)
+                            ).astype(np.int16)
+                    payload = MC.encode_wav(wave, 16000)
+                else:
+                    pal = ((np.arange(48) * 3 + i) % 256
+                           ).astype(np.uint8).reshape(16, 3)
+                    frames = ((np.arange(4 * 12 * 16).reshape(4, 12, 16)
+                               * (i + 1)) % 16).astype(np.uint8)
+                    payload = GC.encode_gif(frames, pal)
+                rows.append((i, kind, payload, i % 7))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "source_doc"])
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def probe_media(spark: SparkSession, reps: int, n: int) -> dict:
+    """The Arrow media pipeline end-to-end: metadata sweep
+    (decode_media — O(header) probes), feature extraction (full pixel
+    decode of every container incl. progressive JPEG and GIF first
+    frames), and sampled-frame decode (the frame_sample plan joined
+    back to the GIF bytes).  Embarrassingly parallel per Arrow batch —
+    the curve must track the data ratio."""
+    from spreadsheet_etl_engine_spark.operators import multimodal as MM
+
+    arms = {}
+    cached = []
+    for label, size in (("n", n), ("10n", 10 * n)):
+        media = synth_media_distributed(spark, size).cache()
+        media.count()          # materialize: generation cost excluded
+        cached.append(media)
+
+        def run(m=media):
+            MM.decode_media(m).agg(F.sum("n_bytes")).collect()
+            MM.extract_features(m).agg(
+                F.sum(F.element_at("feature", 1))).collect()
+            MM.decode_sampled_frames(m, every_k=2).count()
+
+        arms[label] = run
+    t1, t10 = ab_medians(arms["n"], arms["10n"], reps)
+    for m in cached:
+        m.unpersist()
+    return {"probe": "multimodal_pipeline", "n": n, "t_n": round(t1, 2),
+            "t_10n": round(t10, 2), "ratio": round(t10 / t1, 2)}
+
+
 PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
@@ -629,6 +718,10 @@ PROBES = {
     # expression operators' plan-build + execution growth on wide
     # feature tables.
     "wideschema": (probe_wideschema, 60),
+    # 10k media rows small arm (~3.3k images / GIFs / WAVs each): the
+    # per-row Python codec work (not session overhead) sets the ratio;
+    # the pipeline is embarrassingly parallel per Arrow batch.
+    "media": (probe_media, 10_000),
 }
 
 

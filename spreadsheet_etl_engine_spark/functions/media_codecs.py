@@ -20,6 +20,10 @@ Real decode/encode with no media libraries needed:
   selection + successive approximation, r12 — Huffman, 4:4:4 / 4:2:0,
   restart markers) — full pure-numpy pipeline in ``jpeg_codec``,
   re-exported here as ``decode_jpeg`` / ``encode_jpeg``.
+* **GIF** (87a/89a, r12) — full LZW, global/local color tables,
+  interlace, transparency, frame disposal; animated frames make the
+  multimodal VIDEO kind real (``gif_codec``, re-exported here as
+  ``decode_gif`` / ``encode_gif`` / ``count_gif_frames``).
 
 Still genuinely out of reach without PIL/cv2/ffmpeg: MP3 and
 H.264 — those stay behind
@@ -36,6 +40,12 @@ import zlib
 
 import numpy as np
 
+from spreadsheet_etl_engine_spark.functions.gif_codec import (  # noqa: F401
+    count_gif_frames,
+    decode_gif,
+    encode_gif,
+    probe_gif_dims,
+)
 from spreadsheet_etl_engine_spark.functions.jpeg_codec import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,
@@ -600,9 +610,9 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 def sniff(data: bytes) -> str:
     """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'png' |
-    'jpeg' | 'fake' | 'unknown'.  RIFF alone is not enough for WAV —
-    WebP/AVI are RIFF containers too, so the WAVE fourcc is required.
-    JPEG is SOI followed by another marker (all JFIF/EXIF/raw baseline
+    'jpeg' | 'gif' | 'fake' | 'unknown'.  RIFF alone is not enough for
+    WAV — WebP/AVI are RIFF containers too, so the WAVE fourcc is
+    required.  JPEG is SOI followed by another marker (all JFIF/EXIF/raw
     streams start FF D8 FF)."""
     head = bytes(data[:12])
     if head[:2] == b"BM":
@@ -613,6 +623,8 @@ def sniff(data: bytes) -> str:
         return "png"
     if head[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):

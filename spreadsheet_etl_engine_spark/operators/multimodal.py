@@ -4,10 +4,12 @@ Decode / resize / feature-extract are REAL for 24-bit BMP, binary PPM,
 PCM16 WAV, the full static PNG spec surface (stdlib zlib + numpy
 unfiltering; every legal bit-depth/color-type combination — 1/2/4/8/16
 gray, 8/16 RGB/gray+alpha/RGBA, 1/2/4/8 palette with optional tRNS —
-plus Adam7 interlacing, since r12), and both JPEG DCT frame types
+plus Adam7 interlacing, since r12), both JPEG DCT frame types
 (baseline AND progressive since r12; pure-numpy DCT + Huffman,
-4:4:4/4:2:0, restart markers) via the codecs in
-``functions.media_codecs`` — no media libs.
+4:4:4/4:2:0, restart markers), and animated GIF (87a/89a full LZW,
+local palettes, interlace, transparency, disposal — since r12 the VIDEO
+kind is real: frame counts, per-frame sampling decode) via the codecs
+in ``functions.media_codecs`` — no media libs.
 The remaining compressed formats (MP3, H.264)
 genuinely require PIL/cv2/ffmpeg, which this
 container lacks: those route through the marked import-try extension
@@ -197,6 +199,12 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
         if kind == "jpeg":
             w, h = MC.probe_jpeg_dims(raw)
             return w, h, 1
+        if kind == "gif":
+            # Animated GIF is a real VIDEO container (r12): dims from
+            # the O(1) logical-screen probe, frame count from the
+            # O(blocks) structure walk — LZW never decompressed here.
+            w, h = MC.probe_gif_dims(raw)
+            return w, h, MC.count_gif_frames(raw)
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1
@@ -263,10 +271,13 @@ def extract_features(df: DataFrame) -> DataFrame:
         raw = b"" if data is None else bytes(data)
         container = MC.sniff(raw)
         try:
-            if container in ("bmp", "ppm", "png", "jpeg"):
+            if container in ("bmp", "ppm", "png", "jpeg", "gif"):
                 decoded = (MC.decode_bmp(raw) if container == "bmp"
                            else MC.decode_ppm(raw) if container == "ppm"
                            else MC.to_rgb(MC.decode_png(raw)) if container == "png"
+                           else MC.decode_gif(raw)[0] if container == "gif"
+                           # GIF: first-frame embedding — the per-frame
+                           # fan-out belongs to decode_sampled_frames
                            else MC.to_rgb(MC.decode_jpeg(raw)))
                 # 16-bit PNG decodes to uint16: normalize by the sample
                 # dtype's max so an image carries the same embedding at
@@ -331,6 +342,24 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         # back through encode_jpeg); color re-encodes 4:4:4
                         raw = MC.encode_jpeg(
                             MC.resize_nearest(MC.decode_jpeg(raw), width, height))
+                    elif container == "gif":
+                        # Every frame resizes; nearest-neighbor introduces
+                        # no new colors, so the composited frames re-index
+                        # exactly onto their own unique-color palette (no
+                        # quantization).  >256 unique colors (multi-local-
+                        # palette animations) raise into the passthrough.
+                        import numpy as np
+                        frames = MC.decode_gif(raw)
+                        small = np.stack([MC.resize_nearest(f, width, height)
+                                          for f in frames])
+                        colors, inverse = np.unique(
+                            small.reshape(-1, 3), axis=0, return_inverse=True)
+                        if colors.shape[0] > 256:
+                            raise ValueError(
+                                "resized GIF exceeds one 256-color table")
+                        raw = MC.encode_gif(
+                            inverse.reshape(small.shape[:3]).astype(np.uint8),
+                            colors.astype(np.uint8))
                     elif raw[:4] == b"IMG:":
                         _tag, _dims, payload = raw.split(b":", 2)
                         raw = b"IMG:%dx%d:" % (width, height) + payload
@@ -347,8 +376,8 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
 def frame_sample(df: DataFrame, *, every_k: int = 2) -> DataFrame:
     """Video frame sampling plan: one output row per kept frame index.
     Pure Spark (posexplode over a frame-index sequence) — the decode of
-    each sampled frame would be another mapInPandas over (media_id,
-    frame_idx)."""
+    each sampled frame is :func:`decode_sampled_frames`, the second
+    ``mapInPandas`` stage over (media_id, frame_idx)."""
     decoded = decode_media(df.filter(F.col("kind") == "video"))
     # n_frames = 0 is the totality contract's corrupt-row value; sequence
     # (0, -1) would throw "illegal sequence boundaries" and kill the job,
@@ -361,3 +390,65 @@ def frame_sample(df: DataFrame, *, every_k: int = 2) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+SAMPLED_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_png", BinaryType()),
+    ]
+)
+
+
+def decode_sampled_frames(df: DataFrame, *, every_k: int = 2) -> DataFrame:
+    """The second ``mapInPandas`` stage behind :func:`frame_sample` —
+    REAL since r12 for animated GIF, the one video container the numpy
+    codecs can express: each video's sampled frame indexes are gathered
+    per media (``collect_list`` bounded by the frame count), joined back
+    to the bytes, and the kept frames decode + re-encode as lossless
+    PNG — one output row per sampled frame.
+
+    Fake VID headers carry no pixels and corrupt streams decode to
+    nothing, so both contribute zero rows (the totality contract:
+    filtering, never failing).  MP3/H.264 would slot in at exactly this
+    kernel via the PIL/ffmpeg extension point with the identical Arrow
+    batch shape.  Scale design: one decode per video regardless of how
+    many frames are kept; frame bytes never shuffle (the join moves only
+    (media_id, frame index list) onto the binary column's partitions).
+    """
+    import pandas as pd
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    sampled = (
+        frame_sample(df, every_k=every_k)
+        .groupBy("media_id")
+        .agg(F.collect_list("frame_idx").alias("frame_idxs"))
+    )
+    joined = df.join(sampled, "media_id").select(
+        "media_id", "data", "frame_idxs")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "width", "height", "frame_png"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for media_id, data, idxs in zip(
+                    pdf["media_id"], pdf["data"], pdf["frame_idxs"]):
+                raw = b"" if data is None else bytes(data)
+                if MC.sniff(raw) != "gif":
+                    continue
+                try:
+                    frames = MC.decode_gif(raw)
+                except (ValueError, IndexError, struct.error):
+                    continue
+                h, w = frames.shape[1:3]
+                for i in sorted(int(i) for i in idxs):
+                    if 0 <= i < frames.shape[0]:
+                        out.append((media_id, i, w, h,
+                                    MC.encode_png(frames[i])))
+            yield pd.DataFrame(out, columns=cols)
+
+    return joined.mapInPandas(gen, SAMPLED_FRAME_SCHEMA)

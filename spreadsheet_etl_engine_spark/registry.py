@@ -2537,6 +2537,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # exercise its sniff/probe paths, and the progressive surface is
     # pinned by the baseline-equality pytest matrix
     # (tests/test_jpeg_codec.py::test_progressive_*).
+    # r12 later still: animated GIF (gif_codec.py — full LZW) makes the
+    # video kind real (decode_sampled_frames, per-frame resize).  Same
+    # oracle stance as JPEG: LZW sizes have no closed formula, so
+    # synth_media's video rows keep the fake header and the GIF surface
+    # is pinned by tests/test_multimodal_and_writers.py::test_gif_*;
+    # the multimodal module-hash drift re-attests through these two
+    # head rows, whose fixture outputs are byte-unchanged (the gif
+    # branches are unreachable for the fixture's containers).
     "multimodal_decode",
     "multimodal_resize_features",
     # jobs.py bare-dir probe now logs swallowed non-benign exceptions

@@ -1103,3 +1103,172 @@ def test_synth_media_new_containers_spark_pipeline(spark):
         if dec[i]["kind"] == "image":
             assert v[6] == np.float32(4 / 4096.0) and \
                 v[7] == np.float32(2 / 4096.0), i
+
+
+def test_gif_codec_roundtrip_matrix():
+    """r12: GIF87a/89a round trips — full LZW (growing widths, 12-bit
+    cap with re-clear, the cScSc case), interlace, transparency
+    composition, and the closed probe/frame-count kernels."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+
+    rng = np.random.default_rng(1218)
+    for n, h, w, npal in [(1, 1, 1, 2), (3, 7, 9, 16), (5, 13, 23, 256),
+                          (2, 8, 8, 4)]:
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        frames = rng.integers(0, npal, (n, h, w)).astype(np.uint8)
+        for il in (False, True):
+            data = GC.encode_gif(frames, pal, interlace=il)
+            assert np.array_equal(GC.decode_gif(data), pal[frames]), (n, il)
+            assert GC.probe_gif_dims(data) == (w, h)
+            assert GC.count_gif_frames(data) == n
+
+    # LZW table overflow: >4096 dictionary entries forces the re-clear.
+    big = np.concatenate([
+        np.zeros(5000, np.uint8),
+        rng.integers(0, 256, 30000).astype(np.uint8),
+        np.arange(256, dtype=np.uint8).repeat(20)])
+    side = int(np.ceil(np.sqrt(big.size)))
+    arr = np.zeros(side * side, np.uint8)
+    arr[:big.size] = big
+    frames = arr.reshape(1, side, side)
+    pal = (np.arange(768) % 256).astype(np.uint8).reshape(256, 3)
+    assert np.array_equal(GC.decode_gif(GC.encode_gif(frames, pal))[0],
+                          pal[frames[0]])
+
+    # Transparency: second frame composites over the first.
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    f0 = np.full((6, 10), 3, np.uint8)
+    f1 = np.zeros((6, 10), np.uint8)
+    f1[2:4, 3:6] = 5
+    got = GC.decode_gif(GC.encode_gif(np.stack([f0, f1]), pal,
+                                      transparent=0, delays_cs=[10, 20]))
+    want1 = pal[f0].copy()
+    want1[2:4, 3:6] = pal[5]
+    assert np.array_equal(got[0], pal[f0])
+    assert np.array_equal(got[1], want1)
+
+    # Fail-loud gates.
+    good = GC.encode_gif(np.zeros((1, 3, 3), np.uint8), pal[:2])
+    with pytest.raises(ValueError, match="not a GIF"):
+        GC.decode_gif(b"JIF89a" + good[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        GC.decode_gif(good[:-4])
+    with pytest.raises(ValueError, match="out of range"):
+        GC.encode_gif(np.full((1, 2, 2), 5, np.uint8), pal[:4])
+    with pytest.raises(ValueError, match="2..256"):
+        GC.encode_gif(np.zeros((1, 2, 2), np.uint8), pal[:1])
+
+
+def test_gif_disposal_and_local_palettes():
+    """Disposal 2 (restore-to-background) and 3 (restore-previous)
+    composite like a viewer; per-frame local color tables override the
+    global one; GIF87a headers decode."""
+    import struct
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+
+    pal4 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                    np.uint8)
+
+    def frame(idx, left, top, disposal):
+        fh, fw = idx.shape
+        b = bytes([0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0])
+        b += bytes([0x2C]) + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        return b + bytes([2]) + GC._sub_blocks(
+            GC._lzw_encode(2, idx.reshape(-1)))
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x81, 3, 0) + pal4.tobytes()
+    f0 = np.full((4, 4), 0, np.uint8)
+    stream = (head + frame(f0, 0, 0, 1)
+              + frame(np.full((2, 2), 1, np.uint8), 1, 1, 2)
+              + frame(np.full((2, 2), 2, np.uint8), 0, 0, 3)
+              + frame(np.full((1, 1), 1, np.uint8), 3, 3, 0) + b"\x3B")
+    got = GC.decode_gif(stream)
+    assert got.shape == (4, 4, 4, 3)
+    w1 = pal4[f0].copy()
+    w1[1:3, 1:3] = pal4[1]
+    assert np.array_equal(got[1], w1)
+    w2 = pal4[f0].copy()
+    w2[1:3, 1:3] = pal4[3]     # disposal 2 restored to background (idx 3)
+    w2[0:2, 0:2] = pal4[2]
+    assert np.array_equal(got[2], w2)
+    w3 = pal4[f0].copy()
+    w3[1:3, 1:3] = pal4[3]     # disposal 3 undid frame 2 entirely
+    w3[3, 3] = pal4[1]
+    assert np.array_equal(got[3], w3)
+
+    lpal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    img = (bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 4, 4, 0x80)
+           + lpal.tobytes() + bytes([2])
+           + GC._sub_blocks(GC._lzw_encode(2, np.ones(16, np.uint8))))
+    s87 = b"GIF87a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + img + b"\x3B"
+    assert np.array_equal(GC.decode_gif(s87)[0],
+                          np.broadcast_to(lpal[1], (4, 4, 3)))
+
+
+def test_gif_video_through_spark_pipeline(spark):
+    """Animated GIF makes the video kind REAL end-to-end: decode_media
+    reports true dims + frame counts without LZW decode, frame_sample
+    plans over real counts, decode_sampled_frames emits the actual
+    kept frames as lossless PNG, resize_images resizes every frame
+    exactly (unique-color re-indexing, no quantization), and
+    extract_features embeds the first frame."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames5 = rng.integers(0, 16, (5, 6, 10)).astype(np.uint8)
+    frames2 = rng.integers(0, 16, (2, 8, 12)).astype(np.uint8)
+    rows = [
+        (1, "video", GC.encode_gif(frames5, pal), 0),
+        (2, "video", GC.encode_gif(frames2, pal, interlace=True), 0),
+        (3, "video", b"VID:6x64x48:ppp", 0),        # fake: plan-only
+        (4, "video", b"GIF89a\x00\x01", 0),         # corrupt: zero rows
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_frames"]) == (10, 6, 5)
+    assert (dec[2]["width"], dec[2]["height"], dec[2]["n_frames"]) == (12, 8, 2)
+    assert dec[3]["n_frames"] == 6
+    assert (dec[4]["width"], dec[4]["height"], dec[4]["n_frames"]) == (0, 0, 0)
+
+    # Sampled-frame decode: every_k=2 keeps 0,2,4 / 0 / (fake+corrupt: none).
+    got = MM.decode_sampled_frames(media, every_k=2).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert sorted(by_media[1]) == [0, 2, 4]
+    assert sorted(by_media[2]) == [0]
+    assert 3 not in by_media and 4 not in by_media
+    # The emitted PNG is the exact composited frame.
+    truth = GC.decode_gif(bytes(rows[0][2]))
+    for i in (0, 2, 4):
+        assert np.array_equal(
+            MC.decode_png(bytes(by_media[1][i]["frame_png"])), truth[i])
+    assert (by_media[1][0]["width"], by_media[1][0]["height"]) == (10, 6)
+
+    # Resize: every frame lands at 5x3, losslessly re-indexed.
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=5, height=3).collect()}
+    small = GC.decode_gif(resized[1])
+    assert small.shape == (5, 3, 5, 3)
+    for i in range(5):
+        assert np.array_equal(small[i], MC.resize_nearest(truth[i], 5, 3))
+    assert resized[3] == bytes(rows[2][2])  # fake video untouched
+    assert resized[4] == bytes(rows[3][2])  # corrupt untouched
+
+    # Features: first-frame embedding, exact per-channel means.
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    f0 = truth[0].astype(np.float32) / 255.0
+    assert np.allclose(feats[1][:3], f0.mean(axis=(0, 1)), atol=1e-5)
+    assert len(feats[4]) == MM.FEATURE_DIM   # md5 fallback

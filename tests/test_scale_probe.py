@@ -83,6 +83,15 @@ BOUNDS = {
     # mode this gate exists to catch — superlinear Catalyst analysis /
     # codegen in the expression count — reads ~50x+.
     "wideschema": 15.0,  # recorded 9.55x
+    # r12 addition: the Arrow media pipeline (decode_media header
+    # sweep + extract_features full pixel decode over six real image
+    # containers + sampled GIF frame decode) at 10x media rows.
+    # Embarrassingly parallel per Arrow batch, so the true curve is
+    # ~linear and the small arm is overhead-diluted (recorded 2.44x).
+    # The failure modes this gate catches — a driver-side decode loop,
+    # a per-row (non-batched) UDF regression, or a frame-join that
+    # ships the video bytes once per sampled frame — all read >>10x.
+    "media": 8.0,        # recorded 2.44x
 }
 # Measured 0.932 (n) / 0.964 (10n) in the r8 probe; floor keeps ~half
 # the margin (r8 verdict item 6).  Must hold at 10n too.
@@ -111,7 +120,7 @@ def _drop_probe_residue(spark):
 # megadup also ends in connected_components (localCheckpoint residue),
 # so it runs with components at the tail of the order.
 PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
-               "semantic", "wideschema", "megadup", "components"]
+               "semantic", "wideschema", "media", "megadup", "components"]
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
 
