@@ -5,7 +5,10 @@ Real decode/encode with no media libraries needed:
 * **BMP** (24-bit uncompressed ``BITMAPINFOHEADER``) — bottom-up BGR rows,
   4-byte row padding;
 * **PPM** (binary ``P6``) — ASCII header then RGB bytes;
-* **WAV** (PCM16 mono/stereo RIFF) — canonical 44-byte header;
+* **WAV** (RIFF) — canonical 44-byte header; every uncompressed sample
+  format real corpora carry (r12): PCM 8/16/24/32-bit and IEEE
+  float32/float64, any channel count (compressed WAV payloads — ADPCM,
+  a-law/mu-law, MP3-in-WAV — stay behind the extension point);
 * **PNG** — the FULL static-image spec surface (r12): every legal
   bit-depth/color-type combination (1/2/4/8/16-bit gray, 8/16-bit
   RGB/gray+alpha/RGBA, 1/2/4/8-bit palette with optional tRNS
@@ -24,6 +27,11 @@ Real decode/encode with no media libraries needed:
   interlace, transparency, frame disposal; animated frames make the
   multimodal VIDEO kind real (``gif_codec``, re-exported here as
   ``decode_gif`` / ``encode_gif`` / ``count_gif_frames``).
+* **TIFF** (6.0 baseline classic, r12) — the scanned-document family:
+  both byte orders, strips, compressions none/TIFF-LZW(+predictor)/
+  PackBits, bilevel/gray/RGB/RGBA/palette, multi-page (pages sample
+  like video frames); BigTIFF/tiles/16-bit/CCITT stay gated
+  (``tiff_codec``).
 
 Still genuinely out of reach without PIL/cv2/ffmpeg: MP3 and
 H.264 — those stay behind
@@ -50,6 +58,13 @@ from spreadsheet_etl_engine_spark.functions.jpeg_codec import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,
     encode_jpeg_progressive,
+)
+from spreadsheet_etl_engine_spark.functions.tiff_codec import (  # noqa: F401
+    count_tiff_pages,
+    decode_tiff,
+    decode_tiff_pages,
+    encode_tiff,
+    probe_tiff_dims,
 )
 
 
@@ -122,8 +137,22 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+# WAV sample formats: (audio_fmt, bits) -> numpy dtype of the decoded
+# array.  PCM8 is unsigned per spec; PCM24 sign-extends into int32.
+_WAV_FORMATS = {
+    (1, 8): np.uint8, (1, 16): np.int16, (1, 24): np.int32,
+    (1, 32): np.int32, (3, 32): np.float32, (3, 64): np.float64,
+}
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """PCM16 RIFF WAV → ((n_samples, n_channels) int16 array, sample_rate)."""
+    """RIFF WAV → ((n_samples, n_channels) array, sample_rate).
+
+    All the PCM widths real corpora carry (r12 — previously PCM16
+    only): unsigned 8-bit → uint8, 16-bit → int16, 24-bit
+    (sign-extended) and 32-bit → int32, plus IEEE float (format 3) →
+    float32/float64.  Compressed formats (MP3, ADPCM, a-law/mu-law)
+    stay behind the extension point."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -134,29 +163,73 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if chunk_id == b"fmt ":
             audio_fmt, n_channels, rate = struct.unpack_from("<HHI", data, pos + 8)
             bits = struct.unpack_from("<H", data, pos + 22)[0]
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 WAV supported")
-            fmt = (n_channels, rate)
+            if (audio_fmt, bits) not in _WAV_FORMATS:
+                raise ValueError(
+                    f"unsupported WAV sample format (fmt={audio_fmt}, "
+                    f"bits={bits})")
+            fmt = (n_channels, rate, audio_fmt, bits)
         elif chunk_id == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            n_channels, rate = fmt
-            samples = np.frombuffer(data, dtype="<i2", count=size // 2, offset=pos + 8)
-            return samples.reshape(-1, n_channels).copy(), rate
+            n_channels, rate, audio_fmt, bits = fmt
+            if bits == 24:
+                raw = np.frombuffer(data, dtype=np.uint8,
+                                    count=size - size % 3, offset=pos + 8)
+                tri = raw.reshape(-1, 3).astype(np.uint32)
+                vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+                samples = vals.astype(np.int32)
+                samples[samples >= (1 << 23)] -= 1 << 24
+                # Left-justify into the int32 full scale (the libsndfile
+                # convention), so downstream normalization is one rule
+                # for PCM24 and PCM32 alike.
+                samples <<= 8
+            else:
+                dtype = np.dtype(_WAV_FORMATS[(audio_fmt, bits)]).newbyteorder("<")
+                width = bits // 8
+                samples = np.frombuffer(data, dtype=dtype,
+                                        count=size // width, offset=pos + 8)
+            return samples.reshape(-1, n_channels).astype(
+                _WAV_FORMATS[(audio_fmt, bits)]), rate
         pos += 8 + size + (size & 1)
     raise ValueError("WAV data chunk missing")
 
 
-def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+def encode_wav(samples: np.ndarray, rate: int, *,
+               bits: int | None = None) -> bytes:
+    """Sample array → RIFF WAV bytes.  The format follows the dtype
+    (uint8 → PCM8, int16 → PCM16, int32 → PCM32, float32/float64 →
+    IEEE float); ``bits=24`` packs an int32 array as PCM24."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n_channels = samples.shape[1]
-    body = samples.astype("<i2").tobytes()
-    byte_rate = rate * n_channels * 2
+    if bits == 24:
+        # Takes FULL-SCALE int32 (decode_wav's convention) and keeps the
+        # top 24 bits — the low byte is what 24-bit precision discards.
+        if samples.dtype != np.int32:
+            raise ValueError("PCM24 WAV encodes from an int32 array")
+        vals = ((samples.reshape(-1).astype(np.int64) >> 8)
+                & 0xFFFFFF).astype(np.uint32)
+        tri = np.empty((vals.size, 3), dtype=np.uint8)
+        tri[:, 0] = vals & 0xFF
+        tri[:, 1] = (vals >> 8) & 0xFF
+        tri[:, 2] = (vals >> 16) & 0xFF
+        body = tri.tobytes()
+        audio_fmt, width = 1, 3
+    else:
+        spec = {np.dtype(np.uint8): (1, 1), np.dtype(np.int16): (1, 2),
+                np.dtype(np.int32): (1, 4), np.dtype(np.float32): (3, 4),
+                np.dtype(np.float64): (3, 8)}.get(samples.dtype)
+        if spec is None:
+            raise ValueError(f"unsupported WAV sample dtype {samples.dtype}")
+        if bits is not None and bits != spec[1] * 8:
+            raise ValueError(f"bits={bits} does not match dtype {samples.dtype}")
+        audio_fmt, width = spec
+        body = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
+    byte_rate = rate * n_channels * width
     return (
         struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
-        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, n_channels, rate, byte_rate,
-                      n_channels * 2, 16)
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, audio_fmt, n_channels, rate,
+                      byte_rate, n_channels * width, width * 8)
         + struct.pack("<4sI", b"data", len(body))
         + body
     )
@@ -625,6 +698,8 @@ def sniff(data: bytes) -> str:
         return "jpeg"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):

@@ -1,0 +1,518 @@
+"""Pure-Python/numpy TIFF codec (TIFF 6.0 baseline, classic format).
+
+The scanned-document family: multi-page TIFF is how paper corpora
+(books, forms, faxes) arrive, so the multimodal pipeline treats pages
+like video frames — page counts come from an O(IFD-chain) walk, and the
+sampled-frame kernel decodes individual pages.
+
+* **decode_tiff** — both byte orders (II/MM), strip-organized chunky
+  data, compressions 1 (none), 5 (TIFF-LZW: MSB-first codes with the
+  EarlyChange width bump, horizontal-differencing predictor) and 32773
+  (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
+  inverted), 2 (RGB, with extra samples kept as alpha), 3 (palette via
+  the 16-bit ColorMap).  Bit depths 1 (bilevel scans) and 8.  Returns
+  the FIRST page as (h, w, ch) uint8; ``decode_tiff_pages`` returns all
+  pages (page dimensions may differ).
+* **encode_tiff** — single- or multi-page, gray/RGB/RGBA/bilevel/
+  palette, any strip height, compression none/LZW/PackBits, optional
+  predictor — so every decoder path round-trips.
+* **probe_tiff_dims / count_tiff_pages** — O(header + IFD chain), the
+  pixel data is never touched.
+
+Scope honestly gated (``ValueError`` by name): BigTIFF, tiles, planar
+configuration 2, 16-bit samples, CCITT G3/G4 and JPEG-in-TIFF
+compressions — real corpora re-encode those through the same PIL
+extension point as MP3/H.264.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5
+_COMPRESSION_PACKBITS = 32773
+
+
+# --- compression primitives --------------------------------------------------
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < expected:
+        c = data[pos]
+        pos += 1
+        if c < 128:                       # literal run of c+1 bytes
+            out += data[pos:pos + c + 1]
+            pos += c + 1
+        elif c > 128:                     # repeat next byte 257-c times
+            if pos >= n:
+                raise ValueError("truncated TIFF PackBits stream")
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+        # c == 128: no-op
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits stream ended early")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # Find a run.
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:                         # run of length j-i+1 >= 2
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # Literal: extend until a 3-byte run starts or 128 reached.
+        j = i
+        while (j + 1 < n and j - i < 127
+               and not (j + 2 < n and data[j + 1] == data[j + 2] == data[j])):
+            j += 1
+        out.append(j - i)
+        out += data[i:j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first packed codes, 9-bit start, EarlyChange
+    (the width bumps when the NEXT code would not fit — one code earlier
+    than GIF), CLEAR=256, EOI=257."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    prev: bytes | None = None
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        # EarlyChange: bump when the next assignable code is the last
+        # expressible one at the current width.
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW stream ended before the strip filled")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    emit(clear, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # EarlyChange mirror: the decoder bumps when ITS table (one
+        # entry behind ours) reaches 2^width - 1, i.e. when our
+        # next_code reaches 2^width — one code earlier than GIF.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == (1 << 12) - 1:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            width = 9
+        prev = bytes([b])
+    if prev:
+        emit(table[prev], width)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# --- IFD parsing -------------------------------------------------------------
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_header(data: bytes) -> tuple[str, int]:
+    if data[:4] == b"II*\x00":
+        order = "<"
+    elif data[:4] == b"MM\x00*":
+        order = ">"
+    elif data[:2] in (b"II", b"MM") and data[2:4] in (b"+\x00", b"\x00+"):
+        raise ValueError("BigTIFF not supported")
+    else:
+        raise ValueError("not a TIFF file")
+    first_ifd = struct.unpack_from(order + "I", data, 4)[0]
+    return order, first_ifd
+
+
+def _read_ifd(data: bytes, order: str, pos: int) -> tuple[dict[int, list[int]], int]:
+    """One IFD -> ({tag: values}, next_ifd_offset).  RATIONAL values
+    collapse to their truncated quotient (no baseline tag we read is
+    rational, they are skipped anyway)."""
+    if pos + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    n = struct.unpack_from(order + "H", data, pos)[0]
+    pos += 2
+    tags: dict[int, list[int]] = {}
+    for _ in range(n):
+        if pos + 12 > len(data):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, ttype, count = struct.unpack_from(order + "HHI", data, pos)
+        size = _TYPE_SIZES.get(ttype, 1) * count
+        if size <= 4:
+            voff = pos + 8
+        else:
+            voff = struct.unpack_from(order + "I", data, pos + 8)[0]
+        if voff + size > len(data):
+            raise ValueError("TIFF tag value out of bounds")
+        if ttype == 3:
+            vals = list(struct.unpack_from(order + f"{count}H", data, voff))
+        elif ttype == 4:
+            vals = list(struct.unpack_from(order + f"{count}I", data, voff))
+        elif ttype in (1, 6, 7, 2):
+            vals = list(data[voff:voff + count])
+        else:
+            vals = [0] * count           # rationals etc.: unused tags
+        tags[tag] = vals
+        pos += 12
+    if pos + 4 > len(data):
+        raise ValueError("truncated TIFF IFD chain")
+    next_ifd = struct.unpack_from(order + "I", data, pos)[0]
+    return tags, next_ifd
+
+
+def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndarray:
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if w == 0 or h == 0:
+        raise ValueError("TIFF page missing dimensions")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    comp = tags.get(259, [_COMPRESSION_NONE])[0]
+    photo = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if planar != 1:
+        raise ValueError("TIFF planar configuration 2 not supported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported")
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if set(bits) == {1} and spp == 1:
+        depth = 1
+    elif set(bits) == {8}:
+        depth = 8
+    else:
+        raise ValueError(f"unsupported TIFF bit depths {bits}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or mismatched")
+    rows_per_strip = tags.get(278, [h])[0] or h
+    row_bytes = (w * spp * depth + 7) // 8
+
+    rows = []
+    done_rows = 0
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise ValueError("TIFF strip out of bounds")
+        n_rows = min(rows_per_strip, h - done_rows)
+        if n_rows <= 0:
+            break
+        raw = data[off:off + cnt]
+        expected = n_rows * row_bytes
+        if comp == _COMPRESSION_LZW:
+            raw = _tiff_lzw_decode(raw, expected)
+        elif comp == _COMPRESSION_PACKBITS:
+            raw = _packbits_decode(raw, expected)
+        elif len(raw) < expected:
+            raise ValueError("TIFF strip shorter than its rows")
+        strip = np.frombuffer(raw, dtype=np.uint8,
+                              count=expected).reshape(n_rows, row_bytes)
+        rows.append(strip)
+        done_rows += n_rows
+    if done_rows < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    grid = np.concatenate(rows)
+
+    if depth == 1:
+        bits_arr = np.unpackbits(grid, axis=1)[:, :w]
+        gray = (bits_arr * 255).astype(np.uint8)
+        if photo == 0:                   # WhiteIsZero
+            gray = 255 - gray
+        elif photo != 1:
+            raise ValueError(f"bilevel TIFF with photometric {photo}")
+        return gray[:, :, None].copy()
+
+    img = grid[:, :w * spp].reshape(h, w, spp)
+    if predictor == 2:
+        img = np.cumsum(img.astype(np.uint64), axis=1).astype(np.uint8)
+    if photo == 3:
+        if spp != 1 or 320 not in tags:
+            raise ValueError("palette TIFF missing ColorMap")
+        cmap = np.array(tags[320], dtype=np.uint16)
+        if cmap.size % 3 != 0:
+            raise ValueError("malformed TIFF ColorMap")
+        npal = cmap.size // 3
+        if int(img.max(initial=0)) >= npal:
+            raise ValueError("TIFF palette index outside the ColorMap")
+        pal = (cmap.reshape(3, npal).T >> 8).astype(np.uint8)
+        return pal[img[:, :, 0]].copy()
+    if photo == 0:
+        return (255 - img).copy()
+    if photo == 1:
+        return img.copy()
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples")
+        return img[:, :, :4].copy()      # extra samples beyond alpha drop
+    raise ValueError(f"unsupported TIFF photometric {photo}")
+
+
+def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+    """All pages of a (possibly multi-page) TIFF, each (h, w, ch) uint8."""
+    data = bytes(data)
+    order, pos = _read_header(data)
+    pages = []
+    seen = set()
+    while pos:
+        if pos in seen:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(pos)
+        tags, pos = _read_ifd(data, order, pos)
+        pages.append(_decode_page(data, order, tags))
+    if not pages:
+        raise ValueError("TIFF contains no pages")
+    return pages
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First page of the TIFF as (h, w, ch) uint8."""
+    data = bytes(data)
+    order, pos = _read_header(data)
+    tags, _ = _read_ifd(data, order, pos)
+    return _decode_page(data, order, tags)
+
+
+def probe_tiff_dims(data: bytes) -> tuple[int, int]:
+    """(width, height) of the first page from its IFD — O(IFD), the
+    strip data is never touched."""
+    data = bytes(data)
+    order, pos = _read_header(data)
+    tags, _ = _read_ifd(data, order, pos)
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    if w == 0 or h == 0:
+        raise ValueError("TIFF page missing dimensions")
+    return int(w), int(h)
+
+
+def count_tiff_pages(data: bytes) -> int:
+    """Page count by walking the IFD chain — O(pages), no pixel work."""
+    data = bytes(data)
+    order, pos = _read_header(data)
+    count = 0
+    seen = set()
+    while pos:
+        if pos in seen:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(pos)
+        _, pos = _read_ifd(data, order, pos)
+        count += 1
+    if count == 0:
+        raise ValueError("TIFF contains no pages")
+    return count
+
+
+# --- encoder -----------------------------------------------------------------
+
+
+def encode_tiff(
+    pages: list[np.ndarray] | np.ndarray,
+    *,
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    predictor: bool = False,
+    bilevel: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Page arrays -> little-endian classic TIFF bytes.
+
+    Each page is (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) uint8 —
+    grayscale / RGB / RGBA chunky.  ``bilevel=True`` thresholds
+    single-channel pages at 128 and packs 1-bit BlackIsZero rows (the
+    scanned-document shape); ``palette`` (P, 3) uint8 encodes
+    single-channel pages as photometric-3 with a 16-bit ColorMap.
+    ``compression`` is 'none' | 'lzw' | 'packbits'; ``predictor``
+    applies horizontal differencing before LZW (8-bit pages only)."""
+    if isinstance(pages, np.ndarray):
+        pages = [pages]
+    if not pages:
+        raise ValueError("cannot encode a TIFF with no pages")
+    comp_id = {"none": _COMPRESSION_NONE, "lzw": _COMPRESSION_LZW,
+               "packbits": _COMPRESSION_PACKBITS}.get(compression)
+    if comp_id is None:
+        raise ValueError(f"unknown TIFF compression '{compression}'")
+    if predictor and (bilevel or compression != "lzw"):
+        raise ValueError("predictor applies to LZW-compressed 8-bit pages")
+    if palette is not None and (palette.dtype != np.uint8 or palette.ndim != 2
+                                or palette.shape[1] != 3):
+        raise ValueError("palette must be a (P, 3) uint8 array")
+
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    ifd_patch = 4                        # where the previous chain ptr lives
+
+    for page in pages:
+        img = np.asarray(page)
+        if img.dtype != np.uint8:
+            raise ValueError("encode_tiff needs uint8 pages")
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, ch = img.shape
+        if h == 0 or w == 0 or ch not in (1, 3, 4):
+            raise ValueError(f"unsupported TIFF page shape {img.shape}")
+        if (bilevel or palette is not None) and ch != 1:
+            raise ValueError("bilevel/palette pages must be single-channel")
+        if palette is not None and int(img.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("palette index outside the supplied palette")
+
+        rps = rows_per_strip or h
+        strips: list[bytes] = []
+        for y0 in range(0, h, rps):
+            rows = img[y0:y0 + rps]
+            if bilevel:
+                raw = np.packbits(rows[:, :, 0] >= 128, axis=1).tobytes()
+            elif predictor:
+                diff = rows.astype(np.int16)
+                diff[:, 1:] -= rows[:, :-1].astype(np.int16)
+                raw = (diff & 0xFF).astype(np.uint8).tobytes()
+            else:
+                raw = rows.tobytes()
+            if comp_id == _COMPRESSION_LZW:
+                raw = _tiff_lzw_encode(raw)
+            elif comp_id == _COMPRESSION_PACKBITS:
+                raw = _packbits_encode(raw)
+            strips.append(raw)
+
+        data_offsets = []
+        for s in strips:
+            if len(out) % 2:
+                out.append(0)
+            data_offsets.append(len(out))
+            out += s
+
+        if palette is not None:
+            photo = 3
+        elif ch == 1:
+            photo = 1
+        else:
+            photo = 2
+        entries: list[tuple[int, int, int, list[int]]] = [
+            (256, 3, 1, [w]),
+            (257, 3, 1, [h]),
+            (258, 3, ch, [1 if bilevel else 8] * ch),
+            (259, 3, 1, [comp_id]),
+            (262, 3, 1, [photo]),
+            (273, 4, len(strips), data_offsets),
+            (277, 3, 1, [ch]),
+            (278, 3, 1, [min(rps, h)]),
+            (279, 4, len(strips), [len(s) for s in strips]),
+        ]
+        if ch == 4:
+            entries.append((338, 3, 1, [2]))      # unassociated alpha
+        if predictor:
+            entries.append((317, 3, 1, [2]))
+        if palette is not None:
+            cmap: list[int] = []
+            npal = palette.shape[0]
+            for c in range(3):
+                cmap += [int(v) << 8 for v in palette[:, c]]
+            entries.append((320, 3, 3 * npal, cmap))
+        entries.sort()
+
+        # Out-of-line values first, then the IFD itself.
+        patched: list[tuple[int, int, int, int | bytes]] = []
+        for tag, ttype, count, vals in entries:
+            width = _TYPE_SIZES[ttype]
+            packed = struct.pack(f"<{count}{'H' if ttype == 3 else 'I'}",
+                                 *vals)
+            if len(packed) <= 4:
+                patched.append((tag, ttype, count,
+                                packed + b"\x00" * (4 - len(packed))))
+            else:
+                if len(out) % 2:
+                    out.append(0)
+                patched.append((tag, ttype, count, len(out)))
+                out += packed
+        if len(out) % 2:
+            out.append(0)
+        ifd_pos = len(out)
+        struct.pack_into("<I", out, ifd_patch, ifd_pos)
+        out += struct.pack("<H", len(patched))
+        for tag, ttype, count, val in patched:
+            out += struct.pack("<HHI", tag, ttype, count)
+            out += val if isinstance(val, bytes) else struct.pack("<I", val)
+        ifd_patch = len(out)
+        out += b"\x00\x00\x00\x00"       # chain terminator (patched by next)
+    return bytes(out)

@@ -6,10 +6,12 @@ unfiltering; every legal bit-depth/color-type combination — 1/2/4/8/16
 gray, 8/16 RGB/gray+alpha/RGBA, 1/2/4/8 palette with optional tRNS —
 plus Adam7 interlacing, since r12), both JPEG DCT frame types
 (baseline AND progressive since r12; pure-numpy DCT + Huffman,
-4:4:4/4:2:0, restart markers), and animated GIF (87a/89a full LZW,
+4:4:4/4:2:0, restart markers), animated GIF (87a/89a full LZW,
 local palettes, interlace, transparency, disposal — since r12 the VIDEO
-kind is real: frame counts, per-frame sampling decode) via the codecs
-in ``functions.media_codecs`` — no media libs.
+kind is real: frame counts, per-frame sampling decode), and baseline
+TIFF (strips, none/LZW+predictor/PackBits, bilevel/gray/RGB/palette,
+multi-page — scanned-document pages sample like video frames) via the
+codecs in ``functions.media_codecs`` — no media libs.
 The remaining compressed formats (MP3, H.264)
 genuinely require PIL/cv2/ffmpeg, which this
 container lacks: those route through the marked import-try extension
@@ -205,6 +207,11 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
             # O(blocks) structure walk — LZW never decompressed here.
             w, h = MC.probe_gif_dims(raw)
             return w, h, MC.count_gif_frames(raw)
+        if kind == "tiff":
+            # Multi-page TIFF (r12): scanned-document pages count like
+            # video frames — O(IFD chain), strips never touched.
+            w, h = MC.probe_tiff_dims(raw)
+            return w, h, MC.count_tiff_pages(raw)
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1
@@ -271,13 +278,14 @@ def extract_features(df: DataFrame) -> DataFrame:
         raw = b"" if data is None else bytes(data)
         container = MC.sniff(raw)
         try:
-            if container in ("bmp", "ppm", "png", "jpeg", "gif"):
+            if container in ("bmp", "ppm", "png", "jpeg", "gif", "tiff"):
                 decoded = (MC.decode_bmp(raw) if container == "bmp"
                            else MC.decode_ppm(raw) if container == "ppm"
                            else MC.to_rgb(MC.decode_png(raw)) if container == "png"
                            else MC.decode_gif(raw)[0] if container == "gif"
-                           # GIF: first-frame embedding — the per-frame
-                           # fan-out belongs to decode_sampled_frames
+                           # GIF/TIFF: first frame/page embedding — the
+                           # per-frame fan-out is decode_sampled_frames
+                           else MC.to_rgb(MC.decode_tiff(raw)) if container == "tiff"
                            else MC.to_rgb(MC.decode_jpeg(raw)))
                 # 16-bit PNG decodes to uint16: normalize by the sample
                 # dtype's max so an image carries the same embedding at
@@ -290,7 +298,17 @@ def extract_features(df: DataFrame) -> DataFrame:
                         w / 4096.0, h / 4096.0]
             if container == "wav":
                 samples, rate = MC.decode_wav(raw)
-                x = samples.astype(np.float32) / 32768.0
+                # Full-scale-to-[-1, 1] per sample format (r12: PCM8/
+                # 24/32 + IEEE float joined PCM16): uint8 is unsigned
+                # mid-128, PCM24 arrives left-justified in int32.
+                if samples.dtype == np.uint8:
+                    x = (samples.astype(np.float32) - 128.0) / 128.0
+                elif samples.dtype == np.int16:
+                    x = samples.astype(np.float32) / 32768.0
+                elif samples.dtype == np.int32:
+                    x = (samples / 2147483648.0).astype(np.float32)
+                else:
+                    x = samples.astype(np.float32)
                 return [float(x.mean()), float(x.std()),
                         float(np.abs(x).mean()), float(x.max()), float(x.min()),
                         float(np.sqrt((x ** 2).mean())),
@@ -360,6 +378,14 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         raw = MC.encode_gif(
                             inverse.reshape(small.shape[:3]).astype(np.uint8),
                             colors.astype(np.uint8))
+                    elif container == "tiff":
+                        # Every page resizes; pages re-encode 8-bit
+                        # chunky (LZW) — bilevel/palette sources become
+                        # gray/RGB, which is what a resampled scan is.
+                        raw = MC.encode_tiff(
+                            [MC.resize_nearest(p, width, height)
+                             for p in MC.decode_tiff_pages(raw)],
+                            compression="lzw")
                     elif raw[:4] == b"IMG:":
                         _tag, _dims, payload = raw.split(b":", 2)
                         raw = b"IMG:%dx%d:" % (width, height) + payload
@@ -405,11 +431,12 @@ SAMPLED_FRAME_SCHEMA = StructType(
 
 def decode_sampled_frames(df: DataFrame, *, every_k: int = 2) -> DataFrame:
     """The second ``mapInPandas`` stage behind :func:`frame_sample` —
-    REAL since r12 for animated GIF, the one video container the numpy
-    codecs can express: each video's sampled frame indexes are gathered
-    per media (``collect_list`` bounded by the frame count), joined back
-    to the bytes, and the kept frames decode + re-encode as lossless
-    PNG — one output row per sampled frame.
+    REAL since r12 for animated GIF and multi-page TIFF (scanned-
+    document pages sample exactly like video frames): each video's
+    sampled frame indexes are gathered per media (``collect_list``
+    bounded by the frame count), joined back to the bytes, and the kept
+    frames decode + re-encode as lossless PNG — one output row per
+    sampled frame.
 
     Fake VID headers carry no pixels and corrupt streams decode to
     nothing, so both contribute zero rows (the totality contract:
@@ -438,17 +465,23 @@ def decode_sampled_frames(df: DataFrame, *, every_k: int = 2) -> DataFrame:
             for media_id, data, idxs in zip(
                     pdf["media_id"], pdf["data"], pdf["frame_idxs"]):
                 raw = b"" if data is None else bytes(data)
-                if MC.sniff(raw) != "gif":
-                    continue
+                container = MC.sniff(raw)
                 try:
-                    frames = MC.decode_gif(raw)
+                    if container == "gif":
+                        frames = list(MC.decode_gif(raw))
+                    elif container == "tiff":
+                        # Pages may differ in size — kept as a list.
+                        frames = [MC.to_rgb(p) if p.shape[2] != 3 else p
+                                  for p in MC.decode_tiff_pages(raw)]
+                    else:
+                        continue
                 except (ValueError, IndexError, struct.error):
                     continue
-                h, w = frames.shape[1:3]
                 for i in sorted(int(i) for i in idxs):
-                    if 0 <= i < frames.shape[0]:
-                        out.append((media_id, i, w, h,
-                                    MC.encode_png(frames[i])))
+                    if 0 <= i < len(frames):
+                        f = frames[i]
+                        out.append((media_id, i, f.shape[1], f.shape[0],
+                                    MC.encode_png(f)))
             yield pd.DataFrame(out, columns=cols)
 
     return joined.mapInPandas(gen, SAMPLED_FRAME_SCHEMA)

@@ -2545,6 +2545,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the multimodal module-hash drift re-attests through these two
     # head rows, whose fixture outputs are byte-unchanged (the gif
     # branches are unreachable for the fixture's containers).
+    # And WAV grew the full uncompressed format family (PCM8/24/32 +
+    # IEEE float; per-dtype feature normalization) — the PCM16 path the
+    # fixture's audio rows use is byte-identical by construction (same
+    # header fields, same body), pinned by test_wav_all_sample_formats'
+    # cross-format embedding equality.  Baseline TIFF (tiff_codec.py)
+    # joined with the same oracle stance as JPEG/GIF (no closed size
+    # formula -> no fixture container; pinned by test_tiff_* incl. the
+    # multi-page Spark pipeline); fixture outputs remain byte-unchanged
+    # since the tiff branches are unreachable for fixture containers.
     "multimodal_decode",
     "multimodal_resize_features",
     # jobs.py bare-dir probe now logs swallowed non-benign exceptions

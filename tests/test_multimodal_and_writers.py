@@ -1272,3 +1272,190 @@ def test_gif_video_through_spark_pipeline(spark):
     f0 = truth[0].astype(np.float32) / 255.0
     assert np.allclose(feats[1][:3], f0.mean(axis=(0, 1)), atol=1e-5)
     assert len(feats[4]) == MM.FEATURE_DIM   # md5 fallback
+
+
+def test_wav_all_sample_formats(spark):
+    """r12: every uncompressed WAV sample format round-trips and
+    normalizes to the same embedding — PCM8 (unsigned), PCM16, PCM24
+    (left-justified int32), PCM32, IEEE float32/float64.  The same
+    sine wave at every width must produce ~identical features, which
+    pins the per-dtype full-scale normalization; compressed formats
+    (ADPCM etc.) reject by name."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    t = np.arange(400)
+    wave = np.sin(t * 0.1) * 0.5                      # [-0.5, 0.5]
+    variants = {
+        1: MC.encode_wav((wave * 127 + 128).astype(np.uint8), 16000),
+        2: MC.encode_wav((wave * 32767).astype(np.int16), 16000),
+        3: MC.encode_wav((wave * (2**31 - 256)).astype(np.int64)
+                         .astype(np.int32), 16000, bits=24),
+        4: MC.encode_wav((wave * (2**31 - 256)).astype(np.int64)
+                         .astype(np.int32), 16000),
+        5: MC.encode_wav(wave.astype(np.float32), 16000),
+        6: MC.encode_wav(wave.astype(np.float64), 16000),
+    }
+    for data in variants.values():
+        arr, rate = MC.decode_wav(data)
+        assert arr.shape == (400, 1) and rate == 16000
+        assert MC.sniff(data) == "wav"
+
+    rows = [(mid, "audio", data, 0) for mid, data in variants.items()]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert all((dec[m]["width"], dec[m]["height"]) == (400, 1)
+               for m in variants)
+    feats = {r["media_id"]: np.array(r["feature"])
+             for r in MM.extract_features(media).collect()}
+    # Same waveform at every width: features agree to quantization
+    # error (PCM8 is the coarsest at ~1/256 full scale).
+    for m in (2, 3, 4, 5, 6):
+        assert np.allclose(feats[m][:6], feats[5][:6], atol=1e-3), m
+    # uint8 cast truncates toward zero, so PCM8 carries up to a full
+    # 1/128-step bias on the mean — the tolerance is 1.5 steps.
+    assert np.allclose(feats[1][:6], feats[5][:6], atol=1.2e-2)
+
+    # Compressed formats reject by name (the extension-point gate).
+    bad = bytearray(variants[2])
+    bad[20] = 2                                       # ADPCM
+    with pytest.raises(ValueError, match="unsupported WAV sample format"):
+        MC.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="dtype"):
+        MC.encode_wav(wave.astype(np.float16), 16000)
+    with pytest.raises(ValueError, match="int32"):
+        MC.encode_wav((wave * 32767).astype(np.int16), 16000, bits=24)
+
+
+def test_tiff_codec_roundtrip_matrix():
+    """r12: baseline TIFF 6.0 round trips — strip heights x
+    none/LZW(+ horizontal-differencing predictor)/PackBits x
+    gray/RGB/RGBA, bilevel scans, palette ColorMap, multi-page with
+    per-page dimensions, O(IFD) probes, and a hand-built big-endian
+    (MM) file."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(1219)
+    for h, w, ch in [(1, 1, 1), (6, 10, 3), (13, 23, 4)]:
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        for comp in ("none", "lzw", "packbits"):
+            for rps in (None, 1, 4):
+                data = TC.encode_tiff(img, compression=comp,
+                                      rows_per_strip=rps)
+                assert np.array_equal(TC.decode_tiff(data), img)
+                assert TC.probe_tiff_dims(data) == (w, h)
+    img = rng.integers(0, 256, (9, 17, 3), dtype=np.uint8)
+    data = TC.encode_tiff(img, compression="lzw", predictor=True,
+                          rows_per_strip=3)
+    assert np.array_equal(TC.decode_tiff(data), img)
+
+    # Bilevel (the fax/scan shape) and palette ColorMap.
+    g = (rng.integers(0, 2, (14, 37)) * 255).astype(np.uint8)
+    for comp in ("none", "lzw", "packbits"):
+        got = TC.decode_tiff(TC.encode_tiff(g, compression=comp,
+                                            bilevel=True, rows_per_strip=5))
+        assert np.array_equal(got[:, :, 0], g), comp
+    pal = rng.integers(0, 256, (40, 3), dtype=np.uint8)
+    idx = rng.integers(0, 40, (11, 13)).astype(np.uint8)
+    got = TC.decode_tiff(TC.encode_tiff(idx, palette=pal, compression="lzw"))
+    assert np.array_equal(got, pal[idx])
+
+    # Multi-page, pages of different sizes.
+    pages = [rng.integers(0, 256, s, dtype=np.uint8)
+             for s in ((8, 12, 3), (5, 7, 3), (20, 30, 3))]
+    data = TC.encode_tiff(pages, compression="lzw")
+    assert TC.count_tiff_pages(data) == 3
+    assert all(np.array_equal(a, b)
+               for a, b in zip(TC.decode_tiff_pages(data), pages))
+
+    # LZW 12-bit overflow + re-clear.
+    big = np.concatenate([
+        np.zeros(6000, np.uint8),
+        rng.integers(0, 256, 40000).astype(np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), 40)])
+    n = big.size // 100 * 100
+    img = big[:n].reshape(100, -1)
+    assert np.array_equal(
+        TC.decode_tiff(TC.encode_tiff(img, compression="lzw"))[:, :, 0], img)
+
+    # Hand-built BIG-ENDIAN file: 2x2 gray, uncompressed, inline strip.
+    px = bytes([10, 20, 30, 40])
+    ifd = struct.pack(">H", 6)
+    ifd += struct.pack(">HHI4s", 256, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += struct.pack(">HHI4s", 257, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += struct.pack(">HHI4s", 258, 3, 1, struct.pack(">HH", 8, 0))
+    ifd += struct.pack(">HHI4s", 262, 3, 1, struct.pack(">HH", 1, 0))
+    ifd += struct.pack(">HHII", 273, 4, 1, 8 + 2 + 6 * 12 + 4)
+    ifd += struct.pack(">HHII", 279, 4, 1, 4)
+    ifd += b"\x00\x00\x00\x00"
+    mm = b"MM\x00*" + struct.pack(">I", 8) + ifd + px
+    got = TC.decode_tiff(mm)
+    assert np.array_equal(got[:, :, 0], np.array([[10, 20], [30, 40]]))
+    assert TC.probe_tiff_dims(mm) == (2, 2)
+
+    # Gates by name.
+    with pytest.raises(ValueError, match="BigTIFF"):
+        TC.decode_tiff(b"II+\x00" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        TC.decode_tiff(b"ZZZZ" + b"\x00" * 8)
+    with pytest.raises(ValueError, match="truncated|bounds"):
+        TC.decode_tiff(TC.encode_tiff(img, compression="lzw")[:-30])
+    with pytest.raises(ValueError, match="predictor"):
+        TC.encode_tiff(img, compression="packbits", predictor=True)
+
+
+def test_tiff_through_spark_pipeline(spark):
+    """Multi-page TIFF flows like video: page counts without pixel
+    decode, sampled pages emitted as PNG via decode_sampled_frames,
+    per-page resize, first-page features."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(21)
+    pages = [rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+             for _ in range(5)]
+    scan = (rng.integers(0, 2, (12, 16)) * 255).astype(np.uint8)
+    rows = [
+        (1, "video", TC.encode_tiff(pages, compression="lzw"), 0),
+        (2, "image", TC.encode_tiff(scan, bilevel=True,
+                                    compression="packbits"), 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (dec[1]["width"], dec[1]["height"], dec[1]["n_frames"]) == (14, 10, 5)
+    assert (dec[2]["width"], dec[2]["height"], dec[2]["n_frames"]) == (16, 12, 1)
+
+    sampled = {r["frame_idx"]: r for r in
+               MM.decode_sampled_frames(media, every_k=2).collect()}
+    assert sorted(sampled) == [0, 2, 4]
+    for i in (0, 2, 4):
+        assert np.array_equal(
+            MC.decode_png(bytes(sampled[i]["frame_png"])), pages[i])
+
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=7, height=5).collect()}
+    got_pages = TC.decode_tiff_pages(resized[1])
+    assert len(got_pages) == 5
+    for i in range(5):
+        assert np.array_equal(got_pages[i],
+                              MC.resize_nearest(pages[i], 7, 5))
+    # Bilevel scan resizes to an 8-bit gray page (what a resample is).
+    small = TC.decode_tiff(resized[2])
+    assert small.shape == (5, 7, 1)
+    assert np.array_equal(small,
+                          MC.resize_nearest(scan[:, :, None], 7, 5))
+
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    p0 = pages[0].astype(np.float32) / 255.0
+    assert np.allclose(feats[1][:3], p0.mean(axis=(0, 1)), atol=1e-5)
+    assert len(feats[2]) == MM.FEATURE_DIM
