@@ -39,6 +39,15 @@ import numpy as np
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+#: In-memory decode budgets (job safety, not a format limit): a corrupt
+#: 30-byte header can claim a 65535x65535 canvas — 12.9 GB of RGB —
+#: and the resulting MemoryError is NOT in the totality contract's
+#: catchable set, so it would kill the executor.  Oversized-but-legal
+#: files route through the PIL/ffmpeg extension point like every other
+#: gated variant; these raise ValueError by name instead of allocating.
+_MAX_CANVAS_PIXELS = 1 << 26        # ~200 MB as one RGB canvas
+_MAX_TOTAL_PIXELS = 1 << 28         # all frames stacked, ~800 MB RGB
+
 
 # --- LZW ---------------------------------------------------------------------
 
@@ -227,6 +236,10 @@ def decode_gif(data: bytes) -> np.ndarray:
     w, h, flags, bg_idx, _aspect = struct.unpack_from("<HHBBB", data, 6)
     if w == 0 or h == 0:
         raise ValueError("empty GIF")
+    if w * h > _MAX_CANVAS_PIXELS:
+        raise ValueError(
+            f"GIF logical screen {w}x{h} exceeds the in-memory decode "
+            "budget")
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -299,6 +312,9 @@ def decode_gif(data: bytes) -> np.ndarray:
             region[opaque] = rgb[opaque]
         else:
             region[...] = rgb
+        if (len(frames) + 1) * w * h > _MAX_TOTAL_PIXELS:
+            raise ValueError(
+                "GIF animation exceeds the in-memory frame budget")
         frames.append(canvas.copy())
         if disposal == 2:                    # restore to background
             canvas[top:top + fh, left:left + fw] = background

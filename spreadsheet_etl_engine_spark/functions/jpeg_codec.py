@@ -1199,6 +1199,11 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     entropy_bits = 8 * sum(len(s) for s in segments)
     if n_mcus * blocks_per_mcu * 2 > entropy_bits + 16:
         raise ValueError("truncated JPEG entropy stream for declared frame size")
+    if n_mcus * blocks_per_mcu * 64 > (1 << 28):
+        # Absolute in-memory budget on top of the per-bit guard: the
+        # coefficient grids are int64, and a MemoryError is not in the
+        # totality contract's catchable set.
+        raise ValueError("JPEG frame exceeds the in-memory decode budget")
     blocks = []
     for ci, (fh, fv) in enumerate(factors):
         blocks.append(np.zeros((mcus_y * fv, mcus_x * fh, 64), dtype=np.int64))
@@ -1284,6 +1289,9 @@ def _prog_state(frame: tuple, segments: list[bytes], ss: int,
     if mcus_x * mcus_y > entropy_bits + 16:
         raise ValueError("truncated JPEG entropy stream for declared "
                          "frame size")
+    if (mcus_x * mcus_y * 64
+            * sum(fh * fv for fh, fv in factors)) > (1 << 28):
+        raise ValueError("JPEG frame exceeds the in-memory decode budget")
     blocks = [np.zeros((mcus_y * fv, mcus_x * fh, 64), dtype=np.int64)
               for fh, fv in factors]
     return {"blocks": blocks, "factors": factors, "hmax": hmax,

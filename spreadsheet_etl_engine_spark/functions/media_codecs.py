@@ -256,6 +256,10 @@ _PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 # Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+#: In-memory decode budget (job safety): PNG dims are 32-bit, so a
+#: corrupt 33-byte header can claim a multi-GB image whose allocation
+#: MemoryError is not in the totality contract's catchable set.
+_PNG_MAX_SAMPLES = 1 << 28
 
 
 def _png_stride(w: int, ch: int, depth: int) -> int:
@@ -486,7 +490,22 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("empty PNG")
     ch = _PNG_CHANNELS[color_type]
     bpp = _png_bpp(ch, depth)
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if w * h * ch > _PNG_MAX_SAMPLES:
+        raise ValueError(
+            f"PNG {w}x{h}x{ch} exceeds the in-memory decode budget")
+    # Bounded inflate (job safety): the expected scanline byte count is
+    # known from the header, so a zlib bomb cannot allocate past it —
+    # at most one extra byte is produced, which the size checks below
+    # turn into the fail-loud mismatch.
+    if interlace == 0:
+        expected_total = h * (1 + _png_stride(w, ch, depth))
+    else:
+        expected_total = sum(
+            hp * (1 + _png_stride(wp, ch, depth))
+            for _xs, _ys, _xt, _yt, wp, hp in _adam7_passes(w, h))
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(b"".join(idat), expected_total + 1),
+        dtype=np.uint8)
     if interlace == 0:
         stride = _png_stride(w, ch, depth)
         if raw.size != h * (1 + stride):

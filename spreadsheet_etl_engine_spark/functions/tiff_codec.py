@@ -35,6 +35,14 @@ _COMPRESSION_NONE = 1
 _COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
 
+#: In-memory decode budgets (job safety): corrupt LONG dimensions can
+#: claim a multi-GB page, and the MemoryError that allocation raises is
+#: not in the pipeline's catchable totality set — it would kill the
+#: executor.  ValueError by name instead; genuinely huge scans route
+#: through the PIL extension point.
+_MAX_PAGE_SAMPLES = 1 << 28         # ~256 MB of 8-bit samples per page
+_MAX_TOTAL_SAMPLES = 1 << 30        # all pages of one file
+
 
 # --- compression primitives --------------------------------------------------
 
@@ -246,6 +254,9 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
     if w == 0 or h == 0:
         raise ValueError("TIFF page missing dimensions")
     spp = tags.get(277, [1])[0]
+    if w * h * max(1, spp) > _MAX_PAGE_SAMPLES:
+        raise ValueError(
+            f"TIFF page {w}x{h}x{spp} exceeds the in-memory decode budget")
     bits = tags.get(258, [1] * spp)
     comp = tags.get(259, [_COMPRESSION_NONE])[0]
     photo = tags.get(262, [1])[0]
@@ -336,12 +347,18 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
     order, pos = _read_header(data)
     pages = []
     seen = set()
+    total = 0
     while pos:
         if pos in seen:
             raise ValueError("TIFF IFD chain loops")
         seen.add(pos)
         tags, pos = _read_ifd(data, order, pos)
-        pages.append(_decode_page(data, order, tags))
+        page = _decode_page(data, order, tags)
+        total += page.size
+        if total > _MAX_TOTAL_SAMPLES:
+            raise ValueError(
+                "multi-page TIFF exceeds the in-memory decode budget")
+        pages.append(page)
     if not pages:
         raise ValueError("TIFF contains no pages")
     return pages

@@ -2554,6 +2554,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # formula -> no fixture container; pinned by test_tiff_* incl. the
     # multi-page Spark pipeline); fixture outputs remain byte-unchanged
     # since the tiff branches are unreachable for fixture containers.
+    # Final r12 edit: decode-budget guards (PNG/JPEG/GIF/TIFF reject
+    # corrupt-header multi-GB allocation claims by name, PNG inflate
+    # bounded by the declared scanline bytes) — pure additional raises
+    # on inputs no fixture produces; valid-input decode byte-identical,
+    # re-attested through the two multimodal head rows regardless.
     "multimodal_decode",
     "multimodal_resize_features",
     # jobs.py bare-dir probe now logs swallowed non-benign exceptions

@@ -1459,3 +1459,101 @@ def test_tiff_through_spark_pipeline(spark):
     p0 = pages[0].astype(np.float32) / 255.0
     assert np.allclose(feats[1][:3], p0.mean(axis=(0, 1)), atol=1e-5)
     assert len(feats[2]) == MM.FEATURE_DIM
+
+
+def test_decode_budgets_fail_loud_not_oom():
+    """Job safety (r12): a corrupt HEADER can claim a multi-GB image —
+    a 30-byte GIF says 65535x65535, PNG dims are 32-bit, a zlib bomb
+    inflates unboundedly — and the resulting MemoryError is NOT in the
+    totality contract's catchable set, so it would kill the executor
+    (not just the row).  Every codec rejects oversized claims by name
+    BEFORE allocating, and PNG inflate is bounded by the
+    header-declared scanline byte count."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    # GIF: huge logical screen in a tiny file.
+    bomb = (b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0)
+            + b"\x3B")
+    with pytest.raises(ValueError, match="decode budget"):
+        GC.decode_gif(bomb)
+
+    # PNG: huge dims; and a zlib bomb behind honest dims must stop at
+    # the declared size + 1, not inflate 100 MB.
+    ihdr = struct.pack(">IIBBBBB", 100000, 100000, 8, 2, 0, 0, 0)
+    png = (MC._PNG_SIG + MC._png_chunk(b"IHDR", ihdr)
+           + MC._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+           + MC._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="decode budget"):
+        MC.decode_png(png)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb_idat = zlib.compress(b"\x00" * (100 * 1024 * 1024), 9)
+    png = (MC._PNG_SIG + MC._png_chunk(b"IHDR", ihdr)
+           + MC._png_chunk(b"IDAT", bomb_idat)
+           + MC._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        MC.decode_png(png)  # bounded inflate: 53 bytes + 1, never 100 MB
+
+    # TIFF: max SHORT dims claim 12.9 GB of RGB-sized samples.
+    big = TC.encode_tiff(np.zeros((2, 2, 3), np.uint8))
+    bad = bytearray(big)
+    for tag in (256, 257):
+        off = big.index(struct.pack("<HHI", tag, 3, 1))
+        struct.pack_into("<H", bad, off + 8, 65535)
+    with pytest.raises(ValueError, match="decode budget"):
+        TC.decode_tiff(bytes(bad))
+
+    # JPEG: dims claiming more coefficient memory than the budget.
+    from spreadsheet_etl_engine_spark.functions import jpeg_codec as JC
+    enc = JC.encode_jpeg(np.zeros((8, 8, 3), np.uint8), quality=85)
+    sof = enc.index(b"\xff\xc0")
+    bad = bytearray(enc)
+    struct.pack_into(">HH", bad, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="truncated|decode budget"):
+        JC.decode_jpeg(bytes(bad))
+
+
+def test_gif_tiff_corrupt_bytes_raise_only_catchable_classes():
+    """The Arrow kernels catch exactly (ValueError, IndexError,
+    struct.error, zlib.error); any OTHER class escaping decode on
+    corrupt bytes kills the job instead of the row.  Random corruption
+    + full truncation sweeps must stay inside that set (or decode to
+    something)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    catchable = (ValueError, IndexError, struct.error, zlib.error)
+    rng = np.random.RandomState(99)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    gif = GC.encode_gif(rng.randint(0, 16, (3, 9, 14)).astype(np.uint8),
+                        pal, transparent=2, delays_cs=[5, 5, 5])
+    tif = TC.encode_tiff(
+        [rng.randint(0, 256, (8, 12, 3)).astype(np.uint8)
+         for _ in range(2)], compression="lzw", rows_per_strip=3)
+    for good, dec in ((gif, GC.decode_gif), (tif, TC.decode_tiff_pages),
+                      (gif, GC.count_gif_frames), (tif, TC.count_tiff_pages)):
+        for _ in range(400):
+            b = bytearray(good)
+            for _ in range(rng.randint(1, 4)):
+                b[rng.randint(len(b))] = rng.randint(256)
+            try:
+                dec(bytes(b))
+            except catchable:
+                pass
+        for cut in range(1, len(good), 7):
+            try:
+                dec(good[:cut])
+            except catchable:
+                pass
