@@ -10,9 +10,11 @@ sampled-frame kernel decodes individual pages.
   EarlyChange width bump, horizontal-differencing predictor) and 32773
   (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
   inverted), 2 (RGB, with extra samples kept as alpha), 3 (palette via
-  the 16-bit ColorMap).  Bit depths 1 (bilevel scans) and 8.  Returns
-  the FIRST page as (h, w, ch) uint8; ``decode_tiff_pages`` returns all
-  pages (page dimensions may differ).
+  the 16-bit ColorMap).  Bit depths 1 (bilevel scans), 8, and 16
+  (scientific/medical gray + RGB — decoded to uint16, either byte
+  order, sample-wise predictor).  Returns the FIRST page as (h, w, ch)
+  uint8 (uint16 at depth 16); ``decode_tiff_pages`` returns all pages
+  (page dimensions may differ).
 * **encode_tiff** — single- or multi-page, gray/RGB/RGBA/bilevel/
   palette, any strip height, compression none/LZW/PackBits, optional
   predictor — so every decoder path round-trips.
@@ -20,7 +22,7 @@ sampled-frame kernel decodes individual pages.
   pixel data is never touched.
 
 Scope honestly gated (``ValueError`` by name): BigTIFF, tiles, planar
-configuration 2, 16-bit samples, CCITT G3/G4 and JPEG-in-TIFF
+configuration 2, CCITT G3/G4 and JPEG-in-TIFF
 compressions — real corpora re-encode those through the same PIL
 extension point as MP3/H.264.
 """
@@ -274,6 +276,8 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         depth = 1
     elif set(bits) == {8}:
         depth = 8
+    elif set(bits) == {16} and photo in (0, 1, 2):
+        depth = 16                       # scientific/medical gray + RGB
     else:
         raise ValueError(f"unsupported TIFF bit depths {bits}")
     offsets = tags.get(273)
@@ -315,6 +319,25 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         elif photo != 1:
             raise ValueError(f"bilevel TIFF with photometric {photo}")
         return gray[:, :, None].copy()
+
+    if depth == 16:
+        # Samples carry the FILE's byte order; predictor differencing
+        # is per 16-bit sample (mod 65536), applied after assembly.
+        pairs = grid[:, :w * spp * 2].reshape(h, w * spp, 2).astype(np.uint16)
+        if order == "<":
+            vals = pairs[..., 0] | (pairs[..., 1] << 8)
+        else:
+            vals = (pairs[..., 0] << 8) | pairs[..., 1]
+        img16 = vals.reshape(h, w, spp)
+        if predictor == 2:
+            img16 = np.cumsum(img16.astype(np.uint64), axis=1).astype(np.uint16)
+        if photo == 0:
+            return (65535 - img16).copy()
+        if photo == 2:
+            if spp < 3:
+                raise ValueError("RGB TIFF with fewer than 3 samples")
+            return img16[:, :, :4].copy()
+        return img16.copy()
 
     img = grid[:, :w * spp].reshape(h, w, spp)
     if predictor == 2:
@@ -417,7 +440,8 @@ def encode_tiff(
     """Page arrays -> little-endian classic TIFF bytes.
 
     Each page is (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) uint8 —
-    grayscale / RGB / RGBA chunky.  ``bilevel=True`` thresholds
+    grayscale / RGB / RGBA chunky — or uint16 for 16-bit samples
+    (bilevel/palette stay uint8).  ``bilevel=True`` thresholds
     single-channel pages at 128 and packs 1-bit BlackIsZero rows (the
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
@@ -442,8 +466,11 @@ def encode_tiff(
 
     for page in pages:
         img = np.asarray(page)
-        if img.dtype != np.uint8:
-            raise ValueError("encode_tiff needs uint8 pages")
+        if img.dtype not in (np.uint8, np.uint16):
+            raise ValueError("encode_tiff needs uint8 or uint16 pages")
+        deep = img.dtype == np.uint16    # 16-bit samples (r12)
+        if deep and (bilevel or palette is not None):
+            raise ValueError("bilevel/palette pages must be uint8")
         if img.ndim == 2:
             img = img[:, :, None]
         h, w, ch = img.shape
@@ -461,9 +488,12 @@ def encode_tiff(
             if bilevel:
                 raw = np.packbits(rows[:, :, 0] >= 128, axis=1).tobytes()
             elif predictor:
-                diff = rows.astype(np.int16)
-                diff[:, 1:] -= rows[:, :-1].astype(np.int16)
-                raw = (diff & 0xFF).astype(np.uint8).tobytes()
+                diff = rows.astype(np.int32)
+                diff[:, 1:] -= rows[:, :-1].astype(np.int32)
+                raw = ((diff & 0xFFFF).astype("<u2").tobytes() if deep
+                       else (diff & 0xFF).astype(np.uint8).tobytes())
+            elif deep:
+                raw = np.ascontiguousarray(rows.astype("<u2")).tobytes()
             else:
                 raw = rows.tobytes()
             if comp_id == _COMPRESSION_LZW:
@@ -488,7 +518,7 @@ def encode_tiff(
         entries: list[tuple[int, int, int, list[int]]] = [
             (256, 3, 1, [w]),
             (257, 3, 1, [h]),
-            (258, 3, ch, [1 if bilevel else 8] * ch),
+            (258, 3, ch, [1 if bilevel else (16 if deep else 8)] * ch),
             (259, 3, 1, [comp_id]),
             (262, 3, 1, [photo]),
             (273, 4, len(strips), data_offsets),

@@ -1557,3 +1557,53 @@ def test_gif_tiff_corrupt_bytes_raise_only_catchable_classes():
                 dec(good[:cut])
             except catchable:
                 pass
+
+
+def test_tiff_16bit_samples(spark):
+    """r12: 16-bit TIFF (scientific/medical imagery) decodes to uint16
+    in either byte order, round-trips through LZW + the sample-wise
+    predictor, and embeds identically to its exact 8-bit twin through
+    the dtype-aware feature normalization."""
+    import struct
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(23)
+    for ch in (1, 3):
+        img = rng.integers(0, 65536, (9, 14, ch)).astype(np.uint16)
+        for comp in ("none", "lzw"):
+            data = TC.encode_tiff(img, compression=comp, rows_per_strip=3,
+                                  predictor=(comp == "lzw"))
+            got = TC.decode_tiff(data)
+            assert got.dtype == np.uint16 and np.array_equal(got, img)
+
+    # Big-endian 16-bit fixture (hand-built MM file).
+    px = struct.pack(">4H", 1000, 2000, 40000, 65535)
+    ifd = struct.pack(">H", 6)
+    ifd += struct.pack(">HHI4s", 256, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += struct.pack(">HHI4s", 257, 3, 1, struct.pack(">HH", 2, 0))
+    ifd += struct.pack(">HHI4s", 258, 3, 1, struct.pack(">HH", 16, 0))
+    ifd += struct.pack(">HHI4s", 262, 3, 1, struct.pack(">HH", 1, 0))
+    ifd += struct.pack(">HHII", 273, 4, 1, 8 + 2 + 6 * 12 + 4)
+    ifd += struct.pack(">HHII", 279, 4, 1, 8)
+    ifd += b"\x00\x00\x00\x00"
+    mm = b"MM\x00*" + struct.pack(">I", 8) + ifd + px
+    assert np.array_equal(TC.decode_tiff(mm)[:, :, 0],
+                          [[1000, 2000], [40000, 65535]])
+
+    # 8-bit page and its exact 16-bit upcast: same embedding.
+    img8 = (np.arange(8 * 12) % 256).astype(np.uint8).reshape(8, 12)
+    rows = [
+        (1, "image", TC.encode_tiff(img8), 0),
+        (2, "image", TC.encode_tiff(img8.astype(np.uint16) * 257), 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    assert np.allclose(feats[1], feats[2], atol=1e-6)
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=6, height=4).collect()}
+    out = TC.decode_tiff(resized[2])
+    assert out.dtype == np.uint16 and out.shape == (4, 6, 1)
