@@ -6,8 +6,10 @@ like video frames — page counts come from an O(IFD-chain) walk, and the
 sampled-frame kernel decodes individual pages.
 
 * **decode_tiff** — both byte orders (II/MM), strip-organized chunky
-  data, compressions 1 (none), 5 (TIFF-LZW: MSB-first codes with the
-  EarlyChange width bump, horizontal-differencing predictor) and 32773
+  data, compressions 1 (none), 4 (CCITT Group 4 / T.6 MMR — THE
+  fax/book-scan compression, via ``ccitt_g4``), 5 (TIFF-LZW: MSB-first
+  codes with the EarlyChange width bump, horizontal-differencing
+  predictor) and 32773
   (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
   inverted), 2 (RGB, with extra samples kept as alpha), 3 (palette via
   the 16-bit ColorMap).  Bit depths 1 (bilevel scans), 8, and 16
@@ -22,9 +24,9 @@ sampled-frame kernel decodes individual pages.
   pixel data is never touched.
 
 Scope honestly gated (``ValueError`` by name): BigTIFF, tiles, planar
-configuration 2, CCITT G3/G4 and JPEG-in-TIFF
-compressions — real corpora re-encode those through the same PIL
-extension point as MP3/H.264.
+configuration 2, CCITT G3 (the G4-superseded 1D/EOL variants) and
+JPEG-in-TIFF compressions — real corpora re-encode those through the
+same PIL extension point as MP3/H.264.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ import struct
 import numpy as np
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_G4 = 4
 _COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
 
@@ -268,10 +271,13 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         raise ValueError("TIFF planar configuration 2 not supported")
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not supported")
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_G4, _COMPRESSION_LZW,
+                    _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    if comp == _COMPRESSION_G4 and (set(bits) != {1} or spp != 1):
+        raise ValueError("TIFF G4 compression requires 1-bit samples")
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -297,7 +303,19 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             break
         raw = data[off:off + cnt]
         expected = n_rows * row_bytes
-        if comp == _COMPRESSION_LZW:
+        if comp == _COMPRESSION_G4:
+            # Each strip is an independent T.6 page (reference row
+            # resets); G4 codes BLACK runs, which under photometric 0
+            # (WhiteIsZero, the fax convention) IS the sample value —
+            # photometric 1 flips.
+            from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
+                g4_decode,
+            )
+
+            black = g4_decode(raw, w, n_rows)
+            raw = np.packbits(black if photo == 0 else 1 - black,
+                              axis=1).tobytes()
+        elif comp == _COMPRESSION_LZW:
             raw = _tiff_lzw_decode(raw, expected)
         elif comp == _COMPRESSION_PACKBITS:
             raw = _packbits_decode(raw, expected)
@@ -445,18 +463,22 @@ def encode_tiff(
     single-channel pages at 128 and packs 1-bit BlackIsZero rows (the
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
-    ``compression`` is 'none' | 'lzw' | 'packbits'; ``predictor``
-    applies horizontal differencing before LZW (8-bit pages only)."""
+    ``compression`` is 'none' | 'g4' (CCITT T.6, bilevel only) |
+    'lzw' | 'packbits'; ``predictor`` applies horizontal differencing
+    before LZW."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     if not pages:
         raise ValueError("cannot encode a TIFF with no pages")
-    comp_id = {"none": _COMPRESSION_NONE, "lzw": _COMPRESSION_LZW,
+    comp_id = {"none": _COMPRESSION_NONE, "g4": _COMPRESSION_G4,
+               "lzw": _COMPRESSION_LZW,
                "packbits": _COMPRESSION_PACKBITS}.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown TIFF compression '{compression}'")
+    if comp_id == _COMPRESSION_G4 and not bilevel:
+        raise ValueError("TIFF G4 compression requires bilevel=True")
     if predictor and (bilevel or compression != "lzw"):
-        raise ValueError("predictor applies to LZW-compressed 8-bit pages")
+        raise ValueError("predictor applies to LZW-compressed pages")
     if palette is not None and (palette.dtype != np.uint8 or palette.ndim != 2
                                 or palette.shape[1] != 3):
         raise ValueError("palette must be a (P, 3) uint8 array")
@@ -485,6 +507,16 @@ def encode_tiff(
         strips: list[bytes] = []
         for y0 in range(0, h, rps):
             rows = img[y0:y0 + rps]
+            if comp_id == _COMPRESSION_G4:
+                # Encoded under photometric 1 (BlackIsZero, the path
+                # bilevel pages take below): G4 codes the BLACK pixels,
+                # which are the ones under the 128 threshold.
+                from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
+                    g4_encode,
+                )
+
+                strips.append(g4_encode(rows[:, :, 0] < 128))
+                continue
             if bilevel:
                 raw = np.packbits(rows[:, :, 0] >= 128, axis=1).tobytes()
             elif predictor:

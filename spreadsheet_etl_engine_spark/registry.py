@@ -2554,7 +2554,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # formula -> no fixture container; pinned by test_tiff_* incl. the
     # multi-page Spark pipeline); fixture outputs remain byte-unchanged
     # since the tiff branches are unreachable for fixture containers.
-    # Final r12 edit: decode-budget guards (PNG/JPEG/GIF/TIFF reject
+    # r12 final additions: 16-bit TIFF samples and CCITT Group 4
+    # (ccitt_g4.py, TIFF Compression=4) — same stance: no fixture
+    # container (no closed size formula), pinned by test_tiff_16bit_*
+    # and test_ccitt_g4_*; fixture outputs byte-unchanged (branches
+    # unreachable for fixture containers).
+    # Also: decode-budget guards (PNG/JPEG/GIF/TIFF reject
     # corrupt-header multi-GB allocation claims by name, PNG inflate
     # bounded by the declared scanline bytes) — pure additional raises
     # on inputs no fixture produces; valid-input decode byte-identical,

@@ -1607,3 +1607,83 @@ def test_tiff_16bit_samples(spark):
                for r in MM.resize_images(media, width=6, height=4).collect()}
     out = TC.decode_tiff(resized[2])
     assert out.dtype == np.uint16 and out.shape == (4, 6, 1)
+
+
+def test_ccitt_g4_codec_and_tiff_integration(spark):
+    """r12: CCITT Group 4 (T.6 MMR) — the fax/book-scan compression.
+    Spec-derived bit vectors (an all-white row is ONE V0 bit; a known
+    all-black page assembles from individually-known T.4 codes),
+    round-trip fuzz over scan-shaped bitmaps, make-up-code widths past
+    2560, corruption totality, and Compression=4 TIFFs through the
+    Spark pipeline."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import ccitt_g4 as G4
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    # Hand-derived spec vectors, independent of the transcribed tables'
+    # self-consistency (the all-black one uses white-0 = 00110101 and
+    # black-8 = 000101 directly from T.4).
+    enc = G4.g4_encode(np.zeros((3, 8), np.uint8))
+    bits = ''.join(f'{b:08b}' for b in enc)
+    assert bits.startswith('111' + '000000000001' * 2)
+    enc = G4.g4_encode(np.ones((3, 8), np.uint8))
+    bits = ''.join(f'{b:08b}' for b in enc)
+    assert bits.startswith(
+        '001' + '00110101' + '000101' + '11' + '11' + '000000000001' * 2)
+
+    rng = np.random.default_rng(1220)
+    for trial in range(60):
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 70))
+        bm = (rng.random((h, w)) < rng.choice([0.05, 0.3, 0.7])
+              ).astype(np.uint8)
+        assert np.array_equal(G4.g4_decode(G4.g4_encode(bm), w, h), bm)
+    for w in (100, 1800, 3000, 5200):        # make-up + ext-make-up runs
+        bm = np.zeros((3, w), np.uint8)
+        bm[1] = 1
+        bm[2, 10:w - 7] = 1
+        assert np.array_equal(G4.g4_decode(G4.g4_encode(bm), w, 3), bm)
+
+    good = G4.g4_encode((rng.random((10, 40)) < 0.3).astype(np.uint8))
+    for _ in range(300):
+        b = bytearray(good)
+        b[int(rng.integers(len(b)))] = int(rng.integers(256))
+        try:
+            G4.g4_decode(bytes(b), 40, 10)
+        except (ValueError, IndexError):
+            pass                              # fail-loud, catchable only
+
+    # Compression=4 TIFF: strips reset the reference row; pixels equal
+    # the uncompressed twin; G4 beats PackBits on text-like scans.
+    text = np.zeros((60, 400), np.uint8)
+    for _ in range(40):
+        r = int(rng.integers(60))
+        c0 = int(rng.integers(380))
+        text[r, c0:c0 + int(rng.integers(3, 20))] = 255
+    g4t = TC.encode_tiff(text, compression="g4", bilevel=True,
+                         rows_per_strip=7)
+    assert np.array_equal(
+        TC.decode_tiff(g4t),
+        TC.decode_tiff(TC.encode_tiff(text, bilevel=True)))
+    # Single-strip apples-to-apples (per-strip EOFB + strip-table
+    # overhead dominates at rows_per_strip=7): G4 beats PackBits on
+    # text-shaped scans.
+    assert len(TC.encode_tiff(text, compression="g4", bilevel=True)) < \
+        len(TC.encode_tiff(text, compression="packbits", bilevel=True))
+    with pytest.raises(ValueError, match="bilevel"):
+        TC.encode_tiff(text, compression="g4")
+
+    # Through the Arrow pipeline: a multi-page G4 scan document.
+    pages = [(rng.random((12, 30)) < 0.3).astype(np.uint8) * 255
+             for _ in range(3)]
+    doc = TC.encode_tiff(pages, compression="g4", bilevel=True)
+    media = spark.createDataFrame([(1, "video", doc, 0)], MM.MEDIA_SCHEMA)
+    dec = MM.decode_media(media).collect()[0]
+    assert (dec["width"], dec["height"], dec["n_frames"]) == (30, 12, 3)
+    sampled = {r["frame_idx"]: r for r in
+               MM.decode_sampled_frames(media, every_k=2).collect()}
+    assert sorted(sampled) == [0, 2]
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+    got0 = MC.decode_png(bytes(sampled[0]["frame_png"]))
+    assert np.array_equal(got0[:, :, 0], np.where(pages[0] > 0, 255, 0))
