@@ -382,3 +382,51 @@ def g4_encode(bitmap: np.ndarray) -> bytes:
     w.write(*_EOL)
     w.write(*_EOL)                               # EOFB
     return w.flush()
+
+
+def mh_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """CCITT Modified Huffman (TIFF Compression=2, 'CCITT RLE'):
+    each row is an independent 1D sequence of alternating white/black
+    T.4 run codes, starting white, BYTE-ALIGNED at the start of every
+    row — the G4-superseded but still-common legacy fax coding.
+    Returns (height, width) uint8, 1 = black."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT MH needs positive dimensions")
+    bits = _Bits(bytes(data))
+    out = np.zeros((height, width), dtype=np.uint8)
+    for y in range(height):
+        bits.pos = (bits.pos + 7) & ~7           # row starts byte-aligned
+        x = 0
+        color = 0
+        while x < width:
+            run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+            if x + run > width:
+                raise ValueError("CCITT MH run overflows the row")
+            if color:
+                out[y, x:x + run] = 1
+            x += run
+            color ^= 1
+    return out
+
+
+def mh_encode(bitmap: np.ndarray) -> bytes:
+    """(h, w) bitmap (nonzero = black) -> Compression=2 bytes (rows
+    byte-aligned, alternating run codes starting white — a row that
+    starts black opens with a zero-length white run, per T.4)."""
+    if bitmap.ndim != 2 or bitmap.shape[0] == 0 or bitmap.shape[1] == 0:
+        raise ValueError("mh_encode needs a non-empty (h, w) bitmap")
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    out = bytearray()
+    for y in range(bm.shape[0]):
+        w = _BitWriter()
+        trans = _transitions(bm[y]) + [bm.shape[1]]
+        x = 0
+        color = 0
+        for t in trans:
+            _write_run(w, t - x, color)
+            x = t
+            color ^= 1
+        if x < bm.shape[1]:                      # trailing run to width
+            _write_run(w, bm.shape[1] - x, color)
+        out += w.flush()                         # per-row byte alignment
+    return bytes(out)

@@ -36,6 +36,7 @@ import struct
 import numpy as np
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_MH = 2                 # CCITT RLE (Modified Huffman, 1D)
 _COMPRESSION_G4 = 4
 _COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
@@ -271,13 +272,14 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         raise ValueError("TIFF planar configuration 2 not supported")
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not supported")
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_G4, _COMPRESSION_LZW,
-                    _COMPRESSION_PACKBITS):
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_MH, _COMPRESSION_G4,
+                    _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if comp == _COMPRESSION_G4 and (set(bits) != {1} or spp != 1):
-        raise ValueError("TIFF G4 compression requires 1-bit samples")
+    if comp in (_COMPRESSION_MH, _COMPRESSION_G4) and (
+            set(bits) != {1} or spp != 1):
+        raise ValueError("TIFF CCITT compression requires 1-bit samples")
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -303,16 +305,17 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             break
         raw = data[off:off + cnt]
         expected = n_rows * row_bytes
-        if comp == _COMPRESSION_G4:
-            # Each strip is an independent T.6 page (reference row
-            # resets); G4 codes BLACK runs, which under photometric 0
-            # (WhiteIsZero, the fax convention) IS the sample value —
-            # photometric 1 flips.
+        if comp in (_COMPRESSION_G4, _COMPRESSION_MH):
+            # Each strip is an independent CCITT page (reference row /
+            # alignment resets); both code BLACK runs, which under
+            # photometric 0 (WhiteIsZero, the fax convention) IS the
+            # sample value — photometric 1 flips.
             from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                g4_decode,
+                g4_decode, mh_decode,
             )
 
-            black = g4_decode(raw, w, n_rows)
+            dec = g4_decode if comp == _COMPRESSION_G4 else mh_decode
+            black = dec(raw, w, n_rows)
             raw = np.packbits(black if photo == 0 else 1 - black,
                               axis=1).tobytes()
         elif comp == _COMPRESSION_LZW:
@@ -470,13 +473,13 @@ def encode_tiff(
         pages = [pages]
     if not pages:
         raise ValueError("cannot encode a TIFF with no pages")
-    comp_id = {"none": _COMPRESSION_NONE, "g4": _COMPRESSION_G4,
-               "lzw": _COMPRESSION_LZW,
+    comp_id = {"none": _COMPRESSION_NONE, "mh": _COMPRESSION_MH,
+               "g4": _COMPRESSION_G4, "lzw": _COMPRESSION_LZW,
                "packbits": _COMPRESSION_PACKBITS}.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown TIFF compression '{compression}'")
-    if comp_id == _COMPRESSION_G4 and not bilevel:
-        raise ValueError("TIFF G4 compression requires bilevel=True")
+    if comp_id in (_COMPRESSION_MH, _COMPRESSION_G4) and not bilevel:
+        raise ValueError("TIFF CCITT compression requires bilevel=True")
     if predictor and (bilevel or compression != "lzw"):
         raise ValueError("predictor applies to LZW-compressed pages")
     if palette is not None and (palette.dtype != np.uint8 or palette.ndim != 2
@@ -507,15 +510,16 @@ def encode_tiff(
         strips: list[bytes] = []
         for y0 in range(0, h, rps):
             rows = img[y0:y0 + rps]
-            if comp_id == _COMPRESSION_G4:
+            if comp_id in (_COMPRESSION_G4, _COMPRESSION_MH):
                 # Encoded under photometric 1 (BlackIsZero, the path
-                # bilevel pages take below): G4 codes the BLACK pixels,
-                # which are the ones under the 128 threshold.
+                # bilevel pages take below): CCITT codes the BLACK
+                # pixels, the ones under the 128 threshold.
                 from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                    g4_encode,
+                    g4_encode, mh_encode,
                 )
 
-                strips.append(g4_encode(rows[:, :, 0] < 128))
+                enc = g4_encode if comp_id == _COMPRESSION_G4 else mh_encode
+                strips.append(enc(rows[:, :, 0] < 128))
                 continue
             if bilevel:
                 raw = np.packbits(rows[:, :, 0] >= 128, axis=1).tobytes()

@@ -1674,6 +1674,17 @@ def test_ccitt_g4_codec_and_tiff_integration(spark):
     with pytest.raises(ValueError, match="bilevel"):
         TC.encode_tiff(text, compression="g4")
 
+    # Modified Huffman (Compression=2): the 1D legacy fax coding —
+    # byte-aligned rows of alternating T.4 run codes.
+    for _ in range(20):
+        h, w = int(rng.integers(1, 12)), int(rng.integers(1, 60))
+        bm = (rng.random((h, w)) < 0.3).astype(np.uint8)
+        assert np.array_equal(G4.mh_decode(G4.mh_encode(bm), w, h), bm)
+    mh = TC.encode_tiff(text, compression="mh", bilevel=True,
+                        rows_per_strip=9)
+    assert np.array_equal(TC.decode_tiff(mh),
+                          TC.decode_tiff(TC.encode_tiff(text, bilevel=True)))
+
     # Through the Arrow pipeline: a multi-page G4 scan document.
     pages = [(rng.random((12, 30)) < 0.3).astype(np.uint8) * 255
              for _ in range(3)]
