@@ -603,8 +603,9 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
     """Distributed deterministic media corpus: ONE mapInPandas over
     spark.range (no driver-side rows) emitting real container bytes
     derived from the row id — images cycle truecolor / palette /
-    16-bit / Adam7 PNG / baseline JPEG / progressive JPEG, videos are
-    4-frame animated GIFs, audio is PCM16 WAV."""
+    16-bit / Adam7 PNG / baseline JPEG / progressive JPEG / G4-scan
+    TIFF / LZW TIFF, videos are 4-frame animated GIFs, audio is PCM16
+    WAV."""
     from spreadsheet_etl_engine_spark.operators.multimodal import MEDIA_SCHEMA
 
     def gen(batches):
@@ -623,7 +624,7 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                     h, w = 12, 16
                     img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1))
                            % 256).astype(np.uint8)
-                    c = (i // 3) % 6
+                    c = (i // 3) % 8
                     if c == 0:
                         payload = MC.encode_png(img)
                     elif c == 1:
@@ -638,8 +639,15 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                         payload = MC.encode_png(img, interlace=True)
                     elif c == 4:
                         payload = MC.encode_jpeg(img, quality=85)
-                    else:
+                    elif c == 5:
                         payload = MC.encode_jpeg_progressive(img, quality=85)
+                    elif c == 6:
+                        payload = MC.encode_tiff(
+                            (img[:, :, 0] > 128).astype(np.uint8) * 255,
+                            compression="g4", bilevel=True)
+                    else:
+                        payload = MC.encode_tiff(img, compression="lzw",
+                                                 predictor=True)
                 elif kind == "audio":
                     t = np.arange(256 + i % 64)
                     wave = (1000 * np.sin(t * ((i % 7) + 1) * 0.1)
