@@ -18,15 +18,19 @@ sampled-frame kernel decodes individual pages.
   uint8 (uint16 at depth 16); ``decode_tiff_pages`` returns all pages
   (page dimensions may differ).
 * **encode_tiff** — single- or multi-page, gray/RGB/RGBA/bilevel/
-  palette, any strip height, compression none/LZW/PackBits, optional
-  predictor — so every decoder path round-trips.
+  palette, strip or TILE organization (r12 — the geospatial/OCR
+  layout, full-sized zero-padded edge tiles, per-tile predictor
+  restart), compression none/MH/G4/LZW/PackBits, optional predictor —
+  so every decoder path round-trips.
 * **probe_tiff_dims / count_tiff_pages** — O(header + IFD chain), the
-  pixel data is never touched.
+  pixel data is never touched.  BigTIFF (magic 43, 8-byte offsets)
+  reads transparently through every entry point; the encoder stays
+  classic, which every reader accepts under 4 GB.
 
-Scope honestly gated (``ValueError`` by name): BigTIFF, tiles, planar
-configuration 2, CCITT G3 (the G4-superseded 1D/EOL variants) and
-JPEG-in-TIFF compressions — real corpora re-encode those through the
-same PIL extension point as MP3/H.264.
+Scope honestly gated (``ValueError`` by name): planar configuration 2,
+sub-byte tiled pages, CCITT G3-with-EOLs (the G4-superseded framing)
+and JPEG-in-TIFF compressions — real corpora re-encode those through
+the same PIL extension point as MP3/H.264.
 """
 
 from __future__ import annotations
@@ -202,55 +206,82 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 # --- IFD parsing -------------------------------------------------------------
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 16: 8, 17: 8, 18: 8}
 
 
-def _read_header(data: bytes) -> tuple[str, int]:
-    if data[:4] == b"II*\x00":
+def _read_header(data: bytes) -> tuple[str, int, bool]:
+    """-> (byte order, first IFD offset, is_bigtiff).  BigTIFF (r12):
+    magic 43, 8-byte offsets everywhere — the >4 GB-capable variant
+    GIS/scan tooling emits (read-only here; the encoder stays classic,
+    which every reader accepts for files under 4 GB)."""
+    if data[:2] == b"II":
         order = "<"
-    elif data[:4] == b"MM\x00*":
+    elif data[:2] == b"MM":
         order = ">"
-    elif data[:2] in (b"II", b"MM") and data[2:4] in (b"+\x00", b"\x00+"):
-        raise ValueError("BigTIFF not supported")
     else:
         raise ValueError("not a TIFF file")
-    first_ifd = struct.unpack_from(order + "I", data, 4)[0]
-    return order, first_ifd
+    if len(data) < 8:
+        raise ValueError("truncated TIFF header")
+    magic = struct.unpack_from(order + "H", data, 2)[0]
+    if magic == 42:
+        return order, struct.unpack_from(order + "I", data, 4)[0], False
+    if magic == 43:
+        offsize, pad = struct.unpack_from(order + "HH", data, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        if len(data) < 16:
+            raise ValueError("truncated BigTIFF header")
+        return order, struct.unpack_from(order + "Q", data, 8)[0], True
+    raise ValueError("not a TIFF file")
 
 
-def _read_ifd(data: bytes, order: str, pos: int) -> tuple[dict[int, list[int]], int]:
+def _read_ifd(data: bytes, order: str, pos: int,
+              big: bool = False) -> tuple[dict[int, list[int]], int]:
     """One IFD -> ({tag: values}, next_ifd_offset).  RATIONAL values
-    collapse to their truncated quotient (no baseline tag we read is
-    rational, they are skipped anyway)."""
-    if pos + 2 > len(data):
+    collapse to zero placeholders (no baseline tag we read is rational,
+    they are skipped anyway).  BigTIFF IFDs carry 8-byte counts,
+    20-byte entries and 8-byte inline value fields."""
+    count_w, entry_w, inline = (8, 20, 8) if big else (2, 12, 4)
+    if pos + count_w > len(data):
         raise ValueError("truncated TIFF IFD")
-    n = struct.unpack_from(order + "H", data, pos)[0]
-    pos += 2
+    n = struct.unpack_from(order + ("Q" if big else "H"), data, pos)[0]
+    pos += count_w
+    if big and n > 65535:
+        raise ValueError("implausible BigTIFF IFD entry count")
     tags: dict[int, list[int]] = {}
     for _ in range(n):
-        if pos + 12 > len(data):
+        if pos + entry_w > len(data):
             raise ValueError("truncated TIFF IFD entry")
-        tag, ttype, count = struct.unpack_from(order + "HHI", data, pos)
-        size = _TYPE_SIZES.get(ttype, 1) * count
-        if size <= 4:
-            voff = pos + 8
+        if big:
+            tag, ttype = struct.unpack_from(order + "HH", data, pos)
+            count = struct.unpack_from(order + "Q", data, pos + 4)[0]
         else:
-            voff = struct.unpack_from(order + "I", data, pos + 8)[0]
+            tag, ttype, count = struct.unpack_from(order + "HHI", data, pos)
+        size = _TYPE_SIZES.get(ttype, 1) * count
+        if size <= inline:
+            voff = pos + (12 if big else 8)
+        else:
+            voff = struct.unpack_from(order + ("Q" if big else "I"),
+                                      data, pos + (12 if big else 8))[0]
         if voff + size > len(data):
             raise ValueError("TIFF tag value out of bounds")
         if ttype == 3:
             vals = list(struct.unpack_from(order + f"{count}H", data, voff))
         elif ttype == 4:
             vals = list(struct.unpack_from(order + f"{count}I", data, voff))
+        elif ttype in (16, 18):          # LONG8 / IFD8 (BigTIFF)
+            vals = list(struct.unpack_from(order + f"{count}Q", data, voff))
         elif ttype in (1, 6, 7, 2):
             vals = list(data[voff:voff + count])
         else:
             vals = [0] * count           # rationals etc.: unused tags
         tags[tag] = vals
-        pos += 12
-    if pos + 4 > len(data):
+        pos += entry_w
+    next_w = 8 if big else 4
+    if pos + next_w > len(data):
         raise ValueError("truncated TIFF IFD chain")
-    next_ifd = struct.unpack_from(order + "I", data, pos)[0]
+    next_ifd = struct.unpack_from(order + ("Q" if big else "I"), data, pos)[0]
     return tags, next_ifd
 
 
@@ -270,8 +301,7 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
     predictor = tags.get(317, [1])[0]
     if planar != 1:
         raise ValueError("TIFF planar configuration 2 not supported")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiled TIFF not supported")
+    tiled = 322 in tags or 323 in tags
     if comp not in (_COMPRESSION_NONE, _COMPRESSION_MH, _COMPRESSION_G4,
                     _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported TIFF compression {comp}")
@@ -288,16 +318,86 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         depth = 16                       # scientific/medical gray + RGB
     else:
         raise ValueError(f"unsupported TIFF bit depths {bits}")
+    if tiled:
+        # Tiled organization (r12 — the geospatial/OCR layout): tiles
+        # are FULL-SIZED even at edges, row-major, each compressed
+        # independently; sub-byte depths would need bit-splicing at
+        # tile seams and stay gated.
+        if depth < 8:
+            raise ValueError("tiled sub-byte-depth TIFF not supported")
+        tw = tags.get(322, [0])[0]
+        tl = tags.get(323, [0])[0]
+        if tw == 0 or tl == 0:
+            raise ValueError("tiled TIFF missing tile dimensions")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        ta = -(-w // tw)
+        td = -(-h // tl)
+        if (not offsets or not counts or len(offsets) != len(counts)
+                or len(offsets) != ta * td):
+            raise ValueError("TIFF tile offsets/counts missing or mismatched")
+        unit = spp * (depth // 8)
+        if td * tl * ta * tw * spp > _MAX_PAGE_SAMPLES:
+            raise ValueError("tiled TIFF exceeds the in-memory decode budget")
+        trb = tw * unit
+        page = np.zeros((td * tl, ta * trb), dtype=np.uint8)
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(data):
+                raise ValueError("TIFF tile out of bounds")
+            raw = data[off:off + cnt]
+            expected = tl * trb
+            if comp == _COMPRESSION_LZW:
+                raw = _tiff_lzw_decode(raw, expected)
+            elif comp == _COMPRESSION_PACKBITS:
+                raw = _packbits_decode(raw, expected)
+            elif comp != _COMPRESSION_NONE:
+                raise ValueError("tiled TIFF with CCITT compression "
+                                 "not supported")
+            elif len(raw) < expected:
+                raise ValueError("TIFF tile shorter than its rows")
+            tile = np.frombuffer(raw, dtype=np.uint8,
+                                 count=expected).reshape(tl, trb)
+            if predictor == 2:
+                # Horizontal differencing restarts at every TILE row.
+                if depth == 8:
+                    t = tile.reshape(tl, tw, spp)
+                    tile = np.cumsum(t.astype(np.uint64), axis=1).astype(
+                        np.uint8).reshape(tl, trb)
+                else:
+                    pairs = tile.reshape(tl, tw * spp, 2).astype(np.uint16)
+                    if order == "<":
+                        vals = pairs[..., 0] | (pairs[..., 1] << 8)
+                    else:
+                        vals = (pairs[..., 0] << 8) | pairs[..., 1]
+                    vals = np.cumsum(
+                        vals.reshape(tl, tw, spp).astype(np.uint64), axis=1
+                    ).astype(np.uint16).reshape(tl, tw * spp)
+                    out16 = np.empty((tl, tw * spp, 2), dtype=np.uint8)
+                    if order == "<":
+                        out16[..., 0] = vals & 0xFF
+                        out16[..., 1] = vals >> 8
+                    else:
+                        out16[..., 0] = vals >> 8
+                        out16[..., 1] = vals & 0xFF
+                    tile = out16.reshape(tl, trb)
+            ty, tx = divmod(idx, ta)
+            page[ty * tl:(ty + 1) * tl, tx * trb:(tx + 1) * trb] = tile
+        grid = np.ascontiguousarray(page[:h, :w * unit])
+        predictor = 1                    # already applied per tile
+    else:
+        grid = None
+
     offsets = tags.get(273)
     counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
+    if not tiled and (
+            not offsets or not counts or len(offsets) != len(counts)):
         raise ValueError("TIFF strip offsets/counts missing or mismatched")
     rows_per_strip = tags.get(278, [h])[0] or h
     row_bytes = (w * spp * depth + 7) // 8
 
     rows = []
     done_rows = 0
-    for off, cnt in zip(offsets, counts):
+    for off, cnt in [] if tiled else zip(offsets, counts):
         if off + cnt > len(data):
             raise ValueError("TIFF strip out of bounds")
         n_rows = min(rows_per_strip, h - done_rows)
@@ -328,9 +428,10 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
                               count=expected).reshape(n_rows, row_bytes)
         rows.append(strip)
         done_rows += n_rows
-    if done_rows < h:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
-    grid = np.concatenate(rows)
+    if not tiled:
+        if done_rows < h:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        grid = np.concatenate(rows)
 
     if depth == 1:
         bits_arr = np.unpackbits(grid, axis=1)[:, :w]
@@ -388,7 +489,7 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
 def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
     """All pages of a (possibly multi-page) TIFF, each (h, w, ch) uint8."""
     data = bytes(data)
-    order, pos = _read_header(data)
+    order, pos, big = _read_header(data)
     pages = []
     seen = set()
     total = 0
@@ -396,7 +497,7 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
         if pos in seen:
             raise ValueError("TIFF IFD chain loops")
         seen.add(pos)
-        tags, pos = _read_ifd(data, order, pos)
+        tags, pos = _read_ifd(data, order, pos, big)
         page = _decode_page(data, order, tags)
         total += page.size
         if total > _MAX_TOTAL_SAMPLES:
@@ -411,8 +512,8 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
 def decode_tiff(data: bytes) -> np.ndarray:
     """First page of the TIFF as (h, w, ch) uint8."""
     data = bytes(data)
-    order, pos = _read_header(data)
-    tags, _ = _read_ifd(data, order, pos)
+    order, pos, big = _read_header(data)
+    tags, _ = _read_ifd(data, order, pos, big)
     return _decode_page(data, order, tags)
 
 
@@ -420,8 +521,8 @@ def probe_tiff_dims(data: bytes) -> tuple[int, int]:
     """(width, height) of the first page from its IFD — O(IFD), the
     strip data is never touched."""
     data = bytes(data)
-    order, pos = _read_header(data)
-    tags, _ = _read_ifd(data, order, pos)
+    order, pos, big = _read_header(data)
+    tags, _ = _read_ifd(data, order, pos, big)
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
     if w == 0 or h == 0:
@@ -432,14 +533,14 @@ def probe_tiff_dims(data: bytes) -> tuple[int, int]:
 def count_tiff_pages(data: bytes) -> int:
     """Page count by walking the IFD chain — O(pages), no pixel work."""
     data = bytes(data)
-    order, pos = _read_header(data)
+    order, pos, big = _read_header(data)
     count = 0
     seen = set()
     while pos:
         if pos in seen:
             raise ValueError("TIFF IFD chain loops")
         seen.add(pos)
-        _, pos = _read_ifd(data, order, pos)
+        _, pos = _read_ifd(data, order, pos, big)
         count += 1
     if count == 0:
         raise ValueError("TIFF contains no pages")
@@ -457,6 +558,7 @@ def encode_tiff(
     predictor: bool = False,
     bilevel: bool = False,
     palette: np.ndarray | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Page arrays -> little-endian classic TIFF bytes.
 
@@ -466,9 +568,12 @@ def encode_tiff(
     single-channel pages at 128 and packs 1-bit BlackIsZero rows (the
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
-    ``compression`` is 'none' | 'g4' (CCITT T.6, bilevel only) |
+    ``compression`` is 'none' | 'mh' | 'g4' (CCITT, bilevel only) |
     'lzw' | 'packbits'; ``predictor`` applies horizontal differencing
-    before LZW."""
+    before LZW.  ``tile=(tile_width, tile_height)`` emits the tiled
+    organization instead of strips (byte-aligned depths only — tiles
+    are full-sized with zero padding at the edges, and the predictor
+    restarts at every tile row)."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     if not pages:
@@ -480,6 +585,11 @@ def encode_tiff(
         raise ValueError(f"unknown TIFF compression '{compression}'")
     if comp_id in (_COMPRESSION_MH, _COMPRESSION_G4) and not bilevel:
         raise ValueError("TIFF CCITT compression requires bilevel=True")
+    if tile is not None:
+        if bilevel or comp_id in (_COMPRESSION_MH, _COMPRESSION_G4):
+            raise ValueError("tiled TIFF supports byte-aligned depths only")
+        if len(tile) != 2 or tile[0] <= 0 or tile[1] <= 0:
+            raise ValueError("tile must be (tile_width, tile_height)")
     if predictor and (bilevel or compression != "lzw"):
         raise ValueError("predictor applies to LZW-compressed pages")
     if palette is not None and (palette.dtype != np.uint8 or palette.ndim != 2
@@ -508,7 +618,32 @@ def encode_tiff(
 
         rps = rows_per_strip or h
         strips: list[bytes] = []
-        for y0 in range(0, h, rps):
+        if tile is not None:
+            tw, tl = tile
+            ta, td = -(-w // tw), -(-h // tl)
+            padded = np.zeros((td * tl, ta * tw, ch), dtype=img.dtype)
+            padded[:h, :w] = img
+            for ty in range(td):
+                for tx in range(ta):
+                    rows = padded[ty * tl:(ty + 1) * tl,
+                                  tx * tw:(tx + 1) * tw]
+                    if predictor:
+                        diff = rows.astype(np.int32)
+                        diff[:, 1:] -= rows[:, :-1].astype(np.int32)
+                        raw = ((diff & 0xFFFF).astype("<u2").tobytes()
+                               if deep
+                               else (diff & 0xFF).astype(np.uint8).tobytes())
+                    elif deep:
+                        raw = np.ascontiguousarray(
+                            rows.astype("<u2")).tobytes()
+                    else:
+                        raw = np.ascontiguousarray(rows).tobytes()
+                    if comp_id == _COMPRESSION_LZW:
+                        raw = _tiff_lzw_encode(raw)
+                    elif comp_id == _COMPRESSION_PACKBITS:
+                        raw = _packbits_encode(raw)
+                    strips.append(raw)
+        for y0 in [] if tile is not None else range(0, h, rps):
             rows = img[y0:y0 + rps]
             if comp_id in (_COMPRESSION_G4, _COMPRESSION_MH):
                 # Encoded under photometric 1 (BlackIsZero, the path
@@ -557,11 +692,21 @@ def encode_tiff(
             (258, 3, ch, [1 if bilevel else (16 if deep else 8)] * ch),
             (259, 3, 1, [comp_id]),
             (262, 3, 1, [photo]),
-            (273, 4, len(strips), data_offsets),
             (277, 3, 1, [ch]),
-            (278, 3, 1, [min(rps, h)]),
-            (279, 4, len(strips), [len(s) for s in strips]),
         ]
+        if tile is not None:
+            entries += [
+                (322, 3, 1, [tile[0]]),
+                (323, 3, 1, [tile[1]]),
+                (324, 4, len(strips), data_offsets),
+                (325, 4, len(strips), [len(s) for s in strips]),
+            ]
+        else:
+            entries += [
+                (273, 4, len(strips), data_offsets),
+                (278, 3, 1, [min(rps, h)]),
+                (279, 4, len(strips), [len(s) for s in strips]),
+            ]
         if ch == 4:
             entries.append((338, 3, 1, [2]))      # unassociated alpha
         if predictor:

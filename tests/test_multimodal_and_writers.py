@@ -1698,3 +1698,59 @@ def test_ccitt_g4_codec_and_tiff_integration(spark):
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
     got0 = MC.decode_png(bytes(sampled[0]["frame_png"]))
     assert np.array_equal(got0[:, :, 0], np.where(pages[0] > 0, 255, 0))
+
+
+def test_tiff_tiled_and_bigtiff():
+    """r12: the tiled organization (geospatial/OCR layout) round-trips
+    at 8/16-bit across compressions with per-tile predictor restarts
+    and zero-padded edge tiles; BigTIFF (magic 43, 8-byte offsets,
+    LONG8 values) decodes through every entry point."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(1221)
+    for dtype, maxv in ((np.uint8, 256), (np.uint16, 65536)):
+        img = rng.integers(0, maxv, (33, 47, 3)).astype(dtype)
+        for comp in ("none", "lzw", "packbits"):
+            for pred in (False, True):
+                if pred and comp != "lzw":
+                    continue
+                data = TC.encode_tiff(img, compression=comp,
+                                      predictor=pred, tile=(16, 16))
+                got = TC.decode_tiff(data)
+                assert got.dtype == dtype and np.array_equal(got, img), \
+                    (str(dtype), comp, pred)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (20, 30)).astype(np.uint8)
+    got = TC.decode_tiff(TC.encode_tiff(idx, palette=pal,
+                                        compression="lzw", tile=(16, 16)))
+    assert np.array_equal(got, pal[idx])
+    with pytest.raises(ValueError, match="byte-aligned"):
+        TC.encode_tiff(idx, bilevel=True, compression="g4", tile=(16, 16))
+
+    # Hand-built little-endian BigTIFF: 3x2 gray, LONG8 strip offsets.
+    px = bytes([1, 2, 3, 4, 5, 6])
+    def entry(tag, ttype, count, val8):
+        return struct.pack("<HHQ", tag, ttype, count) + val8
+    n = 7
+    ifd = struct.pack("<Q", n)
+    ifd += entry(256, 3, 1, struct.pack("<HHI", 3, 0, 0))
+    ifd += entry(257, 3, 1, struct.pack("<HHI", 2, 0, 0))
+    ifd += entry(258, 3, 1, struct.pack("<HHI", 8, 0, 0))
+    ifd += entry(259, 3, 1, struct.pack("<HHI", 1, 0, 0))
+    ifd += entry(262, 3, 1, struct.pack("<HHI", 1, 0, 0))
+    data_off = 16 + 8 + n * 20 + 8
+    ifd += entry(273, 16, 1, struct.pack("<Q", data_off))
+    ifd += entry(279, 16, 1, struct.pack("<Q", 6))
+    ifd += struct.pack("<Q", 0)
+    big = b"II" + struct.pack("<HHHQ", 43, 8, 0, 16) + ifd + px
+    assert np.array_equal(TC.decode_tiff(big)[:, :, 0],
+                          [[1, 2, 3], [4, 5, 6]])
+    assert TC.probe_tiff_dims(big) == (3, 2)
+    assert TC.count_tiff_pages(big) == 1
+    with pytest.raises(ValueError, match="malformed BigTIFF"):
+        TC.decode_tiff(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
