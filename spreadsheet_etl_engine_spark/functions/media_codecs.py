@@ -4,7 +4,9 @@ Real decode/encode with no media libraries needed:
 
 * **BMP** (24-bit uncompressed ``BITMAPINFOHEADER``) — bottom-up BGR rows,
   4-byte row padding;
-* **PPM** (binary ``P6``) — ASCII header then RGB bytes;
+* **netpbm** (binary ``P6``/``P5``/``P4`` — PPM RGB, PGM grayscale, PBM
+  bitmap; the raw OCR-corpus formats) — ASCII header then sample bytes
+  (P4 rows bit-packed, 1 = black per spec, decoded to 0/255 gray);
 * **WAV** (RIFF) — canonical 44-byte header; every uncompressed sample
   format real corpora carry (r12): PCM 8/16/24/32-bit and IEEE
   float32/float64, any channel count (compressed WAV payloads — ADPCM,
@@ -105,15 +107,12 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pixel_bytes
 
 
-def decode_ppm(data: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval 255) → (h, w, 3) uint8 RGB array."""
-    if data[:2] != b"P6":
-        raise ValueError("not a binary PPM file")
-    # Header: magic, width, height, maxval — whitespace separated, with
-    # optional '#' comment lines.
+def _pnm_header(data: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Whitespace-separated integer header fields after the magic, with
+    '#' comment lines — shared by the P4/P5/P6 netpbm parsers."""
     fields: list[int] = []
     pos = 2
-    while len(fields) < 3:
+    while len(fields) < n_fields:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
         if data[pos : pos + 1] == b"#":
@@ -124,17 +123,55 @@ def decode_ppm(data: bytes) -> np.ndarray:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = fields
-    if maxval != 255:
-        raise ValueError("only maxval=255 PPM supported")
-    raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return raw.reshape(h, w, 3).copy()
+    return fields, pos + 1               # single whitespace after header
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary netpbm → uint8 array: P6 (PPM RGB, maxval 255) →
+    (h, w, 3); P5 (PGM gray — the OCR-corpus shape) → (h, w, 1);
+    P4 (PBM bitmap, 1 = black per spec, row-padded bits) → (h, w, 1)
+    with black as 0 and white as 255 (the grayscale convention)."""
+    magic = data[:2]
+    if magic == b"P6":
+        (w, h, maxval), pos = _pnm_header(data, 3)
+        if maxval != 255:
+            raise ValueError("only maxval=255 PPM supported")
+        raw = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return raw.reshape(h, w, 3).copy()
+    if magic == b"P5":
+        (w, h, maxval), pos = _pnm_header(data, 3)
+        if maxval != 255:
+            raise ValueError("only maxval=255 PGM supported")
+        raw = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=pos)
+        return raw.reshape(h, w, 1).copy()
+    if magic == b"P4":
+        (w, h), pos = _pnm_header(data, 2)
+        row_bytes = (w + 7) // 8
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * row_bytes,
+                            offset=pos).reshape(h, row_bytes)
+        black = np.unpackbits(raw, axis=1)[:, :w]
+        return ((1 - black) * 255).astype(np.uint8)[:, :, None].copy()
+    raise ValueError("not a binary PPM/PGM/PBM file")
 
 
 def encode_ppm(img: np.ndarray) -> bytes:
-    h, w, _ = img.shape
+    """uint8 array → binary netpbm: (h, w, 3) emits P6; (h, w) or
+    (h, w, 1) emits P5 grayscale."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch == 1:
+        return b"P5\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_pbm(bitmap: np.ndarray) -> bytes:
+    """(h, w) bitmap (nonzero = black) → binary PBM (P4) bytes."""
+    if bitmap.ndim != 2:
+        raise ValueError("encode_pbm needs a (h, w) bitmap")
+    h, w = bitmap.shape
+    packed = np.packbits((np.asarray(bitmap) != 0).astype(np.uint8), axis=1)
+    return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
 
 
 # WAV sample formats: (audio_fmt, bits) -> numpy dtype of the decoded
@@ -709,8 +746,8 @@ def sniff(data: bytes) -> str:
     head = bytes(data[:12])
     if head[:2] == b"BM":
         return "bmp"
-    if head[:2] == b"P6":
-        return "ppm"
+    if head[:2] in (b"P6", b"P5", b"P4"):
+        return "ppm"                     # binary netpbm family
     if head[:8] == _PNG_SIG:
         return "png"
     if head[:3] == b"\xff\xd8\xff":

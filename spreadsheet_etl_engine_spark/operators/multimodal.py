@@ -280,7 +280,9 @@ def extract_features(df: DataFrame) -> DataFrame:
         try:
             if container in ("bmp", "ppm", "png", "jpeg", "gif", "tiff"):
                 decoded = (MC.decode_bmp(raw) if container == "bmp"
-                           else MC.decode_ppm(raw) if container == "ppm"
+                           # P5/P4 decode single-channel (r12): same
+                           # gray-replication as PNG/TIFF
+                           else MC.to_rgb(MC.decode_ppm(raw)) if container == "ppm"
                            else MC.to_rgb(MC.decode_png(raw)) if container == "png"
                            else MC.decode_gif(raw)[0] if container == "gif"
                            # GIF/TIFF: first frame/page embedding — the

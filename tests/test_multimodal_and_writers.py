@@ -1754,3 +1754,43 @@ def test_tiff_tiled_and_bigtiff():
     assert TC.count_tiff_pages(big) == 1
     with pytest.raises(ValueError, match="malformed BigTIFF"):
         TC.decode_tiff(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
+
+
+def test_netpbm_p5_p4_variants(spark):
+    """r12: the PPM family's gray (P5) and bitmap (P4) siblings — the
+    raw formats OCR corpora carry.  P4 bits are 1=black per spec and
+    decode to 0/255 gray; the gray/RGB/bitmap renderings of the same
+    image embed identically through to_rgb."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    rng = np.random.default_rng(1222)
+    g = rng.integers(0, 256, (9, 14), dtype=np.uint8)
+    p5 = MC.encode_ppm(g)
+    assert p5.startswith(b"P5") and MC.sniff(p5) == "ppm"
+    got = MC.decode_ppm(p5)
+    assert got.shape == (9, 14, 1) and np.array_equal(got[:, :, 0], g)
+
+    bm = rng.integers(0, 2, (11, 19)).astype(np.uint8)
+    p4 = MC.encode_pbm(bm)
+    assert p4.startswith(b"P4") and MC.sniff(p4) == "ppm"
+    got = MC.decode_ppm(p4)
+    assert got.shape == (11, 19, 1)
+    assert np.array_equal(got[:, :, 0], (1 - bm) * 255)  # 1=black -> 0
+
+    rows = [
+        (1, "image", MC.encode_ppm(np.repeat(g[:, :, None], 3, axis=2)), 0),
+        (2, "image", p5, 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert all((dec[m]["width"], dec[m]["height"]) == (14, 9) for m in (1, 2))
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    assert all(len(v) == MM.FEATURE_DIM for v in feats.values())
+    assert np.allclose(feats[1], feats[2], atol=1e-6)  # RGB == gray-replicated
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=7, height=4).collect()}
+    assert resized[2].startswith(b"P5")                # gray stays gray
+    assert MC.decode_ppm(resized[2]).shape == (4, 7, 1)
