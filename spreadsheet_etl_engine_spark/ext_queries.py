@@ -996,19 +996,27 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     # The synthetic media table is a pure function of the row index i
     # (operators/multimodal.py:synth_media), so DuckDB can recompute the
-    # EXPECTED metadata — dimensions and exact container byte sizes (BMP
-    # 54-byte header + 4-aligned rows, PPM ASCII header + 3wh, PNG with
-    # level-0 zlib = 68 fixed bytes + h*(1+3w) stored scanlines, palette
-    # PNG = 128 fixed bytes (incl. the 16-entry PLTE) + h*(1+w) index
+    # EXPECTED metadata — dimensions, frame/page counts, and exact
+    # container byte sizes for every closed-form container (BMP 54-byte
+    # header + 4-aligned rows, PPM ASCII header + 3wh, PNG with level-0
+    # zlib = 68 fixed bytes + h*(1+3w) stored scanlines, palette PNG =
+    # 128 fixed bytes (incl. the 16-entry PLTE) + h*(1+w) index
     # scanlines, 16-bit gray PNG = 68 + h*(1+2w), Adam7 RGB PNG = 68 +
     # the 7-pass scanline sum, 4-bit palette PNG = 128 + h*(1+ceil(w/2)),
-    # WAV 44+2n, fake VID header) — from range(96) without
-    # parsing binary.  r12: the three new containers drive the decoder's
-    # 16-bit, interlaced, and sub-byte paths under the driver hash.
-    # The Spark side decodes the ACTUAL encoded bytes (numpy BMP/PPM/PNG/
-    # WAV kernels via Arrow-batched mapInPandas), so both the encoder and
-    # the decoder sit under the hash; a one-byte layout bug (or a wrong
-    # zlib framing assumption) breaks the match.
+    # WAV 44 + bytes_per_sample*n + RIFF pad, fake VID header) — from
+    # range(96) without parsing binary.  r13 (r12 verdict Next 1): the
+    # r12 codec layer's containers join the fixture — baseline +
+    # progressive JPEG image rows, every uncompressed WAV sample format
+    # (PCM8/16/24/32 + float32, incl. the odd-body RIFF pad byte in the
+    # size formula), animated GIF and multi-page TIFF (G4-bilevel /
+    # LZW+predictor / tiled sub-cycle) video rows.  The entropy-coded
+    # containers (JPEG/GIF/TIFF) have no closed-form size, so the size
+    # pin (sized_bytes) restricts to the formula containers via the SAME
+    # media_id arithmetic on both sides, and those rows are pinned
+    # through their decoded dims (SOF/logical-screen/IFD probes) and
+    # REAL frame/page counts (O(blocks) GIF structure walk, O(IFD-chain)
+    # TIFF page walk) under sum_width/sum_height/total_frames — a wrong
+    # LZW block walk or IFD chain breaks the hash.
     oracle="""
     WITH m AS (
       SELECT i,
@@ -1017,17 +1025,24 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              8 + i % 16 AS iw, 6 + i % 8 AS ih,
              256 + i % 64 AS ns,
              4 + i % 8 AS nf,
-             i % 17 + 1 AS plen
+             2 + i % 3 AS npages,
+             i % 17 + 1 AS plen,
+             (i // 3) % 9 AS ic,
+             CASE (i // 3) % 5 WHEN 0 THEN 2 WHEN 1 THEN 1
+                  WHEN 2 THEN 3 ELSE 4 END AS bps,
+             (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,
              CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN ns
-                  ELSE 64 END AS width,
+                  ELSE CASE vc WHEN 0 THEN 64 ELSE iw END END AS width,
              CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 1
-                  ELSE 48 END AS height,
-             CASE kind WHEN 'video' THEN nf ELSE 1 END AS n_frames,
+                  ELSE CASE vc WHEN 0 THEN 48 ELSE ih END END AS height,
+             CASE kind WHEN 'video' THEN
+                  CASE vc WHEN 2 THEN npages ELSE nf END
+                  ELSE 1 END AS n_frames,
              CASE kind
-               WHEN 'image' THEN CASE (i // 3) % 7
+               WHEN 'image' THEN CASE ic
                  WHEN 0 THEN 54 + ih * ((iw * 3 + 3) // 4 * 4)
                  WHEN 1 THEN 9 + len(CAST(iw AS VARCHAR))
                       + len(CAST(ih AS VARCHAR)) + 3 * iw * ih
@@ -1051,34 +1066,55 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (ih // 2) * (1 + 3 * iw)
                  -- 4-bit palette PNG (r12): sub-byte scanlines pack
                  -- two indexes per byte (MSB-first), ceil(iw/2) bytes
-                 ELSE 80 + 3 * 16 + ih * (1 + (iw + 1) // 2)
+                 WHEN 6 THEN 80 + 3 * 16 + ih * (1 + (iw + 1) // 2)
+                 -- JPEG rows (r13): entropy-coded, no closed form
+                 ELSE 0
                END
-               WHEN 'audio' THEN 44 + 2 * ns
-               ELSE 11 + len(CAST(nf AS VARCHAR)) + plen
-             END AS n_bytes
+               -- WAV (r13): per-format sample width + the RIFF word-
+               -- alignment pad byte on odd-length bodies
+               WHEN 'audio' THEN 44 + bps * ns + (bps * ns) % 2
+               ELSE CASE vc WHEN 0 THEN
+                    11 + len(CAST(nf AS VARCHAR)) + plen ELSE 0 END
+             END AS sized_bytes
       FROM m
     )
     SELECT kind, count(*) AS n_media,
-           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(sized_bytes) AS BIGINT) AS sized_bytes,
+           CAST(sum(width) AS BIGINT) AS sum_width,
+           CAST(sum(height) AS BIGINT) AS sum_height,
            CAST(max(width) AS BIGINT) AS max_width,
            CAST(max(height) AS BIGINT) AS max_height,
            CAST(sum(n_frames) AS BIGINT) AS total_frames
     FROM meta GROUP BY kind
     """,
     doc="Multimodal columns: binary media + typed metadata decoded via "
-        "Arrow-batched mapInPandas — REAL numpy BMP/PPM/PNG/WAV decode "
-        "(functions/media_codecs.py; PNG via stdlib zlib + numpy "
-        "unfiltering), fake header for video; per-format size/dimension "
-        "rollup, oracled against the generative formula.",
+        "Arrow-batched mapInPandas — REAL numpy BMP/PPM/PNG/JPEG/GIF/"
+        "TIFF/WAV codecs (functions/media_codecs.py and friends), fake "
+        "header for the extension-point video rows; per-format size/"
+        "dimension/frame rollup, oracled against the generative "
+        "formula (closed-form byte sizes where the container has one, "
+        "probe dims + frame/page counts everywhere).",
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spreadsheet_etl_engine_spark.operators import multimodal as MM
 
     media = MM.synth_media(spark, 96, real=True)
     decoded = MM.decode_media(media)
+    # The size pin applies only to containers with a closed-form byte
+    # size (the oracle cannot recompute an entropy stream): both sides
+    # restrict with the SAME pure-function-of-media_id arithmetic the
+    # fixture itself uses, so the predicate is part of what's verified.
+    sized = F.when(
+        ((F.col("kind") == "image") & (F.expr("(media_id DIV 3) % 9") <= 6))
+        | (F.col("kind") == "audio")
+        | ((F.col("kind") == "video") & (F.expr("(media_id DIV 3) % 3") == 0)),
+        F.col("n_bytes"),
+    ).otherwise(F.lit(0))
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n_media"),
-        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum(sized).cast("long").alias("sized_bytes"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
         F.max("width").cast("long").alias("max_width"),
         F.max("height").cast("long").alias("max_height"),
         F.sum("n_frames").cast("long").alias("total_frames"),
@@ -1095,42 +1131,60 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Oracle-able because every assertion reduces to the generative
     # formula: images all decode to exactly 4x2 after the resize (and
     # their re-encoded payload hash must CHANGE — original dims are
-    # never 4x2); audio/video pass through byte-identical; the feature
-    # vector's last two slots for images are w/4096 and h/4096 =
-    # 2^-10 / 2^-11 — exact in float32, so the equality count is
-    # bit-safe, and PROVABLY unreachable by the md5-fallback values
-    # (nearest uint16/65535 quotient sits ~2e-8 away, ~200 float32
-    # ulps) and by audio's samples/1e6, rate/1e5 slots.
+    # never 4x2); audio and fake-video rows pass through byte-identical,
+    # while the REAL video containers (r13: animated GIF, multi-page
+    # TIFF) resize EVERY frame/page to 4x2, preserve their frame/page
+    # count through re-encode, and change their payload; the feature
+    # vector's last two slots for images — and for the first frame/page
+    # of the real video containers — are w/4096 and h/4096 = 2^-10 /
+    # 2^-11 — exact in float32, so the equality count is bit-safe, and
+    # PROVABLY unreachable by the md5-fallback values (nearest
+    # uint16/65535 quotient sits ~2e-8 away, ~200 float32 ulps) and by
+    # audio's samples/1e6, rate/1e5 slots.
     oracle="""
     WITH m AS (
       SELECT i,
              CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                   ELSE 'video' END AS kind,
              256 + i % 64 AS ns,
-             4 + i % 8 AS nf
+             4 + i % 8 AS nf,
+             2 + i % 3 AS npages,
+             (i // 3) % 3 AS vc
       FROM range(96) t(i)
+    ), meta AS (
+      SELECT kind,
+             CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
+                  ELSE CASE vc WHEN 0 THEN 64 ELSE 4 END END AS width,
+             CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
+                  ELSE CASE vc WHEN 0 THEN 48 ELSE 2 END END AS height,
+             CASE kind WHEN 'video' THEN
+                  CASE vc WHEN 2 THEN npages ELSE nf END
+                  ELSE 1 END AS n_frames,
+             -- frame_sample(every_k=2) keeps indices 0,2,..,n-1:
+             -- ceil(n/2) frames per video (pages count like frames)
+             CASE kind WHEN 'video' THEN
+                  CASE vc WHEN 2 THEN (npages + 1) // 2
+                       ELSE (nf + 1) // 2 END
+                  ELSE 0 END AS sampled,
+             -- resize touches images and the real video containers
+             -- (GIF vc=1, TIFF vc=2); those same rows decode to 4x2
+             -- and carry the exact dim feature slots
+             CASE WHEN kind = 'image'
+                       OR (kind = 'video' AND vc > 0) THEN 1
+                  ELSE 0 END AS changed
+      FROM m
     )
     SELECT kind, count(*) AS n_media,
-           CAST(min(CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
-                     ELSE 64 END) AS BIGINT) AS min_width,
-           CAST(max(CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
-                     ELSE 64 END) AS BIGINT) AS max_width,
-           CAST(min(CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
-                     ELSE 48 END) AS BIGINT) AS min_height,
-           CAST(max(CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
-                     ELSE 48 END) AS BIGINT) AS max_height,
-           CAST(sum(CASE kind WHEN 'video' THEN nf ELSE 1 END) AS BIGINT)
-               AS total_frames,
-           -- frame_sample(every_k=2) keeps indices 0,2,..,nf-1:
-           -- ceil(nf/2) frames per video, none for other kinds
-           CAST(sum(CASE kind WHEN 'video' THEN (nf + 1) // 2
-                     ELSE 0 END) AS BIGINT) AS total_sampled_frames,
-           CAST(sum(CASE kind WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_payload_changed,
+           CAST(min(width) AS BIGINT) AS min_width,
+           CAST(max(width) AS BIGINT) AS max_width,
+           CAST(min(height) AS BIGINT) AS min_height,
+           CAST(max(height) AS BIGINT) AS max_height,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(sum(sampled) AS BIGINT) AS total_sampled_frames,
+           CAST(sum(changed) AS BIGINT) AS n_payload_changed,
            count(*) AS n_feature_dim8,
-           CAST(sum(CASE kind WHEN 'image' THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dim_features
-    FROM m GROUP BY kind
+           CAST(sum(changed) AS BIGINT) AS n_dim_features
+    FROM meta GROUP BY kind
     """,
     doc="Multimodal compute kernels end-to-end: resize_images to 4x2 "
         "(real nearest-neighbor through the numpy BMP/PPM/PNG codecs; "
@@ -1517,6 +1571,99 @@ def streaming_seen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_copies").alias("n_copies"),
             F.max_by("rep_doc_id", "n_copies").alias("rep_doc_id"),
         ).select("content_hash", "rep_doc_id", "n_copies")
+        return spark.createDataFrame(final.collect(), final.schema)
+
+
+@register(
+    "streaming_dedup_fuzzy",
+    # FUZZY dedup on ingest (r13, r12 verdict Next 3): MinHash band
+    # keys computed per-row in each micro-batch, one stateful shuffle
+    # keying applyInPandasWithState on (band_id, band_hash); a new id
+    # emits a candidate pair per prior bucket occupant.  The streamed
+    # corpus is the even-doc_id half, with the %5==2 subset re-
+    # delivered (at-least-once transport) across 8 files / 2 per
+    # trigger so copies land in different micro-batches — re-delivered
+    # ids are already in bucket state and must emit NOTHING.  The
+    # emitted pair set (after the consumer's DISTINCT — multi-band
+    # collisions emit once per band, exactly like the batch bucket
+    # join before its DISTINCT) equals the batch minhash_lsh_pairs
+    # restricted to the streamed corpus, so the oracle is that query's
+    # SQL with the corpus predicate — it never sees the injection; the
+    # duplicates it ignores are the ones the state must swallow.
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS s
+        FROM documents
+        WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (SELECT doc_id, {_sig_sql(8)} FROM sh GROUP BY doc_id),
+    b AS (
+        SELECT doc_id,
+               CAST(h0 AS VARCHAR) || '|' || CAST(h1 AS VARCHAR) AS b0,
+               CAST(h2 AS VARCHAR) || '|' || CAST(h3 AS VARCHAR) AS b1,
+               CAST(h4 AS VARCHAR) || '|' || CAST(h5 AS VARCHAR) AS b2,
+               CAST(h6 AS VARCHAR) || '|' || CAST(h7 AS VARCHAR) AS b3
+        FROM sig
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM b x JOIN b y
+      ON x.doc_id < y.doc_id
+     AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+    """,
+    doc="Streaming fuzzy dedup (streaming/dedup.py:"
+        "band_candidates_stream): MinHash-LSH candidate pairs emitted "
+        "on ingest via band-keyed applyInPandasWithState — the "
+        "streaming form of dedup_minhash_lsh_pairs' bucket self-join, "
+        "feeding the same verify stage.  Emit-once append semantics "
+        "run straight into a parquet sink (nothing corpus-sized "
+        "touches the driver); state is one id list per distinct band "
+        "key with a documented skew cap (max_bucket).",
+)
+def streaming_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    redelivered = docs.filter(F.col("doc_id") % 5 == 2)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/docs_in"
+        docs.unionByName(redelivered).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
+        pairs = SD.band_candidates_stream(
+            stream, "text", "doc_id", num_hashes=8, bands=4
+        )
+        out_dir = f"{tmp}/pairs"
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pair_schema = StructType([
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("band_id", IntegerType()),
+        ])
+        final = (
+            spark.read.schema(pair_schema).parquet(out_dir)
+            .select("id_a", "id_b").distinct()
+        )
+        # Materialize before the temp dir disappears (distinct pair set
+        # — the same cardinality the batch twin returns).
         return spark.createDataFrame(final.collect(), final.schema)
 
 

@@ -210,8 +210,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("WAV data chunk before fmt chunk")
             n_channels, rate, audio_fmt, bits = fmt
             if bits == 24:
+                if size % (3 * n_channels):
+                    raise ValueError(
+                        f"24-bit WAV data chunk size {size} is not a "
+                        f"multiple of the {3 * n_channels}-byte frame")
                 raw = np.frombuffer(data, dtype=np.uint8,
-                                    count=size - size % 3, offset=pos + 8)
+                                    count=size, offset=pos + 8)
                 tri = raw.reshape(-1, 3).astype(np.uint32)
                 vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
                 samples = vals.astype(np.int32)
@@ -263,12 +267,18 @@ def encode_wav(samples: np.ndarray, rate: int, *,
         audio_fmt, width = spec
         body = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
     byte_rate = rate * n_channels * width
+    # RIFF chunks are word-aligned: an odd-length data chunk body (PCM8/
+    # PCM24 mono, odd sample count) gets a zero pad byte — excluded from
+    # the chunk size, included in the RIFF size (r12 ADVICE; decode_wav's
+    # `size & 1` skip already tolerates it, strict readers require it).
+    pad = b"\x00" if len(body) & 1 else b""
     return (
-        struct.pack("<4sI4s", b"RIFF", 36 + len(body), b"WAVE")
+        struct.pack("<4sI4s", b"RIFF", 36 + len(body) + len(pad), b"WAVE")
         + struct.pack("<4sIHHIIHH", b"fmt ", 16, audio_fmt, n_channels, rate,
                       byte_rate, n_channels * width, width * 8)
         + struct.pack("<4sI", b"data", len(body))
         + body
+        + pad
     )
 
 
@@ -718,8 +728,10 @@ def probe_png_dims(data: bytes) -> tuple[int, int]:
 def probe_jpeg_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the JPEG SOF header alone — the entropy
     stream (the O(pixels) part) is never touched.  Walks the marker
-    segments to SOF0/SOF1, rejecting the processes ``decode_jpeg``
-    rejects (progressive, 12-bit), so probe and decoder agree."""
+    segments to SOF0/SOF1/SOF2 (baseline, extended sequential, AND
+    progressive — all the frame types ``decode_jpeg`` accepts since
+    r12), rejecting the same SOF classes the decoder rejects
+    (arithmetic, hierarchical, lossless), so probe and decoder agree."""
     from spreadsheet_etl_engine_spark.functions import jpeg_codec as JC
 
     return JC.probe_dims(data)
@@ -739,10 +751,12 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 def sniff(data: bytes) -> str:
     """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'png' |
-    'jpeg' | 'gif' | 'fake' | 'unknown'.  RIFF alone is not enough for
-    WAV — WebP/AVI are RIFF containers too, so the WAVE fourcc is
-    required.  JPEG is SOI followed by another marker (all JFIF/EXIF/raw
-    streams start FF D8 FF)."""
+    'jpeg' | 'gif' | 'tiff' | 'fake' | 'unknown'.  RIFF alone is not
+    enough for WAV — WebP/AVI are RIFF containers too, so the WAVE fourcc
+    is required.  JPEG is SOI followed by another marker (all JFIF/EXIF/
+    raw streams start FF D8 FF).  The tiff branch matches classic TIFF
+    (magic 42) AND BigTIFF (magic 43) in both byte orders — tiff_codec
+    decodes both, so the sniffer must route both (r12 ADVICE)."""
     head = bytes(data[:12])
     if head[:2] == b"BM":
         return "bmp"
@@ -754,7 +768,7 @@ def sniff(data: bytes) -> str:
         return "jpeg"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
-    if head[:4] in (b"II*\x00", b"MM\x00*"):
+    if head[:4] in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
         return "tiff"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"

@@ -72,13 +72,19 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     ``real=True`` emits genuine containers cycling per image row —
     24-bit BMP / binary PPM / zlib-stored truecolor PNG / 16-entry
     palette PNG / 16-bit grayscale PNG / Adam7-interlaced RGB PNG /
-    4-bit (sub-byte) palette PNG gradients — plus PCM16 sine WAVs for
-    audio, so the numpy decode kernels run end-to-end across the whole
-    static PNG spec surface; video rows keep the fake header (an
-    uncompressed video container would just be a frame list).  PNG rows
-    use ``level=0`` (stored deflate blocks) so their byte size stays a
-    closed formula the generative oracle can recompute (the Adam7 row's
-    formula sums the seven per-pass scanline blocks)."""
+    4-bit (sub-byte) palette PNG gradients / baseline JPEG /
+    progressive JPEG (r13) — audio rows cycle every uncompressed WAV
+    sample format (PCM16 / PCM8 / PCM24 / PCM32 / IEEE float32, r13),
+    and video rows cycle fake header / animated GIF / multi-page TIFF
+    (r13 — the TIFF rows sub-cycle G4-bilevel, LZW-RGB-with-predictor,
+    and the tiled organization, so the scanned-document compressions
+    all sit under the driver hash).  PNG rows use ``level=0`` (stored
+    deflate blocks) and WAV bodies are even-length, so their byte sizes
+    stay closed formulas the generative oracle can recompute (the Adam7
+    row's formula sums the seven per-pass scanline blocks); the
+    entropy-coded containers (JPEG/GIF/TIFF) have no closed-form size
+    and are pinned through decoded dims / frame and page counts /
+    resize + feature kernels instead."""
     import numpy as np
 
     from spreadsheet_etl_engine_spark.functions import media_codecs as MC
@@ -90,7 +96,7 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 w, h = 8 + i % 16, 6 + i % 8
                 img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1)) % 256
                        ).astype(np.uint8)
-                container = (i // 3) % 7
+                container = (i // 3) % 9
                 if container in (3, 6):
                     # Palette (color-type 3) PNG — fixed 16-entry
                     # palette; container 3 at depth 8 (level-0 size
@@ -113,6 +119,17 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     # Adam7-interlaced RGB PNG (r12): level-0 size
                     # 68 + sum over the 7 passes of hp*(1+3*wp).
                     payload = MC.encode_png(img, level=0, interlace=True)
+                elif container in (7, 8):
+                    # Both JPEG DCT frame types (r13): entropy-coded, so
+                    # no size formula — the oracle pins these rows via
+                    # the SOF-probe dims and the resize/feature kernels.
+                    # Subsampling alternates so 4:2:0 sits under the
+                    # driver hash too.
+                    sub = "420" if (i // 27) % 2 else "444"
+                    payload = (MC.encode_jpeg(img, subsampling=sub)
+                               if container == 7
+                               else MC.encode_jpeg_progressive(
+                                   img, subsampling=sub))
                 else:
                     payload = (MC.encode_bmp(img) if container == 0
                                else MC.encode_ppm(img) if container == 1
@@ -121,13 +138,63 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 payload = (f"IMG:{32 + i % 64}x{16 + i % 32}:" + "p" * (i % 17 + 1)).encode()
         elif kind == "audio":
             if real:
-                t = np.arange(256 + i % 64)
-                wave = (1000 * np.sin(t * ((i % 7) + 1) * 0.1)).astype(np.int16)
-                payload = MC.encode_wav(wave, 16000)
+                ns = 256 + i % 64
+                t = np.arange(ns)
+                sine = np.sin(t * ((i % 7) + 1) * 0.1)
+                fmt = (i // 3) % 5
+                if fmt == 0:                       # PCM16 (the r12 row)
+                    wave = (1000 * sine).astype(np.int16)
+                elif fmt == 1:                     # PCM8 (unsigned)
+                    wave = (sine * 100 + 128).astype(np.uint8)
+                elif fmt in (2, 3):                # PCM24 / PCM32
+                    wave = (sine * (2 ** 30)).astype(np.int32)
+                else:                              # IEEE float32
+                    wave = sine.astype(np.float32)
+                # ns is even, so every body length is even: the RIFF pad
+                # byte never fires and size = 44 + bytes_per_sample * ns
+                # stays the oracle's closed formula.
+                payload = MC.encode_wav(wave, 16000,
+                                        bits=24 if fmt == 2 else None)
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
-            payload = (f"VID:{4 + i % 8}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
+            nf = 4 + i % 8
+            vcontainer = (i // 3) % 3 if real else 0
+            if vcontainer == 1:
+                # Animated GIF (r13): nf full frames of deterministic
+                # 16-color index gradients — count_gif_frames must walk
+                # the real block structure to nf, and decode_sampled_
+                # frames/resize run the full LZW path.
+                w, h = 8 + i % 16, 6 + i % 8
+                frames = ((np.arange(nf * h * w).reshape(nf, h, w)
+                           * (i + 1)) % 16).astype(np.uint8)
+                pal = ((np.arange(48).reshape(16, 3) * 11 + i) % 256
+                       ).astype(np.uint8)
+                payload = MC.encode_gif(frames, pal)
+            elif vcontainer == 2:
+                # Multi-page TIFF (r13): scanned-document pages count
+                # like video frames; the sub-cycle covers the three
+                # scan compressions (G4 fax, LZW+predictor, tiled).
+                w, h = 8 + i % 16, 6 + i % 8
+                npages = 2 + i % 3
+                sub = (i // 9) % 3
+                if sub == 0:
+                    pages = [(((np.arange(h * w).reshape(h, w)
+                                * (i + p + 1)) % 256) >= 128)
+                             .astype(np.uint8) * 255
+                             for p in range(npages)]
+                    payload = MC.encode_tiff(pages, bilevel=True,
+                                             compression="g4")
+                else:
+                    pages = [((np.arange(h * w * 3).reshape(h, w, 3)
+                               * (i + p + 1)) % 256).astype(np.uint8)
+                             for p in range(npages)]
+                    payload = (MC.encode_tiff(pages, compression="lzw",
+                                              predictor=True)
+                               if sub == 1
+                               else MC.encode_tiff(pages, tile=(8, 8)))
+            else:
+                payload = (f"VID:{nf}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
         return (i, kind, payload, i % 7)
 
     return spark.createDataFrame([make(i) for i in range(n)], MEDIA_SCHEMA)
@@ -377,6 +444,13 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                         if colors.shape[0] > 256:
                             raise ValueError(
                                 "resized GIF exceeds one 256-color table")
+                        if colors.shape[0] < 2:
+                            # A solid-color animation resizes to ONE
+                            # unique color; the GIF minimum LZW code
+                            # size needs a 2-entry palette, so pad with
+                            # an unreferenced duplicate (r13 — found by
+                            # the degenerate fixture row).
+                            colors = np.vstack([colors, colors])
                         raw = MC.encode_gif(
                             inverse.reshape(small.shape[:3]).astype(np.uint8),
                             colors.astype(np.uint8))

@@ -22,10 +22,16 @@ operators, both with batch twins so the DuckDB oracle applies:
   able at all — "first seen" by arrival would be micro-batch-layout
   luck.
 
-Fuzzy (band-key) streaming dedup composes from these primitives: key
-the state by LSH band instead of the content hash and emit candidate
-ids for the verify stage; the state discipline (bounded keys, order-
-free emissions) is identical.
+* :func:`band_candidates_stream` (r13, r12 verdict Next 3) — FUZZY
+  dedup on ingest: the state is keyed by MinHash LSH band
+  (``operators/dedup.py:minhash_band_keys`` — the same banding the
+  batch self-join uses), each bucket remembers the ids it has seen,
+  and a newly arriving id emits one candidate pair per prior occupant
+  — the streaming form of ``minhash_lsh_pairs``'s bucket self-join,
+  feeding the same verify stage.  The emitted pair SET equals the
+  batch query's (each unordered pair appears when its later member
+  arrives; exact re-deliveries are skipped by id), so the DuckDB
+  oracle applies after a DISTINCT.
 """
 
 from __future__ import annotations
@@ -183,4 +189,100 @@ def seen_index_stream(
             update, output_schema, state_schema, "update",
             GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def band_candidates_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash-LSH candidate pairs — fuzzy dedup on ingest.
+
+    Signatures and band keys are computed PER-ROW during the micro-
+    batch scan (``minhash_band_keys`` — the exact banding the batch
+    self-join ``minhash_lsh_pairs`` uses, so stream and batch collide
+    identically); the single stateful shuffle keys
+    ``applyInPandasWithState`` on ``(band_id, band_hash)``.  Each
+    bucket's state is the sorted list of ids seen; a new id emits one
+    ``(id_a, id_b)`` candidate (a < b) per prior occupant and joins the
+    state.  Downstream is the SAME verify stage batch LSH feeds —
+    candidates are collision hypotheses, not verdicts.
+
+    Order-free contract: the emitted pair SET is exactly the set of
+    same-bucket pairs, whatever the micro-batch layout — a pair is
+    emitted precisely when its later-arriving member lands, and exact
+    re-deliveries (id already in state) emit nothing and change no
+    state.  A pair that collides in several bands is emitted once per
+    band, as the batch bucket join would before its DISTINCT — the
+    consumer dedups, which is also what makes the stream ≡ batch
+    oracle hold.  NULL ids cannot pair (SQL ``<`` never matches them)
+    and are dropped at the source projection, mirroring the batch
+    join's behavior.
+
+    State bound: one list per DISTINCT band key, total ids across
+    lists = the corpus's (doc, band) rows — the same cardinality the
+    batch join shuffles, held as compact long lists.  For a continuous
+    deployment, ``max_bucket`` caps pathological buckets (the PPJoin
+    max_df guard's streaming form: a stop-shingle bucket would
+    otherwise grow O(corpus) state AND emit O(n^2) candidates): a full
+    bucket freezes — new ids in it emit nothing and are not remembered
+    — trading recall on degenerate buckets for a hard state/output
+    bound.  Leave None when exact batch parity is required.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from spreadsheet_etl_engine_spark.operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(
+        docs.filter(F.col(id_col).isNotNull()), text_col, id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+
+    output_schema = "id_a long, id_b long, band_id int"
+    state_schema = "ids array<long>"
+
+    def update(key, pdf_iter, state):
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        known = set(seen)
+        frozen = max_bucket is not None and len(seen) >= max_bucket
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdf_iter:
+            for i in pdf[id_col].tolist():
+                i = int(i)
+                if i in known:
+                    continue                  # exact re-delivery: no-op
+                if frozen:
+                    continue                  # capped bucket: skew guard
+                for j in seen:
+                    out_a.append(min(i, j))
+                    out_b.append(max(i, j))
+                seen.append(i)
+                known.add(i)
+                if max_bucket is not None and len(seen) >= max_bucket:
+                    frozen = True
+        if seen:
+            state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {
+                "id_a": out_a,
+                "id_b": out_b,
+                "band_id": [int(key[0])] * len(out_a),
+            }
+        )
+
+    # Append, not update: every pair is emitted exactly once and never
+    # superseded (emit-once semantics), which is also what lets the
+    # query run straight into an append-only parquet sink — candidate
+    # volume never touches the driver.
+    return keys.groupBy("band_id", "band_hash").applyInPandasWithState(
+        update, output_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
     )

@@ -1074,11 +1074,13 @@ def test_png_adam7_fail_loud_gates():
 
 
 def test_synth_media_new_containers_spark_pipeline(spark):
-    """The three r12 containers (16-bit gray / Adam7 RGB / 4-bit
-    palette PNG) flow through decode -> resize -> feature-extract on
-    the Arrow path exactly like the old four: true dims from the
-    O(header) probe, every image payload changed by the 4x2 resize,
-    every feature vector 8-wide with the exact w/4096, h/4096 slots."""
+    """The real-container fixture (r12 PNG surface + r13 JPEG/GIF/TIFF/
+    WAV-format rows) flows through decode -> resize -> feature-extract
+    on the Arrow path: true dims from the O(header) probes, every image
+    AND every real video container (GIF/TIFF) payload changed by the
+    4x2 resize with its frame/page count preserved, audio + fake-video
+    rows byte-identical, every feature vector 8-wide with the exact
+    w/4096, h/4096 slots on the resized rows."""
     import numpy as np
 
     media = MM.synth_media(spark, 96, real=True)
@@ -1087,12 +1089,20 @@ def test_synth_media_new_containers_spark_pipeline(spark):
     for i, row in dec.items():
         if row["kind"] == "image":
             assert (row["width"], row["height"]) == (8 + i % 16, 6 + i % 8)
+        elif row["kind"] == "video" and (i // 3) % 3 > 0:
+            # r13: GIF (vc=1) / multi-page TIFF (vc=2) video rows carry
+            # real probe dims and REAL frame/page counts.
+            assert (row["width"], row["height"]) == (8 + i % 16, 6 + i % 8)
+            want = (2 + i % 3) if (i // 3) % 3 == 2 else (4 + i % 8)
+            assert row["n_frames"] == want, i
     resized = MM.resize_images(media, width=4, height=2)
     rdec = {r["media_id"]: r for r in MM.decode_media(resized).collect()}
     for i, row in rdec.items():
-        if row["kind"] == "image":
+        if row["kind"] == "image" or (
+                row["kind"] == "video" and (i // 3) % 3 > 0):
             assert (row["width"], row["height"]) == (4, 2), i
             assert row["payload_hash"] != dec[i]["payload_hash"], i
+            assert row["n_frames"] == dec[i]["n_frames"], i
         else:
             assert row["payload_hash"] == dec[i]["payload_hash"], i
     feats = {r["media_id"]: r["feature"]
@@ -1100,9 +1110,30 @@ def test_synth_media_new_containers_spark_pipeline(spark):
     assert len(feats) == 96
     for i, v in feats.items():
         assert len(v) == MM.FEATURE_DIM
-        if dec[i]["kind"] == "image":
+        if dec[i]["kind"] == "image" or (
+                dec[i]["kind"] == "video" and (i // 3) % 3 > 0):
             assert v[6] == np.float32(4 / 4096.0) and \
                 v[7] == np.float32(2 / 4096.0), i
+
+
+def test_resize_solid_color_gif(spark):
+    """r13: an animation that resizes to a SINGLE unique color must
+    still re-encode (GIF's minimum LZW code size needs a 2-entry
+    palette — resize_images pads with an unreferenced duplicate
+    instead of silently passing the row through unchanged)."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import gif_codec as GC
+
+    pal = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    frames = np.zeros((3, 6, 9), dtype=np.uint8)         # all index 0
+    media = spark.createDataFrame(
+        [(1, "video", GC.encode_gif(frames, pal), 0)], MM.MEDIA_SCHEMA)
+    out = MM.resize_images(media, width=4, height=2).collect()[0]
+    got = GC.decode_gif(bytes(out["data"]))
+    assert got.shape == (3, 2, 4, 3)
+    assert np.array_equal(got.reshape(-1, 3),
+                          np.tile(pal[0], (3 * 2 * 4, 1)))
 
 
 def test_gif_codec_roundtrip_matrix():
@@ -1754,6 +1785,75 @@ def test_tiff_tiled_and_bigtiff():
     assert TC.count_tiff_pages(big) == 1
     with pytest.raises(ValueError, match="malformed BigTIFF"):
         TC.decode_tiff(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
+
+    # r12 ADVICE (medium): BigTIFF must SNIFF as tiff in both byte
+    # orders — tiff_codec decodes it through every entry point, but a
+    # sniffer that only knows magic 42 made decode_media/extract_features
+    # silently treat BigTIFF as corrupt.
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    assert MC.sniff(big) == "tiff"
+    assert MC.sniff(b"MM\x00+" + b"\x00" * 12) == "tiff"
+    assert MC.sniff(b"MM\x00*" + b"\x00" * 12) == "tiff"
+    # ...and through the Spark decode path: the hand-built BigTIFF row
+    # decodes to real dims instead of the corrupt-row NULL contract.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        media = spark.createDataFrame([(1, "image", big, 0)],
+                                      MM.MEDIA_SCHEMA)
+        row = MM.decode_media(media).collect()[0]
+        assert (row["width"], row["height"]) == (3, 2)
+
+
+def test_wav_advice_fixes():
+    """r12 ADVICE (low x2): a 24-bit data chunk whose size is not a
+    whole number of 3-byte frames fails loud instead of silently
+    dropping trailing bytes, and encode_wav emits the RIFF word-
+    alignment pad after an odd-length data chunk body (excluded from
+    the chunk size, included in the RIFF size)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    wave = (np.sin(np.arange(11) * 0.3) * (2**30)).astype(np.int32)
+    pcm24 = MC.encode_wav(wave, 8000, bits=24)
+    # Corrupt the data-chunk size to a non-multiple of 3.
+    idx = pcm24.index(b"data") + 4
+    size = struct.unpack_from("<I", pcm24, idx)[0]
+    bad = pcm24[:idx] + struct.pack("<I", size - 1) + pcm24[idx + 4:]
+    with pytest.raises(ValueError, match="3-byte frame"):
+        MC.decode_wav(bad)
+    # Stereo: the frame is 6 bytes, so a size that IS a multiple of 3
+    # but not of 6 must also fail loud.
+    st = MC.encode_wav(np.repeat(wave, 2).reshape(-1, 2), 8000, bits=24)
+    sidx = st.index(b"data") + 4
+    ssize = struct.unpack_from("<I", st, sidx)[0]
+    sbad = (st[:sidx] + struct.pack("<I", ssize - 3) + st[sidx + 4:])
+    with pytest.raises(ValueError, match="6-byte frame"):
+        MC.decode_wav(sbad)
+
+    # Odd data-chunk bodies: PCM8 mono, 11 samples -> 11-byte body.
+    u8 = MC.encode_wav(np.arange(11, dtype=np.uint8), 8000)
+    assert len(u8) % 2 == 0 and u8[-1] == 0          # padded, zero pad
+    didx = u8.index(b"data") + 4
+    assert struct.unpack_from("<I", u8, didx)[0] == 11   # size excludes pad
+    assert struct.unpack_from("<I", u8, 4)[0] == len(u8) - 8  # RIFF incl.
+    arr, rate = MC.decode_wav(u8)
+    assert np.array_equal(arr[:, 0], np.arange(11)) and rate == 8000
+    # PCM24 mono odd count: 33-byte body -> same contract.
+    assert len(pcm24) % 2 == 0 and pcm24[-1] == 0
+    assert struct.unpack_from("<I", pcm24, idx)[0] == 33
+    back, _ = MC.decode_wav(pcm24)
+    assert np.array_equal(back[:, 0], wave & ~0xFF)
+    # Even-length bodies stay pad-free (byte-stability for fixtures).
+    ev = MC.encode_wav(np.arange(12, dtype=np.uint8), 8000)
+    assert struct.unpack_from("<I", ev, ev.index(b"data") + 4)[0] == 12
+    assert len(ev) - (ev.index(b"data") + 8) == 12
 
 
 def test_netpbm_p5_p4_variants(spark):

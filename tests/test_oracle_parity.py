@@ -91,21 +91,15 @@ def test_entry_contract(spark):
 # r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # r12 new queries (judge-directed: r11 verdict Next 2 + Next 7) —
-    # first rows.
-    "dedup_semantic",
-    "streaming_dedup_events",
-    "streaming_seen_index",
-    # r12: the five rows-only approximate queries (r11 verdict item 1
-    # — their newest driver rows were r8/r5/r3, the stalest evidence
-    # in the ledger).
-    "similarity_topk_ivf", "text_quality_rank_approx",
-    "agg_heavy_hitters_approx", "agg_approx_quantile",
-    "agg_approx_distinct",
-    # r12 changed bytes — must re-verify.
-    "multimodal_decode",          # palette-PNG container in synth_media
-    "multimodal_resize_features",  # + both generative oracles
-    "dsl_workbook_job",           # jobs.py bare-dir probe logging
+    # r13 new query (judge-directed: r12 verdict Next 3) — first row.
+    "streaming_dedup_fuzzy",
+    # r13 changed bytes — must re-verify: synth_media grew the
+    # JPEG/WAV-format/GIF/TIFF containers (r12 verdict Next 1), both
+    # query bodies + oracles rewritten, media_codecs ADVICE fixes
+    # (sniff-BigTIFF, WAV pad byte — the pad is IN the size formula),
+    # multimodal solid-color-GIF resize pad.
+    "multimodal_decode",
+    "multimodal_resize_features",
 ]
 
 

@@ -697,6 +697,87 @@ def test_seen_index_stream_equals_batch_exact_dedup(spark, sf_dir, tmp_path):
     assert got_rows[h][0] == 7_000
 
 
+def test_band_candidates_stream_equals_batch_lsh(spark, sf_dir, tmp_path):
+    """band_candidates_stream's distinct emitted pair set must equal
+    batch minhash_lsh_pairs over the same corpus under cross-batch
+    arrival, with exact re-deliveries emitting nothing (ids already in
+    bucket state) and NULL-id docs excluded like the batch join's
+    NULL-never-< semantics."""
+    from spreadsheet_etl_engine_spark.operators import dedup as DD
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    extra = spark.createDataFrame(
+        [(None, "a null id doc that could pair with anything here",
+          "en", "web", 46)],
+        SD.DOC_SCHEMA,
+    )
+    base = docs.unionByName(extra)
+    feed = base.unionByName(base.filter(F.col("doc_id") % 3 == 1))
+    src = str(tmp_path / "docs_in")
+    feed.repartition(8).write.parquet(src)
+    stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
+    pairs = SD.band_candidates_stream(
+        stream, "text", "doc_id", num_hashes=8, bands=4
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", str(tmp_path / "pairs"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_raw = spark.read.schema(
+        "id_a long, id_b long, band_id int"
+    ).parquet(str(tmp_path / "pairs"))
+    got = {(r["id_a"], r["id_b"])
+           for r in got_raw.select("id_a", "id_b").distinct().collect()}
+    want = {(r["id_a"], r["id_b"])
+            for r in DD.minhash_lsh_pairs(
+                base, "text", "doc_id", num_hashes=8, bands=4
+            ).collect()}
+    assert got == want and len(got) > 0
+    # Per-band emissions are emit-once: no (pair, band) row repeats
+    # even though half the corpus was re-delivered.
+    assert got_raw.count() == got_raw.distinct().count()
+    assert all(a < b for a, b in got)
+
+
+def test_band_candidates_stream_max_bucket_caps_state(spark, tmp_path):
+    """The max_bucket skew guard: a degenerate bucket (many distinct
+    ids, identical text) freezes at the cap — emissions bounded by
+    C(cap, 2) instead of C(n, 2), later ids in the frozen bucket emit
+    nothing."""
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    rows = [(i, "same stop shingle text everywhere", "en", "web", 33)
+            for i in range(20)]
+    feed = spark.createDataFrame(rows, SD.DOC_SCHEMA)
+    src = str(tmp_path / "docs_in")
+    feed.repartition(5).write.parquet(src)
+    stream = SD.read_document_stream(spark, src, max_files_per_trigger=1)
+    pairs = SD.band_candidates_stream(
+        stream, "text", "doc_id", num_hashes=8, bands=4, max_bucket=4
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", str(tmp_path / "pairs"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.schema("id_a long, id_b long, band_id int").parquet(
+        str(tmp_path / "pairs"))
+    # Identical text -> identical signature -> all 4 bands collide on
+    # the same 4 remembered ids: C(4,2) pairs per band, not C(20,2).
+    assert got.count() == 4 * 6
+    assert got.select("id_a", "id_b").distinct().count() == 6
+
+
 def test_read_document_stream_validates_columns(spark, tmp_path):
     from spreadsheet_etl_engine_spark.streaming import dedup as SD
 
