@@ -321,6 +321,15 @@ def probe_salted(spark: SparkSession, reps: int, n: int) -> dict:
         out[f"t_plain_{label}"] = round(t_plain, 2)
     out["ratio_salted"] = round(out["t_salted_10n"] / out["t_salted_n"], 2)
     out["ratio_plain"] = round(out["t_plain_10n"] / out["t_plain_n"], 2)
+    # The PRECISE comparative bound lives HERE, on the drained-probe
+    # path (r12 ADVICE / verdict Next 5): pytest keeps only the 2.0x +
+    # catastrophic bounds because in-suite session residue tripped 1.5x
+    # twice on ~1s denominators (r12 history in
+    # test_salted_join_not_worse_than_plain's docstring); a standalone
+    # drained run has no such residue, so 1.5x is enforceable without
+    # crying wolf.  main() exits non-zero on gate=FAIL.
+    out["comparative"] = round(out["ratio_salted"] / out["ratio_plain"], 2)
+    out["gate"] = "OK" if out["comparative"] <= 1.5 else "FAIL"
     return out
 
 
@@ -743,10 +752,16 @@ def main() -> int:
                     default=list(PROBES))
     args = ap.parse_args()
     spark = _spark()
+    rc = 0
     for name in args.probe:
         fn, n = PROBES[name]
-        print(json.dumps(fn(spark, args.reps, n)), flush=True)
-    return 0
+        out = fn(spark, args.reps, n)
+        print(json.dumps(out), flush=True)
+        # Drained-path gates (currently: salted's 1.5x comparative) —
+        # a probe may declare its own verdict in a "gate" field.
+        if out.get("gate") == "FAIL":
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

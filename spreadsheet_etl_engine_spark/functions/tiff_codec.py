@@ -20,17 +20,21 @@ sampled-frame kernel decodes individual pages.
 * **encode_tiff** — single- or multi-page, gray/RGB/RGBA/bilevel/
   palette, strip or TILE organization (r12 — the geospatial/OCR
   layout, full-sized zero-padded edge tiles, per-tile predictor
-  restart), compression none/MH/G4/LZW/PackBits, optional predictor —
+  restart) or PLANAR configuration 2 (r13 — the scientific-imagery
+  layout: per-component strip runs, predictor within the plane),
+  compression none/MH/G4/LZW/PackBits, optional predictor —
   so every decoder path round-trips.
 * **probe_tiff_dims / count_tiff_pages** — O(header + IFD chain), the
   pixel data is never touched.  BigTIFF (magic 43, 8-byte offsets)
   reads transparently through every entry point; the encoder stays
   classic, which every reader accepts under 4 GB.
 
-Scope honestly gated (``ValueError`` by name): planar configuration 2,
-sub-byte tiled pages, CCITT G3-with-EOLs (the G4-superseded framing)
-and JPEG-in-TIFF compressions — real corpora re-encode those through
-the same PIL extension point as MP3/H.264.
+Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
+CCITT planar-configuration-2 variants (strip-organized byte-aligned
+planar reads and writes since r13), sub-byte tiled pages, CCITT
+G3-with-EOLs (the G4-superseded framing) and JPEG-in-TIFF
+compressions — real corpora re-encode those through the same PIL
+extension point as MP3/H.264.
 """
 
 from __future__ import annotations
@@ -299,9 +303,16 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
     photo = tags.get(262, [1])[0]
     planar = tags.get(284, [1])[0]
     predictor = tags.get(317, [1])[0]
-    if planar != 1:
-        raise ValueError("TIFF planar configuration 2 not supported")
+    if planar not in (1, 2):
+        raise ValueError(f"unsupported TIFF planar configuration {planar}")
     tiled = 322 in tags or 323 in tags
+    # Planar configuration 2 with ONE sample per pixel is byte-identical
+    # to chunky — treat it as such (spec: the distinction only exists
+    # for multi-sample data).
+    if planar == 2 and spp == 1:
+        planar = 1
+    if planar == 2 and tiled:
+        raise ValueError("tiled planar-configuration-2 TIFF not supported")
     if comp not in (_COMPRESSION_NONE, _COMPRESSION_MH, _COMPRESSION_G4,
                     _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
         raise ValueError(f"unsupported TIFF compression {comp}")
@@ -384,12 +395,69 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             page[ty * tl:(ty + 1) * tl, tx * trb:(tx + 1) * trb] = tile
         grid = np.ascontiguousarray(page[:h, :w * unit])
         predictor = 1                    # already applied per tile
+    elif planar == 2:
+        # Planar configuration 2 (r13 — scientific-imagery corpora):
+        # each component is stored as its OWN run of strips, plane
+        # after plane; RowsPerStrip applies per plane, so the strip
+        # arrays carry spp * ceil(h / rows_per_strip) entries.  Each
+        # plane decompresses like a 1-sample image, then the planes
+        # interleave into the chunky grid so the shared predictor/
+        # photometric post-processing below applies unchanged (per
+        # TIFF 6.0 the predictor differences WITHIN a plane, which is
+        # exactly the per-channel cumsum the chunky path runs).
+        if depth < 8:
+            raise ValueError(
+                "planar-configuration-2 TIFF requires byte-aligned samples")
+        if comp in (_COMPRESSION_G4, _COMPRESSION_MH):
+            raise ValueError(
+                "planar-configuration-2 TIFF with CCITT compression "
+                "not supported")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rows_per_strip = tags.get(278, [h])[0] or h
+        strips_per_plane = -(-h // rows_per_strip)
+        if (not offsets or not counts or len(offsets) != len(counts)
+                or len(offsets) != spp * strips_per_plane):
+            raise ValueError(
+                "TIFF planar strip offsets/counts missing or mismatched")
+        unit = depth // 8
+        prow = w * unit
+        planes = []
+        for s in range(spp):
+            rows = []
+            done_rows = 0
+            for k in range(strips_per_plane):
+                off = offsets[s * strips_per_plane + k]
+                cnt = counts[s * strips_per_plane + k]
+                if off + cnt > len(data):
+                    raise ValueError("TIFF strip out of bounds")
+                n_rows = min(rows_per_strip, h - done_rows)
+                raw = data[off:off + cnt]
+                expected = n_rows * prow
+                if comp == _COMPRESSION_LZW:
+                    raw = _tiff_lzw_decode(raw, expected)
+                elif comp == _COMPRESSION_PACKBITS:
+                    raw = _packbits_decode(raw, expected)
+                elif len(raw) < expected:
+                    raise ValueError("TIFF strip shorter than its rows")
+                rows.append(np.frombuffer(raw, dtype=np.uint8,
+                                          count=expected)
+                            .reshape(n_rows, prow))
+                done_rows += n_rows
+            if done_rows < h:
+                raise ValueError(
+                    "TIFF strips cover fewer rows than ImageLength")
+            planes.append(np.concatenate(rows))
+        grid = np.ascontiguousarray(
+            np.stack(planes).reshape(spp, h, w, unit)
+            .transpose(1, 2, 0, 3)
+        ).reshape(h, w * spp * unit)
     else:
         grid = None
 
     offsets = tags.get(273)
     counts = tags.get(279)
-    if not tiled and (
+    if grid is None and (
             not offsets or not counts or len(offsets) != len(counts)):
         raise ValueError("TIFF strip offsets/counts missing or mismatched")
     rows_per_strip = tags.get(278, [h])[0] or h
@@ -397,7 +465,7 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
 
     rows = []
     done_rows = 0
-    for off, cnt in [] if tiled else zip(offsets, counts):
+    for off, cnt in [] if grid is not None else zip(offsets, counts):
         if off + cnt > len(data):
             raise ValueError("TIFF strip out of bounds")
         n_rows = min(rows_per_strip, h - done_rows)
@@ -428,7 +496,7 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
                               count=expected).reshape(n_rows, row_bytes)
         rows.append(strip)
         done_rows += n_rows
-    if not tiled:
+    if grid is None:
         if done_rows < h:
             raise ValueError("TIFF strips cover fewer rows than ImageLength")
         grid = np.concatenate(rows)
@@ -559,6 +627,7 @@ def encode_tiff(
     bilevel: bool = False,
     palette: np.ndarray | None = None,
     tile: tuple[int, int] | None = None,
+    planar: bool = False,
 ) -> bytes:
     """Page arrays -> little-endian classic TIFF bytes.
 
@@ -573,7 +642,11 @@ def encode_tiff(
     before LZW.  ``tile=(tile_width, tile_height)`` emits the tiled
     organization instead of strips (byte-aligned depths only — tiles
     are full-sized with zero padding at the edges, and the predictor
-    restarts at every tile row)."""
+    restarts at every tile row).  ``planar=True`` (r13) writes
+    PlanarConfiguration 2 — each component as its own run of strips,
+    plane after plane, with the predictor differencing within each
+    plane (the scientific-imagery layout; strips only, multi-sample
+    chunky-capable pages only)."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     if not pages:
@@ -595,6 +668,10 @@ def encode_tiff(
     if palette is not None and (palette.dtype != np.uint8 or palette.ndim != 2
                                 or palette.shape[1] != 3):
         raise ValueError("palette must be a (P, 3) uint8 array")
+    if planar and (tile is not None or bilevel or palette is not None
+                   or comp_id in (_COMPRESSION_MH, _COMPRESSION_G4)):
+        raise ValueError(
+            "planar TIFF supports strip-organized gray/RGB/RGBA pages only")
 
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_patch = 4                        # where the previous chain ptr lives
@@ -643,7 +720,30 @@ def encode_tiff(
                     elif comp_id == _COMPRESSION_PACKBITS:
                         raw = _packbits_encode(raw)
                     strips.append(raw)
-        for y0 in [] if tile is not None else range(0, h, rps):
+        if planar:
+            # Plane-major strip emission: every component's strips in
+            # sequence, predictor differencing WITHIN the plane (each
+            # plane behaves like a 1-sample image).
+            for s in range(ch):
+                for y0 in range(0, h, rps):
+                    rows = img[y0:y0 + rps, :, s]
+                    if predictor:
+                        diff = rows.astype(np.int32)
+                        diff[:, 1:] -= rows[:, :-1].astype(np.int32)
+                        raw = ((diff & 0xFFFF).astype("<u2").tobytes()
+                               if deep
+                               else (diff & 0xFF).astype(np.uint8).tobytes())
+                    elif deep:
+                        raw = np.ascontiguousarray(
+                            rows.astype("<u2")).tobytes()
+                    else:
+                        raw = np.ascontiguousarray(rows).tobytes()
+                    if comp_id == _COMPRESSION_LZW:
+                        raw = _tiff_lzw_encode(raw)
+                    elif comp_id == _COMPRESSION_PACKBITS:
+                        raw = _packbits_encode(raw)
+                    strips.append(raw)
+        for y0 in [] if (tile is not None or planar) else range(0, h, rps):
             rows = img[y0:y0 + rps]
             if comp_id in (_COMPRESSION_G4, _COMPRESSION_MH):
                 # Encoded under photometric 1 (BlackIsZero, the path
@@ -709,6 +809,8 @@ def encode_tiff(
             ]
         if ch == 4:
             entries.append((338, 3, 1, [2]))      # unassociated alpha
+        if planar:
+            entries.append((284, 3, 1, [2]))
         if predictor:
             entries.append((317, 3, 1, [2]))
         if palette is not None:

@@ -534,7 +534,7 @@ _AUGMENT = {
         -- (escapes: quote, backslash, newline, tab — JSON must escape
         -- all four losslessly).
         UNION ALL
-        SELECT 90000002, 'json "q" back\slash', 1, 500.0, 'BUILDING'
+        SELECT 90000002, 'json "q" back\\slash', 1, 500.0, 'BUILDING'
         UNION ALL
         SELECT 90000003, 'json line1' || chr(10) || 'line2' || chr(9) ||
                'tab', 1, 500.0, 'BUILDING'

@@ -192,7 +192,11 @@ def test_salted_join_not_worse_than_plain(spark):
     denominators, so the COMPARATIVE bound multiplies two
     overhead-diluted noises; 2.0 keeps the catastrophic signal (a
     salt-explode shipping the dim 32x or a broken AQE path reads
-    >>2x plain) without pinning session-residue noise."""
+    >>2x plain) without pinning session-residue noise.  The PRECISE
+    1.5x comparative gate lives on the drained-probe path since r13
+    (scripts/scale_probe.py probe_salted's gate field — run
+    `python scripts/scale_probe.py --probe salted` standalone; exits
+    non-zero past 1.5x), per the r12 ADVICE split."""
     import scale_probe as SP
 
     fn, n = SP.PROBES["salted"]
