@@ -173,11 +173,14 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 payload = MC.encode_gif(frames, pal)
             elif vcontainer == 2:
                 # Multi-page TIFF (r13): scanned-document pages count
-                # like video frames; the sub-cycle covers the three
-                # scan compressions (G4 fax, LZW+predictor, tiled).
+                # like video frames; the sub-cycle covers the scan
+                # layouts (G4 fax, LZW+predictor, tiled, planar-2) —
+                # invisible to the generative oracle (dims and page
+                # counts don't depend on it), so each variant's REAL
+                # IFD walk sits under the driver hash for free.
                 w, h = 8 + i % 16, 6 + i % 8
                 npages = 2 + i % 3
-                sub = (i // 9) % 3
+                sub = (i // 9) % 4
                 if sub == 0:
                     pages = [(((np.arange(h * w).reshape(h, w)
                                 * (i + p + 1)) % 256) >= 128)
@@ -192,7 +195,10 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     payload = (MC.encode_tiff(pages, compression="lzw",
                                               predictor=True)
                                if sub == 1
-                               else MC.encode_tiff(pages, tile=(8, 8)))
+                               else MC.encode_tiff(pages, tile=(8, 8))
+                               if sub == 2
+                               else MC.encode_tiff(pages, planar=True,
+                                                   compression="packbits"))
             else:
                 payload = (f"VID:{nf}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
         return (i, kind, payload, i % 7)
