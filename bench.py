@@ -79,6 +79,35 @@ def cpu_probe() -> float:
     return round(time.perf_counter() - start, 4)
 
 
+def _probe_worker(_: int) -> float:
+    acc = 0
+    for i in range(6_000_000):
+        acc += i * i & 0xFFFF
+    return float(acc)
+
+
+def mt_probe(workers: int = 8) -> float:
+    """Multi-process probe: the same workload in ``workers`` concurrent
+    processes, max wall time recorded.  Evidence-only (r13): the r13
+    adjudication found a host day where the 1-thread probe sat AT the
+    idle floor while every parallel Spark stage ran ~7-10% slow —
+    multi-core steal that a single busy core cannot see.  On an idle
+    32-core box this reads ~= cpu_probe(); elevation beyond ~1.3x the
+    single-thread reading is parallel-capacity contention and makes
+    cross-round per-line deltas suspect even when idle_qualified is
+    true (first calibration datum: 1.39 on the r13 degraded day that
+    motivated this — see BENCH_NOTES; the threshold stays provisional
+    until an at-capacity day is recorded)."""
+    import multiprocessing as mp
+
+    start = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(workers) as pool:
+        results = pool.map(_probe_worker, range(workers))
+    assert all(r != 0 for r in results)
+    return round(time.perf_counter() - start, 4)
+
+
 # Idle baseline of cpu_probe() on this box (BENCH_NOTES.md r10 note).
 # A recording only "counts" per the drift rules when the host is idle;
 # both the r9 and r10 driver recordings were contended and had to be
@@ -204,6 +233,9 @@ def main() -> None:
                 # compare against the recording's own idle baseline in
                 # BENCH_NOTES before believing any cross-round delta.
                 "cpu_probe_s": {"before": probe_before, "after": cpu_probe()},
+                # Parallel-capacity evidence (see mt_probe docstring):
+                # catches multi-core steal the 1-thread probe cannot.
+                "mt_probe_s": mt_probe(),
                 # Pre-recording idle qualification (see idle_wait): a
                 # recording with idle_qualified=false is self-declared
                 # contended and should not adjudicate cross-round deltas.
