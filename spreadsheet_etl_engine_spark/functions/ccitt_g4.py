@@ -409,6 +409,86 @@ def mh_decode(data: bytes, width: int, height: int) -> np.ndarray:
     return out
 
 
+def _read_eol(bits: _Bits) -> None:
+    """Consume one T.4 EOL (eleven-plus zeros then a one).  Fill bits
+    are zeros INSERTED BEFORE the EOL (T4Options bit 2), so scanning
+    zeros-until-one accepts any fill; a one arriving before eleven
+    zeros is a framing error."""
+    zeros = 0
+    while True:
+        if bits.read(1):
+            if zeros >= 11:
+                return
+            raise ValueError("invalid CCITT G3 EOL framing")
+        zeros += 1
+        if zeros > 64 + 11:
+            # More fill than any byte-alignment needs: corrupt stream.
+            raise ValueError("runaway zero fill before CCITT G3 EOL")
+
+
+def g3_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """CCITT Group 3 one-dimensional with EOLs (TIFF Compression=3,
+    T4Options 2D bit clear) — the classic fax framing: every line is
+    PRECEDED by an EOL code (000000000001), optionally with zero fill
+    bits before it (T4Options bit 2 byte-alignment — accepted
+    transparently), and the line itself is the same alternating T.4
+    run sequence as Modified Huffman.  The EOL framing is what lets a
+    real fax receiver resynchronize after line noise; in a TIFF strip
+    it is pure structure, decoded strictly.  Returns (height, width)
+    uint8, 1 = black."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT G3 needs positive dimensions")
+    bits = _Bits(bytes(data))
+    out = np.zeros((height, width), dtype=np.uint8)
+    for y in range(height):
+        _read_eol(bits)
+        x = 0
+        color = 0
+        while x < width:
+            run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+            if x + run > width:
+                raise ValueError("CCITT G3 run overflows the row")
+            if color:
+                out[y, x:x + run] = 1
+            x += run
+            color ^= 1
+    return out
+
+
+def g3_encode(bitmap: np.ndarray, *, eol_align: bool = False) -> bytes:
+    """(h, w) bitmap (nonzero = black) -> Compression=3 1D bytes: each
+    line EOL-prefixed then coded as alternating T.4 runs starting
+    white (a black-first row opens with a zero-length white run).
+    ``eol_align=True`` inserts zero fill before each EOL so the EOL's
+    trailing one-bit lands on a byte boundary (T4Options bit 2 — the
+    layout some fax archives require).  No RTC trailer: TIFF strips
+    carry their row count in the IFD, per the spec's note."""
+    if bitmap.ndim != 2 or bitmap.shape[0] == 0 or bitmap.shape[1] == 0:
+        raise ValueError("g3_encode needs a non-empty (h, w) bitmap")
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    w = _BitWriter()
+    for y in range(bm.shape[0]):
+        if eol_align:
+            # Zero fill so the EOL's final one-bit lands on a byte
+            # boundary; the absolute bit position is the writer's own
+            # state, so the fill stays exact whatever the previous
+            # line's run codes emitted.
+            fill = (-(len(w.buf) * 8 + w.n + 12)) % 8
+            if fill:
+                w.write(0, fill)
+        w.write(*_EOL)
+        trans = _transitions(bm[y]) + [bm.shape[1]]
+        x = 0
+        color = 0
+        for t in trans:
+            _write_run(w, t - x, color)
+            x = t
+            color ^= 1
+        if x < bm.shape[1]:
+            _write_run(w, bm.shape[1] - x, color)
+    return w.flush()
+
+
 def mh_encode(bitmap: np.ndarray) -> bytes:
     """(h, w) bitmap (nonzero = black) -> Compression=2 bytes (rows
     byte-aligned, alternating run codes starting white — a row that

@@ -7,10 +7,11 @@ sampled-frame kernel decodes individual pages.
 
 * **decode_tiff** — both byte orders (II/MM), strip-organized chunky
   data, compressions 1 (none), 4 (CCITT Group 4 / T.6 MMR — THE
-  fax/book-scan compression, via ``ccitt_g4``), 5 (TIFF-LZW: MSB-first
-  codes with the EarlyChange width bump, horizontal-differencing
-  predictor) and 32773
-  (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
+  fax/book-scan compression, via ``ccitt_g4``), 3 (CCITT Group 3 /
+  T.4 one-dimensional with EOL framing — the classic fax layout,
+  r13; the 2D and uncompressed T4Options stay gated by name), 5
+  (TIFF-LZW: MSB-first codes with the EarlyChange width bump,
+  horizontal-differencing predictor) and 32773 (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
   inverted), 2 (RGB, with extra samples kept as alpha), 3 (palette via
   the 16-bit ColorMap).  Bit depths 1 (bilevel scans), 8, and 16
   (scientific/medical gray + RGB — decoded to uint16, either byte
@@ -31,8 +32,9 @@ sampled-frame kernel decodes individual pages.
 
 Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
 CCITT planar-configuration-2 variants (strip-organized byte-aligned
-planar reads and writes since r13), sub-byte tiled pages, CCITT
-G3-with-EOLs (the G4-superseded framing) and JPEG-in-TIFF
+planar reads and writes since r13), sub-byte tiled pages, CCITT G3
+two-dimensional coding and uncompressed mode (T4Options bits 0/1 —
+1D-with-EOLs reads and writes since r13) and JPEG-in-TIFF
 compressions — real corpora re-encode those through the same PIL
 extension point as MP3/H.264.
 """
@@ -45,7 +47,9 @@ import numpy as np
 
 _COMPRESSION_NONE = 1
 _COMPRESSION_MH = 2                 # CCITT RLE (Modified Huffman, 1D)
+_COMPRESSION_G3 = 3                 # CCITT T.4 (G3; 1D-with-EOLs, r13)
 _COMPRESSION_G4 = 4
+_CCITT = (_COMPRESSION_MH, _COMPRESSION_G3, _COMPRESSION_G4)
 _COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
 
@@ -313,14 +317,24 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         planar = 1
     if planar == 2 and tiled:
         raise ValueError("tiled planar-configuration-2 TIFF not supported")
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_MH, _COMPRESSION_G4,
-                    _COMPRESSION_LZW, _COMPRESSION_PACKBITS):
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
+                    _COMPRESSION_PACKBITS) and comp not in _CCITT:
         raise ValueError(f"unsupported TIFF compression {comp}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
-    if comp in (_COMPRESSION_MH, _COMPRESSION_G4) and (
-            set(bits) != {1} or spp != 1):
+    if comp in _CCITT and (set(bits) != {1} or spp != 1):
         raise ValueError("TIFF CCITT compression requires 1-bit samples")
+    if comp == _COMPRESSION_G3:
+        # T4Options (tag 293): bit 0 = 2D coding, bit 1 = uncompressed
+        # mode — both stay gated by name; bit 2 (EOL byte alignment)
+        # is transparent to the EOL scanner.
+        t4 = tags.get(293, [0])[0]
+        if t4 & 1:
+            raise ValueError("CCITT G3 2D coding (T4Options bit 0) "
+                             "not supported")
+        if t4 & 2:
+            raise ValueError("CCITT G3 uncompressed mode (T4Options "
+                             "bit 1) not supported")
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -408,7 +422,7 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         if depth < 8:
             raise ValueError(
                 "planar-configuration-2 TIFF requires byte-aligned samples")
-        if comp in (_COMPRESSION_G4, _COMPRESSION_MH):
+        if comp in _CCITT:
             raise ValueError(
                 "planar-configuration-2 TIFF with CCITT compression "
                 "not supported")
@@ -473,16 +487,17 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             break
         raw = data[off:off + cnt]
         expected = n_rows * row_bytes
-        if comp in (_COMPRESSION_G4, _COMPRESSION_MH):
+        if comp in _CCITT:
             # Each strip is an independent CCITT page (reference row /
-            # alignment resets); both code BLACK runs, which under
-            # photometric 0 (WhiteIsZero, the fax convention) IS the
-            # sample value — photometric 1 flips.
+            # alignment / EOL framing resets); all three code BLACK
+            # runs, which under photometric 0 (WhiteIsZero, the fax
+            # convention) IS the sample value — photometric 1 flips.
             from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                g4_decode, mh_decode,
+                g3_decode, g4_decode, mh_decode,
             )
 
-            dec = g4_decode if comp == _COMPRESSION_G4 else mh_decode
+            dec = {_COMPRESSION_G4: g4_decode, _COMPRESSION_MH: mh_decode,
+                   _COMPRESSION_G3: g3_decode}[comp]
             black = dec(raw, w, n_rows)
             raw = np.packbits(black if photo == 0 else 1 - black,
                               axis=1).tobytes()
@@ -637,7 +652,8 @@ def encode_tiff(
     single-channel pages at 128 and packs 1-bit BlackIsZero rows (the
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
-    ``compression`` is 'none' | 'mh' | 'g4' (CCITT, bilevel only) |
+    ``compression`` is 'none' | 'mh' | 'g3' (T.4 1D-with-EOLs, r13) |
+    'g4' (CCITT, bilevel only) |
     'lzw' | 'packbits'; ``predictor`` applies horizontal differencing
     before LZW.  ``tile=(tile_width, tile_height)`` emits the tiled
     organization instead of strips (byte-aligned depths only — tiles
@@ -652,14 +668,15 @@ def encode_tiff(
     if not pages:
         raise ValueError("cannot encode a TIFF with no pages")
     comp_id = {"none": _COMPRESSION_NONE, "mh": _COMPRESSION_MH,
-               "g4": _COMPRESSION_G4, "lzw": _COMPRESSION_LZW,
+               "g3": _COMPRESSION_G3, "g4": _COMPRESSION_G4,
+               "lzw": _COMPRESSION_LZW,
                "packbits": _COMPRESSION_PACKBITS}.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown TIFF compression '{compression}'")
-    if comp_id in (_COMPRESSION_MH, _COMPRESSION_G4) and not bilevel:
+    if comp_id in _CCITT and not bilevel:
         raise ValueError("TIFF CCITT compression requires bilevel=True")
     if tile is not None:
-        if bilevel or comp_id in (_COMPRESSION_MH, _COMPRESSION_G4):
+        if bilevel or comp_id in _CCITT:
             raise ValueError("tiled TIFF supports byte-aligned depths only")
         if len(tile) != 2 or tile[0] <= 0 or tile[1] <= 0:
             raise ValueError("tile must be (tile_width, tile_height)")
@@ -669,7 +686,7 @@ def encode_tiff(
                                 or palette.shape[1] != 3):
         raise ValueError("palette must be a (P, 3) uint8 array")
     if planar and (tile is not None or bilevel or palette is not None
-                   or comp_id in (_COMPRESSION_MH, _COMPRESSION_G4)):
+                   or comp_id in _CCITT):
         raise ValueError(
             "planar TIFF supports strip-organized gray/RGB/RGBA pages only")
 
@@ -745,15 +762,17 @@ def encode_tiff(
                     strips.append(raw)
         for y0 in [] if (tile is not None or planar) else range(0, h, rps):
             rows = img[y0:y0 + rps]
-            if comp_id in (_COMPRESSION_G4, _COMPRESSION_MH):
+            if comp_id in _CCITT:
                 # Encoded under photometric 1 (BlackIsZero, the path
                 # bilevel pages take below): CCITT codes the BLACK
                 # pixels, the ones under the 128 threshold.
                 from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                    g4_encode, mh_encode,
+                    g3_encode, g4_encode, mh_encode,
                 )
 
-                enc = g4_encode if comp_id == _COMPRESSION_G4 else mh_encode
+                enc = {_COMPRESSION_G4: g4_encode,
+                       _COMPRESSION_MH: mh_encode,
+                       _COMPRESSION_G3: g3_encode}[comp_id]
                 strips.append(enc(rows[:, :, 0] < 128))
                 continue
             if bilevel:
@@ -809,6 +828,10 @@ def encode_tiff(
             ]
         if ch == 4:
             entries.append((338, 3, 1, [2]))      # unassociated alpha
+        if comp_id == _COMPRESSION_G3:
+            # T4Options: 1D coding, no uncompressed mode, no EOL
+            # byte-alignment fill (the decoder accepts fill anyway).
+            entries.append((293, 4, 1, [0]))
         if planar:
             entries.append((284, 3, 1, [2]))
         if predictor:

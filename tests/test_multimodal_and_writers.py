@@ -1640,6 +1640,84 @@ def test_tiff_16bit_samples(spark):
     assert out.dtype == np.uint16 and out.shape == (4, 6, 1)
 
 
+def test_ccitt_g3_1d_codec_and_tiff_integration():
+    """r13: CCITT Group 3 one-dimensional with EOL framing (TIFF
+    Compression=3, the classic fax layout) — round-trips across sizes/
+    densities/strip heights with and without EOL byte-alignment fill,
+    the EOL framing is pinned by a hand-derived spec vector, G3/MH/G4
+    decode the same pixels, the still-gated T4Options modes (2D,
+    uncompressed) reject by name, and corrupt streams fail loud."""
+    import re
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import ccitt_g4 as CC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(1303)
+    for (h, w) in [(1, 1), (3, 8), (5, 64), (9, 1728), (4, 3000)]:
+        for density in (0.0, 0.1, 0.5, 1.0):
+            bm = (rng.random((h, w)) < density).astype(np.uint8)
+            for align in (False, True):
+                data = CC.g3_encode(bm, eol_align=align)
+                assert np.array_equal(CC.g3_decode(data, w, h), bm), \
+                    (h, w, density, align)
+    # Spec vector: one all-white 8-px line = EOL (000000000001) then
+    # the T.4 white-8 terminating code (10011).
+    bits = "".join(f"{b:08b}" for b in CC.g3_encode(np.zeros((1, 8),
+                                                             np.uint8)))
+    assert bits.startswith("000000000001" + "10011"), bits
+    # eol_align: every EOL's trailing one-bit lands on a byte boundary
+    # (11+ zero runs cannot occur inside valid T.4 run codes, so every
+    # such run IS an EOL).
+    bm = (rng.random((6, 37)) < 0.4).astype(np.uint8)
+    bits = "".join(f"{b:08b}" for b in CC.g3_encode(bm, eol_align=True))
+    ends = [m.end() for m in re.finditer("0{11,}1", bits)]
+    assert len(ends) == 6 and all(e % 8 == 0 for e in ends)
+
+    # TIFF integration: strips x densities x multi-page; G3 == MH == G4
+    # pixels; T4Options 2D/uncompressed reject by name.
+    for rps in (None, 4):
+        img = ((rng.random((19, 33)) < 0.5) * 255).astype(np.uint8)
+        data = TC.encode_tiff(img, bilevel=True, compression="g3",
+                              rows_per_strip=rps)
+        want = ((img >= 128) * 255).astype(np.uint8)[:, :, None]
+        assert np.array_equal(TC.decode_tiff(data), want), rps
+    pages = [((rng.random((9, 25)) < 0.3) * 255).astype(np.uint8)
+             for _ in range(3)]
+    data = TC.encode_tiff(pages, bilevel=True, compression="g3")
+    got = TC.decode_tiff_pages(data)
+    assert len(got) == 3 and TC.count_tiff_pages(data) == 3
+    for g, p in zip(got, pages):
+        assert np.array_equal(g[:, :, 0], ((p >= 128) * 255)
+                              .astype(np.uint8))
+    bm8 = ((rng.random((7, 41)) < 0.4) * 255).astype(np.uint8)
+    outs = [TC.decode_tiff(TC.encode_tiff(bm8, bilevel=True, compression=c))
+            for c in ("g3", "mh", "g4")]
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[0], outs[2])
+    idx = data.find(struct.pack("<HHI", 293, 4, 1))
+    assert idx > 0
+    for bit in (1, 2):                          # 2D / uncompressed mode
+        bad = bytearray(data)
+        struct.pack_into("<I", bad, idx + 8, bit)
+        with pytest.raises(ValueError, match="T4Options"):
+            TC.decode_tiff(bytes(bad))
+    # Corruption totality: mutated G3 bytes raise ValueError or decode
+    # to a well-formed bitmap — never crash, hang, or over-allocate.
+    good = CC.g3_encode(bm)
+    for i in range(0, len(good), 2):
+        mutated = bytearray(good)
+        mutated[i] ^= 0xFF
+        try:
+            out = CC.g3_decode(bytes(mutated), 37, 6)
+            assert out.shape == (6, 37)
+        except ValueError:
+            pass
+
+
 def test_ccitt_g4_codec_and_tiff_integration(spark):
     """r12: CCITT Group 4 (T.6 MMR) — the fax/book-scan compression.
     Spec-derived bit vectors (an all-white row is ONE V0 bit; a known
