@@ -9,9 +9,12 @@ sampled-frame kernel decodes individual pages.
   data, compressions 1 (none), 4 (CCITT Group 4 / T.6 MMR — THE
   fax/book-scan compression, via ``ccitt_g4``), 3 (CCITT Group 3 /
   T.4 one-dimensional with EOL framing — the classic fax layout,
-  r13; the 2D and uncompressed T4Options stay gated by name), 5
-  (TIFF-LZW: MSB-first codes with the EarlyChange width bump,
-  horizontal-differencing predictor) and 32773 (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
+  r13; the 2D and uncompressed T4Options stay gated by name), 7
+  (new-style JPEG-in-TIFF, r13 — every strip an independent JPEG
+  stream decoded by ``jpeg_codec``, shared JPEGTables tag 347 spliced
+  after each strip's SOI), 5 (TIFF-LZW: MSB-first codes with the
+  EarlyChange width bump, horizontal-differencing predictor) and
+  32773 (PackBits RLE); photometric 0/1 (bilevel + grayscale, WhiteIsZero
   inverted), 2 (RGB, with extra samples kept as alpha), 3 (palette via
   the 16-bit ColorMap).  Bit depths 1 (bilevel scans), 8, and 16
   (scientific/medical gray + RGB — decoded to uint16, either byte
@@ -31,12 +34,12 @@ sampled-frame kernel decodes individual pages.
   classic, which every reader accepts under 4 GB.
 
 Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
-CCITT planar-configuration-2 variants (strip-organized byte-aligned
-planar reads and writes since r13), sub-byte tiled pages, CCITT G3
-two-dimensional coding and uncompressed mode (T4Options bits 0/1 —
-1D-with-EOLs reads and writes since r13) and JPEG-in-TIFF
-compressions — real corpora re-encode those through the same PIL
-extension point as MP3/H.264.
+CCITT/JPEG planar-configuration-2 variants (strip-organized
+byte-aligned planar reads and writes since r13), sub-byte tiled pages,
+CCITT G3 two-dimensional coding and uncompressed mode (T4Options bits
+0/1 — 1D-with-EOLs reads and writes since r13), tiled JPEG-in-TIFF
+and photometric-2 (raw-RGB-component) JPEG — strip-organized
+gray/YCbCr JPEG-in-TIFF reads and writes since r13.
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ _COMPRESSION_NONE = 1
 _COMPRESSION_MH = 2                 # CCITT RLE (Modified Huffman, 1D)
 _COMPRESSION_G3 = 3                 # CCITT T.4 (G3; 1D-with-EOLs, r13)
 _COMPRESSION_G4 = 4
+_COMPRESSION_JPEG = 7               # new-style JPEG-in-TIFF (r13)
 _CCITT = (_COMPRESSION_MH, _COMPRESSION_G3, _COMPRESSION_G4)
 _COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
@@ -318,7 +322,8 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
     if planar == 2 and tiled:
         raise ValueError("tiled planar-configuration-2 TIFF not supported")
     if comp not in (_COMPRESSION_NONE, _COMPRESSION_LZW,
-                    _COMPRESSION_PACKBITS) and comp not in _CCITT:
+                    _COMPRESSION_PACKBITS, _COMPRESSION_JPEG) \
+            and comp not in _CCITT:
         raise ValueError(f"unsupported TIFF compression {comp}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
@@ -335,6 +340,69 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         if t4 & 2:
             raise ValueError("CCITT G3 uncompressed mode (T4Options "
                              "bit 1) not supported")
+    if comp == _COMPRESSION_JPEG:
+        # New-style JPEG-in-TIFF (r13): every strip is an independent
+        # JPEG stream (our own full codec decodes it); tag 347
+        # (JPEGTables) carries shared DQT/DHT segments as an
+        # abbreviated SOI..EOI stream spliced after each strip's SOI.
+        if tiled:
+            raise ValueError("tiled JPEG-in-TIFF not supported")
+        if planar == 2:
+            raise ValueError("planar JPEG-in-TIFF not supported")
+        if set(bits) != {8}:
+            raise ValueError("JPEG-in-TIFF requires 8-bit samples")
+        # photometric 6 = YCbCr (what the JPEG layer natively converts
+        # to RGB), 1 = grayscale.  Photometric-2 JPEG (raw RGB
+        # components, no color transform) stays gated: decode_jpeg
+        # assumes the standard YCbCr transform for 3-component scans.
+        if photo not in (1, 6):
+            raise ValueError(
+                f"JPEG-in-TIFF with photometric {photo} not supported")
+        from spreadsheet_etl_engine_spark.functions.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        tables = None
+        if 347 in tags:
+            tbl = bytes(tags[347])
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("malformed JPEGTables stream")
+            tables = tbl[2:-2]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/counts missing or mismatched")
+        rows_per_strip = tags.get(278, [h])[0] or h
+        parts = []
+        done_rows = 0
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(data):
+                raise ValueError("TIFF strip out of bounds")
+            n_rows = min(rows_per_strip, h - done_rows)
+            if n_rows <= 0:
+                break
+            raw = data[off:off + cnt]
+            if tables is not None:
+                if raw[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG-in-TIFF strip without SOI")
+                raw = raw[:2] + tables + raw[2:]
+            img = decode_jpeg(raw)
+            if img.shape[0] != n_rows or img.shape[1] != w:
+                raise ValueError(
+                    "JPEG-in-TIFF strip dimensions disagree with the IFD")
+            if img.shape[2] != spp:
+                raise ValueError(
+                    "JPEG-in-TIFF component count disagrees with "
+                    "SamplesPerPixel")
+            parts.append(img)
+            done_rows += n_rows
+        if done_rows < h:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        out = np.concatenate(parts)
+        # photometric 6: the JPEG layer already produced RGB; 2: the
+        # stream carried RGB components directly; 1: grayscale.
+        return np.ascontiguousarray(out)
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -653,7 +721,9 @@ def encode_tiff(
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
     ``compression`` is 'none' | 'mh' | 'g3' (T.4 1D-with-EOLs, r13) |
-    'g4' (CCITT, bilevel only) |
+    'g4' (CCITT, bilevel only) | 'jpeg' (new-style JPEG-in-TIFF, r13 —
+    8-bit gray/RGB, each strip a self-contained quality-85 4:4:4
+    stream; LOSSY) |
     'lzw' | 'packbits'; ``predictor`` applies horizontal differencing
     before LZW.  ``tile=(tile_width, tile_height)`` emits the tiled
     organization instead of strips (byte-aligned depths only — tiles
@@ -669,14 +739,14 @@ def encode_tiff(
         raise ValueError("cannot encode a TIFF with no pages")
     comp_id = {"none": _COMPRESSION_NONE, "mh": _COMPRESSION_MH,
                "g3": _COMPRESSION_G3, "g4": _COMPRESSION_G4,
-               "lzw": _COMPRESSION_LZW,
+               "jpeg": _COMPRESSION_JPEG, "lzw": _COMPRESSION_LZW,
                "packbits": _COMPRESSION_PACKBITS}.get(compression)
     if comp_id is None:
         raise ValueError(f"unknown TIFF compression '{compression}'")
     if comp_id in _CCITT and not bilevel:
         raise ValueError("TIFF CCITT compression requires bilevel=True")
     if tile is not None:
-        if bilevel or comp_id in _CCITT:
+        if bilevel or comp_id in _CCITT or comp_id == _COMPRESSION_JPEG:
             raise ValueError("tiled TIFF supports byte-aligned depths only")
         if len(tile) != 2 or tile[0] <= 0 or tile[1] <= 0:
             raise ValueError("tile must be (tile_width, tile_height)")
@@ -686,9 +756,11 @@ def encode_tiff(
                                 or palette.shape[1] != 3):
         raise ValueError("palette must be a (P, 3) uint8 array")
     if planar and (tile is not None or bilevel or palette is not None
-                   or comp_id in _CCITT):
+                   or comp_id in _CCITT or comp_id == _COMPRESSION_JPEG):
         raise ValueError(
             "planar TIFF supports strip-organized gray/RGB/RGBA pages only")
+    if comp_id == _COMPRESSION_JPEG and (bilevel or palette is not None):
+        raise ValueError("JPEG-in-TIFF encodes gray or RGB chunky pages")
 
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_patch = 4                        # where the previous chain ptr lives
@@ -707,6 +779,9 @@ def encode_tiff(
             raise ValueError(f"unsupported TIFF page shape {img.shape}")
         if (bilevel or palette is not None) and ch != 1:
             raise ValueError("bilevel/palette pages must be single-channel")
+        if comp_id == _COMPRESSION_JPEG and (deep or ch not in (1, 3)):
+            raise ValueError(
+                "JPEG-in-TIFF encodes 8-bit gray or RGB pages only")
         if palette is not None and int(img.max(initial=0)) >= palette.shape[0]:
             raise ValueError("palette index outside the supplied palette")
 
@@ -775,6 +850,19 @@ def encode_tiff(
                        _COMPRESSION_G3: g3_encode}[comp_id]
                 strips.append(enc(rows[:, :, 0] < 128))
                 continue
+            if comp_id == _COMPRESSION_JPEG:
+                # Each strip is a self-contained JPEG (no shared
+                # JPEGTables — every reader accepts that layout);
+                # 4:4:4 so odd strip heights/widths need no chroma
+                # padding games.  LOSSY by nature: round-trip equality
+                # holds against the JPEG composition, not the input.
+                from spreadsheet_etl_engine_spark.functions.jpeg_codec \
+                    import encode_jpeg
+
+                strips.append(encode_jpeg(
+                    rows if ch > 1 else rows[:, :, 0],
+                    quality=85, subsampling="444"))
+                continue
             if bilevel:
                 raw = np.packbits(rows[:, :, 0] >= 128, axis=1).tobytes()
             elif predictor:
@@ -803,6 +891,8 @@ def encode_tiff(
             photo = 3
         elif ch == 1:
             photo = 1
+        elif comp_id == _COMPRESSION_JPEG:
+            photo = 6                    # YCbCr: the JPEG color space
         else:
             photo = 2
         entries: list[tuple[int, int, int, list[int]]] = [

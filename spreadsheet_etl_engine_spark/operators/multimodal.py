@@ -175,13 +175,13 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 # Multi-page TIFF (r13): scanned-document pages count
                 # like video frames; the sub-cycle covers the scan
                 # layouts (G4 fax, LZW+predictor, tiled, planar-2,
-                # G3 1D-with-EOLs) — invisible to the generative
-                # oracle (dims and page counts don't depend on it), so
-                # each variant's REAL IFD walk sits under the driver
-                # hash for free.
+                # G3 1D-with-EOLs, JPEG-in-TIFF) — invisible to the
+                # generative oracle (dims and page counts don't depend
+                # on it), so each variant's REAL IFD walk sits under
+                # the driver hash for free.
                 w, h = 8 + i % 16, 6 + i % 8
                 npages = 2 + i % 3
-                sub = (i // 9) % 5
+                sub = (i // 9) % 6
                 if sub in (0, 4):
                     pages = [(((np.arange(h * w).reshape(h, w)
                                 * (i + p + 1)) % 256) >= 128)
@@ -200,7 +200,10 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                                else MC.encode_tiff(pages, tile=(8, 8))
                                if sub == 2
                                else MC.encode_tiff(pages, planar=True,
-                                                   compression="packbits"))
+                                                   compression="packbits")
+                               if sub == 3
+                               else MC.encode_tiff(pages,
+                                                   compression="jpeg"))
             else:
                 payload = (f"VID:{nf}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
         return (i, kind, payload, i % 7)

@@ -1718,6 +1718,107 @@ def test_ccitt_g3_1d_codec_and_tiff_integration():
             pass
 
 
+def test_jpeg_in_tiff():
+    """r13: new-style JPEG-in-TIFF (Compression=7) — every strip is an
+    independent JPEG stream decoded by our own codec.  Self-contained
+    strips round-trip exactly against the per-strip JPEG composition
+    (lossy vs the input, deterministic vs the codec), multi-page and
+    probe/count work, a hand-built file with shared JPEGTables (tag
+    347, abbreviated streams) splices and decodes, and the gated
+    variants (tiled, planar, photometric-2) reject by name."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import jpeg_codec as JC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    rng = np.random.default_rng(1304)
+    for ch in (1, 3):
+        for rps in (None, 4):
+            shape = (13, 17) if ch == 1 else (13, 17, ch)
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            data = TC.encode_tiff(img, compression="jpeg",
+                                  rows_per_strip=rps)
+            got = TC.decode_tiff(data)
+            im3 = img if ch > 1 else img[:, :, None]
+            parts = []
+            for y0 in range(0, 13, rps or 13):
+                rows = im3[y0:y0 + (rps or 13)]
+                parts.append(JC.decode_jpeg(JC.encode_jpeg(
+                    rows if ch > 1 else rows[:, :, 0],
+                    quality=85, subsampling="444")))
+            want = np.concatenate(parts)
+            assert np.array_equal(got, want), (ch, rps)
+            assert TC.probe_tiff_dims(data) == (17, 13)
+    pages = [rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+             for _ in range(3)]
+    data = TC.encode_tiff(pages, compression="jpeg")
+    assert TC.count_tiff_pages(data) == 3
+    assert len(TC.decode_tiff_pages(data)) == 3
+
+    # Hand-built one-strip file with shared JPEGTables (tag 347):
+    # split a full stream into an abbreviated tables stream (DQT/DHT)
+    # and a tables-less image stream, as libtiff writes them.
+    img = rng.integers(0, 256, (6, 8, 3)).astype(np.uint8)
+    full = JC.encode_jpeg(img, quality=85, subsampling="444")
+    pos = 2
+    tbl_segs, img_segs = [], []
+    while pos < len(full):
+        marker = full[pos + 1]
+        if marker == 0xDA:
+            img_segs.append(full[pos:len(full) - 2])
+            break
+        seglen = struct.unpack_from(">H", full, pos + 2)[0]
+        seg = full[pos:pos + 2 + seglen]
+        (tbl_segs if marker in (0xDB, 0xC4) else img_segs).append(seg)
+        pos += 2 + seglen
+    tables = b"\xff\xd8" + b"".join(tbl_segs) + b"\xff\xd9"
+    strip = b"\xff\xd8" + b"".join(img_segs) + b"\xff\xd9"
+
+    def entry(tag, ttype, count, val4):
+        return struct.pack("<HHI", tag, ttype, count) + val4
+
+    data_off = 8
+    tbl_off = data_off + len(strip)
+    ifd_off = tbl_off + len(tables)
+    n = 9
+    bits_off = ifd_off + 2 + n * 12 + 4
+    ifd = struct.pack("<H", n)
+    ifd += entry(256, 3, 1, struct.pack("<HH", 8, 0))
+    ifd += entry(257, 3, 1, struct.pack("<HH", 6, 0))
+    ifd += entry(258, 3, 3, struct.pack("<I", bits_off))
+    ifd += entry(259, 3, 1, struct.pack("<HH", 7, 0))
+    ifd += entry(262, 3, 1, struct.pack("<HH", 6, 0))
+    ifd += entry(273, 4, 1, struct.pack("<I", data_off))
+    ifd += entry(277, 3, 1, struct.pack("<HH", 3, 0))
+    ifd += entry(279, 4, 1, struct.pack("<I", len(strip)))
+    ifd += entry(347, 7, len(tables), struct.pack("<I", tbl_off))
+    ifd += struct.pack("<I", 0)
+    arrays = struct.pack("<3H", 8, 8, 8)
+    tiff = (b"II*\x00" + struct.pack("<I", ifd_off) + strip + tables
+            + ifd + arrays)
+    assert np.array_equal(TC.decode_tiff(tiff), JC.decode_jpeg(full))
+
+    # Gated variants reject by name.
+    with pytest.raises(ValueError, match="byte-aligned|tiled"):
+        TC.encode_tiff(pages[0], compression="jpeg", tile=(8, 8))
+    with pytest.raises(ValueError, match="planar"):
+        TC.encode_tiff(pages[0], compression="jpeg", planar=True)
+    with pytest.raises(ValueError, match="8-bit gray or RGB"):
+        TC.encode_tiff(pages[0].astype(np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="8-bit gray or RGB"):
+        TC.encode_tiff(np.dstack([pages[0], pages[0][:, :, :1]]),
+                       compression="jpeg")
+    bad = bytearray(tiff)
+    # photometric 2 (raw RGB components) stays gated
+    pidx = tiff.find(struct.pack("<HHI", 262, 3, 1))
+    struct.pack_into("<H", bad, pidx + 8, 2)
+    with pytest.raises(ValueError, match="photometric 2"):
+        TC.decode_tiff(bytes(bad))
+
+
 def test_ccitt_g4_codec_and_tiff_integration(spark):
     """r12: CCITT Group 4 (T.6 MMR) — the fax/book-scan compression.
     Spec-derived bit vectors (an all-white row is ONE V0 bit; a known
