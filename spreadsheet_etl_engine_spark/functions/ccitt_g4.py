@@ -244,6 +244,53 @@ def _b1_b2(trans: list[int], a0: int, color: int, width: int) -> tuple[int, int]
     return b1, b2
 
 
+def _decode_2d_row(bits: _Bits, ref_trans: list[int], row: np.ndarray,
+                   width: int) -> None:
+    """One 2D-coded row (the T.6 mode loop, shared verbatim by G4 and
+    by G3 two-dimensional lines — T.4 §4.2 uses the identical modes):
+    decodes into ``row`` against the reference row's transitions."""
+    a0 = -1
+    color = 0
+    while a0 < width:
+        b1, b2 = _b1_b2(ref_trans, a0, color, width)
+        mode, delta = _read_mode(bits)
+        if mode == "eol":
+            raise ValueError("unexpected EOL inside a CCITT 2D-coded row")
+        if mode == "p":
+            if color:
+                row[max(a0, 0):b2] = 1
+            a0 = b2
+            continue
+        if mode == "v":
+            a1 = b1 + delta
+            # a1 > a0 also guarantees per-mode progress: a corrupt
+            # stream repeating a zero-advance mode would otherwise
+            # spin forever.  (a0 = -1, a1 = 0 passes: 0 > -1.)
+            if a1 < 0 or a1 > width or a1 <= a0:
+                raise ValueError("CCITT vertical mode out of range")
+            if color:
+                row[max(a0, 0):a1] = 1
+            a0 = a1
+            color ^= 1
+            continue
+        # Horizontal: two explicit runs from a0 (start-of-row a0=-1
+        # counts as 0).
+        start = max(a0, 0)
+        r1 = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+        r2 = _read_run(bits, _WHITE_DEC if color else _BLACK_DEC)
+        a1 = start + r1
+        a2 = a1 + r2
+        if a2 > width:
+            raise ValueError("CCITT horizontal runs overflow the row")
+        if a2 <= a0:
+            raise ValueError("CCITT horizontal mode does not advance")
+        if color:
+            row[start:a1] = 1
+        else:
+            row[a1:a2] = 1
+        a0 = a2
+
+
 def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """T.6 stream -> (height, width) uint8 bitmap, 1 = black."""
     if width <= 0 or height <= 0:
@@ -252,51 +299,11 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     ref_trans: list[int] = []                   # imaginary all-white row
     for y in range(height):
-        row = out[y]
-        a0 = -1
-        color = 0
-        while a0 < width:
-            b1, b2 = _b1_b2(ref_trans, a0, color, width)
-            mode, delta = _read_mode(bits)
-            if mode == "eol":
-                raise ValueError("unexpected EOL inside a CCITT G4 page")
-            if mode == "p":
-                if color:
-                    row[max(a0, 0):b2] = 1
-                a0 = b2
-                continue
-            if mode == "v":
-                a1 = b1 + delta
-                # a1 > a0 also guarantees per-mode progress: a corrupt
-                # stream repeating a zero-advance mode would otherwise
-                # spin forever.  (a0 = -1, a1 = 0 passes: 0 > -1.)
-                if a1 < 0 or a1 > width or a1 <= a0:
-                    raise ValueError("CCITT G4 vertical mode out of range")
-                if color:
-                    row[max(a0, 0):a1] = 1
-                a0 = a1
-                color ^= 1
-                continue
-            # Horizontal: two explicit runs from a0 (start-of-row a0=-1
-            # counts as 0).
-            start = max(a0, 0)
-            r1 = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
-            r2 = _read_run(bits, _WHITE_DEC if color else _BLACK_DEC)
-            a1 = start + r1
-            a2 = a1 + r2
-            if a2 > width:
-                raise ValueError("CCITT G4 horizontal runs overflow the row")
-            if a2 <= a0:
-                raise ValueError("CCITT G4 horizontal mode does not advance")
-            if color:
-                row[start:a1] = 1
-            else:
-                row[a1:a2] = 1
-            a0 = a2
+        _decode_2d_row(bits, ref_trans, out[y], width)
         # The next row's reference is THIS row's actual transitions —
         # recomputed from the pixels, which is immune to mode-level
         # bookkeeping drift (pass mode contributes no transition).
-        ref_trans = _transitions(row)
+        ref_trans = _transitions(out[y])
     return out
 
 
@@ -339,6 +346,40 @@ def _write_run(w: _BitWriter, run: int, color: int) -> None:
     w.write(code, length)
 
 
+def _encode_2d_row(w: _BitWriter, ref_trans: list[int],
+                   cur_trans: list[int], width: int) -> None:
+    """One 2D-coded row (shared by G4 and G3 two-dimensional lines)."""
+    a0 = -1
+    color = 0
+    ti = 0                                       # index into cur_trans
+    while a0 < width:
+        b1, b2 = _b1_b2(ref_trans, a0, color, width)
+        a1 = cur_trans[ti] if ti < len(cur_trans) else width
+        if b2 < a1:
+            w.write(*_MODE_PASS)
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            d = a1 - b1
+            if d == 0:
+                w.write(*_MODE_V0)
+            elif d > 0:
+                w.write(*_MODE_VR[d])
+            else:
+                w.write(*_MODE_VL[-d])
+            a0 = a1
+            color ^= 1
+            ti += 1
+            continue
+        a2 = cur_trans[ti + 1] if ti + 1 < len(cur_trans) else width
+        start = max(a0, 0)
+        w.write(*_MODE_H)
+        _write_run(w, a1 - start, color)
+        _write_run(w, a2 - a1, color ^ 1)
+        a0 = a2
+        ti += 2
+
+
 def g4_encode(bitmap: np.ndarray) -> bytes:
     """(h, w) bitmap (nonzero = black) -> T.6 bytes, EOFB-terminated."""
     if bitmap.ndim != 2 or bitmap.shape[0] == 0 or bitmap.shape[1] == 0:
@@ -349,35 +390,7 @@ def g4_encode(bitmap: np.ndarray) -> bytes:
     ref_trans: list[int] = []
     for y in range(h):
         cur_trans = _transitions(bm[y])
-        a0 = -1
-        color = 0
-        ti = 0                                   # index into cur_trans
-        while a0 < width:
-            b1, b2 = _b1_b2(ref_trans, a0, color, width)
-            a1 = cur_trans[ti] if ti < len(cur_trans) else width
-            if b2 < a1:
-                w.write(*_MODE_PASS)
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:
-                d = a1 - b1
-                if d == 0:
-                    w.write(*_MODE_V0)
-                elif d > 0:
-                    w.write(*_MODE_VR[d])
-                else:
-                    w.write(*_MODE_VL[-d])
-                a0 = a1
-                color ^= 1
-                ti += 1
-                continue
-            a2 = cur_trans[ti + 1] if ti + 1 < len(cur_trans) else width
-            start = max(a0, 0)
-            w.write(*_MODE_H)
-            _write_run(w, a1 - start, color)
-            _write_run(w, a2 - a1, color ^ 1)
-            a0 = a2
-            ti += 2
+        _encode_2d_row(w, ref_trans, cur_trans, width)
         ref_trans = cur_trans
     w.write(*_EOL)
     w.write(*_EOL)                               # EOFB
@@ -396,16 +409,7 @@ def mh_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         bits.pos = (bits.pos + 7) & ~7           # row starts byte-aligned
-        x = 0
-        color = 0
-        while x < width:
-            run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
-            if x + run > width:
-                raise ValueError("CCITT MH run overflows the row")
-            if color:
-                out[y, x:x + run] = 1
-            x += run
-            color ^= 1
+        _decode_1d_line(bits, out[y], width)
     return out
 
 
@@ -426,6 +430,34 @@ def _read_eol(bits: _Bits) -> None:
             raise ValueError("runaway zero fill before CCITT G3 EOL")
 
 
+def _decode_1d_line(bits: _Bits, row: np.ndarray, width: int) -> None:
+    """One T.4 one-dimensional line: alternating white/black run codes
+    starting white, decoded into ``row`` (shared by MH, G3 1D, and the
+    1D-tagged lines of G3 2D)."""
+    x = 0
+    color = 0
+    while x < width:
+        run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
+        if x + run > width:
+            raise ValueError("CCITT 1D run overflows the row")
+        if color:
+            row[x:x + run] = 1
+        x += run
+        color ^= 1
+
+
+def _encode_1d_line(w: _BitWriter, trans: list[int], width: int) -> None:
+    """One T.4 one-dimensional line from a row's transition list."""
+    x = 0
+    color = 0
+    for t in trans + [width]:
+        _write_run(w, t - x, color)
+        x = t
+        color ^= 1
+    if x < width:
+        _write_run(w, width - x, color)
+
+
 def g3_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """CCITT Group 3 one-dimensional with EOLs (TIFF Compression=3,
     T4Options 2D bit clear) — the classic fax framing: every line is
@@ -442,16 +474,7 @@ def g3_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         _read_eol(bits)
-        x = 0
-        color = 0
-        while x < width:
-            run = _read_run(bits, _BLACK_DEC if color else _WHITE_DEC)
-            if x + run > width:
-                raise ValueError("CCITT G3 run overflows the row")
-            if color:
-                out[y, x:x + run] = 1
-            x += run
-            color ^= 1
+        _decode_1d_line(bits, out[y], width)
     return out
 
 
@@ -477,15 +500,69 @@ def g3_encode(bitmap: np.ndarray, *, eol_align: bool = False) -> bytes:
             if fill:
                 w.write(0, fill)
         w.write(*_EOL)
-        trans = _transitions(bm[y]) + [bm.shape[1]]
-        x = 0
-        color = 0
-        for t in trans:
-            _write_run(w, t - x, color)
-            x = t
-            color ^= 1
-        if x < bm.shape[1]:
-            _write_run(w, bm.shape[1] - x, color)
+        _encode_1d_line(w, _transitions(bm[y]), bm.shape[1])
+    return w.flush()
+
+
+def g3_2d_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """CCITT Group 3 TWO-dimensional (TIFF Compression=3 with
+    T4Options bit 0 set — T.4 §4.2): every line is EOL-framed like 1D
+    G3, but the EOL carries a tag bit — 1 means the line is coded
+    one-dimensionally (the periodic resync lines, every K-th in a real
+    fax), 0 means two-dimensionally with the SAME mode set as G4
+    against the previous line.  Returns (height, width) uint8,
+    1 = black."""
+    if width <= 0 or height <= 0:
+        raise ValueError("CCITT G3 needs positive dimensions")
+    bits = _Bits(bytes(data))
+    out = np.zeros((height, width), dtype=np.uint8)
+    ref_trans: list[int] = []
+    for y in range(height):
+        _read_eol(bits)
+        if bits.read(1):                         # tag 1: 1D line
+            _decode_1d_line(bits, out[y], width)
+        else:                                    # tag 0: 2D line
+            if y == 0:
+                # A first line with no reference would decode against
+                # the imaginary all-white row — T.4 requires the first
+                # line after a page start to be 1D-coded.
+                raise ValueError(
+                    "CCITT G3 2D page must start with a 1D-coded line")
+            _decode_2d_row(bits, ref_trans, out[y], width)
+        ref_trans = _transitions(out[y])
+    return out
+
+
+def g3_2d_encode(bitmap: np.ndarray, *, k: int = 4,
+                 eol_align: bool = False) -> bytes:
+    """(h, w) bitmap (nonzero = black) -> Compression=3 2D bytes
+    (T4Options bit 0): each line EOL-framed with the 1D/2D tag bit;
+    every ``k``-th line (and the first) is coded one-dimensionally —
+    the T.4 resync discipline (k <= 4 twice the vertical resolution's
+    2 in real fax; here it just bounds error propagation) — and the
+    rest two-dimensionally against the previous line, G4 modes."""
+    if bitmap.ndim != 2 or bitmap.shape[0] == 0 or bitmap.shape[1] == 0:
+        raise ValueError("g3_2d_encode needs a non-empty (h, w) bitmap")
+    if k < 1:
+        raise ValueError("k must be at least 1")
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    h, width = bm.shape
+    w = _BitWriter()
+    ref_trans: list[int] = []
+    for y in range(h):
+        if eol_align:
+            fill = (-(len(w.buf) * 8 + w.n + 12)) % 8
+            if fill:
+                w.write(0, fill)
+        w.write(*_EOL)
+        cur_trans = _transitions(bm[y])
+        if y % k == 0:
+            w.write(1, 1)                        # tag: 1D line
+            _encode_1d_line(w, cur_trans, width)
+        else:
+            w.write(0, 1)                        # tag: 2D line
+            _encode_2d_row(w, ref_trans, cur_trans, width)
+        ref_trans = cur_trans
     return w.flush()
 
 
@@ -499,14 +576,6 @@ def mh_encode(bitmap: np.ndarray) -> bytes:
     out = bytearray()
     for y in range(bm.shape[0]):
         w = _BitWriter()
-        trans = _transitions(bm[y]) + [bm.shape[1]]
-        x = 0
-        color = 0
-        for t in trans:
-            _write_run(w, t - x, color)
-            x = t
-            color ^= 1
-        if x < bm.shape[1]:                      # trailing run to width
-            _write_run(w, bm.shape[1] - x, color)
+        _encode_1d_line(w, _transitions(bm[y]), bm.shape[1])
         out += w.flush()                         # per-row byte alignment
     return bytes(out)

@@ -8,8 +8,9 @@ sampled-frame kernel decodes individual pages.
 * **decode_tiff** — both byte orders (II/MM), strip-organized chunky
   data, compressions 1 (none), 4 (CCITT Group 4 / T.6 MMR — THE
   fax/book-scan compression, via ``ccitt_g4``), 3 (CCITT Group 3 /
-  T.4 one-dimensional with EOL framing — the classic fax layout,
-  r13; the 2D and uncompressed T4Options stay gated by name), 7
+  T.4 with EOL framing — BOTH the one-dimensional and, since late
+  r13, the two-dimensional T4Options coding; only the uncompressed
+  mode stays gated by name), 7
   (new-style JPEG-in-TIFF, r13 — every strip an independent JPEG
   stream decoded by ``jpeg_codec``, shared JPEGTables tag 347 spliced
   after each strip's SOI), 5 (TIFF-LZW: MSB-first codes with the
@@ -36,8 +37,8 @@ sampled-frame kernel decodes individual pages.
 Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
 CCITT/JPEG planar-configuration-2 variants (strip-organized
 byte-aligned planar reads and writes since r13), sub-byte tiled pages,
-CCITT G3 two-dimensional coding and uncompressed mode (T4Options bits
-0/1 — 1D-with-EOLs reads and writes since r13), tiled JPEG-in-TIFF
+CCITT G3 uncompressed mode (T4Options bit 1 — the 1D and 2D codings
+both read and write since r13), tiled JPEG-in-TIFF
 and photometric-2 (raw-RGB-component) JPEG — strip-organized
 gray/YCbCr JPEG-in-TIFF reads and writes since r13.
 """
@@ -329,14 +330,14 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     if comp in _CCITT and (set(bits) != {1} or spp != 1):
         raise ValueError("TIFF CCITT compression requires 1-bit samples")
+    g3_two_d = False
     if comp == _COMPRESSION_G3:
-        # T4Options (tag 293): bit 0 = 2D coding, bit 1 = uncompressed
-        # mode — both stay gated by name; bit 2 (EOL byte alignment)
-        # is transparent to the EOL scanner.
+        # T4Options (tag 293): bit 0 = 2D coding (r13 — decoded via
+        # the shared T.6 mode rows), bit 1 = uncompressed mode (stays
+        # gated by name); bit 2 (EOL byte alignment) is transparent to
+        # the EOL scanner.
         t4 = tags.get(293, [0])[0]
-        if t4 & 1:
-            raise ValueError("CCITT G3 2D coding (T4Options bit 0) "
-                             "not supported")
+        g3_two_d = bool(t4 & 1)
         if t4 & 2:
             raise ValueError("CCITT G3 uncompressed mode (T4Options "
                              "bit 1) not supported")
@@ -561,11 +562,12 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             # runs, which under photometric 0 (WhiteIsZero, the fax
             # convention) IS the sample value — photometric 1 flips.
             from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                g3_decode, g4_decode, mh_decode,
+                g3_2d_decode, g3_decode, g4_decode, mh_decode,
             )
 
             dec = {_COMPRESSION_G4: g4_decode, _COMPRESSION_MH: mh_decode,
-                   _COMPRESSION_G3: g3_decode}[comp]
+                   _COMPRESSION_G3: g3_2d_decode if g3_two_d
+                   else g3_decode}[comp]
             black = dec(raw, w, n_rows)
             raw = np.packbits(black if photo == 0 else 1 - black,
                               axis=1).tobytes()
@@ -721,6 +723,8 @@ def encode_tiff(
     scanned-document shape); ``palette`` (P, 3) uint8 encodes
     single-channel pages as photometric-3 with a 16-bit ColorMap.
     ``compression`` is 'none' | 'mh' | 'g3' (T.4 1D-with-EOLs, r13) |
+    'g3_2d' (T.4 two-dimensional, T4Options bit 0 — 1D resync every
+    4th line, G4-mode lines between, r13) |
     'g4' (CCITT, bilevel only) | 'jpeg' (new-style JPEG-in-TIFF, r13 —
     8-bit gray/RGB, each strip a self-contained quality-85 4:4:4
     stream; LOSSY) |
@@ -738,9 +742,11 @@ def encode_tiff(
     if not pages:
         raise ValueError("cannot encode a TIFF with no pages")
     comp_id = {"none": _COMPRESSION_NONE, "mh": _COMPRESSION_MH,
-               "g3": _COMPRESSION_G3, "g4": _COMPRESSION_G4,
+               "g3": _COMPRESSION_G3, "g3_2d": _COMPRESSION_G3,
+               "g4": _COMPRESSION_G4,
                "jpeg": _COMPRESSION_JPEG, "lzw": _COMPRESSION_LZW,
                "packbits": _COMPRESSION_PACKBITS}.get(compression)
+    g3_two_d = compression == "g3_2d"
     if comp_id is None:
         raise ValueError(f"unknown TIFF compression '{compression}'")
     if comp_id in _CCITT and not bilevel:
@@ -842,12 +848,13 @@ def encode_tiff(
                 # bilevel pages take below): CCITT codes the BLACK
                 # pixels, the ones under the 128 threshold.
                 from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
-                    g3_encode, g4_encode, mh_encode,
+                    g3_2d_encode, g3_encode, g4_encode, mh_encode,
                 )
 
                 enc = {_COMPRESSION_G4: g4_encode,
                        _COMPRESSION_MH: mh_encode,
-                       _COMPRESSION_G3: g3_encode}[comp_id]
+                       _COMPRESSION_G3: g3_2d_encode if g3_two_d
+                       else g3_encode}[comp_id]
                 strips.append(enc(rows[:, :, 0] < 128))
                 continue
             if comp_id == _COMPRESSION_JPEG:
@@ -919,9 +926,9 @@ def encode_tiff(
         if ch == 4:
             entries.append((338, 3, 1, [2]))      # unassociated alpha
         if comp_id == _COMPRESSION_G3:
-            # T4Options: 1D coding, no uncompressed mode, no EOL
-            # byte-alignment fill (the decoder accepts fill anyway).
-            entries.append((293, 4, 1, [0]))
+            # T4Options: bit 0 = 2D coding; no uncompressed mode, no
+            # EOL byte-alignment fill (the decoder accepts fill anyway).
+            entries.append((293, 4, 1, [1 if g3_two_d else 0]))
         if planar:
             entries.append((284, 3, 1, [2]))
         if predictor:

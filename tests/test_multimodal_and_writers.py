@@ -1700,11 +1700,12 @@ def test_ccitt_g3_1d_codec_and_tiff_integration():
     assert np.array_equal(outs[0], outs[2])
     idx = data.find(struct.pack("<HHI", 293, 4, 1))
     assert idx > 0
-    for bit in (1, 2):                          # 2D / uncompressed mode
-        bad = bytearray(data)
-        struct.pack_into("<I", bad, idx + 8, bit)
-        with pytest.raises(ValueError, match="T4Options"):
-            TC.decode_tiff(bytes(bad))
+    # Uncompressed mode (bit 1) stays gated by name; bit 0 (2D) is
+    # SUPPORTED since late r13 — covered below, no longer a gate.
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, idx + 8, 2)
+    with pytest.raises(ValueError, match="T4Options"):
+        TC.decode_tiff(bytes(bad))
     # Corruption totality: mutated G3 bytes raise ValueError or decode
     # to a well-formed bitmap — never crash, hang, or over-allocate.
     good = CC.g3_encode(bm)
@@ -1713,6 +1714,44 @@ def test_ccitt_g3_1d_codec_and_tiff_integration():
         mutated[i] ^= 0xFF
         try:
             out = CC.g3_decode(bytes(mutated), 37, 6)
+            assert out.shape == (6, 37)
+        except ValueError:
+            pass
+
+    # G3 TWO-dimensional (T4Options bit 0, r13): EOL + tag bit frames
+    # 1D resync lines every k-th and G4-mode 2D lines between; round
+    # trips across k and alignment, decodes identically to 1D through
+    # TIFF, a 2D-tagged FIRST line rejects (no reference row), and
+    # corrupt streams stay total.
+    for k in (1, 2, 4, 7):
+        for align in (False, True):
+            bm2 = (rng.random((11, 29)) < 0.45).astype(np.uint8)
+            data = CC.g3_2d_encode(bm2, k=k, eol_align=align)
+            assert np.array_equal(CC.g3_2d_decode(data, 29, 11), bm2), \
+                (k, align)
+    img2 = ((rng.random((13, 21)) < 0.5) * 255).astype(np.uint8)
+    one_d = TC.decode_tiff(TC.encode_tiff(img2, bilevel=True,
+                                          compression="g3"))
+    two_d = TC.decode_tiff(TC.encode_tiff(img2, bilevel=True,
+                                          compression="g3_2d",
+                                          rows_per_strip=4))
+    assert np.array_equal(one_d, two_d)
+    from spreadsheet_etl_engine_spark.functions.ccitt_g4 import (
+        _EOL, _BitWriter,
+    )
+
+    bw = _BitWriter()
+    bw.write(*_EOL)
+    bw.write(0, 1)                               # tag: 2D on line 0
+    bw.write(1, 1)
+    with pytest.raises(ValueError, match="1D-coded line"):
+        CC.g3_2d_decode(bw.flush(), 8, 1)
+    good2 = CC.g3_2d_encode(bm, k=2)
+    for i in range(0, len(good2), 2):
+        mutated = bytearray(good2)
+        mutated[i] ^= 0xFF
+        try:
+            out = CC.g3_2d_decode(bytes(mutated), 37, 6)
             assert out.shape == (6, 37)
         except ValueError:
             pass
