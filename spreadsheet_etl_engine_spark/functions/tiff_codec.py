@@ -36,7 +36,8 @@ sampled-frame kernel decodes individual pages.
 
 Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
 CCITT/JPEG planar-configuration-2 variants (strip-organized
-byte-aligned planar reads and writes since r13), sub-byte tiled pages,
+byte-aligned planar reads and writes since r13; bilevel TILED pages —
+incl. the CCITT family per tile — read and write since late r13),
 CCITT G3 uncompressed mode (T4Options bit 1 — the 1D and 2D codings
 both read and write since r13), tiled JPEG-in-TIFF
 and photometric-2 (raw-RGB-component) JPEG — strip-organized
@@ -415,10 +416,10 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
     if tiled:
         # Tiled organization (r12 — the geospatial/OCR layout): tiles
         # are FULL-SIZED even at edges, row-major, each compressed
-        # independently; sub-byte depths would need bit-splicing at
-        # tile seams and stay gated.
-        if depth < 8:
-            raise ValueError("tiled sub-byte-depth TIFF not supported")
+        # independently.  Bilevel tiles (r13 — tiled fax/mask layers):
+        # every tile decodes to its own bit grid (packed rows for
+        # none/LZW/PackBits, a CCITT page per tile) and the grids
+        # assemble sample-wise, so no bit-splicing at seams is needed.
         tw = tags.get(322, [0])[0]
         tl = tags.get(323, [0])[0]
         if tw == 0 or tl == 0:
@@ -430,9 +431,49 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
         if (not offsets or not counts or len(offsets) != len(counts)
                 or len(offsets) != ta * td):
             raise ValueError("TIFF tile offsets/counts missing or mismatched")
-        unit = spp * (depth // 8)
         if td * tl * ta * tw * spp > _MAX_PAGE_SAMPLES:
             raise ValueError("tiled TIFF exceeds the in-memory decode budget")
+        if depth == 1:
+            if photo not in (0, 1):
+                raise ValueError(f"bilevel TIFF with photometric {photo}")
+            trb = (tw + 7) // 8
+            sample_bits = np.zeros((td * tl, ta * tw), dtype=np.uint8)
+            for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                if off + cnt > len(data):
+                    raise ValueError("TIFF tile out of bounds")
+                raw = data[off:off + cnt]
+                if comp in _CCITT:
+                    from spreadsheet_etl_engine_spark.functions.ccitt_g4 \
+                        import g3_2d_decode, g3_decode, g4_decode, mh_decode
+
+                    dec = {_COMPRESSION_G4: g4_decode,
+                           _COMPRESSION_MH: mh_decode,
+                           _COMPRESSION_G3: g3_2d_decode if g3_two_d
+                           else g3_decode}[comp]
+                    black = dec(raw, tw, tl)
+                    # CCITT codes BLACK runs; the stored sample is the
+                    # black flag under WhiteIsZero, its complement
+                    # under BlackIsZero (same rule as the strip path).
+                    tile_bits = black if photo == 0 else 1 - black
+                else:
+                    expected = tl * trb
+                    if comp == _COMPRESSION_LZW:
+                        raw = _tiff_lzw_decode(raw, expected)
+                    elif comp == _COMPRESSION_PACKBITS:
+                        raw = _packbits_decode(raw, expected)
+                    elif len(raw) < expected:
+                        raise ValueError("TIFF tile shorter than its rows")
+                    tile_bits = np.unpackbits(
+                        np.frombuffer(raw, dtype=np.uint8, count=expected)
+                        .reshape(tl, trb), axis=1)[:, :tw]
+                ty, tx = divmod(idx, ta)
+                sample_bits[ty * tl:(ty + 1) * tl,
+                            tx * tw:(tx + 1) * tw] = tile_bits
+            gray = (sample_bits[:h, :w] * 255).astype(np.uint8)
+            if photo == 0:                       # WhiteIsZero
+                gray = 255 - gray
+            return gray[:, :, None].copy()
+        unit = spp * (depth // 8)
         trb = tw * unit
         page = np.zeros((td * tl, ta * trb), dtype=np.uint8)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -730,9 +771,10 @@ def encode_tiff(
     stream; LOSSY) |
     'lzw' | 'packbits'; ``predictor`` applies horizontal differencing
     before LZW.  ``tile=(tile_width, tile_height)`` emits the tiled
-    organization instead of strips (byte-aligned depths only — tiles
-    are full-sized with zero padding at the edges, and the predictor
-    restarts at every tile row).  ``planar=True`` (r13) writes
+    organization instead of strips (tiles are full-sized with zero
+    padding at the edges, the predictor restarts at every tile row,
+    and since late r13 bilevel pages tile too — each tile packs or
+    CCITT-codes its own bit rows; JPEG stays strip-only).  ``planar=True`` (r13) writes
     PlanarConfiguration 2 — each component as its own run of strips,
     plane after plane, with the predictor differencing within each
     plane (the scientific-imagery layout; strips only, multi-sample
@@ -752,8 +794,8 @@ def encode_tiff(
     if comp_id in _CCITT and not bilevel:
         raise ValueError("TIFF CCITT compression requires bilevel=True")
     if tile is not None:
-        if bilevel or comp_id in _CCITT or comp_id == _COMPRESSION_JPEG:
-            raise ValueError("tiled TIFF supports byte-aligned depths only")
+        if comp_id == _COMPRESSION_JPEG:
+            raise ValueError("tiled JPEG-in-TIFF not supported")
         if len(tile) != 2 or tile[0] <= 0 or tile[1] <= 0:
             raise ValueError("tile must be (tile_width, tile_height)")
     if predictor and (bilevel or compression != "lzw"):
@@ -802,6 +844,32 @@ def encode_tiff(
                 for tx in range(ta):
                     rows = padded[ty * tl:(ty + 1) * tl,
                                   tx * tw:(tx + 1) * tw]
+                    if bilevel:
+                        # Bilevel tiles (r13): each tile packs (or
+                        # CCITT-codes) its own bit rows; zero padding
+                        # at the edges reads as black under the
+                        # BlackIsZero photometric and is cropped away.
+                        if comp_id in _CCITT:
+                            from spreadsheet_etl_engine_spark.functions \
+                                .ccitt_g4 import (
+                                    g3_2d_encode, g3_encode, g4_encode,
+                                    mh_encode,
+                                )
+
+                            enc = {_COMPRESSION_G4: g4_encode,
+                                   _COMPRESSION_MH: mh_encode,
+                                   _COMPRESSION_G3: g3_2d_encode
+                                   if g3_two_d else g3_encode}[comp_id]
+                            strips.append(enc(rows[:, :, 0] < 128))
+                            continue
+                        raw = np.packbits(rows[:, :, 0] >= 128,
+                                          axis=1).tobytes()
+                        if comp_id == _COMPRESSION_LZW:
+                            raw = _tiff_lzw_encode(raw)
+                        elif comp_id == _COMPRESSION_PACKBITS:
+                            raw = _packbits_encode(raw)
+                        strips.append(raw)
+                        continue
                     if predictor:
                         diff = rows.astype(np.int32)
                         diff[:, 1:] -= rows[:, :-1].astype(np.int32)

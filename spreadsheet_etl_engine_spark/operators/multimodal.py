@@ -175,21 +175,23 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 # Multi-page TIFF (r13): scanned-document pages count
                 # like video frames; the sub-cycle covers the scan
                 # layouts (G4 fax, LZW+predictor, tiled, planar-2,
-                # G3 1D-with-EOLs, JPEG-in-TIFF, G3 2D) — invisible to
-                # the generative oracle (dims and page counts don't
-                # depend on it), so each variant's REAL IFD walk sits
-                # under the driver hash for free.
+                # G3 1D-with-EOLs, JPEG-in-TIFF, G3 2D, bilevel-tiled
+                # G4) — invisible to the generative oracle (dims and
+                # page counts don't depend on it), so each variant's
+                # REAL IFD walk sits under the driver hash for free.
                 w, h = 8 + i % 16, 6 + i % 8
                 npages = 2 + i % 3
-                sub = (i // 9) % 7
-                if sub in (0, 4, 6):
+                sub = (i // 9) % 8
+                if sub in (0, 4, 6, 7):
                     pages = [(((np.arange(h * w).reshape(h, w)
                                 * (i + p + 1)) % 256) >= 128)
                              .astype(np.uint8) * 255
                              for p in range(npages)]
                     payload = MC.encode_tiff(
                         pages, bilevel=True,
-                        compression={0: "g4", 4: "g3", 6: "g3_2d"}[sub])
+                        compression={0: "g4", 4: "g3", 6: "g3_2d",
+                                     7: "g4"}[sub],
+                        tile=(8, 8) if sub == 7 else None)
                 else:
                     pages = [((np.arange(h * w * 3).reshape(h, w, 3)
                                * (i + p + 1)) % 256).astype(np.uint8)

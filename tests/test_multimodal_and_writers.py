@@ -1978,8 +1978,15 @@ def test_tiff_tiled_and_bigtiff():
     got = TC.decode_tiff(TC.encode_tiff(idx, palette=pal,
                                         compression="lzw", tile=(16, 16)))
     assert np.array_equal(got, pal[idx])
-    with pytest.raises(ValueError, match="byte-aligned"):
-        TC.encode_tiff(idx, bilevel=True, compression="g4", tile=(16, 16))
+    # Bilevel tiled (r13 — was a named gate through mid-r13): every
+    # compression incl. the CCITT family, per-tile bit grids, zero-
+    # padded edges cropped.
+    for comp in ("none", "lzw", "packbits", "g4", "mh", "g3", "g3_2d"):
+        bm = ((rng.random((19, 29)) < 0.5) * 255).astype(np.uint8)
+        data = TC.encode_tiff(bm, bilevel=True, compression=comp,
+                              tile=(8, 8))
+        want = ((bm >= 128) * 255).astype(np.uint8)[:, :, None]
+        assert np.array_equal(TC.decode_tiff(data), want), comp
 
     # Hand-built little-endian BigTIFF: 3x2 gray, LONG8 strip offsets.
     px = bytes([1, 2, 3, 4, 5, 6])
