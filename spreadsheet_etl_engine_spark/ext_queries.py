@@ -1028,8 +1028,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 + i % 3 AS npages,
              i % 17 + 1 AS plen,
              (i // 3) % 9 AS ic,
-             CASE (i // 3) % 5 WHEN 0 THEN 2 WHEN 1 THEN 1
-                  WHEN 2 THEN 3 ELSE 4 END AS bps,
+             -- WAV sample-format cycle (r13: G.711 a-law/mu-law join
+             -- at 5/6 — one companded byte per sample)
+             CASE (i // 3) % 7 WHEN 0 THEN 2 WHEN 1 THEN 1
+                  WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 4
+                  ELSE 1 END AS bps,
              (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (

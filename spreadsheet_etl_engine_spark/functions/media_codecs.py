@@ -175,11 +175,85 @@ def encode_pbm(bitmap: np.ndarray) -> bytes:
 
 
 # WAV sample formats: (audio_fmt, bits) -> numpy dtype of the decoded
-# array.  PCM8 is unsigned per spec; PCM24 sign-extends into int32.
+# array.  PCM8 is unsigned per spec; PCM24 sign-extends into int32;
+# the G.711 companded formats (6 = a-law, 7 = mu-law — the telephony
+# encodings, r13) expand to int16 via the ITU tables below.
 _WAV_FORMATS = {
     (1, 8): np.uint8, (1, 16): np.int16, (1, 24): np.int32,
     (1, 32): np.int32, (3, 32): np.float32, (3, 64): np.float64,
+    (6, 8): np.int16, (7, 8): np.int16,
 }
+
+
+def _g711_decode_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(a-law, mu-law) 256-entry expansion tables, computed from the
+    ITU-T G.711 segment formulas (public spec arithmetic, no
+    transcription): every byte maps to its int16 linear sample.
+    Validated at import by the exact involution below — G.711
+    compression of every table entry must reproduce its byte."""
+    bytes_ = np.arange(256, dtype=np.int32)
+    # a-law: toggle the even bits, then 3-bit segment + 4-bit mantissa.
+    a = bytes_ ^ 0x55
+    a_sign = (a & 0x80) != 0
+    a_exp = (a >> 4) & 7
+    a_mant = a & 0x0F
+    a_val = np.where(a_exp == 0, (a_mant << 4) + 8,
+                     ((a_mant << 4) + 0x108) << np.maximum(a_exp - 1, 0))
+    alaw = np.where(a_sign, -a_val, a_val).astype(np.int16)
+    # mu-law: stored inverted, biased by 0x84.
+    u = ~bytes_ & 0xFF
+    u_sign = (u & 0x80) != 0
+    u_exp = (u >> 4) & 7
+    u_mant = u & 0x0F
+    u_val = (((u_mant << 3) + 0x84) << u_exp) - 0x84
+    mulaw = np.where(u_sign, -u_val, u_val).astype(np.int16)
+    return alaw, mulaw
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_decode_tables()
+
+
+def _alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> a-law bytes (ITU G.711 segment compression)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635)
+    exp = np.searchsorted(
+        np.array([0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000]),
+        mag, side="right")
+    low = mag >> 4                                   # segment 0: linear
+    high = ((mag >> (exp + 3)) & 0x0F) | (exp << 4)
+    val = np.where(exp == 0, low, high)
+    return ((val | sign) ^ 0x55).astype(np.uint8)
+
+
+def _mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 -> mu-law bytes (ITU G.711, bias 0x84, stored inverted)."""
+    x = samples.astype(np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.searchsorted(
+        np.array([0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000]),
+        mag, side="right")
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+# Import-time involution check: compressing every expansion-table entry
+# must reproduce its byte exactly — a mis-derived segment formula on
+# either side breaks it for some of the 256 codes.  The ONE legitimate
+# exception: mu-law has two zero codes (0x7F "negative zero" and 0xFF)
+# that both expand to 0; the canonical encoder emits 0xFF, so 0x7F
+# re-encodes to 0xFF by design.
+assert np.array_equal(_alaw_encode(_ALAW_TABLE), np.arange(256)), \
+    "G.711 a-law tables are not an involution"
+_mu_recode = _mulaw_encode(_MULAW_TABLE)
+assert _mu_recode[0x7F] == 0xFF and _MULAW_TABLE[0x7F] == 0, \
+    "G.711 mu-law negative zero is mis-derived"
+_mu_rest = np.delete(np.arange(256), 0x7F)
+assert np.array_equal(_mu_recode[_mu_rest], _mu_rest), \
+    "G.711 mu-law tables are not an involution"
+del _mu_recode, _mu_rest
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -188,8 +262,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     All the PCM widths real corpora carry (r12 — previously PCM16
     only): unsigned 8-bit → uint8, 16-bit → int16, 24-bit
     (sign-extended) and 32-bit → int32, plus IEEE float (format 3) →
-    float32/float64.  Compressed formats (MP3, ADPCM, a-law/mu-law)
-    stay behind the extension point."""
+    float32/float64, plus the G.711 companded telephony formats (r13:
+    6 = a-law, 7 = mu-law → int16 through the ITU expansion tables).
+    MP3/ADPCM stay behind the extension point."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
@@ -209,6 +284,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
             n_channels, rate, audio_fmt, bits = fmt
+            if audio_fmt in (6, 7):
+                # G.711 (r13): one companded byte per sample expands
+                # through the ITU table to int16.
+                codes = np.frombuffer(data, dtype=np.uint8, count=size,
+                                      offset=pos + 8)
+                table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+                return (table[codes].reshape(-1, n_channels), rate)
             if bits == 24:
                 if size % (3 * n_channels):
                     raise ValueError(
@@ -236,14 +318,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def encode_wav(samples: np.ndarray, rate: int, *,
-               bits: int | None = None) -> bytes:
+               bits: int | None = None,
+               codec: str | None = None) -> bytes:
     """Sample array → RIFF WAV bytes.  The format follows the dtype
     (uint8 → PCM8, int16 → PCM16, int32 → PCM32, float32/float64 →
-    IEEE float); ``bits=24`` packs an int32 array as PCM24."""
+    IEEE float); ``bits=24`` packs an int32 array as PCM24;
+    ``codec='alaw'|'mulaw'`` compands an int16 array to G.711 bytes
+    (format codes 6/7 — the telephony encodings, r13)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n_channels = samples.shape[1]
-    if bits == 24:
+    if codec is not None:
+        if codec not in ("alaw", "mulaw"):
+            raise ValueError(f"unknown WAV codec {codec!r}")
+        if bits is not None and bits != 8:
+            raise ValueError("G.711 WAV is 8 bits per sample")
+        if samples.dtype != np.int16:
+            raise ValueError("G.711 WAV encodes from an int16 array")
+        enc = _alaw_encode if codec == "alaw" else _mulaw_encode
+        body = enc(samples.reshape(-1)).tobytes()
+        audio_fmt, width = (6 if codec == "alaw" else 7), 1
+    elif bits == 24:
         # Takes FULL-SCALE int32 (decode_wav's convention) and keeps the
         # top 24 bits — the low byte is what 24-bit precision discards.
         if samples.dtype != np.int32:

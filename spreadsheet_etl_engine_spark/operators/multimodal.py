@@ -141,20 +141,24 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 ns = 256 + i % 64
                 t = np.arange(ns)
                 sine = np.sin(t * ((i % 7) + 1) * 0.1)
-                fmt = (i // 3) % 5
+                fmt = (i // 3) % 7
                 if fmt == 0:                       # PCM16 (the r12 row)
                     wave = (1000 * sine).astype(np.int16)
                 elif fmt == 1:                     # PCM8 (unsigned)
                     wave = (sine * 100 + 128).astype(np.uint8)
                 elif fmt in (2, 3):                # PCM24 / PCM32
                     wave = (sine * (2 ** 30)).astype(np.int32)
-                else:                              # IEEE float32
+                elif fmt == 4:                     # IEEE float32
                     wave = sine.astype(np.float32)
-                # ns is even, so every body length is even: the RIFF pad
-                # byte never fires and size = 44 + bytes_per_sample * ns
-                # stays the oracle's closed formula.
-                payload = MC.encode_wav(wave, 16000,
-                                        bits=24 if fmt == 2 else None)
+                else:                              # G.711 a-law / mu-law
+                    wave = (sine * 20000).astype(np.int16)
+                # The oracle's closed size formula is
+                # 44 + bytes_per_sample * ns + the RIFF pad byte on odd
+                # bodies (ns here is even, but the formula carries the
+                # pad term so the contract is explicit).
+                payload = MC.encode_wav(
+                    wave, 16000, bits=24 if fmt == 2 else None,
+                    codec={5: "alaw", 6: "mulaw"}.get(fmt))
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:

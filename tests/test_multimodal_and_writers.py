@@ -1360,6 +1360,59 @@ def test_wav_all_sample_formats(spark):
         MC.encode_wav((wave * 32767).astype(np.int16), 16000, bits=24)
 
 
+def test_wav_g711_alaw_mulaw(spark):
+    """r13: G.711 companded WAV (format 6 a-law / 7 mu-law — the
+    telephony encodings): ITU segment-formula tables, pinned by the
+    exact involution over all 256 codes (with mu-law's documented
+    negative-zero exception), quantization error inside the segment
+    bound, decoded-signal fixed point, and the same feature embedding
+    as the PCM16 original within companding error."""
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    # Involution: every decode-table entry re-encodes to its byte
+    # (mu-law byte 0x7F is the negative zero that canonically
+    # re-encodes to 0xFF — both expand to 0).
+    all_bytes = np.arange(256)
+    assert np.array_equal(MC._alaw_encode(MC._ALAW_TABLE), all_bytes)
+    mu = MC._mulaw_encode(MC._MULAW_TABLE)
+    assert mu[0x7F] == 0xFF and MC._MULAW_TABLE[0x7F] == 0
+    rest = np.delete(all_bytes, 0x7F)
+    assert np.array_equal(mu[rest], rest)
+    # Spec spot values: a-law code 0x55 (toggled to 0) is the smallest
+    # positive step (+8); mu-law 0xFF expands to 0.
+    assert MC._ALAW_TABLE[0x55] == 8 and MC._MULAW_TABLE[0xFF] == 0
+
+    wave = (np.sin(np.arange(400) * 0.1) * 20000).astype(np.int16)
+    ref = MC.encode_wav(wave, 16000)
+    feats = {}
+    for codec in ("alaw", "mulaw"):
+        data = MC.encode_wav(wave, 16000, codec=codec)
+        assert len(data) == 44 + 400 and MC.sniff(data) == "wav"
+        arr, rate = MC.decode_wav(data)
+        assert arr.dtype == np.int16 and arr.shape == (400, 1)
+        err = np.abs(arr[:, 0].astype(np.int32) - wave.astype(np.int32))
+        assert np.all(err <= np.maximum(
+            np.abs(wave.astype(np.int32)) // 16, 64))
+        # Fixed point: re-encoding the decoded signal is byte-stable.
+        assert MC.encode_wav(arr[:, 0], 16000, codec=codec) == data
+        feats[codec] = data
+    rows = [(1, "audio", ref, 0),
+            (2, "audio", feats["alaw"], 0),
+            (3, "audio", feats["mulaw"], 0)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in MM.extract_features(media).collect()}
+    for m in (2, 3):
+        assert np.allclose(got[m][:6], got[1][:6], atol=2e-2), m
+    with pytest.raises(ValueError, match="int16"):
+        MC.encode_wav(wave.astype(np.int32), 16000, codec="alaw")
+    with pytest.raises(ValueError, match="unknown WAV codec"):
+        MC.encode_wav(wave, 16000, codec="adpcm")
+
+
 def test_tiff_codec_roundtrip_matrix():
     """r12: baseline TIFF 6.0 round trips — strip heights x
     none/LZW(+ horizontal-differencing predictor)/PackBits x
