@@ -1360,6 +1360,95 @@ def test_wav_all_sample_formats(spark):
         MC.encode_wav((wave * 32767).astype(np.int16), 16000, bits=24)
 
 
+def test_property_r13_codec_roundtrips():
+    """Hypothesis fuzz over the r13 codec surfaces: random shapes,
+    densities and strip/tile geometry round-trip exactly through G3
+    1D/2D (any k, either EOL alignment), planar-2 at 8/16-bit, bilevel
+    tiles (packed + CCITT), and G.711 (decoded signals are re-encode
+    fixed points); and random byte mutations of a valid container stay
+    inside the totality contract's catchable set."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spreadsheet_etl_engine_spark.functions import ccitt_g4 as CC
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+    from spreadsheet_etl_engine_spark.functions import tiff_codec as TC
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 40),
+        seed=st.integers(0, 2**31),
+        kind=st.sampled_from([
+            "g3", "g3a", "g3_2d_k1", "g3_2d_k3a", "planar8", "planar16",
+            "tile_g4", "tile_none", "tile_g3_2d", "alaw", "mulaw",
+        ]),
+    )
+    def roundtrip(h, w, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind in ("alaw", "mulaw"):
+            wave = rng.integers(-32768, 32768, h * w).astype(np.int16)
+            data = MC.encode_wav(wave, 8000, codec=kind)
+            arr, rate = MC.decode_wav(data)
+            assert rate == 8000 and arr.shape == (h * w, 1)
+            assert MC.encode_wav(arr[:, 0], 8000, codec=kind) == data
+            return
+        if kind.startswith("planar"):
+            deep = kind == "planar16"
+            img = rng.integers(0, 65536 if deep else 256, (h, w, 3)).astype(
+                np.uint16 if deep else np.uint8)
+            rps = int(rng.integers(1, h + 1))
+            data = TC.encode_tiff(img, planar=True, compression="lzw",
+                                  predictor=True, rows_per_strip=rps)
+            assert np.array_equal(TC.decode_tiff(data), img)
+            return
+        bm = (rng.random((h, w)) < rng.random()).astype(np.uint8)
+        if kind.startswith("tile_"):
+            comp = kind.split("_", 1)[1]
+            tw = int(rng.integers(1, w + 9))
+            tl = int(rng.integers(1, h + 9))
+            data = TC.encode_tiff(bm * 255, bilevel=True, compression=comp,
+                                  tile=(tw, tl))
+            got = TC.decode_tiff(data)
+            assert np.array_equal(got[:, :, 0], bm * 255)
+            return
+        if kind == "g3":
+            data = CC.g3_encode(bm)
+        elif kind == "g3a":
+            data = CC.g3_encode(bm, eol_align=True)
+        elif kind == "g3_2d_k1":
+            data = CC.g3_2d_encode(bm, k=1)
+        else:
+            data = CC.g3_2d_encode(bm, k=3, eol_align=True)
+        dec = CC.g3_2d_decode if kind.startswith("g3_2d") else CC.g3_decode
+        assert np.array_equal(dec(data, w, h), bm)
+
+    roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(0, 2**31), nmut=st.integers(1, 6))
+    def totality(seed, nmut):
+        rng = np.random.default_rng(seed)
+        bm = ((rng.random((9, 23)) < 0.5) * 255).astype(np.uint8)
+        comp = ("g3", "g3_2d", "g4", "jpeg", "lzw")[seed % 5]
+        src = (rng.integers(0, 256, (9, 23, 3)).astype(np.uint8)
+               if comp == "jpeg" else bm)
+        data = bytearray(TC.encode_tiff(
+            src, bilevel=comp not in ("jpeg", "lzw"), compression=comp))
+        for pos in rng.integers(0, len(data), nmut):
+            data[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = TC.decode_tiff(bytes(data))
+            assert out.ndim == 3          # well-formed or a loud raise —
+        except (ValueError, IndexError, struct.error, zlib.error):
+            pass                          # the mapInPandas catchable set
+
+    totality()
+
+
 def test_wav_g711_alaw_mulaw(spark):
     """r13: G.711 companded WAV (format 6 a-law / 7 mu-law — the
     telephony encodings): ITU segment-formula tables, pinned by the
