@@ -1005,11 +1005,13 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 7-pass scanline sum, 4-bit palette PNG = 128 + h*(1+ceil(w/2)),
     # WAV 44 + bytes_per_sample*n + RIFF pad, fake VID header) — from
     # range(96) without parsing binary.  r13 (r12 verdict Next 1): the
-    # r12 codec layer's containers join the fixture — baseline +
-    # progressive JPEG image rows, every uncompressed WAV sample format
-    # (PCM8/16/24/32 + float32, incl. the odd-body RIFF pad byte in the
-    # size formula), animated GIF and multi-page TIFF (G4-bilevel /
-    # LZW+predictor / tiled sub-cycle) video rows.  The entropy-coded
+    # codec layer's containers join the fixture — baseline +
+    # progressive JPEG image rows, every WAV sample format
+    # (PCM8/16/24/32 + float32 + G.711 a-law/mu-law, incl. the
+    # odd-body RIFF pad byte in the size formula), animated GIF and
+    # multi-page TIFF (G4-bilevel / LZW+predictor / tiled / planar-2 /
+    # G3-1D / JPEG-in-TIFF / G3-2D / bilevel-tiled sub-cycle) video
+    # rows.  The entropy-coded
     # containers (JPEG/GIF/TIFF) have no closed-form size, so the size
     # pin (sized_bytes) restricts to the formula containers via the SAME
     # media_id arithmetic on both sides, and those rows are pinned
