@@ -613,8 +613,10 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
     spark.range (no driver-side rows) emitting real container bytes
     derived from the row id — images cycle truecolor / palette /
     16-bit / Adam7 PNG / baseline JPEG / progressive JPEG / G4-scan
-    TIFF / LZW TIFF, videos are 4-frame animated GIFs, audio is PCM16
-    WAV."""
+    TIFF / LZW TIFF / bilevel-TILED-G4 TIFF / planar-2 TIFF (the two
+    r13 layouts — per-tile CCITT decode is the heaviest per-row
+    kernel, so the curve must include it), videos are 4-frame animated
+    GIFs, audio alternates PCM16 and G.711 mu-law WAV."""
     from spreadsheet_etl_engine_spark.operators.multimodal import MEDIA_SCHEMA
 
     def gen(batches):
@@ -633,7 +635,7 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                     h, w = 12, 16
                     img = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 1))
                            % 256).astype(np.uint8)
-                    c = (i // 3) % 8
+                    c = (i // 3) % 10
                     if c == 0:
                         payload = MC.encode_png(img)
                     elif c == 1:
@@ -654,14 +656,24 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                         payload = MC.encode_tiff(
                             (img[:, :, 0] > 128).astype(np.uint8) * 255,
                             compression="g4", bilevel=True)
-                    else:
+                    elif c == 7:
                         payload = MC.encode_tiff(img, compression="lzw",
                                                  predictor=True)
+                    elif c == 8:
+                        payload = MC.encode_tiff(
+                            (img[:, :, 0] > 128).astype(np.uint8) * 255,
+                            compression="g4", bilevel=True, tile=(8, 8))
+                    else:
+                        payload = MC.encode_tiff(img, planar=True,
+                                                 compression="packbits")
                 elif kind == "audio":
                     t = np.arange(256 + i % 64)
-                    wave = (1000 * np.sin(t * ((i % 7) + 1) * 0.1)
+                    wave = ((1000 if i % 6 else 20000)
+                            * np.sin(t * ((i % 7) + 1) * 0.1)
                             ).astype(np.int16)
-                    payload = MC.encode_wav(wave, 16000)
+                    payload = MC.encode_wav(
+                        wave, 16000,
+                        codec="mulaw" if (i // 3) % 2 else None)
                 else:
                     pal = ((np.arange(48) * 3 + i) % 256
                            ).astype(np.uint8).reshape(16, 3)
