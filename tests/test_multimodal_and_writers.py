@@ -1394,7 +1394,20 @@ def test_property_r13_codec_roundtrips():
             data = MC.encode_wav(wave, 8000, codec=kind)
             arr, rate = MC.decode_wav(data)
             assert rate == 8000 and arr.shape == (h * w, 1)
-            assert MC.encode_wav(arr[:, 0], 8000, codec=kind) == data
+            again = MC.encode_wav(arr[:, 0], 8000, codec=kind)
+            # Byte-level fixed point, modulo mu-law's negative zero:
+            # samples in {-3,-2,-1} encode to 0x7F, which decodes to 0
+            # and re-encodes to the canonical 0xFF — same value, two
+            # codes (the documented G.711 exception).  Decoded VALUES
+            # must be exact fixed points regardless.
+            a = np.frombuffer(data[44:44 + h * w], dtype=np.uint8)
+            b = np.frombuffer(again[44:44 + h * w], dtype=np.uint8)
+            diff = a != b
+            assert not diff.any() or (
+                kind == "mulaw"
+                and np.all(a[diff] == 0x7F) and np.all(b[diff] == 0xFF))
+            arr2, _ = MC.decode_wav(again)
+            assert np.array_equal(arr2, arr)
             return
         if kind.startswith("planar"):
             deep = kind == "planar16"
@@ -1485,8 +1498,12 @@ def test_wav_g711_alaw_mulaw(spark):
         err = np.abs(arr[:, 0].astype(np.int32) - wave.astype(np.int32))
         assert np.all(err <= np.maximum(
             np.abs(wave.astype(np.int32)) // 16, 64))
-        # Fixed point: re-encoding the decoded signal is byte-stable.
-        assert MC.encode_wav(arr[:, 0], 16000, codec=codec) == data
+        # Fixed point: decoded VALUES are exact re-encode fixed points
+        # (bytes too, except mu-law's negative-zero canonicalization —
+        # pinned exhaustively by the property fuzz).
+        again = MC.encode_wav(arr[:, 0], 16000, codec=codec)
+        arr2, _ = MC.decode_wav(again)
+        assert np.array_equal(arr2, arr)
         feats[codec] = data
     rows = [(1, "audio", ref, 0),
             (2, "audio", feats["alaw"], 0),
