@@ -39,9 +39,9 @@ CCITT/JPEG planar-configuration-2 variants (strip-organized
 byte-aligned planar reads and writes since r13; bilevel TILED pages —
 incl. the CCITT family per tile — read and write since late r13),
 CCITT G3 uncompressed mode (T4Options bit 1 — the 1D and 2D codings
-both read and write since r13), tiled JPEG-in-TIFF
-and photometric-2 (raw-RGB-component) JPEG — strip-organized
-gray/YCbCr JPEG-in-TIFF reads and writes since r13.
+both read and write since r13) and photometric-2 (raw-RGB-component)
+JPEG — strip-organized AND tiled (the Cloud-Optimized-GeoTIFF layout,
+late r13) gray/YCbCr JPEG-in-TIFF reads and writes since r13.
 """
 
 from __future__ import annotations
@@ -343,12 +343,12 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             raise ValueError("CCITT G3 uncompressed mode (T4Options "
                              "bit 1) not supported")
     if comp == _COMPRESSION_JPEG:
-        # New-style JPEG-in-TIFF (r13): every strip is an independent
-        # JPEG stream (our own full codec decodes it); tag 347
-        # (JPEGTables) carries shared DQT/DHT segments as an
-        # abbreviated SOI..EOI stream spliced after each strip's SOI.
-        if tiled:
-            raise ValueError("tiled JPEG-in-TIFF not supported")
+        # New-style JPEG-in-TIFF (r13): every strip — or TILE (late
+        # r13: the Cloud-Optimized-GeoTIFF layout satellite corpora
+        # carry) — is an independent JPEG stream (our own full codec
+        # decodes it); tag 347 (JPEGTables) carries shared DQT/DHT
+        # segments as an abbreviated SOI..EOI stream spliced after
+        # each piece's SOI.
         if planar == 2:
             raise ValueError("planar JPEG-in-TIFF not supported")
         if set(bits) != {8}:
@@ -370,6 +370,47 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
                 raise ValueError("malformed JPEGTables stream")
             tables = tbl[2:-2]
+
+        def piece(raw: bytes) -> np.ndarray:
+            if tables is not None:
+                if raw[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG-in-TIFF piece without SOI")
+                raw = raw[:2] + tables + raw[2:]
+            img = decode_jpeg(raw)
+            if img.shape[2] != spp:
+                raise ValueError(
+                    "JPEG-in-TIFF component count disagrees with "
+                    "SamplesPerPixel")
+            return img
+
+        if tiled:
+            tw = tags.get(322, [0])[0]
+            tl = tags.get(323, [0])[0]
+            if tw == 0 or tl == 0:
+                raise ValueError("tiled TIFF missing tile dimensions")
+            offsets = tags.get(324)
+            counts = tags.get(325)
+            ta = -(-w // tw)
+            td = -(-h // tl)
+            if (not offsets or not counts or len(offsets) != len(counts)
+                    or len(offsets) != ta * td):
+                raise ValueError(
+                    "TIFF tile offsets/counts missing or mismatched")
+            if td * tl * ta * tw * spp > _MAX_PAGE_SAMPLES:
+                raise ValueError(
+                    "tiled TIFF exceeds the in-memory decode budget")
+            page = np.zeros((td * tl, ta * tw, spp), dtype=np.uint8)
+            for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                if off + cnt > len(data):
+                    raise ValueError("TIFF tile out of bounds")
+                img = piece(data[off:off + cnt])
+                if img.shape[:2] != (tl, tw):
+                    raise ValueError(
+                        "JPEG-in-TIFF tile dimensions disagree with "
+                        "the IFD")
+                ty, tx = divmod(idx, ta)
+                page[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = img
+            return np.ascontiguousarray(page[:h, :w])
         offsets = tags.get(273)
         counts = tags.get(279)
         if not offsets or not counts or len(offsets) != len(counts):
@@ -384,27 +425,17 @@ def _decode_page(data: bytes, order: str, tags: dict[int, list[int]]) -> np.ndar
             n_rows = min(rows_per_strip, h - done_rows)
             if n_rows <= 0:
                 break
-            raw = data[off:off + cnt]
-            if tables is not None:
-                if raw[:2] != b"\xff\xd8":
-                    raise ValueError("JPEG-in-TIFF strip without SOI")
-                raw = raw[:2] + tables + raw[2:]
-            img = decode_jpeg(raw)
+            img = piece(data[off:off + cnt])
             if img.shape[0] != n_rows or img.shape[1] != w:
                 raise ValueError(
                     "JPEG-in-TIFF strip dimensions disagree with the IFD")
-            if img.shape[2] != spp:
-                raise ValueError(
-                    "JPEG-in-TIFF component count disagrees with "
-                    "SamplesPerPixel")
             parts.append(img)
             done_rows += n_rows
         if done_rows < h:
             raise ValueError("TIFF strips cover fewer rows than ImageLength")
-        out = np.concatenate(parts)
-        # photometric 6: the JPEG layer already produced RGB; 2: the
-        # stream carried RGB components directly; 1: grayscale.
-        return np.ascontiguousarray(out)
+        # photometric 6: the JPEG layer already produced RGB;
+        # 1: grayscale.
+        return np.ascontiguousarray(np.concatenate(parts))
     if set(bits) == {1} and spp == 1:
         depth = 1
     elif set(bits) == {8}:
@@ -794,8 +825,6 @@ def encode_tiff(
     if comp_id in _CCITT and not bilevel:
         raise ValueError("TIFF CCITT compression requires bilevel=True")
     if tile is not None:
-        if comp_id == _COMPRESSION_JPEG:
-            raise ValueError("tiled JPEG-in-TIFF not supported")
         if len(tile) != 2 or tile[0] <= 0 or tile[1] <= 0:
             raise ValueError("tile must be (tile_width, tile_height)")
     if predictor and (bilevel or compression != "lzw"):
@@ -844,6 +873,16 @@ def encode_tiff(
                 for tx in range(ta):
                     rows = padded[ty * tl:(ty + 1) * tl,
                                   tx * tw:(tx + 1) * tw]
+                    if comp_id == _COMPRESSION_JPEG:
+                        # Tiled JPEG (late r13 — the COG layout): each
+                        # full-sized tile is a self-contained stream.
+                        from spreadsheet_etl_engine_spark.functions \
+                            .jpeg_codec import encode_jpeg
+
+                        strips.append(encode_jpeg(
+                            rows if ch > 1 else rows[:, :, 0],
+                            quality=85, subsampling="444"))
+                        continue
                     if bilevel:
                         # Bilevel tiles (r13): each tile packs (or
                         # CCITT-codes) its own bit rows; zero padding

@@ -179,13 +179,14 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 # Multi-page TIFF (r13): scanned-document pages count
                 # like video frames; the sub-cycle covers the scan
                 # layouts (G4 fax, LZW+predictor, tiled, planar-2,
-                # G3 1D-with-EOLs, JPEG-in-TIFF, G3 2D, bilevel-tiled
-                # G4) — invisible to the generative oracle (dims and
-                # page counts don't depend on it), so each variant's
-                # REAL IFD walk sits under the driver hash for free.
+                # G3 1D-with-EOLs, strip JPEG-in-TIFF, G3 2D,
+                # bilevel-tiled G4, tiled JPEG — the COG layout) —
+                # invisible to the generative oracle (dims and page
+                # counts don't depend on it), so each variant's REAL
+                # IFD walk sits under the driver hash for free.
                 w, h = 8 + i % 16, 6 + i % 8
                 npages = 2 + i % 3
-                sub = (i // 9) % 8
+                sub = (i // 9) % 9
                 if sub in (0, 4, 6, 7):
                     pages = [(((np.arange(h * w).reshape(h, w)
                                 * (i + p + 1)) % 256) >= 128)
@@ -209,7 +210,11 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                                                    compression="packbits")
                                if sub == 3
                                else MC.encode_tiff(pages,
-                                                   compression="jpeg"))
+                                                   compression="jpeg")
+                               if sub == 5
+                               else MC.encode_tiff(pages,
+                                                   compression="jpeg",
+                                                   tile=(8, 8)))
             else:
                 payload = (f"VID:{nf}x{64}x{48}:" + "p" * (i % 17 + 1)).encode()
         return (i, kind, payload, i % 7)

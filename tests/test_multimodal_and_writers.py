@@ -1999,9 +1999,22 @@ def test_jpeg_in_tiff():
             + ifd + arrays)
     assert np.array_equal(TC.decode_tiff(tiff), JC.decode_jpeg(full))
 
+    # Tiled JPEG (late r13 — the Cloud-Optimized-GeoTIFF layout):
+    # full-sized tiles, each a self-contained stream, edges cropped.
+    timg = rng.integers(0, 256, (19, 29, 3)).astype(np.uint8)
+    tdata = TC.encode_tiff(timg, compression="jpeg", tile=(16, 8))
+    padded = np.zeros((24, 32, 3), dtype=np.uint8)
+    padded[:19, :29] = timg
+    twant = np.zeros((24, 32, 3), dtype=np.uint8)
+    for ty in range(3):
+        for tx in range(2):
+            t = padded[ty * 8:(ty + 1) * 8, tx * 16:(tx + 1) * 16]
+            twant[ty * 8:(ty + 1) * 8, tx * 16:(tx + 1) * 16] = \
+                JC.decode_jpeg(JC.encode_jpeg(t, quality=85,
+                                              subsampling="444"))
+    assert np.array_equal(TC.decode_tiff(tdata), twant[:19, :29])
+
     # Gated variants reject by name.
-    with pytest.raises(ValueError, match="byte-aligned|tiled"):
-        TC.encode_tiff(pages[0], compression="jpeg", tile=(8, 8))
     with pytest.raises(ValueError, match="planar"):
         TC.encode_tiff(pages[0], compression="jpeg", planar=True)
     with pytest.raises(ValueError, match="8-bit gray or RGB"):
