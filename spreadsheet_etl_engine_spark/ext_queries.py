@@ -1008,7 +1008,10 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codec layer's containers join the fixture — baseline +
     # progressive JPEG image rows, every WAV sample format
     # (PCM8/16/24/32 + float32 + G.711 a-law/mu-law, incl. the
-    # odd-body RIFF pad byte in the size formula), animated GIF and
+    # odd-body RIFF pad byte in the size formula; r14 adds the IMA/MS
+    # ADPCM block codecs, whose whole-block sizes are their own closed
+    # formulas and whose fact-chunk truncation keeps width == ns under
+    # the same dim pin), animated GIF and
     # multi-page TIFF (G4-bilevel / LZW+predictor / tiled / planar-2 /
     # G3-1D / JPEG-in-TIFF / G3-2D / bilevel-tiled sub-cycle) video
     # rows.  The entropy-coded
@@ -1030,11 +1033,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              2 + i % 3 AS npages,
              i % 17 + 1 AS plen,
              (i // 3) % 9 AS ic,
-             -- WAV sample-format cycle (r13: G.711 a-law/mu-law join
-             -- at 5/6 — one companded byte per sample)
-             CASE (i // 3) % 7 WHEN 0 THEN 2 WHEN 1 THEN 1
+             -- WAV sample-format cycle (r13: G.711 a-law/mu-law at
+             -- 5/6 — one companded byte per sample; r14: IMA/MS ADPCM
+             -- at 7/8 — block codecs with their own size formula
+             -- below, bps unused for those rows)
+             CASE (i // 3) % 9 WHEN 0 THEN 2 WHEN 1 THEN 1
                   WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 4
                   ELSE 1 END AS bps,
+             (i // 3) % 9 AS wfmt,
              (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (
@@ -1076,8 +1082,14 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 0
                END
                -- WAV (r13): per-format sample width + the RIFF word-
-               -- alignment pad byte on odd-length bodies
-               WHEN 'audio' THEN 44 + bps * ns + (bps * ns) % 2
+               -- alignment pad byte on odd-length bodies; the ADPCM
+               -- block codecs (r14) are fixed header + whole 32-byte
+               -- blocks — IMA: 60 + 32*ceil(ns/57) (57 samples per
+               -- 32-byte mono block), MS: 90 + 32*ceil(ns/52)
+               WHEN 'audio' THEN CASE wfmt
+                 WHEN 7 THEN 60 + 32 * ((ns + 56) // 57)
+                 WHEN 8 THEN 90 + 32 * ((ns + 51) // 52)
+                 ELSE 44 + bps * ns + (bps * ns) % 2 END
                ELSE CASE vc WHEN 0 THEN
                     11 + len(CAST(nf AS VARCHAR)) + plen ELSE 0 END
              END AS sized_bytes

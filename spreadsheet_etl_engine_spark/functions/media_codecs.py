@@ -9,8 +9,10 @@ Real decode/encode with no media libraries needed:
   (P4 rows bit-packed, 1 = black per spec, decoded to 0/255 gray);
 * **WAV** (RIFF) — canonical 44-byte header; every uncompressed sample
   format real corpora carry (r12): PCM 8/16/24/32-bit and IEEE
-  float32/float64, any channel count (compressed WAV payloads — ADPCM,
-  a-law/mu-law, MP3-in-WAV — stay behind the extension point);
+  float32/float64, any channel count; the G.711 companded telephony
+  bytes (a-law/mu-law, r13) and both ADPCM block codecs (IMA/DVI and
+  Microsoft, r14) decode and encode for real — only MP3-in-WAV stays
+  behind the extension point;
 * **PNG** — the FULL static-image spec surface (r12): every legal
   bit-depth/color-type combination (1/2/4/8/16-bit gray, 8/16-bit
   RGB/gray+alpha/RGBA, 1/2/4/8-bit palette with optional tRNS
@@ -182,6 +184,13 @@ _WAV_FORMATS = {
     (1, 8): np.uint8, (1, 16): np.int16, (1, 24): np.int32,
     (1, 32): np.int32, (3, 32): np.float32, (3, 64): np.float64,
     (6, 8): np.int16, (7, 8): np.int16,
+    # ADPCM (r14): 4 bits per code, decoded to int16 — format 2 is
+    # Microsoft ADPCM (2nd-order predictor + per-code delta adaptation),
+    # format 17 is IMA/DVI ADPCM (step-table predictor).  Both are
+    # block codecs: every block re-seeds the predictor state in its own
+    # header, so blocks decode independently (the property the
+    # vectorized decoders below exploit).
+    (2, 4): np.int16, (17, 4): np.int16,
 }
 
 
@@ -256,6 +265,285 @@ assert np.array_equal(_mu_recode[_mu_rest], _mu_rest), \
 del _mu_recode, _mu_rest
 
 
+# --------------------------------------------------------------------------
+# ADPCM (r14) — the last WAV encodings that need no media library: both are
+# integer predictors with public spec arithmetic (IMA/DVI ADPCM per the
+# IMA Digital Audio Pack / RFC 3551 §4.5.1 recursion; Microsoft ADPCM per
+# the WAVE format registration), the same pure-numpy class as r13's G.711.
+# Both are BLOCK codecs: each block's header re-seeds the full decoder
+# state, so blocks are mutually independent — the decoders below run
+# vectorized ACROSS blocks with a short sequential loop over the positions
+# WITHIN a block (the only data-dependent recursion).  At 100 TB that is
+# the right split: a 1 GB audio file is just more blocks, not a longer
+# loop.
+
+# IMA step table (89 entries) and index-adaptation table — the published
+# IMA ADPCM constants (dpANS/RFC 3551), not tuned values.
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+# MS ADPCM: the 7 standard predictor coefficient pairs (fixed-point /256)
+# and the 16-entry per-code delta adaptation table, from the public WAVE
+# registration.
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int32)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int32)
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230],
+                     dtype=np.int32)
+
+
+def _ima_reconstruct(pred: np.ndarray, index: np.ndarray,
+                     nib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One IMA decoder step, vectorized: (predictor, step-index, nibble)
+    arrays → (new predictor, new index).  The diff formula is the exact
+    integer recursion (step>>3 + conditional step/step>>1/step>>2), NOT
+    the float approximation — encoder and decoder must share it bit-for-
+    bit or the streams drift."""
+    step = _IMA_STEPS[index]
+    diff = (step >> 3) + np.where(nib & 4, step, 0) \
+        + np.where(nib & 2, step >> 1, 0) + np.where(nib & 1, step >> 2, 0)
+    pred = np.clip(np.where(nib & 8, pred - diff, pred + diff),
+                   -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_ADJUST[nib & 7], 0, 88)
+    return pred, index
+
+
+def _ima_adpcm_decode(body: np.ndarray, n_channels: int,
+                      block_align: int) -> np.ndarray:
+    """IMA ADPCM data-chunk bytes → (n_blocks*samples_per_block,
+    n_channels) int16.  Layout per the WAVE registration: a 4-byte
+    header per channel (int16 seed sample, uint8 step index, pad), then
+    4-byte words of 8 nibbles (LOW nibble first) interleaved one word
+    per channel.  Vectorized across blocks; the loop is over in-block
+    positions only."""
+    if block_align <= 4 * n_channels or (block_align - 4 * n_channels) % (4 * n_channels):
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} is not 4ch-header + "
+            f"whole 4-byte words per channel (ch={n_channels})")
+    if body.size % block_align:
+        raise ValueError(
+            f"IMA ADPCM data size {body.size} is not a multiple of "
+            f"block_align {block_align}")
+    nb = body.size // block_align
+    blocks = body.reshape(nb, block_align)
+    hdr = blocks[:, : 4 * n_channels].reshape(nb, n_channels, 4).astype(np.int32)
+    pred = hdr[:, :, 0] | (hdr[:, :, 1] << 8)
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    index = hdr[:, :, 2]
+    if (index > 88).any():
+        raise ValueError("IMA ADPCM block header step index > 88")
+    words = blocks[:, 4 * n_channels:].reshape(nb, -1, n_channels, 4)
+    nibs = np.empty(words.shape[:3] + (8,), dtype=np.int32)
+    nibs[..., 0::2] = words & 0x0F
+    nibs[..., 1::2] = words >> 4
+    # (nb, ngroups, ch, 8) -> (nb, ch, ngroups*8): each channel's code
+    # stream in decode order.
+    nibs = nibs.transpose(0, 2, 1, 3).reshape(nb, n_channels, -1)
+    n_steps = nibs.shape[2]
+    out = np.empty((nb, n_channels, 1 + n_steps), dtype=np.int16)
+    out[:, :, 0] = pred
+    for t in range(n_steps):
+        pred, index = _ima_reconstruct(pred, index, nibs[:, :, t])
+        out[:, :, 1 + t] = pred
+    return out.transpose(0, 2, 1).reshape(-1, n_channels)
+
+
+def _ima_adpcm_encode(samples: np.ndarray,
+                      block_align: int) -> tuple[bytes, int]:
+    """(n, ch) int16 → (IMA ADPCM data-chunk bytes, samples_per_block).
+    The final partial block is padded by repeating the last sample (the
+    fact chunk carries the true count; decode_wav truncates by it).
+    Each block header seeds the step index from the block's own first
+    delta (searchsorted into the step table) — a deterministic per-block
+    heuristic that keeps blocks independent, so encoding vectorizes
+    across blocks exactly like decoding; carrying the index across
+    blocks would serialize the whole file for a marginal SNR gain at
+    block seams."""
+    n, ch = samples.shape
+    if block_align <= 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} is not 4ch-header + "
+            f"whole 4-byte words per channel (ch={ch})")
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    nb = -(-n // spb)
+    pad = nb * spb - n
+    padded = np.concatenate([samples, np.repeat(samples[-1:], pad, axis=0)])
+    s = padded.reshape(nb, spb, ch).transpose(0, 2, 1).astype(np.int32)
+    pred = s[:, :, 0].copy()
+    first_delta = np.abs(s[:, :, 1] - s[:, :, 0]) if spb > 1 else \
+        np.zeros_like(pred)
+    init_index = np.clip(np.searchsorted(_IMA_STEPS, first_delta), 0, 88)
+    index = init_index.copy()
+    nibs = np.empty((nb, ch, spb - 1), dtype=np.uint8)
+    for t in range(spb - 1):
+        step = _IMA_STEPS[index]
+        delta = s[:, :, t + 1] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        b4 = mag >= step
+        mag -= np.where(b4, step, 0)
+        b2 = mag >= (step >> 1)
+        mag -= np.where(b2, step >> 1, 0)
+        b1 = mag >= (step >> 2)
+        nib = (np.where(sign, 8, 0) | np.where(b4, 4, 0)
+               | np.where(b2, 2, 0) | np.where(b1, 1, 0))
+        nibs[:, :, t] = nib
+        # The encoder tracks the DECODER's reconstruction, not the
+        # input — that is what keeps quantization error bounded instead
+        # of accumulating.
+        pred, index = _ima_reconstruct(pred, index, nib)
+    hdr = np.zeros((nb, ch, 4), dtype=np.uint8)
+    seed = s[:, :, 0]
+    hdr[:, :, 0] = seed & 0xFF
+    hdr[:, :, 1] = (seed >> 8) & 0xFF
+    hdr[:, :, 2] = init_index.astype(np.uint8)
+    # Pack nibble streams back to interleaved 4-byte words: pad the
+    # per-channel streams to a multiple of 8 codes with zero nibbles
+    # (decoded tail is dropped by the fact count anyway).
+    n_codes = nibs.shape[2]
+    n_words = -(-n_codes // 8)
+    codes = np.zeros((nb, ch, n_words * 8), dtype=np.uint8)
+    codes[:, :, :n_codes] = nibs
+    grouped = codes.reshape(nb, ch, n_words, 8)
+    packed = (grouped[..., 0::2] | (grouped[..., 1::2] << 4)).astype(np.uint8)
+    body = np.concatenate(
+        [hdr.reshape(nb, -1), packed.transpose(0, 2, 1, 3).reshape(nb, -1)],
+        axis=1)
+    if body.shape[1] != block_align:
+        raise AssertionError(
+            f"IMA ADPCM encoder produced {body.shape[1]}-byte blocks, "
+            f"expected block_align {block_align}")
+    return body.tobytes(), spb
+
+
+def _ms_adpcm_decode(body: np.ndarray, n_channels: int, block_align: int,
+                     coef1: np.ndarray, coef2: np.ndarray) -> np.ndarray:
+    """MS ADPCM data-chunk bytes → (n_blocks*samples_per_block, ch)
+    int16.  Block header per the WAVE registration: per-channel uint8
+    predictor index, then per-channel int16 initial delta, int16
+    sample1 (newer), int16 sample2 (older); the two header samples ARE
+    the block's first two outputs (older first).  Codes are 4 bits,
+    HIGH nibble first, channels alternating per nibble."""
+    hdr_bytes = 7 * n_channels
+    if block_align <= hdr_bytes or \
+            (2 * (block_align - hdr_bytes)) % n_channels:
+        raise ValueError(
+            f"MS ADPCM block_align {block_align} does not cover the "
+            f"{hdr_bytes}-byte header plus whole codes per channel "
+            f"(ch={n_channels})")
+    if body.size % block_align:
+        raise ValueError(
+            f"MS ADPCM data size {body.size} is not a multiple of "
+            f"block_align {block_align}")
+    nb = body.size // block_align
+    blocks = body.reshape(nb, block_align)
+    pred_idx = blocks[:, :n_channels].astype(np.int64)
+    if (pred_idx >= len(coef1)).any():
+        raise ValueError("MS ADPCM predictor index out of coefficient table")
+    c1 = coef1[pred_idx].astype(np.int64)
+    c2 = coef2[pred_idx].astype(np.int64)
+
+    def _i16(off: int) -> np.ndarray:
+        lo = blocks[:, off:off + 2 * n_channels:2].astype(np.int64)
+        hi = blocks[:, off + 1:off + 1 + 2 * n_channels:2].astype(np.int64)
+        v = lo | (hi << 8)
+        return np.where(v >= 0x8000, v - 0x10000, v)
+
+    delta = _i16(n_channels)
+    samp1 = _i16(3 * n_channels)
+    samp2 = _i16(5 * n_channels)
+    code_bytes = blocks[:, hdr_bytes:]
+    nibs = np.empty((nb, code_bytes.shape[1] * 2), dtype=np.int64)
+    nibs[:, 0::2] = code_bytes >> 4
+    nibs[:, 1::2] = code_bytes & 0x0F
+    signed = np.where(nibs >= 8, nibs - 16, nibs)
+    n_steps = nibs.shape[1] // n_channels
+    out = np.empty((nb, 2 + n_steps, n_channels), dtype=np.int16)
+    out[:, 0, :] = samp2
+    out[:, 1, :] = samp1
+    for t in range(n_steps):
+        code = signed[:, t * n_channels:(t + 1) * n_channels]
+        unib = nibs[:, t * n_channels:(t + 1) * n_channels]
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        pred = np.clip(pred + code * delta, -32768, 32767)
+        out[:, 2 + t, :] = pred
+        samp2, samp1 = samp1, pred
+        delta = np.maximum((_MS_ADAPT[unib] * delta) >> 8, 16)
+    return out.reshape(-1, n_channels)
+
+
+def _ms_adpcm_encode(samples: np.ndarray,
+                     block_align: int) -> tuple[bytes, int]:
+    """(n, ch) int16 → (MS ADPCM data-chunk bytes, samples_per_block).
+    Deterministic encoder: predictor 0 (coef1=256, coef2=0 — the
+    identity-on-sample1 predictor, a legal choice per the registration;
+    trying all 7 per block is an SNR refinement, not a format
+    requirement) and initial delta seeded from the block's early
+    prediction residual.  Tracks the decoder's reconstruction exactly,
+    so decode(encode(x)) equals the encoder's internal state stream."""
+    n, ch = samples.shape
+    if block_align <= 7 * ch or (2 * (block_align - 7 * ch)) % ch:
+        raise ValueError(
+            f"MS ADPCM block_align {block_align} does not yield whole "
+            f"codes per channel (ch={ch})")
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    nb = -(-n // spb)
+    pad = nb * spb - n
+    padded = np.concatenate([samples, np.repeat(samples[-1:], pad, axis=0)])
+    s = padded.reshape(nb, spb, ch).transpose(0, 2, 1).astype(np.int64)
+    samp2 = s[:, :, 0].copy()
+    samp1 = s[:, :, 1].copy() if spb > 1 else samp2.copy()
+    # Seed delta from the mean early residual (|x2 - x1| over the first
+    # few steps), floored at 16 like the adaptation rule.
+    look = min(spb, 8)
+    resid = np.abs(np.diff(s[:, :, :look], axis=2))
+    delta = np.maximum(resid.mean(axis=2).astype(np.int64) >> 2, 16) \
+        if look > 1 else np.full_like(samp1, 16)
+    init_delta = delta.copy()
+    n_codes = spb - 2
+    nibs = np.zeros((nb, ch, n_codes), dtype=np.uint8)
+    for t in range(n_codes):
+        pred = (samp1 * 256 + samp2 * 0) >> 8
+        code = np.clip(
+            np.floor_divide(s[:, :, t + 2] - pred + (delta >> 1), delta),
+            -8, 7)
+        rec = np.clip(pred + code * delta, -32768, 32767)
+        unib = (code & 0x0F).astype(np.int64)
+        nibs[:, :, t] = unib
+        samp2, samp1 = samp1, rec
+        delta = np.maximum((_MS_ADAPT[unib] * delta) >> 8, 16)
+    hdr = np.zeros((nb, 7 * ch), dtype=np.uint8)
+
+    # predictor indexes (all 0), then delta/samp1/samp2 int16 LE per ch.
+    def _put16(off: int, v: np.ndarray) -> None:
+        u = (v & 0xFFFF).astype(np.int64)
+        hdr[:, off:off + 2 * ch:2] = (u & 0xFF).astype(np.uint8)
+        hdr[:, off + 1:off + 1 + 2 * ch:2] = ((u >> 8) & 0xFF).astype(np.uint8)
+
+    _put16(ch, init_delta)
+    _put16(3 * ch, s[:, :, 1] if spb > 1 else s[:, :, 0])
+    _put16(5 * ch, s[:, :, 0])
+    # Codes: high nibble first, channels alternating per nibble.  The
+    # stream is always byte-aligned: (spb-2)*ch = 2*(block_align-7*ch)
+    # is even by construction.
+    flat = nibs.transpose(0, 2, 1).reshape(nb, -1)
+    packed = ((flat[:, 0::2] << 4) | flat[:, 1::2]).astype(np.uint8)
+    body = np.concatenate([hdr, packed], axis=1)
+    if body.shape[1] != block_align:
+        raise AssertionError(
+            f"MS ADPCM encoder produced {body.shape[1]}-byte blocks, "
+            f"expected block_align {block_align}")
+    return body.tobytes(), spb
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF WAV → ((n_samples, n_channels) array, sample_rate).
 
@@ -263,30 +551,76 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     only): unsigned 8-bit → uint8, 16-bit → int16, 24-bit
     (sign-extended) and 32-bit → int32, plus IEEE float (format 3) →
     float32/float64, plus the G.711 companded telephony formats (r13:
-    6 = a-law, 7 = mu-law → int16 through the ITU expansion tables).
-    MP3/ADPCM stay behind the extension point."""
+    6 = a-law, 7 = mu-law → int16 through the ITU expansion tables),
+    plus both ADPCM block codecs (r14: 2 = Microsoft ADPCM, 17 =
+    IMA/DVI ADPCM → int16 through the vectorized block decoders above;
+    the fact chunk's sample count truncates the final block's padding).
+    Only MP3-in-WAV stays behind the extension point."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    block_align = 0
+    fact_samples = None
+    ms_coefs: tuple[np.ndarray, np.ndarray] | None = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
         size = struct.unpack_from("<I", data, pos + 4)[0]
         if chunk_id == b"fmt ":
             audio_fmt, n_channels, rate = struct.unpack_from("<HHI", data, pos + 8)
-            bits = struct.unpack_from("<H", data, pos + 22)[0]
+            block_align, bits = struct.unpack_from("<HH", data, pos + 20)
             if (audio_fmt, bits) not in _WAV_FORMATS:
                 raise ValueError(
                     f"unsupported WAV sample format (fmt={audio_fmt}, "
                     f"bits={bits})")
+            if audio_fmt == 2:
+                # MS ADPCM fmt extension: samplesPerBlock, numCoef,
+                # then numCoef int16 coefficient pairs — encoders may
+                # register custom predictors beyond the standard 7, so
+                # the table is read from the file, not assumed.
+                n_coef = struct.unpack_from("<H", data, pos + 28)[0]
+                pairs = np.frombuffer(
+                    data, dtype="<i2", count=2 * n_coef, offset=pos + 30
+                ).astype(np.int32).reshape(n_coef, 2)
+                ms_coefs = (pairs[:, 0].copy(), pairs[:, 1].copy())
             fmt = (n_channels, rate, audio_fmt, bits)
+        elif chunk_id == b"fact":
+            fact_samples = struct.unpack_from("<I", data, pos + 8)[0]
         elif chunk_id == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
             n_channels, rate, audio_fmt, bits = fmt
+            if audio_fmt in (2, 17):
+                body = np.frombuffer(data, dtype=np.uint8, count=size,
+                                     offset=pos + 8)
+                if audio_fmt == 17:
+                    samples = _ima_adpcm_decode(body, n_channels,
+                                                block_align)
+                else:
+                    if ms_coefs is None:
+                        raise ValueError(
+                            "MS ADPCM fmt chunk carries no coefficient "
+                            "table")
+                    samples = _ms_adpcm_decode(body, n_channels,
+                                               block_align, *ms_coefs)
+                if fact_samples is not None:
+                    if fact_samples > samples.shape[0]:
+                        raise ValueError(
+                            f"WAV fact chunk claims {fact_samples} "
+                            f"samples but blocks decode to only "
+                            f"{samples.shape[0]}")
+                    samples = samples[:fact_samples]
+                return samples, rate
             if audio_fmt in (6, 7):
                 # G.711 (r13): one companded byte per sample expands
-                # through the ITU table to int16.
+                # through the ITU table to int16.  Frame-divisibility
+                # checked like the PCM24 path (r13 ADVICE): a bare
+                # reshape error on a ragged multi-channel chunk is not
+                # a named contract error.
+                if size % n_channels:
+                    raise ValueError(
+                        f"G.711 WAV data chunk size {size} is not a "
+                        f"multiple of the {n_channels}-byte frame")
                 codes = np.frombuffer(data, dtype=np.uint8, count=size,
                                       offset=pos + 8)
                 table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
@@ -319,15 +653,57 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 def encode_wav(samples: np.ndarray, rate: int, *,
                bits: int | None = None,
-               codec: str | None = None) -> bytes:
+               codec: str | None = None,
+               block_align: int | None = None) -> bytes:
     """Sample array → RIFF WAV bytes.  The format follows the dtype
     (uint8 → PCM8, int16 → PCM16, int32 → PCM32, float32/float64 →
     IEEE float); ``bits=24`` packs an int32 array as PCM24;
     ``codec='alaw'|'mulaw'`` compands an int16 array to G.711 bytes
-    (format codes 6/7 — the telephony encodings, r13)."""
+    (format codes 6/7 — the telephony encodings, r13);
+    ``codec='ima_adpcm'|'ms_adpcm'`` block-compresses an int16 array
+    (format codes 17/2, r14) at the given ``block_align`` (default
+    ``256 * n_channels``) — these emit the fmt-chunk extension
+    (samplesPerBlock; plus the 7-pair coefficient table for MS) and a
+    fact chunk carrying the true sample count, so the padded final
+    block round-trips exactly."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n_channels = samples.shape[1]
+    if codec in ("ima_adpcm", "ms_adpcm"):
+        if bits is not None and bits != 4:
+            raise ValueError("ADPCM WAV is 4 bits per code")
+        if samples.dtype != np.int16:
+            raise ValueError("ADPCM WAV encodes from an int16 array")
+        if samples.shape[0] == 0:
+            raise ValueError("ADPCM WAV needs at least one sample")
+        ba = 256 * n_channels if block_align is None else block_align
+        n = samples.shape[0]
+        if codec == "ima_adpcm":
+            body, spb = _ima_adpcm_encode(samples, ba)
+            # fmt ext: cbSize=2, samplesPerBlock.
+            fmt_ext = struct.pack("<HH", 2, spb)
+            audio_fmt = 17
+        else:
+            body, spb = _ms_adpcm_encode(samples, ba)
+            coef_pairs = b"".join(
+                struct.pack("<hh", int(c1), int(c2))
+                for c1, c2 in zip(_MS_COEF1, _MS_COEF2))
+            fmt_ext = struct.pack("<HHH", 4 + len(coef_pairs), spb,
+                                  len(_MS_COEF1)) + coef_pairs
+            audio_fmt = 2
+        fmt_body = struct.pack(
+            "<HHIIHH", audio_fmt, n_channels, rate,
+            rate * ba // spb, ba, 4) + fmt_ext
+        # body is whole blocks — always word-aligned, no RIFF pad.
+        return (
+            struct.pack("<4sI4s", b"RIFF",
+                        4 + (8 + len(fmt_body)) + 12 + (8 + len(body)),
+                        b"WAVE")
+            + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+            + struct.pack("<4sII", b"fact", 4, n)
+            + struct.pack("<4sI", b"data", len(body))
+            + body
+        )
     if codec is not None:
         if codec not in ("alaw", "mulaw"):
             raise ValueError(f"unknown WAV codec {codec!r}")

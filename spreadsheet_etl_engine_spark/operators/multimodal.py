@@ -73,8 +73,9 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     24-bit BMP / binary PPM / zlib-stored truecolor PNG / 16-entry
     palette PNG / 16-bit grayscale PNG / Adam7-interlaced RGB PNG /
     4-bit (sub-byte) palette PNG gradients / baseline JPEG /
-    progressive JPEG (r13) — audio rows cycle every uncompressed WAV
-    sample format (PCM16 / PCM8 / PCM24 / PCM32 / IEEE float32, r13),
+    progressive JPEG (r13) — audio rows cycle every WAV sample format
+    the codecs speak (PCM16 / PCM8 / PCM24 / PCM32 / IEEE float32,
+    G.711 a-law / mu-law (r13), IMA ADPCM / MS ADPCM blocks (r14)),
     and video rows cycle fake header / animated GIF / multi-page TIFF
     (r13 — the TIFF rows sub-cycle G4-bilevel, LZW-RGB-with-predictor,
     and the tiled organization, so the scanned-document compressions
@@ -141,7 +142,7 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 ns = 256 + i % 64
                 t = np.arange(ns)
                 sine = np.sin(t * ((i % 7) + 1) * 0.1)
-                fmt = (i // 3) % 7
+                fmt = (i // 3) % 9
                 if fmt == 0:                       # PCM16 (the r12 row)
                     wave = (1000 * sine).astype(np.int16)
                 elif fmt == 1:                     # PCM8 (unsigned)
@@ -150,15 +151,22 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     wave = (sine * (2 ** 30)).astype(np.int32)
                 elif fmt == 4:                     # IEEE float32
                     wave = sine.astype(np.float32)
-                else:                              # G.711 a-law / mu-law
+                else:           # G.711 a-law / mu-law, IMA / MS ADPCM
                     wave = (sine * 20000).astype(np.int16)
-                # The oracle's closed size formula is
-                # 44 + bytes_per_sample * ns + the RIFF pad byte on odd
-                # bodies (ns here is even, but the formula carries the
-                # pad term so the contract is explicit).
+                # The oracle's closed size formulas: PCM/G.711 bodies
+                # are 44 + bytes_per_sample * ns + the RIFF pad byte on
+                # odd bodies (ns here is even, but the formula carries
+                # the pad term so the contract is explicit); the ADPCM
+                # block codecs (r14) are fixed-header + whole 32-byte
+                # blocks — 60 + 32*ceil(ns/57) for IMA,
+                # 90 + 32*ceil(ns/52) for MS — with the fact chunk
+                # truncating the padded final block, so decoded width
+                # stays exactly ns.
                 payload = MC.encode_wav(
                     wave, 16000, bits=24 if fmt == 2 else None,
-                    codec={5: "alaw", 6: "mulaw"}.get(fmt))
+                    codec={5: "alaw", 6: "mulaw", 7: "ima_adpcm",
+                           8: "ms_adpcm"}.get(fmt),
+                    block_align=32 if fmt in (7, 8) else None)
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
@@ -231,7 +239,8 @@ def _decode_compressed(data: bytes) -> tuple[int, int, int]:
     real."""
     raise NotImplementedError(
         "MP3/H.264 decoding requires "
-        "PIL/cv2/librosa/ffmpeg, which are not installed; BMP/PPM/WAV, "
+        "PIL/cv2/librosa/ffmpeg, which are not installed; BMP/PPM, "
+        "WAV (all PCM widths + IEEE float + G.711 + IMA/MS ADPCM, r14), "
         "the full static PNG surface (all bit depths/color types incl. "
         "palette, both interlace modes) and baseline + progressive "
         "JPEG decode is real (functions.media_codecs)"

@@ -2527,67 +2527,83 @@ def get(name: str) -> RegisteredQuery:
 # and seen_index_stream bytes are unchanged (module docstring + new
 # function only), so streaming_dedup_events / streaming_seen_index
 # ride their r12 rows per the additive-module rule.
+# r14 rotation (r13 verdict Next 1, 2, 4): NO new queries this round
+# (growth rule satisfied trivially; the round's new surface — the IMA/
+# MS ADPCM WAV block codecs — rides the two existing multimodal rows).
+# The two multimodal rows re-attest CHANGED BYTES: synth_media's audio
+# sub-cycle widened from %7 to %9 (IMA ADPCM at 7, MS ADPCM at 8,
+# 32-byte mono blocks with fact-chunk truncation), which moves every
+# audio row's sample format AND byte size, and multimodal_decode's
+# oracle gained the two whole-block ADPCM size formulas (60 +
+# 32*ceil(ns/57) / 90 + 32*ceil(ns/52)) — so the new codecs sit under
+# the driver hash, not just pytest (the r13 verdict's ADPCM 'Done'
+# condition).  Shared-module audit for the round's other edits:
+# media_codecs' G.711 frame-divisibility fix (r13 ADVICE) and the
+# ADPCM decoders execute only under the two multimodal rows
+# (promoted).  Then ALL 25 queries whose newest green is r11 — the
+# entire remaining oldest vintage, so after the r14 run the
+# newest-green floor moves to r12 (verdict Next 1) — and the 23
+# alphabetically-first r12 rows as freshness fillers.  Every name
+# below went through scripts/check_promotions.py at sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r13 new query (judge-directed growth; first row) ---
-    "streaming_dedup_fuzzy",
-    # --- r13 changed-bytes re-verifications: the codec-fixture
-    # extension (see the r13 rotation note above) ---
+    # --- r14 changed-bytes re-verifications: the ADPCM fixture +
+    # oracle extension (see the r14 rotation note above) ---
     "multimodal_decode",
     "multimodal_resize_features",
-    # --- r13 freshness: ALL 25 queries whose newest driver row is
-    # r10, byte-unchanged since (tail fingerprint + shared-module hash
-    # tripwire); includes join_dims_broadcast (the r12 verdict Next 6
-    # drained-re-read subject) and the three real-stream rows ---
-    "dsl_v2_having_topn",
-    "dsl_xlsx_roundtrip",
-    "etl_upsert",
-    "join_anti",
-    "join_asof",
-    "join_dims_broadcast",
-    "join_fact_fact",
-    "join_fact_fact_bucketed",
-    "join_full_outer",
-    "join_semi",
-    "reshape_unpivot",
-    "scan_partition_pruned",
-    "scan_schema_evolution",
-    "scan_zorder_pruned",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_union_distinct",
-    "sort_topk",
-    "streaming_session_counts",
-    "streaming_tumbling_counts",
-    "streaming_view_click_join",
-    "text_langid",
-    "text_unicode_hygiene",
-    "text_wordcount_top",
-    # --- r13 filler rotation: the 22 alphabetically-first r11 rows
+    # --- r14 freshness: ALL 25 queries whose newest driver row is
+    # r11, byte-unchanged since (tail fingerprint + shared-module hash
+    # tripwire) — clearing this vintage moves the floor to r12 ---
+    "events_cohort_retention",
+    "events_decayed_engagement",
+    "events_funnel",
+    "events_json_extract",
+    "events_mode_per_user",
+    "events_resample_gapfill",
+    "events_sliding_window",
+    "events_transitions",
+    "events_value_outliers",
+    "mix_weights_by_source",
+    "profile_columns",
+    "profile_key_skew",
+    "quality_constraint_report",
+    "sample_cap_per_source",
+    "sample_hash",
+    "sample_stratified",
+    "streaming_stateful_totals",
+    "text_collocations_pmi",
+    "text_contamination",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_quality_rank",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "train_split_assign",
+    # --- r14 filler rotation: the 23 alphabetically-first r12 rows
     # (the oldest remaining vintage), byte-unchanged since their green
-    # row; the other 25 r11 rows lead the r14 freshness queue ---
-    "agg_corr_covar",
-    "agg_histogram",
-    "agg_linear_fit",
-    "agg_moments",
-    "curation_pipeline_decisions",
-    "dedup_components",
-    "dedup_embedding_neardup",
-    "dedup_incremental",
-    "dedup_index_probe",
-    "dedup_keep_best",
-    "dedup_minhash_signature",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_paragraphs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dsl_fidelity_strings",
-    "dsl_v2_and_filter",
-    "dsl_v2_distinct",
-    "dsl_v2_join_agg",
-    "embedding_cluster_stats",
-    "etl_scd2",
-    "etl_snapshot_diff",
+    # row; the other 23 r12 rows lead the r15 freshness queue ---
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_heavy_hitters",
+    "agg_heavy_hitters_approx",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_quantiles",
+    "agg_rollup",
+    "dedup_embedding_lsh_pairs",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_semantic",
+    "distinct_nations_per_segment",
+    "dsl_a1_formula",
+    "dsl_a1_forward",
+    "dsl_csv_roundtrip",
+    "dsl_direct_constant",
+    "dsl_filter_ops",
+    "dsl_flagship",
+    "dsl_formula_chain",
+    "dsl_json_source",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -1385,10 +1385,30 @@ def test_property_r13_codec_roundtrips():
         kind=st.sampled_from([
             "g3", "g3a", "g3_2d_k1", "g3_2d_k3a", "planar8", "planar16",
             "tile_g4", "tile_none", "tile_g3_2d", "alaw", "mulaw",
+            "ima_adpcm", "ms_adpcm",
         ]),
     )
     def roundtrip(h, w, seed, kind):
         rng = np.random.default_rng(seed)
+        if kind in ("ima_adpcm", "ms_adpcm"):
+            # ADPCM is lossy, so no byte fixed point — the pinned
+            # property is DECODE determinism against the scalar
+            # reference (exact, arbitrary ns/block boundary/channels)
+            # plus the fact-chunk truncation shape.
+            ch = 1 + seed % 2
+            ns = h * w
+            wave = rng.integers(-32768, 32768, (ns, ch)).astype(np.int16)
+            ba = (32, 64, 36)[seed % 3] * ch
+            data = MC.encode_wav(wave, 8000, codec=kind, block_align=ba)
+            arr, rate = MC.decode_wav(data)
+            assert rate == 8000 and arr.shape == (ns, ch)
+            doff = data.index(b"data") + 8
+            body = np.frombuffer(data[doff:], dtype=np.uint8)
+            scalar = (_ima_decode_reference(bytes(body), ch, ba)
+                      if kind == "ima_adpcm"
+                      else _ms_decode_reference(bytes(body), ch, ba))
+            assert np.array_equal(scalar[:ns], arr)
+            return
         if kind in ("alaw", "mulaw"):
             wave = rng.integers(-32768, 32768, h * w).astype(np.int16)
             data = MC.encode_wav(wave, 8000, codec=kind)
@@ -1517,6 +1537,196 @@ def test_wav_g711_alaw_mulaw(spark):
         MC.encode_wav(wave.astype(np.int32), 16000, codec="alaw")
     with pytest.raises(ValueError, match="unknown WAV codec"):
         MC.encode_wav(wave, 16000, codec="adpcm")
+
+
+def _ima_decode_reference(body: bytes, ch: int, ba: int):
+    """Slow scalar IMA ADPCM decoder, written independently from the
+    vectorized one (per-sample loop straight off the published
+    recursion) — the in-test oracle twin."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    steps = MC._IMA_STEPS
+    adjust = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for b0 in range(0, len(body), ba):
+        block = body[b0:b0 + ba]
+        pred, idx = [], []
+        for c in range(ch):
+            p = int.from_bytes(block[4 * c:4 * c + 2], "little", signed=True)
+            pred.append(p)
+            idx.append(block[4 * c + 2])
+        chans = [[p] for p in pred]
+        data = block[4 * ch:]
+        # 4-byte words round-robin per channel; 8 nibbles per word,
+        # low nibble first.
+        for w0 in range(0, len(data), 4 * ch):
+            for c in range(ch):
+                word = data[w0 + 4 * c:w0 + 4 * c + 4]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = int(steps[idx[c]])
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        if nib & 8:
+                            diff = -diff
+                        pred[c] = max(-32768, min(32767, pred[c] + diff))
+                        idx[c] = max(0, min(88, idx[c] + adjust[nib & 7]))
+                        chans[c].append(pred[c])
+        out.extend(zip(*chans))
+    return np.array(out, dtype=np.int16)
+
+
+def _ms_decode_reference(body: bytes, ch: int, ba: int):
+    """Slow scalar MS ADPCM decoder (standard-coefficient table),
+    independent of the vectorized one — the in-test oracle twin."""
+    import numpy as np
+
+    coef1 = [256, 512, 0, 192, 240, 460, 392]
+    coef2 = [0, -256, 0, 64, 0, -208, -232]
+    adapt = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    out = []
+    for b0 in range(0, len(body), ba):
+        block = body[b0:b0 + ba]
+        pidx = [block[c] for c in range(ch)]
+
+        def i16(off, c):
+            return int.from_bytes(
+                block[off + 2 * c:off + 2 * c + 2], "little", signed=True)
+
+        delta = [i16(ch, c) for c in range(ch)]
+        s1 = [i16(3 * ch, c) for c in range(ch)]
+        s2 = [i16(5 * ch, c) for c in range(ch)]
+        chans = [[s2[c], s1[c]] for c in range(ch)]
+        nibbles = []
+        for byte in block[7 * ch:]:
+            nibbles.extend((byte >> 4, byte & 0x0F))
+        for t, unib in enumerate(nibbles):
+            c = t % ch
+            code = unib - 16 if unib >= 8 else unib
+            pred = (s1[c] * coef1[pidx[c]] + s2[c] * coef2[pidx[c]]) >> 8
+            pred = max(-32768, min(32767, pred + code * delta[c]))
+            chans[c].append(pred)
+            s2[c], s1[c] = s1[c], pred
+            delta[c] = max(16, (adapt[unib] * delta[c]) >> 8)
+        out.extend(zip(*chans))
+    return np.array(out, dtype=np.int16)
+
+
+def test_wav_adpcm_ima_and_ms(spark):
+    """r14: ADPCM WAV (format 17 IMA/DVI, format 2 Microsoft) — the
+    last compressed WAV encodings reachable without a media library
+    (integer predictor + published tables, the same pure-numpy class as
+    r13's G.711).  Pins: the vectorized block decoders against
+    independent scalar reference decoders (exact), round-trip
+    quantization error bounds, fact-chunk truncation of the padded
+    final block, stereo channel integrity, closed-form byte sizes, and
+    the feature embedding against the PCM16 original."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    t = np.arange(400)
+    wave = (np.sin(t * 0.1) * 12000).astype(np.int16)
+    ref = MC.encode_wav(wave, 16000)
+    feats = {}
+    for codec, fmt_code, hdr in (("ima_adpcm", 17, 60), ("ms_adpcm", 2, 90)):
+        for ch in (1, 2):
+            if ch == 1:
+                sig = wave[:, None]
+            else:
+                # Distinct per-channel signals so an interleave bug
+                # cannot cancel out.
+                sig = np.stack(
+                    [wave, (np.cos(t * 0.23) * 9000).astype(np.int16)],
+                    axis=1)
+            ba = 32 * ch
+            data = MC.encode_wav(sig, 16000, codec=codec, block_align=ba)
+            assert MC.sniff(data) == "wav"
+            # Closed-form size: fixed header + whole blocks (fact chunk
+            # carries the true count; no RIFF pad — blocks are even).
+            spb = ((ba - 4 * ch) * 2 // ch + 1 if codec == "ima_adpcm"
+                   else (ba - 7 * ch) * 2 // ch + 2)
+            nb = -(-400 // spb)
+            assert len(data) == hdr + nb * ba
+            arr, rate = MC.decode_wav(data)
+            assert rate == 16000 and arr.dtype == np.int16
+            assert arr.shape == sig.shape  # fact truncation exact
+            # Vectorized decoder == scalar reference decoder, exactly
+            # (over the full padded blocks, before truncation).
+            body = data[hdr - 8 + 8:]
+            assert len(body) == nb * ba
+            scalar = (_ima_decode_reference(body, ch, ba)
+                      if codec == "ima_adpcm"
+                      else _ms_decode_reference(body, ch, ba))
+            vec = (MC._ima_adpcm_decode(
+                       np.frombuffer(body, dtype=np.uint8), ch, ba)
+                   if codec == "ima_adpcm"
+                   else MC._ms_adpcm_decode(
+                       np.frombuffer(body, dtype=np.uint8), ch, ba,
+                       MC._MS_COEF1, MC._MS_COEF2))
+            assert np.array_equal(scalar, vec)
+            # Quantization error bound: ADPCM tracks a 12000-amplitude
+            # sine to well under 2% of full scale once adapted.
+            err = np.abs(arr.astype(np.int32) - sig.astype(np.int32))
+            assert err.max() <= 600 and err.mean() <= 120, (codec, ch)
+            if ch == 1:
+                feats[codec] = data
+    # Feature embedding: same waveform through ADPCM produces ~the
+    # PCM16 features (normalized stats absorb the quantization noise).
+    rows = [(1, "audio", ref, 0),
+            (2, "audio", feats["ima_adpcm"], 0),
+            (3, "audio", feats["ms_adpcm"], 0)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in MM.extract_features(media).collect()}
+    for m in (2, 3):
+        assert np.allclose(got[m][:6], got[1][:6], atol=2e-2), m
+    # Constant signals are exact fixed points (zero diff encodes to
+    # the zero nibble; MS predictor-0 predicts sample1).
+    flat = np.full(100, 777, dtype=np.int16)
+    for codec in ("ima_adpcm", "ms_adpcm"):
+        arr, _ = MC.decode_wav(
+            MC.encode_wav(flat, 8000, codec=codec, block_align=32))
+        assert np.array_equal(arr[:, 0], flat), codec
+    # Validation contract: named errors, not bare numpy failures.
+    with pytest.raises(ValueError, match="int16"):
+        MC.encode_wav(wave.astype(np.int32), 16000, codec="ima_adpcm")
+    with pytest.raises(ValueError, match="4 bits"):
+        MC.encode_wav(wave, 16000, codec="ms_adpcm", bits=8)
+    with pytest.raises(ValueError, match="block_align"):
+        MC.encode_wav(wave, 16000, codec="ima_adpcm", block_align=30)
+    with pytest.raises(ValueError, match="block_align"):
+        MC.encode_wav(wave, 16000, codec="ms_adpcm", block_align=7)
+    good = MC.encode_wav(wave, 16000, codec="ima_adpcm", block_align=32)
+    with pytest.raises(ValueError, match="multiple of"):
+        MC._ima_adpcm_decode(np.zeros(33, dtype=np.uint8), 1, 32)
+    with pytest.raises(ValueError, match="step index"):
+        bad = bytearray(32)
+        bad[2] = 89
+        MC._ima_adpcm_decode(np.frombuffer(bytes(bad), np.uint8), 1, 32)
+    with pytest.raises(ValueError, match="predictor index"):
+        bad = bytearray(32)
+        bad[0] = 7
+        MC._ms_adpcm_decode(np.frombuffer(bytes(bad), np.uint8), 1, 32,
+                            MC._MS_COEF1, MC._MS_COEF2)
+    # A fact chunk claiming more samples than the blocks hold is
+    # corrupt, not silently short.
+    fact_off = good.index(b"fact") + 8
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, fact_off, 10_000)
+    with pytest.raises(ValueError, match="fact chunk claims"):
+        MC.decode_wav(bytes(bad))
 
 
 def test_tiff_codec_roundtrip_matrix():

@@ -91,13 +91,12 @@ def test_entry_contract(spark):
 # r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # r13 new query (judge-directed: r12 verdict Next 3) — first row.
-    "streaming_dedup_fuzzy",
-    # r13 changed bytes — must re-verify: synth_media grew the
-    # JPEG/WAV-format/GIF/TIFF containers (r12 verdict Next 1), both
-    # query bodies + oracles rewritten, media_codecs ADVICE fixes
-    # (sniff-BigTIFF, WAV pad byte — the pad is IN the size formula),
-    # multimodal solid-color-GIF resize pad.
+    # r14 changed bytes — must re-verify: synth_media's audio
+    # sub-cycle widened %7 → %9 (IMA/MS ADPCM block codecs, r13
+    # verdict Next 2), which moves EVERY audio row's format and size,
+    # and multimodal_decode's oracle gained the two whole-block ADPCM
+    # size formulas; media_codecs also took the r13 ADVICE G.711
+    # frame-divisibility fix, which executes only under these rows.
     "multimodal_decode",
     "multimodal_resize_features",
 ]
