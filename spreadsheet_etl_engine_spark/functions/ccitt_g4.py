@@ -417,7 +417,11 @@ def _read_eol(bits: _Bits) -> None:
     """Consume one T.4 EOL (eleven-plus zeros then a one).  Fill bits
     are zeros INSERTED BEFORE the EOL (T4Options bit 2), so scanning
     zeros-until-one accepts any fill; a one arriving before eleven
-    zeros is a framing error."""
+    zeros is a framing error.  The fill cap covers real minimum-scan-
+    time padding (r13 ADVICE): T.4's longest standard MSLT is 40 ms,
+    which at 14400 bit/s is 576 fill bits — 4096 leaves generous
+    margin for nonstandard senders while still bounding a corrupt
+    all-zero stream."""
     zeros = 0
     while True:
         if bits.read(1):
@@ -425,9 +429,23 @@ def _read_eol(bits: _Bits) -> None:
                 return
             raise ValueError("invalid CCITT G3 EOL framing")
         zeros += 1
-        if zeros > 64 + 11:
-            # More fill than any byte-alignment needs: corrupt stream.
+        if zeros > 4096 + 11:
             raise ValueError("runaway zero fill before CCITT G3 EOL")
+
+
+def _read_eol_or_first_line(bits: _Bits) -> None:
+    """First-line EOL with the libtiff leniency (r13 ADVICE): many
+    real-world Compression=3 writers omit the EOL before the FIRST
+    line of a strip (T.4 frames lines on a wire; a TIFF strip already
+    knows where it starts).  If the stream opens with a valid EOL,
+    consume it; otherwise rewind and let the line decode directly.
+    Later lines keep the strict framing — mid-stream resync leniency
+    would mask genuine corruption."""
+    mark = bits.pos
+    try:
+        _read_eol(bits)
+    except ValueError:
+        bits.pos = mark
 
 
 def _decode_1d_line(bits: _Bits, row: np.ndarray, width: int) -> None:
@@ -473,7 +491,10 @@ def g3_decode(data: bytes, width: int, height: int) -> np.ndarray:
     bits = _Bits(bytes(data))
     out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
-        _read_eol(bits)
+        if y == 0:
+            _read_eol_or_first_line(bits)
+        else:
+            _read_eol(bits)
         _decode_1d_line(bits, out[y], width)
     return out
 
@@ -518,7 +539,20 @@ def g3_2d_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     ref_trans: list[int] = []
     for y in range(height):
-        _read_eol(bits)
+        if y == 0:
+            # First-line leniency (r13 ADVICE): with the EOL omitted
+            # there is no tag bit either — T.4 requires the first line
+            # to be 1D-coded, so decode it as such directly.
+            mark = bits.pos
+            try:
+                _read_eol(bits)
+            except ValueError:
+                bits.pos = mark
+                _decode_1d_line(bits, out[y], width)
+                ref_trans = _transitions(out[y])
+                continue
+        else:
+            _read_eol(bits)
         if bits.read(1):                         # tag 1: 1D line
             _decode_1d_line(bits, out[y], width)
         else:                                    # tag 0: 2D line

@@ -34,14 +34,33 @@ sampled-frame kernel decodes individual pages.
   reads transparently through every entry point; the encoder stays
   classic, which every reader accepts under 4 GB.
 
-Scope honestly gated (``ValueError`` by name): tiled or sub-byte or
-CCITT/JPEG planar-configuration-2 variants (strip-organized
-byte-aligned planar reads and writes since r13; bilevel TILED pages —
-incl. the CCITT family per tile — read and write since late r13),
-CCITT G3 uncompressed mode (T4Options bit 1 — the 1D and 2D codings
-both read and write since r13) and photometric-2 (raw-RGB-component)
-JPEG — strip-organized AND tiled (the Cloud-Optimized-GeoTIFF layout,
-late r13) gray/YCbCr JPEG-in-TIFF reads and writes since r13.
+Scope boundary (``ValueError`` by name — a DELIBERATE STANCE as of
+r14, not rolling debt; r13 verdict Next 6):
+
+* **CCITT G3 uncompressed mode** (T4Options bit 1): libtiff — the
+  reference C implementation every TIFF reader descends from —
+  itself rejects uncompressed mode on decode and never emits it on
+  encode, so files using it are effectively unreadable in the wild
+  and no mainstream encoder produces them.  With no independent
+  implementation or corpus fixture available in this container, an
+  implementation here could only be validated against itself
+  (encoder and decoder sharing one interpretation of the T.4 Annex
+  tables) — a self-confirming oracle this codebase's fixture
+  discipline exists to avoid.  Fail-loud by name is the honest
+  behavior.
+* **Tiled/CCITT/JPEG planar-configuration-2 combos** and
+  **photometric-2 (raw-RGB-component) JPEG**: per the TIFF 6.0 spec's
+  own warning, PlanarConfiguration 2 is "not in widespread use", and
+  these combinations multiply it with layouts real writers pair only
+  with chunky data (libtiff can technically emit some, but no
+  scanner/geospatial toolchain does).  Same fixture-discipline
+  argument as above; each rejects with its exact name.
+
+Everything short of these reads AND writes for real: strip-organized
+byte-aligned planar since r13; bilevel TILED pages — incl. the CCITT
+family per tile — since late r13; G3 1D and 2D codings since r13;
+strip and TILED (Cloud-Optimized-GeoTIFF) gray/YCbCr JPEG-in-TIFF
+since r13.
 """
 
 from __future__ import annotations
@@ -1032,6 +1051,13 @@ def encode_tiff(
             ]
         if ch == 4:
             entries.append((338, 3, 1, [2]))      # unassociated alpha
+        if photo == 6:
+            # YCbCrSubSampling defaults to 2x2 when absent (TIFF 6.0
+            # §21); the encoder's JPEG streams are 4:4:4, so emit the
+            # tag explicitly or strict readers that trust the tag over
+            # the per-strip SOF would halve the chroma grid (r13
+            # ADVICE).
+            entries.append((530, 3, 2, [1, 1]))
         if comp_id == _COMPRESSION_G3:
             # T4Options: bit 0 = 2D coding; no uncompressed mode, no
             # EOL byte-alignment fill (the decoder accepts fill anyway).

@@ -2125,6 +2125,46 @@ def test_ccitt_g3_1d_codec_and_tiff_integration():
         except ValueError:
             pass
 
+    # r14 (r13 ADVICE): real-world leniency.  Many Compression=3
+    # writers omit the EOL before the FIRST line of a strip, and
+    # minimum-scan-time padding can far exceed byte-alignment fill —
+    # both now decode; mid-stream framing stays strict.
+    bm3 = (rng.random((4, 17)) < 0.4).astype(np.uint8)
+    bw = _BitWriter()
+    for y in range(4):
+        if y > 0:
+            bw.write(*_EOL)
+        CC._encode_1d_line(bw, CC._transitions(bm3[y]), 17)
+    assert np.array_equal(CC.g3_decode(bw.flush(), 17, 4), bm3)
+    # 600 zero fill bits before every EOL (T.4's longest standard MSLT,
+    # 40 ms at 14400 bit/s, is 576 bits — the old 75-bit cap rejected
+    # in-scope files).
+    bw = _BitWriter()
+    for y in range(4):
+        bw.write(0, 600)
+        bw.write(*_EOL)
+        CC._encode_1d_line(bw, CC._transitions(bm3[y]), 17)
+    assert np.array_equal(CC.g3_decode(bw.flush(), 17, 4), bm3)
+    # ...but a mid-stream zero run beyond any real fill is corrupt,
+    # loud, and bounded (the first line's EOL probe rewinds instead,
+    # so the runaway guard fires on later lines).
+    bw = _BitWriter()
+    bw.write(*_EOL)
+    CC._encode_1d_line(bw, CC._transitions(bm3[0]), 17)
+    with pytest.raises(ValueError, match="runaway zero fill"):
+        CC.g3_decode(bw.flush() + b"\x00" * 600, 17, 4)
+    # 2D: with the first EOL omitted there is no tag bit either — the
+    # first line is bare 1D data (T.4 requires it 1D-coded anyway).
+    bw = _BitWriter()
+    for y in range(4):
+        if y == 0:
+            CC._encode_1d_line(bw, CC._transitions(bm3[y]), 17)
+        else:
+            bw.write(*_EOL)
+            bw.write(1, 1)
+            CC._encode_1d_line(bw, CC._transitions(bm3[y]), 17)
+    assert np.array_equal(CC.g3_2d_decode(bw.flush(), 17, 4), bm3)
+
 
 def test_jpeg_in_tiff():
     """r13: new-style JPEG-in-TIFF (Compression=7) — every strip is an
@@ -2165,6 +2205,14 @@ def test_jpeg_in_tiff():
     data = TC.encode_tiff(pages, compression="jpeg")
     assert TC.count_tiff_pages(data) == 3
     assert len(TC.decode_tiff_pages(data)) == 3
+    # r14 (r13 ADVICE): photometric-6 pages must carry an explicit
+    # YCbCrSubSampling (530) = 1,1 — the tag's absent-default is 2x2,
+    # so strict readers honoring it over the per-strip SOF would halve
+    # the chroma grid of our 4:4:4 streams.  Inline SHORTx2 entry.
+    assert data.find(struct.pack("<HHIHH", 530, 3, 2, 1, 1)) > 0
+    # Grayscale JPEG pages are photometric 1 — no subsampling tag.
+    gray = TC.encode_tiff(pages[0][:, :, 0], compression="jpeg")
+    assert gray.find(struct.pack("<HHI", 530, 3, 2)) < 0
 
     # Hand-built one-strip file with shared JPEGTables (tag 347):
     # split a full stream into an abbreviated tables stream (DQT/DHT)
@@ -2542,15 +2590,29 @@ def test_tiff_planar_configuration_2():
     with pytest.raises(ValueError, match="planar"):
         TC.encode_tiff((pages[0][:, :, 0] > 128).astype(np.uint8) * 255,
                        bilevel=True, compression="g4", planar=True)
-    # Decoder: planar + tile tags together reject by name.
-    bad = bytearray(TC.encode_tiff(pages[0], tile=(8, 8)))
-    # (tag surgery is fragile; build via encode + decode-side check
-    # instead: a planar file whose strip count is wrong rejects.)
+    # Decoder: planar + tile tags together reject BY NAME (r13 ADVICE:
+    # the named rejection was previously unexercised).  Our writer
+    # refuses to emit the combination, so hand-build the minimal
+    # little-endian IFD that reaches the check: dims + spp=3 +
+    # PlanarConfiguration=2 + a TileWidth tag.
+    def le_entry(tag, ttype, count, val4):
+        return struct.pack("<HHI", tag, ttype, count) + val4
+
+    bad_ifd = struct.pack("<H", 5)
+    bad_ifd += le_entry(256, 3, 1, struct.pack("<HH", 8, 0))
+    bad_ifd += le_entry(257, 3, 1, struct.pack("<HH", 8, 0))
+    bad_ifd += le_entry(277, 3, 1, struct.pack("<HH", 3, 0))
+    bad_ifd += le_entry(284, 3, 1, struct.pack("<HH", 2, 0))
+    bad_ifd += le_entry(322, 3, 1, struct.pack("<HH", 8, 0))
+    bad_ifd += struct.pack("<I", 0)
+    planar_tiled = b"II*\x00" + struct.pack("<I", 8) + bad_ifd
+    with pytest.raises(ValueError,
+                       match="tiled planar-configuration-2"):
+        TC.decode_tiff(planar_tiled)
+    # Truncation keeps failing loud too (out-of-bounds strip).
     short = TC.encode_tiff(pages[0], planar=True)
-    # Chop the last strip entry's count via truncation -> out of bounds.
     with pytest.raises(ValueError):
         TC.decode_tiff(short[: len(short) - len(short) // 3])
-    del bad
 
 
 def test_netpbm_p5_p4_variants(spark):
