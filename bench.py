@@ -59,6 +59,13 @@ OPTIONAL = [
     # r12: SemDeDup-style semantic dedup (kernel assignment + within-
     # cluster prune) — new line, prior lines stay 1:1 comparable.
     "dedup_semantic",
+    # r14 (r13 verdict Next 4): the heaviest Python-side kernel — the
+    # full codec layer under Arrow-batched mapInPandas (96 fixture
+    # rows x 10 image containers x 9 WAV formats x GIF/TIFF video) —
+    # previously had scale-probe gates but no per-round wall-time
+    # line, so a codec regression was invisible in BENCH_rN deltas.
+    # Fixture-sized (not sf-scaled); new line, prior lines 1:1.
+    "multimodal_decode",
 ]
 
 

@@ -122,7 +122,11 @@ class MappingSpecV2:
     group_by: tuple[str, ...]
     aggs: tuple[AggColumn, ...]
     base: MappingSpec  # v1-parsed rules (filters kept for validation only)
-    having: tuple[str, ...] = ()  # post-agg filter expressions (v2 grammar)
+    # Post-agg filters: (author rule name, parsed v2 boolean tree).
+    # Parsed at PARSE time so a syntax error surfaces with the author's
+    # rule name alongside every other rule error, not at run time under
+    # a synthetic index (r14 review pass 10).
+    having: tuple = ()
     sort_keys: tuple[SortKey, ...] = ()
     limit: int | None = None
     distinct: bool = False
@@ -224,7 +228,10 @@ def parse_mapping_v2(
             body = _normalize_refs(instruction, aliases)
             if body.startswith("eval:"):
                 body = body[len("eval:"):].strip()
-            having.append(body)
+            # Parse now: syntax errors carry the AUTHOR'S rule name and
+            # fail at parse time with the rest of the spec (r14 review
+            # pass 10 — previously deferred to run time as _having:<i>).
+            having.append((name, parse_filter_expression_v2(body, name)))
             continue
 
         if name.startswith(SORT_PREFIX):
@@ -293,6 +300,28 @@ def parse_mapping_v2(
         raise EngineError("A _group: rule requires at least one agg: output column.")
     if having and not aggs:
         raise EngineError("A _having: rule requires an aggregating mapping.")
+    # Validate sort keys so a typo'd key raises the engine's
+    # MissingColumnError with rule context instead of a raw Spark
+    # UNRESOLVED_COLUMN at run time (r14 review pass 10; every other
+    # column reference in the grammar already fails this way).  The
+    # namespace: grouped mappings can only order by group keys + agg
+    # names, while projections can also order by any PRE-projection
+    # column (SQL's ORDER-BY-hidden-column; Spark resolves it through
+    # the Project) — except under _distinct:, where Spark would resolve
+    # a hidden key as dropDuplicates(output).orderBy(<an arbitrary
+    # surviving row's value>) — run-dependent order, the same
+    # nondeterminism class as the unsorted-limit rejection above
+    # (measured: Deduplicate[k] over Project[k,v] sorts by whichever v
+    # survives per k) — so only output names are legal there.
+    if aggs:
+        sortable = set(group_by) | {a.name for a in aggs}
+    elif distinct:
+        sortable = set(base.output_names)
+    else:
+        sortable = set(base.output_names) | set(visible_cols)
+    for k in sort_keys:
+        if k.column not in sortable:
+            raise MissingColumnError(k.column, "_sort:")
     if limit is not None and not sort_keys:
         # A bare .limit(n) keeps whichever partitions' rows arrive first —
         # nondeterministic across runs, AQE layouts, and task retries
@@ -459,8 +488,7 @@ def run_mapping_v2(
         out = df.groupBy(*keys).agg(*[_agg_expr(a) for a in spec.aggs])
         if spec.having:
             having_compiler = MappingCompiler(out, mode=mode)
-            for i, expr_text in enumerate(spec.having):
-                tree = parse_filter_expression_v2(expr_text, f"_having:{i}")
+            for _name, tree in spec.having:
                 pred = _compile_expression_v2(having_compiler, tree)
                 if pred is not None:
                     out = out.filter(pred)

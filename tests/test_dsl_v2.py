@@ -200,6 +200,47 @@ def test_sort_limit_without_grouping(spark, tpch):
     assert bals == sorted(bals, reverse=True)
 
 
+def test_sort_key_and_having_errors_carry_rule_context(spark, tpch):
+    """r14 review pass 10: the v2 error channel matches v1's — a
+    typo'd _sort: key raises MissingColumnError at PARSE time (not a
+    raw Spark UNRESOLVED_COLUMN at run time; sort keys live in the
+    output namespace), and a _having: syntax error surfaces at parse
+    time under the AUTHOR'S rule name, not a synthetic index."""
+    from spreadsheet_etl_engine_spark.errors import (
+        ExpressionSyntaxError,
+        MissingColumnError,
+    )
+
+    with pytest.raises(MissingColumnError, match="Balx"):
+        run_mapping_v2(
+            tpch,
+            [
+                ("Cust", "src[c_name]"),
+                ("Bal", "src[c_acctbal]"),
+                ("_sort:s", "by: src[Balx] desc"),
+            ],
+        )
+    # Grouped mode: the namespace is group keys + agg names.
+    with pytest.raises(MissingColumnError, match="nope"):
+        run_mapping_v2(
+            tpch,
+            [
+                ("_group:g", "by: src[c_nationkey]"),
+                ("n", "agg:count"),
+                ("_sort:s", "by: src[nope]"),
+            ],
+        )
+    with pytest.raises(ExpressionSyntaxError, match="_having:bad"):
+        run_mapping_v2(
+            tpch,
+            [
+                ("_group:g", "by: src[c_nationkey]"),
+                ("n", "agg:count"),
+                ("_having:bad", "eval: src[n] >= (1"),
+            ],
+        )
+
+
 def test_having_without_agg_raises(spark, tpch):
     from spreadsheet_etl_engine_spark.errors import EngineError
 
