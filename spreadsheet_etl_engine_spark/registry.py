@@ -2540,16 +2540,30 @@ def get(name: str) -> RegisteredQuery:
 # condition).  Shared-module audit for the round's other edits:
 # media_codecs' G.711 frame-divisibility fix (r13 ADVICE) and the
 # ADPCM decoders execute only under the two multimodal rows
-# (promoted).  Then ALL 25 queries whose newest green is r11 — the
-# entire remaining oldest vintage, so after the r14 run the
-# newest-green floor moves to r12 (verdict Next 1) — and the 23
-# alphabetically-first r12 rows as freshness fillers.  Every name
-# below went through scripts/check_promotions.py at sf0.001 + sf0.01.
+# (promoted); review pass 10 changed plans/extensions.py (v2 _sort:
+# key validation + parse-time _having:), which executes under the four
+# dsl_v2_* queries — green-path outputs are provably unchanged (the
+# error-channel change only affects failing specs, and all four passed
+# the two-scale parity gate at current bytes), but per the standing
+# invariant changed-code queries take head seats over freshness
+# fillers, so they are promoted below.  Then ALL 25 queries whose
+# newest green is r11 — the entire remaining oldest vintage, so after
+# the r14 run the newest-green floor moves to r12 (verdict Next 1) —
+# and the 19 alphabetically-first r12 rows as freshness fillers (the
+# four filler seats the dsl_v2_* promotions took — dsl_filter_ops,
+# dsl_flagship, dsl_formula_chain, dsl_json_source — lead the r15
+# freshness queue with the other r12 rows).  Every name below went
+# through scripts/check_promotions.py at sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r14 changed-bytes re-verifications: the ADPCM fixture +
-    # oracle extension (see the r14 rotation note above) ---
+    # oracle extension, and the four v2-DSL queries that execute the
+    # review-pass-10 extensions.py change (see the rotation note) ---
     "multimodal_decode",
     "multimodal_resize_features",
+    "dsl_v2_and_filter",
+    "dsl_v2_distinct",
+    "dsl_v2_having_topn",
+    "dsl_v2_join_agg",
     # --- r14 freshness: ALL 25 queries whose newest driver row is
     # r11, byte-unchanged since (tail fingerprint + shared-module hash
     # tripwire) — clearing this vintage moves the floor to r12 ---
@@ -2578,9 +2592,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "text_tfidf_top_terms",
     "train_split_assign",
-    # --- r14 filler rotation: the 23 alphabetically-first r12 rows
+    # --- r14 filler rotation: the 19 alphabetically-first r12 rows
     # (the oldest remaining vintage), byte-unchanged since their green
-    # row; the other 23 r12 rows lead the r15 freshness queue ---
+    # row; the remaining r12 rows lead the r15 freshness queue ---
     "agg_approx_distinct",
     "agg_approx_quantile",
     "agg_cube",
@@ -2600,10 +2614,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_a1_forward",
     "dsl_csv_roundtrip",
     "dsl_direct_constant",
-    "dsl_filter_ops",
-    "dsl_flagship",
-    "dsl_formula_chain",
-    "dsl_json_source",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -99,6 +99,12 @@ MUST_BE_IN_CHECK_BUDGET = [
     # frame-divisibility fix, which executes only under these rows.
     "multimodal_decode",
     "multimodal_resize_features",
+    # r14 review pass 10 changed plans/extensions.py (v2 _sort: key
+    # validation, parse-time _having:) — these four execute it.
+    "dsl_v2_and_filter",
+    "dsl_v2_distinct",
+    "dsl_v2_having_topn",
+    "dsl_v2_join_agg",
 ]
 
 
