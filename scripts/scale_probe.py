@@ -616,7 +616,10 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
     TIFF / LZW TIFF / bilevel-TILED-G4 TIFF / planar-2 TIFF (the two
     r13 layouts — per-tile CCITT decode is the heaviest per-row
     kernel, so the curve must include it), videos are 4-frame animated
-    GIFs, audio alternates PCM16 and G.711 mu-law WAV."""
+    GIFs, audio cycles PCM16 / G.711 mu-law / IMA ADPCM / MS ADPCM WAV
+    (r14 — the block decoders' sequential-within-block loop must sit
+    under the curve: a per-sample Python regression there would read
+    as a superlinear wall blowup)."""
     from spreadsheet_etl_engine_spark.operators.multimodal import MEDIA_SCHEMA
 
     def gen(batches):
@@ -671,9 +674,12 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                     wave = ((1000 if i % 6 else 20000)
                             * np.sin(t * ((i % 7) + 1) * 0.1)
                             ).astype(np.int16)
+                    ac = (i // 3) % 4
                     payload = MC.encode_wav(
                         wave, 16000,
-                        codec="mulaw" if (i // 3) % 2 else None)
+                        codec=(None, "mulaw", "ima_adpcm",
+                               "ms_adpcm")[ac],
+                        block_align=32 if ac >= 2 else None)
                 else:
                     pal = ((np.arange(48) * 3 + i) % 256
                            ).astype(np.uint8).reshape(16, 3)
