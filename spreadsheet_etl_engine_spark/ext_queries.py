@@ -1047,7 +1047,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT kind,
              CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN ns
                   ELSE CASE vc WHEN 0 THEN 64 ELSE iw END END AS width,
-             CASE kind WHEN 'image' THEN ih WHEN 'audio' THEN 1
+             -- audio height = n_channels: the ADPCM rows (r14) are
+             -- stereo, everything else mono
+             CASE kind WHEN 'image' THEN ih
+                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8)
+                                    THEN 2 ELSE 1 END
                   ELSE CASE vc WHEN 0 THEN 48 ELSE ih END END AS height,
              CASE kind WHEN 'video' THEN
                   CASE vc WHEN 2 THEN npages ELSE nf END
@@ -1087,8 +1091,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- blocks — IMA: 60 + 32*ceil(ns/57) (57 samples per
                -- 32-byte mono block), MS: 90 + 32*ceil(ns/52)
                WHEN 'audio' THEN CASE wfmt
-                 WHEN 7 THEN 60 + 32 * ((ns + 56) // 57)
-                 WHEN 8 THEN 90 + 32 * ((ns + 51) // 52)
+                 WHEN 7 THEN 60 + 64 * ((ns + 56) // 57)
+                 WHEN 8 THEN 90 + 64 * ((ns + 51) // 52)
                  ELSE 44 + bps * ns + (bps * ns) % 2 END
                ELSE CASE vc WHEN 0 THEN
                     11 + len(CAST(nf AS VARCHAR)) + plen ELSE 0 END
@@ -1166,13 +1170,18 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              256 + i % 64 AS ns,
              4 + i % 8 AS nf,
              2 + i % 3 AS npages,
+             (i // 3) % 9 AS wfmt,
              (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,
              CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
                   ELSE CASE vc WHEN 0 THEN 64 ELSE 4 END END AS width,
-             CASE kind WHEN 'image' THEN 2 WHEN 'audio' THEN 1
+             -- audio passes through resize untouched; the r14 ADPCM
+             -- rows are stereo (height 2), the rest mono
+             CASE kind WHEN 'image' THEN 2
+                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8)
+                                    THEN 2 ELSE 1 END
                   ELSE CASE vc WHEN 0 THEN 48 ELSE 2 END END AS height,
              CASE kind WHEN 'video' THEN
                   CASE vc WHEN 2 THEN npages ELSE nf END

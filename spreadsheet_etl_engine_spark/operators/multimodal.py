@@ -151,22 +151,33 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     wave = (sine * (2 ** 30)).astype(np.int32)
                 elif fmt == 4:                     # IEEE float32
                     wave = sine.astype(np.float32)
-                else:           # G.711 a-law / mu-law, IMA / MS ADPCM
+                elif fmt in (7, 8):
+                    # IMA / MS ADPCM (r14) — STEREO, with distinct
+                    # per-channel signals, so the interleaved 4-byte
+                    # word layout and per-channel predictor state sit
+                    # under the driver's height=2 pin (a channel swap
+                    # or shared-state bug would still decode *something*
+                    # mono-shaped from a mono fixture).
+                    wave = np.stack(
+                        [sine * 20000,
+                         np.cos(t * ((i % 5) + 1) * 0.13) * 15000],
+                        axis=1).astype(np.int16)
+                else:                       # G.711 a-law / mu-law
                     wave = (sine * 20000).astype(np.int16)
                 # The oracle's closed size formulas: PCM/G.711 bodies
                 # are 44 + bytes_per_sample * ns + the RIFF pad byte on
                 # odd bodies (ns here is even, but the formula carries
                 # the pad term so the contract is explicit); the ADPCM
-                # block codecs (r14) are fixed-header + whole 32-byte
-                # blocks — 60 + 32*ceil(ns/57) for IMA,
-                # 90 + 32*ceil(ns/52) for MS — with the fact chunk
+                # block codecs (r14) are fixed-header + whole 64-byte
+                # stereo blocks — 60 + 64*ceil(ns/57) for IMA,
+                # 90 + 64*ceil(ns/52) for MS — with the fact chunk
                 # truncating the padded final block, so decoded width
-                # stays exactly ns.
+                # stays exactly ns (and height exactly 2).
                 payload = MC.encode_wav(
                     wave, 16000, bits=24 if fmt == 2 else None,
                     codec={5: "alaw", 6: "mulaw", 7: "ima_adpcm",
                            8: "ms_adpcm"}.get(fmt),
-                    block_align=32 if fmt in (7, 8) else None)
+                    block_align=64 if fmt in (7, 8) else None)
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
