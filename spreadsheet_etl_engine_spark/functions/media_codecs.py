@@ -13,6 +13,12 @@ Real decode/encode with no media libraries needed:
   bytes (a-law/mu-law, r13) and both ADPCM block codecs (IMA/DVI and
   Microsoft, r14) decode and encode for real — only MP3-in-WAV stays
   behind the extension point;
+* **Sun AU / AIFF** (r14) — the non-RIFF audio containers old speech
+  corpora carry: AU's six big-endian header fields (mu-law via the
+  G.711 tables, signed int8, PCM16 BE, float32, until-EOF sizes) and
+  the IFF FORM/AIFF layout (COMM's 80-bit extended sample rate
+  converted with exact integer arithmetic, SSND alignment offset,
+  PCM16 big-endian; AIFC accepted with compression NONE);
 * **PNG** — the FULL static-image spec surface (r12): every legal
   bit-depth/color-type combination (1/2/4/8/16-bit gray, 8/16-bit
   RGB/gray+alpha/RGBA, 1/2/4/8-bit palette with optional tRNS
@@ -753,6 +759,164 @@ def encode_wav(samples: np.ndarray, rate: int, *,
     )
 
 
+# --------------------------------------------------------------------------
+# Sun/NeXT AU (r14) — the .au/.snd container old speech corpora carry.
+# Six big-endian uint32 header fields then raw sample data; the G.711
+# mu-law encoding (1) is its historic default and reuses the r13 tables.
+
+_AU_ENCODINGS = {1: ("mulaw", 1), 2: ("int8", 1), 3: ("int16", 2),
+                 6: ("float32", 4)}
+
+
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU → ((n_samples, n_channels) array, sample_rate).
+    Encodings: 1 (G.711 mu-law → int16 via the ITU table), 2 (8-bit
+    linear PCM, SIGNED per spec — unlike WAV's unsigned PCM8 → int16
+    so the signedness difference cannot be confused downstream),
+    3 (16-bit PCM big-endian → int16), 6 (float32 BE).  A data-size
+    field of 0xFFFFFFFF means "until EOF", per the spec."""
+    if data[:4] != b".snd":
+        raise ValueError("not a Sun AU file")
+    off, size, enc, rate, ch = struct.unpack_from(">IIIII", data, 4)
+    if off < 24 or off > len(data):
+        raise ValueError(f"AU data offset {off} out of range")
+    if ch < 1:
+        raise ValueError("AU channel count must be >= 1")
+    if enc not in _AU_ENCODINGS:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    name, width = _AU_ENCODINGS[enc]
+    avail = len(data) - off
+    n_bytes = avail if size == 0xFFFFFFFF else min(size, avail)
+    if n_bytes % (width * ch):
+        raise ValueError(
+            f"AU data size {n_bytes} is not a multiple of the "
+            f"{width * ch}-byte frame")
+    if name == "mulaw":
+        codes = np.frombuffer(data, dtype=np.uint8, count=n_bytes,
+                              offset=off)
+        return _MULAW_TABLE[codes].reshape(-1, ch), rate
+    if name == "int8":
+        raw = np.frombuffer(data, dtype=np.int8, count=n_bytes, offset=off)
+        return raw.astype(np.int16).reshape(-1, ch) << 8, rate
+    dtype = np.dtype(np.int16 if name == "int16" else np.float32
+                     ).newbyteorder(">")
+    raw = np.frombuffer(data, dtype=dtype, count=n_bytes // width,
+                        offset=off)
+    out = raw.astype(np.int16 if name == "int16" else np.float32)
+    return out.reshape(-1, ch), rate
+
+
+def encode_au(samples: np.ndarray, rate: int, *,
+              codec: str = "int16") -> bytes:
+    """Sample array → Sun AU bytes.  ``codec``: 'mulaw' compands int16
+    through G.711 (encoding 1 — the format's default), 'int16' writes
+    big-endian PCM (encoding 3)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("AU encodes from an int16 array")
+    if codec == "mulaw":
+        body = _mulaw_encode(samples.reshape(-1)).tobytes()
+        enc, width = 1, 1
+    elif codec == "int16":
+        body = samples.astype(">i2").tobytes()
+        enc, width = 3, 2
+    else:
+        raise ValueError(f"unknown AU codec {codec!r}")
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), enc, rate,
+                       samples.shape[1]) + body
+
+
+# --------------------------------------------------------------------------
+# AIFF (r14) — the IFF audio container (FORM/AIFF, COMM + SSND chunks).
+# PCM is big-endian; the sample rate is an 80-bit IEEE 754 extended
+# float, converted with exact integer arithmetic (rates are integers in
+# practice; the conversion below is exact for any value whose mantissa
+# fits 63 bits).
+
+def _f80_to_int(b: bytes) -> int:
+    """80-bit extended float (big-endian) → nearest int sample rate."""
+    sign_exp = struct.unpack(">H", b[:2])[0]
+    mant = int.from_bytes(b[2:10], "big")
+    exp = (sign_exp & 0x7FFF) - 16383
+    if sign_exp & 0x8000 or mant == 0:
+        return 0
+    if exp > 62:
+        # A corrupt header can claim a rate past any real-world value;
+        # fail by name instead of materializing a huge int.
+        raise ValueError("AIFF sample rate out of range")
+    # mantissa has an EXPLICIT integer bit at 2^63: value = mant * 2^(exp-63)
+    shift = exp - 63
+    val = mant << shift if shift >= 0 else (mant + (1 << (-shift - 1))) >> -shift
+    return val
+
+
+def _int_to_f80(n: int) -> bytes:
+    """int → 80-bit extended float bytes (exact for n < 2^63)."""
+    if n <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    exp = n.bit_length() - 1
+    mant = n << (63 - exp)
+    return struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF → ((n_samples, n_channels) int16 array, sample_rate).
+    PCM16 big-endian (the overwhelmingly common AIFF shape); AIFC is
+    accepted only with compression NONE (same PCM bytes).  The COMM
+    frame count is authoritative; SSND's offset field skips block-
+    alignment padding, per the spec."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from(">I", data, pos + 4)[0]
+        if cid == b"COMM":
+            ch, n_frames, bits = struct.unpack_from(">HIH", data, pos + 8)
+            rate = _f80_to_int(data[pos + 16:pos + 26])
+            if is_aifc:
+                comp = data[pos + 26:pos + 30]
+                if comp != b"NONE":
+                    raise ValueError(
+                        f"unsupported AIFC compression {comp!r}")
+            comm = (ch, n_frames, bits, rate)
+        elif cid == b"SSND":
+            off = struct.unpack_from(">I", data, pos + 8)[0]
+            ssnd = data[pos + 16 + off:pos + 8 + size]
+        pos += 8 + size + (size & 1)     # IFF chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF COMM or SSND chunk missing")
+    ch, n_frames, bits, rate = comm
+    if bits != 16 or ch < 1:
+        raise ValueError(f"unsupported AIFF layout (bits={bits}, ch={ch})")
+    need = n_frames * ch * 2
+    if len(ssnd) < need:
+        raise ValueError(
+            f"AIFF SSND holds {len(ssnd)} bytes, COMM declares {need}")
+    raw = np.frombuffer(ssnd, dtype=">i2", count=n_frames * ch)
+    return raw.astype(np.int16).reshape(-1, ch), rate
+
+
+def encode_aiff(samples: np.ndarray, rate: int) -> bytes:
+    """(n, ch) int16 array → AIFF bytes (PCM16 big-endian)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("AIFF encodes from an int16 array")
+    n, ch = samples.shape
+    body = samples.astype(">i2").tobytes()
+    comm = struct.pack(">HIH", ch, n, 16) + _int_to_f80(rate)
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = (struct.pack(">4sI", b"COMM", len(comm)) + comm
+              + struct.pack(">4sI", b"SSND", len(ssnd)) + ssnd
+              + (b"\x00" if len(ssnd) & 1 else b""))
+    return struct.pack(">4sI4s", b"FORM", 4 + len(chunks), b"AIFF") + chunks
+
+
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize via pure index arithmetic (the sampling
     grid matches the standard pixel-center convention)."""
@@ -1243,6 +1407,11 @@ def sniff(data: bytes) -> str:
         return "tiff"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
+    if head[:4] == b".snd":
+        return "au"                      # Sun/NeXT audio (r14)
+    if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"                    # IFF audio (r14; AIFC routed
+        # to the decoder, which accepts only its NONE compression)
     if head[:4] in (b"IMG:", b"AUD:", b"VID:"):
         return "fake"
     return "unknown"

@@ -73,9 +73,10 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     24-bit BMP / binary PPM / zlib-stored truecolor PNG / 16-entry
     palette PNG / 16-bit grayscale PNG / Adam7-interlaced RGB PNG /
     4-bit (sub-byte) palette PNG gradients / baseline JPEG /
-    progressive JPEG (r13) — audio rows cycle every WAV sample format
-    the codecs speak (PCM16 / PCM8 / PCM24 / PCM32 / IEEE float32,
-    G.711 a-law / mu-law (r13), IMA ADPCM / MS ADPCM blocks (r14)),
+    progressive JPEG (r13) — audio rows cycle every audio container
+    and sample format the codecs speak (WAV PCM16 / PCM8 / PCM24 /
+    PCM32 / IEEE float32, G.711 a-law / mu-law (r13), stereo IMA /
+    MS ADPCM blocks, Sun AU mu-law, stereo big-endian AIFF (r14)),
     and video rows cycle fake header / animated GIF / multi-page TIFF
     (r13 — the TIFF rows sub-cycle G4-bilevel, LZW-RGB-with-predictor,
     and the tiled organization, so the scanned-document compressions
@@ -142,7 +143,7 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 ns = 256 + i % 64
                 t = np.arange(ns)
                 sine = np.sin(t * ((i % 7) + 1) * 0.1)
-                fmt = (i // 3) % 9
+                fmt = (i // 3) % 11
                 if fmt == 0:                       # PCM16 (the r12 row)
                     wave = (1000 * sine).astype(np.int16)
                 elif fmt == 1:                     # PCM8 (unsigned)
@@ -151,18 +152,18 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     wave = (sine * (2 ** 30)).astype(np.int32)
                 elif fmt == 4:                     # IEEE float32
                     wave = sine.astype(np.float32)
-                elif fmt in (7, 8):
-                    # IMA / MS ADPCM (r14) — STEREO, with distinct
-                    # per-channel signals, so the interleaved 4-byte
-                    # word layout and per-channel predictor state sit
-                    # under the driver's height=2 pin (a channel swap
-                    # or shared-state bug would still decode *something*
+                elif fmt in (7, 8, 10):
+                    # IMA / MS ADPCM and AIFF (r14) — STEREO, with
+                    # distinct per-channel signals, so the interleaved
+                    # layouts and per-channel predictor state sit under
+                    # the driver's height=2 pin (a channel swap or
+                    # shared-state bug would still decode *something*
                     # mono-shaped from a mono fixture).
                     wave = np.stack(
                         [sine * 20000,
                          np.cos(t * ((i % 5) + 1) * 0.13) * 15000],
                         axis=1).astype(np.int16)
-                else:                       # G.711 a-law / mu-law
+                else:          # G.711 a-law / mu-law, AU mu-law
                     wave = (sine * 20000).astype(np.int16)
                 # The oracle's closed size formulas: PCM/G.711 bodies
                 # are 44 + bytes_per_sample * ns + the RIFF pad byte on
@@ -172,12 +173,19 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 # stereo blocks — 60 + 64*ceil(ns/57) for IMA,
                 # 90 + 64*ceil(ns/52) for MS — with the fact chunk
                 # truncating the padded final block, so decoded width
-                # stays exactly ns (and height exactly 2).
-                payload = MC.encode_wav(
-                    wave, 16000, bits=24 if fmt == 2 else None,
-                    codec={5: "alaw", 6: "mulaw", 7: "ima_adpcm",
-                           8: "ms_adpcm"}.get(fmt),
-                    block_align=64 if fmt in (7, 8) else None)
+                # stays exactly ns (and height exactly 2).  The r14
+                # non-RIFF audio containers: Sun AU mu-law (24 + ns)
+                # and stereo AIFF PCM16 big-endian (54 + 4*ns).
+                if fmt == 9:
+                    payload = MC.encode_au(wave, 16000, codec="mulaw")
+                elif fmt == 10:
+                    payload = MC.encode_aiff(wave, 16000)
+                else:
+                    payload = MC.encode_wav(
+                        wave, 16000, bits=24 if fmt == 2 else None,
+                        codec={5: "alaw", 6: "mulaw", 7: "ima_adpcm",
+                               8: "ms_adpcm"}.get(fmt),
+                        block_align=64 if fmt in (7, 8) else None)
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
@@ -324,6 +332,12 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1
+        if kind == "au":
+            samples, _rate = MC.decode_au(raw)
+            return samples.shape[0], samples.shape[1], 1
+        if kind == "aiff":
+            samples, _rate = MC.decode_aiff(raw)
+            return samples.shape[0], samples.shape[1], 1
         return _decode_fake(raw)
     except (ValueError, IndexError, struct.error, zlib.error):
         return 0, 0, 0
@@ -407,11 +421,16 @@ def extract_features(df: DataFrame) -> DataFrame:
                 return [*img.mean(axis=(0, 1)).tolist(),
                         *img.std(axis=(0, 1)).tolist(),
                         w / 4096.0, h / 4096.0]
-            if container == "wav":
-                samples, rate = MC.decode_wav(raw)
+            if container in ("wav", "au", "aiff"):
+                samples, rate = (
+                    MC.decode_wav(raw) if container == "wav"
+                    else MC.decode_au(raw) if container == "au"
+                    else MC.decode_aiff(raw))
                 # Full-scale-to-[-1, 1] per sample format (r12: PCM8/
-                # 24/32 + IEEE float joined PCM16): uint8 is unsigned
-                # mid-128, PCM24 arrives left-justified in int32.
+                # 24/32 + IEEE float joined PCM16; r14: AU int8 arrives
+                # as int16<<8, AU/AIFF PCM16/mu-law as int16): uint8 is
+                # unsigned mid-128, PCM24 arrives left-justified in
+                # int32.
                 if samples.dtype == np.uint8:
                     x = (samples.astype(np.float32) - 128.0) / 128.0
                 elif samples.dtype == np.int16:

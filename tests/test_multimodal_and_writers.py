@@ -1729,6 +1729,113 @@ def test_wav_adpcm_ima_and_ms(spark):
         MC.decode_wav(bytes(bad))
 
 
+def test_au_and_aiff_containers(spark):
+    """r14: the non-RIFF audio containers real speech corpora carry —
+    Sun AU (.snd: six big-endian uint32 fields; mu-law via the r13
+    G.711 tables, signed int8, PCM16 BE, float32, until-EOF sizes) and
+    AIFF (IFF FORM: COMM with the 80-bit extended sample rate + SSND
+    with alignment offset; PCM16 BE).  Pins: round trips, byte-exact
+    closed-form sizes, the f80 rate conversion both ways, big-endian
+    sample order (an LE/BE confusion cannot round-trip int16 values
+    asymmetric under byte swap), stereo channel integrity, feature
+    equality with the same waveform as WAV, and named error paths."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    t = np.arange(400)
+    wave = (np.sin(t * 0.1) * 12000).astype(np.int16)
+    stereo = np.stack(
+        [wave, (np.cos(t * 0.23) * 9000).astype(np.int16)], axis=1)
+
+    # AU: PCM16 BE round-trips exactly; mu-law within companding error.
+    au16 = MC.encode_au(stereo, 16000)
+    assert MC.sniff(au16) == "au" and len(au16) == 24 + 4 * 400
+    arr, rate = MC.decode_au(au16)
+    assert rate == 16000 and np.array_equal(arr, stereo)
+    aum = MC.encode_au(wave, 8000, codec="mulaw")
+    assert len(aum) == 24 + 400
+    arr, rate = MC.decode_au(aum)
+    assert rate == 8000 and arr.shape == (400, 1)
+    # mu-law through AU == mu-law through WAV (same ITU tables).
+    wav_arr, _ = MC.decode_wav(MC.encode_wav(wave, 8000, codec="mulaw"))
+    assert np.array_equal(arr, wav_arr)
+    # Hand-built: signed int8 encoding (2) and until-EOF size field.
+    body = np.array([-128, -1, 0, 1, 127], dtype=np.int8).tobytes()
+    raw = struct.pack(">4sIIIII", b".snd", 24, 0xFFFFFFFF, 2, 8000, 1) + body
+    arr, rate = MC.decode_au(raw)
+    assert np.array_equal(arr[:, 0] >> 8, [-128, -1, 0, 1, 127])
+    # float32 BE encoding (6).
+    f32 = np.array([0.5, -0.25], dtype=">f4").tobytes()
+    raw = struct.pack(">4sIIIII", b".snd", 24, 8, 6, 44100, 2) + f32
+    arr, rate = MC.decode_au(raw)
+    assert arr.shape == (1, 2) and arr.dtype == np.float32
+    assert arr[0, 0] == 0.5 and arr[0, 1] == -0.25
+
+    # AIFF: stereo PCM16 BE round-trips exactly; f80 rate is exact.
+    for r in (8000, 16000, 22050, 44100, 48000, 96000, 11025):
+        assert MC._f80_to_int(MC._int_to_f80(r)) == r
+    aiff = MC.encode_aiff(stereo, 44100)
+    assert MC.sniff(aiff) == "aiff" and len(aiff) == 54 + 4 * 400
+    arr, rate = MC.decode_aiff(aiff)
+    assert rate == 44100 and np.array_equal(arr, stereo)
+    # SSND offset field: 4 junk bytes before the samples must be
+    # skipped (block-aligned writers emit this).
+    comm = struct.pack(">HIH", 1, 3, 16) + MC._int_to_f80(8000)
+    pcm = np.array([100, -2, 3], dtype=">i2").tobytes()
+    ssnd = struct.pack(">II", 4, 0) + b"JUNK" + pcm
+    chunks = (struct.pack(">4sI", b"COMM", len(comm)) + comm
+              + struct.pack(">4sI", b"SSND", len(ssnd)) + ssnd)
+    raw = struct.pack(">4sI4s", b"FORM", 4 + len(chunks), b"AIFF") + chunks
+    arr, rate = MC.decode_aiff(raw)
+    assert np.array_equal(arr[:, 0], [100, -2, 3])
+
+    # Same waveform through WAV / AU / AIFF embeds identically (exact:
+    # all three decode to the same int16 array).
+    rows = [(1, "audio", MC.encode_wav(wave, 16000), 0),
+            (2, "audio", MC.encode_au(wave, 16000), 0),
+            (3, "audio", MC.encode_aiff(wave, 16000), 0)]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: np.array(r["feature"])
+             for r in MM.extract_features(media).collect()}
+    assert np.allclose(feats[2], feats[1], atol=0)
+    assert np.allclose(feats[3], feats[1], atol=0)
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert all((dec[m]["width"], dec[m]["height"]) == (400, 1)
+               for m in (1, 2, 3))
+
+    # Named error paths.
+    with pytest.raises(ValueError, match="unsupported AU encoding"):
+        MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1)
+                     + b"\x00" * 4)
+    with pytest.raises(ValueError, match="multiple of"):
+        MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 3, 3, 8000, 1)
+                     + b"\x00" * 3)
+    with pytest.raises(ValueError, match="AU data offset"):
+        MC.decode_au(struct.pack(">4sIIIII", b".snd", 9999, 0, 1, 8000, 1))
+    with pytest.raises(ValueError, match="AIFC compression"):
+        comp_comm = (struct.pack(">HIH", 1, 1, 16) + MC._int_to_f80(8000)
+                     + b"sowt")
+        raw = (struct.pack(">4sI4s", b"FORM", 30, b"AIFC")
+               + struct.pack(">4sI", b"COMM", len(comp_comm)) + comp_comm)
+        MC.decode_aiff(raw)
+    with pytest.raises(ValueError, match="COMM declares"):
+        bad = bytearray(aiff)
+        # inflate the COMM frame count past the SSND bytes
+        cpos = aiff.index(b"COMM") + 8 + 2
+        struct.pack_into(">I", bad, cpos, 500)
+        MC.decode_aiff(bytes(bad))
+    with pytest.raises(ValueError, match="rate out of range"):
+        MC._f80_to_int(struct.pack(">H", 16383 + 70) + (1 << 63).to_bytes(8, "big"))
+    with pytest.raises(ValueError, match="int16"):
+        MC.encode_aiff(wave.astype(np.int32), 8000)
+    with pytest.raises(ValueError, match="unknown AU codec"):
+        MC.encode_au(wave, 8000, codec="adpcm")
+
+
 def test_tiff_codec_roundtrip_matrix():
     """r12: baseline TIFF 6.0 round trips — strip heights x
     none/LZW(+ horizontal-differencing predictor)/PackBits x
