@@ -1385,11 +1385,27 @@ def test_property_r13_codec_roundtrips():
         kind=st.sampled_from([
             "g3", "g3a", "g3_2d_k1", "g3_2d_k3a", "planar8", "planar16",
             "tile_g4", "tile_none", "tile_g3_2d", "alaw", "mulaw",
-            "ima_adpcm", "ms_adpcm",
+            "ima_adpcm", "ms_adpcm", "au16", "aiff",
         ]),
     )
     def roundtrip(h, w, seed, kind):
         rng = np.random.default_rng(seed)
+        if kind in ("au16", "aiff"):
+            # Lossless PCM16 big-endian containers (r14): EXACT
+            # round trip for arbitrary arrays and channel counts —
+            # byte-swap or interleave mistakes cannot survive random
+            # int16 data.
+            ch = 1 + seed % 3
+            wave = rng.integers(-32768, 32768, (h * w, ch)).astype(np.int16)
+            if kind == "au16":
+                data = MC.encode_au(wave, 8000 + seed % 99991)
+                arr, rate = MC.decode_au(data)
+            else:
+                data = MC.encode_aiff(wave, 8000 + seed % 99991)
+                arr, rate = MC.decode_aiff(data)
+            assert rate == 8000 + seed % 99991
+            assert np.array_equal(arr, wave)
+            return
         if kind in ("ima_adpcm", "ms_adpcm"):
             # ADPCM is lossy, so no byte fixed point — the pinned
             # property is DECODE determinism against the scalar
