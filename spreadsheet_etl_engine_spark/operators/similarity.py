@@ -8,6 +8,15 @@
   to a partition (nprobe controls recall); candidate generation joins the
   query only against its closest centroid partitions.  This is the
   100 TB path: candidate volume drops by ~nlist/nprobe.
+* ``topk_pq`` (r14) — product quantization with asymmetric-distance
+  candidate generation + exact rerank: every corpus vector compresses to
+  ``m`` one-byte codes (64x smaller than a float32 dim-64 embedding), the
+  candidate scan touches ONLY the code column (per-batch numpy
+  table-lookup sums, per-batch local top-C so the shuffle carries
+  candidates, not the corpus), and the final exact cosine runs on just
+  the C = rerank*k survivors per query.  This is the MEMORY-bound 100 TB
+  answer — when the raw embedding column is too big to scan per query,
+  the codes still fit: 100 TB of float32x64 is ~1.6 TB of m=8 codes.
 * Random-hyperplane LSH bucketing lives in ``functions.vectors``/
   ``operators.dedup.embedding_neardup_pairs``.
 """
@@ -205,6 +214,241 @@ def topk_ivf(
         .withColumn("cosine", VEC.cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    ksub: int = 256,
+    sample: int = 4096,
+    seed: int = 42,
+    iters: int = 12,
+):
+    """Per-subspace k-means codebooks for product quantization.
+
+    Vectors are L2-normalized, split into ``m`` contiguous subspaces,
+    and each subspace gets its own ``ksub``-centroid Lloyd's k-means —
+    the classic PQ training (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search").  Training runs DRIVER-SIDE over a
+    bounded deterministic sample (``orderBy`` before ``limit`` — a bare
+    limit depends on partition layout), the same sample-based training
+    discipline FAISS uses and the same bounded-collect contract as
+    ``train_centroids_lite``: the collect is ``sample`` rows whatever
+    the corpus size.  Returns an (m, ksub, dim/m) nested list.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy(F.col("v"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("PQ training needs at least one non-NULL vector")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        kk = min(ksub, S.shape[0])
+        # k-means++ seeding, then Lloyd; empty clusters re-seed from the
+        # sample (deterministic: seeded rng).
+        C = S[rng.choice(S.shape[0], 1)]
+        while C.shape[0] < kk:
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1)
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
+            C = np.vstack([C, S[rng.choice(S.shape[0], p=probs)]])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            newC = np.stack([
+                S[assign == c].mean(0) if (assign == c).any()
+                else S[rng.choice(S.shape[0])]
+                for c in range(kk)
+            ])
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        if kk < ksub:
+            # Degenerate tiny corpus: pad with repeats so the code
+            # domain stays [0, ksub) and encode/LUT shapes are stable.
+            C = np.vstack([C, np.repeat(C[:1], ksub - kk, axis=0)])
+        books.append(C)
+    return [[list(map(float, c)) for c in B] for B in books]
+
+
+def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
+    """Add ``pq_codes`` = the m per-subspace nearest-centroid indexes of
+    the L2-NORMALIZED vector (array<int>, values < ksub — one byte each
+    in parquet after dictionary encoding; the 100 TB storage form).
+    One Arrow-batched kernel, per-partition, no shuffle; NULL vectors
+    encode to NULL (SQL NULL-in/NULL-out)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+
+    def _codes(vs):
+        out = []
+        mask = vs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vs))
+        M = np.stack(vs[mask].to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            S = M[:, j * dsub:(j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        it = iter(codes.tolist())
+        for ok in mask:
+            out.append(next(it) if ok else None)
+        return pd.Series(out)
+
+    _codes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    return df.withColumn("pq_codes", pandas_udf(_codes, "array<int>")(F.col(vec_col)))
+
+
+def topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 256,
+    rerank: int = 8,
+    sample: int = 4096,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance + exact rerank.
+
+    Stage 1 (candidate scan): touches ONLY ``(id, pq_codes)`` — each
+    Arrow batch scores all queries at once with numpy table lookups
+    (``LUT[q, j, code]`` sums; the query-side lookup tables are
+    ``nq x m x ksub`` floats riding the closure) and emits a per-batch
+    LOCAL top-C per query, so the shuffle carries candidates, not the
+    corpus.  Stage 2: a global window prunes to C = ``rerank * k`` per
+    query, joins back to the RAW vectors (point lookups, the only time
+    full embeddings leave the scan), and exact cosine re-ranks the
+    survivors — output schema and determinism rules match the exact
+    operator (ties break on neighbor id).
+
+    The queries side is collected driver-side under the SAME
+    small-query-set contract every top-k operator here has (it is
+    broadcast in the exact path); NULL vectors on either side produce
+    no candidates (NULL-in/NULL-out).  Recall < 1 by design — the
+    quantization error decides stage-1 ranking; ``rerank`` widens the
+    exact stage's safety margin.  Pass precomputed ``codebooks`` (from
+    :func:`train_pq_codebooks`) to skip training, the production shape
+    where codebooks are a persisted artifact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, vec_col, m=m, ksub=ksub, sample=sample)
+    B = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+
+    qrows = [
+        (r[0], list(map(float, r[1])))
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if r[1] is not None
+    ]
+    if not qrows:
+        # No usable queries: an empty result with the contract schema.
+        return (
+            corpus.select(
+                F.col(id_col).cast("long").alias("query_id"),
+                F.col(id_col).cast("long").alias("neighbor_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(1).alias("rnk"),
+            ).limit(0)
+        )
+    qids = [q[0] for q in qrows]
+    Q = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = <Q_q subvector j, codebook_j[c]>: ADC inner product
+    # of unit vectors ~= cosine.
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), B)
+    n_cand = max(1, rerank * k)
+
+    coded = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")),
+        "cv", codebooks,
+    ).select("neighbor_id", "pq_codes")
+
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            ok = pdf["pq_codes"].notna().to_numpy()
+            if not ok.any():
+                continue
+            ids = pdf["neighbor_id"][ok].to_numpy()
+            codes = np.stack(pdf["pq_codes"][ok].to_numpy()).astype(np.int64)
+            # scores: (nq, batch) = sum_j lut[:, j, codes[:, j]]
+            scores = np.zeros((len(qids), codes.shape[0]))
+            for j in range(m):
+                scores += lut[:, j, codes[:, j]]
+            top = min(n_cand, codes.shape[0])
+            # per-batch local top-C per query: argpartition then exact
+            # sort of the C survivors only.
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qi, qid in enumerate(qids):
+                sel = part[qi]
+                rows["query_id"].extend([qid] * len(sel))
+                rows["neighbor_id"].extend(ids[sel].tolist())
+                rows["adc"].extend(scores[qi, sel].tolist())
+            yield pd.DataFrame(rows)
+
+    cands = (
+        coded.mapInPandas(scan, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id"))
+    pruned = (
+        cands.withColumn("r", F.row_number().over(w_adc))
+        .filter(F.col("r") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact rerank: point-fetch the survivors' raw vectors, broadcast
+    # the (tiny) query matrix again as a DataFrame join.
+    qdf = pruned.sparkSession.createDataFrame(
+        [(int(i), v) for i, v in qrows], f"query_id long, qv array<double>")
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("cv"))
+    scored = (
+        pruned.join(raw, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", VEC.cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

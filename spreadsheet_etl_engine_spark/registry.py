@@ -2555,9 +2555,19 @@ def get(name: str) -> RegisteredQuery:
 # freshness queue with the other r12 rows).  Every name below went
 # through scripts/check_promotions.py at sf0.001 + sf0.01.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r14 changed-bytes re-verifications: the ADPCM fixture +
-    # oracle extension, and the four v2-DSL queries that execute the
-    # review-pass-10 extensions.py change (see the rotation note) ---
+    # --- r14 new query (growth rule: 1 new = 1 first-time driver
+    # verification): product-quantization ANN — rows-only approximate
+    # like the IVF row, recall embedded in-query, recall>=0.8 +
+    # ADC-bound pytest-pinned.  similarity.py's change is a PURE
+    # ADDITION (module docstring + the three pq functions), so the two
+    # existing similarity queries ride their newest rows per the
+    # additive-module rule; ext_queries.py's change is the new
+    # registration block only. ---
+    "similarity_topk_pq",
+    # --- r14 changed-bytes re-verifications: the ADPCM + AU/AIFF
+    # fixture/oracle extension, and the four v2-DSL queries that
+    # execute the review-pass-10 extensions.py change (see the
+    # rotation note) ---
     "multimodal_decode",
     "multimodal_resize_features",
     "dsl_v2_and_filter",
@@ -2592,9 +2602,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "text_tfidf_top_terms",
     "train_split_assign",
-    # --- r14 filler rotation: the 19 alphabetically-first r12 rows
-    # (the oldest remaining vintage), byte-unchanged since their green
-    # row; the remaining r12 rows lead the r15 freshness queue ---
+    # --- r14 filler rotation: the 18 alphabetically-first r12 rows
+    # (the oldest remaining vintage; dsl_direct_constant gave its seat
+    # to the new PQ query late-round), byte-unchanged since their
+    # green row; the remaining r12 rows lead the r15 freshness queue ---
     "agg_approx_distinct",
     "agg_approx_quantile",
     "agg_cube",
@@ -2613,7 +2624,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsl_a1_formula",
     "dsl_a1_forward",
     "dsl_csv_roundtrip",
-    "dsl_direct_constant",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -591,6 +591,70 @@ def test_ivf_recall_against_bruteforce(spark):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_pq_topk_recall_adc_and_determinism(spark):
+    """r14: product-quantization ANN — recall vs exact on the real
+    embeddings (near-random vectors are PQ's worst case, so a green
+    floor here means the rerank stage is doing its job), the
+    ADC≈cosine quantization bound, byte-width/code-domain claims,
+    NULL-vector NULL-in/NULL-out, run-to-run determinism, and the
+    precomputed-codebooks production path."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    approx = SIM.topk_pq(emb, queries, "embedding", "vec_id",
+                         k=5, m=8, ksub=256, rerank=16)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # Measured 1.00 at this config at both test scales (the registry
+    # query's parameters); floor keeps half the margin like the IVF
+    # gate so a silent quality regression trips early.
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    # Determinism: seeded training + tie-broken windows → identical
+    # result sets across runs.
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.topk_pq(emb, queries, "embedding", "vec_id",
+                                  k=5, m=8, ksub=256, rerank=16).collect()}
+    assert got == again
+
+    # Code column contract: m entries, every code in [0, ksub); the
+    # ADC score of a vector against its OWN codes approximates the
+    # self-cosine (1.0) within the quantization error bound.
+    books = SIM.train_pq_codebooks(emb, "embedding", m=8, ksub=256)
+    B = np.asarray(books)
+    assert B.shape == (8, 256, 8)
+    coded = SIM.pq_encode(emb.limit(64), "embedding", books).collect()
+    for r in coded:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 256 for c in r["pq_codes"])
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        recon = np.concatenate([B[j, c] for j, c in enumerate(r["pq_codes"])])
+        # ADC(self) = <v, recon>; with 8-bit codebooks on unit vectors
+        # the reconstruction keeps most of the norm.
+        assert float(v @ recon) > 0.5, r["vec_id"]
+
+    # NULL vectors: encode to NULL codes; never become candidates.
+    rows = [(100, None), (101, [1.0] * 64)]
+    nul = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.pq_encode(nul, "embedding", books).collect()
+    by_id = {r["vec_id"]: r["pq_codes"] for r in out}
+    assert by_id[100] is None and by_id[101] is not None
+    # Precomputed codebooks skip training (production artifact path);
+    # empty query set returns an empty frame with the contract schema.
+    pre = SIM.topk_pq(emb, queries.limit(2), "embedding", "vec_id",
+                      k=3, codebooks=books)
+    assert pre.count() == 6
+    empty = SIM.topk_pq(emb, emb.filter(F.col("vec_id") < 0),
+                        "embedding", "vec_id", k=3, codebooks=books)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine", "rnk"]
+
+
 def test_cosine_pandas_matches_expr(spark):
     from spreadsheet_etl_engine_spark.functions import vectors as VEC
     from spreadsheet_etl_engine_spark.sources.readers import load_table

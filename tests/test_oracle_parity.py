@@ -105,6 +105,8 @@ MUST_BE_IN_CHECK_BUDGET = [
     "dsl_v2_distinct",
     "dsl_v2_having_topn",
     "dsl_v2_join_agg",
+    # r14 new query (PQ ANN) — first driver row.
+    "similarity_topk_pq",
 ]
 
 
