@@ -66,6 +66,9 @@ OPTIONAL = [
     # line, so a codec regression was invisible in BENCH_rN deltas.
     # Fixture-sized (not sf-scaled); new line, prior lines 1:1.
     "multimodal_decode",
+    # r14 (late-round): the PQ ANN path — codebook training sample +
+    # code-only candidate scan + exact rerank; new line, prior 1:1.
+    "similarity_topk_pq",
 ]
 
 
