@@ -248,7 +248,12 @@ def train_pq_codebooks(
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
-        .orderBy(F.col("v"))
+        # Deterministic sample by hash order: plans as
+        # TakeOrderedAndProject on a codegen'd int64 key (the
+        # lexicographic array comparator is interpreted and the
+        # hash-shuffled order is also the BETTER training sample — a
+        # value-sorted prefix is the most biased slice possible).
+        .orderBy(F.xxhash64(F.col("v")), F.col("v"))
         .limit(sample)
         .collect()
     )
@@ -267,20 +272,34 @@ def train_pq_codebooks(
         kk = min(ksub, S.shape[0])
         # k-means++ seeding, then Lloyd; empty clusters re-seed from the
         # sample (deterministic: seeded rng).
+        # k-means++ with a RUNNING min-distance vector (each new
+        # centroid only updates d2 against itself — O(n*dsub) per step,
+        # not O(n*|C|*dsub) recomputation; the recompute form cost ~30s
+        # per bench rep at sample=4096/ksub=256, r14 measured).
         C = S[rng.choice(S.shape[0], 1)]
+        d2 = ((S - C[0]) ** 2).sum(-1)
         while C.shape[0] < kk:
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1)
             tot = d2.sum()
             probs = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
-            C = np.vstack([C, S[rng.choice(S.shape[0], p=probs)]])
+            nxt = S[rng.choice(S.shape[0], p=probs)]
+            C = np.vstack([C, nxt])
+            d2 = np.minimum(d2, ((S - nxt) ** 2).sum(-1))
+        Ssq = (S ** 2).sum(-1)
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 via one matmul —
+            # the broadcast (n, k, dsub) tensor form is ~100x slower.
+            d2 = Ssq[:, None] - 2.0 * (S @ C.T) + (C ** 2).sum(-1)[None, :]
             assign = d2.argmin(1)
-            newC = np.stack([
-                S[assign == c].mean(0) if (assign == c).any()
-                else S[rng.choice(S.shape[0])]
-                for c in range(kk)
-            ])
+            # Vectorized centroid update (one bincount + one scatter-add
+            # — the per-cluster masked-mean Python loop was the next
+            # bottleneck after the tensor form, r14 measured); empty
+            # clusters re-seed deterministically from the sample.
+            counts = np.bincount(assign, minlength=kk)
+            sums = np.zeros((kk, S.shape[1]))
+            np.add.at(sums, assign, S)
+            newC = np.where(counts[:, None] > 0,
+                            sums / np.maximum(counts, 1)[:, None],
+                            S[rng.integers(0, S.shape[0], kk)])
             if np.allclose(newC, C):
                 C = newC
                 break
@@ -316,7 +335,9 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
         codes = np.empty((M.shape[0], m), dtype=np.int32)
         for j in range(m):
             S = M[:, j * dsub:(j + 1) * dsub]
-            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+            # argmin of ||s-c||^2 == argmin of (||c||^2 - 2 s.c): drop
+            # the per-row constant, one matmul per subspace.
+            d2 = (B[j] ** 2).sum(-1)[None, :] - 2.0 * (S @ B[j].T)
             codes[:, j] = d2.argmin(1)
         it = iter(codes.tolist())
         for ok in mask:
