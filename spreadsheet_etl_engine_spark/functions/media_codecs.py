@@ -339,6 +339,12 @@ def _ima_adpcm_decode(body: np.ndarray, n_channels: int,
             f"IMA ADPCM data size {body.size} is not a multiple of "
             f"block_align {block_align}")
     nb = body.size // block_align
+    if nb == 0:
+        # Zero blocks (a legal empty data chunk): the -1 in the word
+        # reshape below is ambiguous on a size-0 array and raises a
+        # bare numpy error (r14 self-review find — the same unnamed-
+        # error class as the r13 G.711 ADVICE).
+        return np.zeros((0, n_channels), dtype=np.int16)
     blocks = body.reshape(nb, block_align)
     hdr = blocks[:, : 4 * n_channels].reshape(nb, n_channels, 4).astype(np.int32)
     pred = hdr[:, :, 0] | (hdr[:, :, 1] << 8)

@@ -1743,6 +1743,17 @@ def test_wav_adpcm_ima_and_ms(spark):
     struct.pack_into("<I", bad, fact_off, 10_000)
     with pytest.raises(ValueError, match="fact chunk claims"):
         MC.decode_wav(bytes(bad))
+    # An EMPTY data chunk (zero blocks) is a legal file and decodes to
+    # a (0, ch) array — not a bare numpy reshape error (r14
+    # self-review find on the IMA path).
+    for ch in (1, 2):
+        empty = MC._ima_adpcm_decode(
+            np.zeros(0, dtype=np.uint8), ch, 32 * ch)
+        assert empty.shape == (0, ch) and empty.dtype == np.int16
+        empty = MC._ms_adpcm_decode(
+            np.zeros(0, dtype=np.uint8), ch, 32 * ch,
+            MC._MS_COEF1, MC._MS_COEF2)
+        assert empty.shape == (0, ch)
 
 
 def test_au_and_aiff_containers(spark):
