@@ -443,7 +443,16 @@ def _ms_adpcm_decode(body: np.ndarray, n_channels: int, block_align: int,
     predictor index, then per-channel int16 initial delta, int16
     sample1 (newer), int16 sample2 (older); the two header samples ARE
     the block's first two outputs (older first).  Codes are 4 bits,
-    HIGH nibble first, channels alternating per nibble."""
+    HIGH nibble first, channels alternating per nibble.
+
+    The predictor divides by 256 truncating toward zero (C integer
+    division in Microsoft's reference code and ffmpeg's pre-scaled
+    ``/64``) — NOT a floor shift ``>>8``; the two differ whenever
+    ``samp1*c1 + samp2*c2`` is negative and not divisible by 256
+    (reachable with the negative-c2 standard predictors 1/5/6), and the
+    error feeds back through samp1/samp2 within the block (r14 ADVICE).
+    Delta adaptation keeps ``>>8``: delta is clamped positive, where
+    floor and truncation agree (ffmpeg uses ``>>8`` there too)."""
     hdr_bytes = 7 * n_channels
     if block_align <= hdr_bytes or \
             (2 * (block_align - hdr_bytes)) % n_channels:
@@ -484,7 +493,8 @@ def _ms_adpcm_decode(body: np.ndarray, n_channels: int, block_align: int,
     for t in range(n_steps):
         code = signed[:, t * n_channels:(t + 1) * n_channels]
         unib = nibs[:, t * n_channels:(t + 1) * n_channels]
-        pred = (samp1 * c1 + samp2 * c2) >> 8
+        num = samp1 * c1 + samp2 * c2
+        pred = np.where(num >= 0, num >> 8, -((-num) >> 8))
         pred = np.clip(pred + code * delta, -32768, 32767)
         out[:, 2 + t, :] = pred
         samp2, samp1 = samp1, pred
@@ -523,7 +533,10 @@ def _ms_adpcm_encode(samples: np.ndarray,
     n_codes = spb - 2
     nibs = np.zeros((nb, ch, n_codes), dtype=np.uint8)
     for t in range(n_codes):
-        pred = (samp1 * 256 + samp2 * 0) >> 8
+        # Predictor 0: samp1*256 is exactly divisible by 256, so the
+        # decoder's truncate-toward-zero division reduces to samp1 —
+        # the encoder's reconstruction tracks it exactly.
+        pred = samp1
         code = np.clip(
             np.floor_divide(s[:, :, t + 2] - pred + (delta >> 1), delta),
             -8, 7)
@@ -567,13 +580,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     plus both ADPCM block codecs (r14: 2 = Microsoft ADPCM, 17 =
     IMA/DVI ADPCM → int16 through the vectorized block decoders above;
     the fact chunk's sample count truncates the final block's padding).
-    Only MP3-in-WAV stays behind the extension point."""
+    Only MP3-in-WAV stays behind the extension point.
+
+    The whole chunk list is scanned BEFORE decoding (r14 ADVICE): RIFF
+    orders only fmt-before-data, so a conforming file may put fact
+    AFTER data and its truncation/corruption semantics must still
+    apply."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
     block_align = 0
     fact_samples = None
+    data_span: tuple[int, int] | None = None
     ms_coefs: tuple[np.ndarray, np.ndarray] | None = None
     while pos + 8 <= len(data):
         chunk_id = data[pos : pos + 4]
@@ -601,66 +620,63 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         elif chunk_id == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            n_channels, rate, audio_fmt, bits = fmt
-            if audio_fmt in (2, 17):
-                body = np.frombuffer(data, dtype=np.uint8, count=size,
-                                     offset=pos + 8)
-                if audio_fmt == 17:
-                    samples = _ima_adpcm_decode(body, n_channels,
-                                                block_align)
-                else:
-                    if ms_coefs is None:
-                        raise ValueError(
-                            "MS ADPCM fmt chunk carries no coefficient "
-                            "table")
-                    samples = _ms_adpcm_decode(body, n_channels,
-                                               block_align, *ms_coefs)
-                if fact_samples is not None:
-                    if fact_samples > samples.shape[0]:
-                        raise ValueError(
-                            f"WAV fact chunk claims {fact_samples} "
-                            f"samples but blocks decode to only "
-                            f"{samples.shape[0]}")
-                    samples = samples[:fact_samples]
-                return samples, rate
-            if audio_fmt in (6, 7):
-                # G.711 (r13): one companded byte per sample expands
-                # through the ITU table to int16.  Frame-divisibility
-                # checked like the PCM24 path (r13 ADVICE): a bare
-                # reshape error on a ragged multi-channel chunk is not
-                # a named contract error.
-                if size % n_channels:
-                    raise ValueError(
-                        f"G.711 WAV data chunk size {size} is not a "
-                        f"multiple of the {n_channels}-byte frame")
-                codes = np.frombuffer(data, dtype=np.uint8, count=size,
-                                      offset=pos + 8)
-                table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
-                return (table[codes].reshape(-1, n_channels), rate)
-            if bits == 24:
-                if size % (3 * n_channels):
-                    raise ValueError(
-                        f"24-bit WAV data chunk size {size} is not a "
-                        f"multiple of the {3 * n_channels}-byte frame")
-                raw = np.frombuffer(data, dtype=np.uint8,
-                                    count=size, offset=pos + 8)
-                tri = raw.reshape(-1, 3).astype(np.uint32)
-                vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
-                samples = vals.astype(np.int32)
-                samples[samples >= (1 << 23)] -= 1 << 24
-                # Left-justify into the int32 full scale (the libsndfile
-                # convention), so downstream normalization is one rule
-                # for PCM24 and PCM32 alike.
-                samples <<= 8
-            else:
-                dtype = np.dtype(_WAV_FORMATS[(audio_fmt, bits)]).newbyteorder("<")
-                width = bits // 8
-                samples = np.frombuffer(data, dtype=dtype,
-                                        count=size // width, offset=pos + 8)
-            return samples.reshape(-1, n_channels).astype(
-                _WAV_FORMATS[(audio_fmt, bits)]), rate
+            if data_span is None:  # first data chunk wins, like libsndfile
+                data_span = (pos + 8, size)
         pos += 8 + size + (size & 1)
-    raise ValueError("WAV data chunk missing")
+    if data_span is None:
+        raise ValueError("WAV data chunk missing")
+    off, size = data_span
+    n_channels, rate, audio_fmt, bits = fmt
+    if audio_fmt in (2, 17):
+        body = np.frombuffer(data, dtype=np.uint8, count=size, offset=off)
+        if audio_fmt == 17:
+            samples = _ima_adpcm_decode(body, n_channels, block_align)
+        else:
+            if ms_coefs is None:
+                raise ValueError(
+                    "MS ADPCM fmt chunk carries no coefficient table")
+            samples = _ms_adpcm_decode(body, n_channels, block_align,
+                                       *ms_coefs)
+        if fact_samples is not None:
+            if fact_samples > samples.shape[0]:
+                raise ValueError(
+                    f"WAV fact chunk claims {fact_samples} samples but "
+                    f"blocks decode to only {samples.shape[0]}")
+            samples = samples[:fact_samples]
+        return samples, rate
+    if audio_fmt in (6, 7):
+        # G.711 (r13): one companded byte per sample expands through
+        # the ITU table to int16.  Frame-divisibility checked like the
+        # PCM24 path (r13 ADVICE): a bare reshape error on a ragged
+        # multi-channel chunk is not a named contract error.
+        if size % n_channels:
+            raise ValueError(
+                f"G.711 WAV data chunk size {size} is not a multiple "
+                f"of the {n_channels}-byte frame")
+        codes = np.frombuffer(data, dtype=np.uint8, count=size, offset=off)
+        table = _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        return (table[codes].reshape(-1, n_channels), rate)
+    if bits == 24:
+        if size % (3 * n_channels):
+            raise ValueError(
+                f"24-bit WAV data chunk size {size} is not a multiple "
+                f"of the {3 * n_channels}-byte frame")
+        raw = np.frombuffer(data, dtype=np.uint8, count=size, offset=off)
+        tri = raw.reshape(-1, 3).astype(np.uint32)
+        vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        samples = vals.astype(np.int32)
+        samples[samples >= (1 << 23)] -= 1 << 24
+        # Left-justify into the int32 full scale (the libsndfile
+        # convention), so downstream normalization is one rule for
+        # PCM24 and PCM32 alike.
+        samples <<= 8
+    else:
+        dtype = np.dtype(_WAV_FORMATS[(audio_fmt, bits)]).newbyteorder("<")
+        width = bits // 8
+        samples = np.frombuffer(data, dtype=dtype,
+                                count=size // width, offset=off)
+    return samples.reshape(-1, n_channels).astype(
+        _WAV_FORMATS[(audio_fmt, bits)]), rate
 
 
 def encode_wav(samples: np.ndarray, rate: int, *,

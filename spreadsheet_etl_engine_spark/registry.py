@@ -2527,17 +2527,21 @@ def get(name: str) -> RegisteredQuery:
 # and seen_index_stream bytes are unchanged (module docstring + new
 # function only), so streaming_dedup_events / streaming_seen_index
 # ride their r12 rows per the additive-module rule.
-# r14 rotation (r13 verdict Next 1, 2, 4): NO new queries this round
-# (growth rule satisfied trivially; the round's new surface — the IMA/
-# MS ADPCM WAV block codecs — rides the two existing multimodal rows).
-# The two multimodal rows re-attest CHANGED BYTES: synth_media's audio
-# sub-cycle widened from %7 to %9 (IMA ADPCM at 7, MS ADPCM at 8,
-# 32-byte mono blocks with fact-chunk truncation), which moves every
-# audio row's sample format AND byte size, and multimodal_decode's
-# oracle gained the two whole-block ADPCM size formulas (60 +
-# 32*ceil(ns/57) / 90 + 32*ceil(ns/52)) — so the new codecs sit under
-# the driver hash, not just pytest (the r13 verdict's ADPCM 'Done'
-# condition).  Shared-module audit for the round's other edits:
+# r14 rotation (r13 verdict Next 1, 2, 4): ONE new query late-round
+# (similarity_topk_pq — growth rule: 1 new = 1 first-time driver
+# verification; the round's other new surface — the IMA/MS ADPCM WAV
+# block codecs plus the Sun AU and AIFF containers — rides the two
+# existing multimodal rows).  The two multimodal rows re-attest
+# CHANGED BYTES: synth_media's audio sub-cycle widened from %7 to %11
+# (STEREO IMA ADPCM at 7 and MS ADPCM at 8 with 64-byte blocks and
+# fact-chunk truncation, AU mu-law at 9, stereo AIFF at 10), which
+# moves every audio row's sample format AND byte size, and
+# multimodal_decode's oracle gained the whole-block ADPCM size
+# formulas (60 + 64*ceil(ns/57) / 90 + 64*ceil(ns/52)) plus the AU
+# (24 + ns) and AIFF (54 + 4*ns) formulas — so the new codecs sit
+# under the driver hash, not just pytest (the r13 verdict's ADPCM
+# 'Done' condition).  [note corrected r15 per the r14 ADVICE: the
+# original text predated the stereo/AU/AIFF and PQ late-round edits]  Shared-module audit for the round's other edits:
 # media_codecs' G.711 frame-divisibility fix (r13 ADVICE) and the
 # ADPCM decoders execute only under the two multimodal rows
 # (promoted); review pass 10 changed plans/extensions.py (v2 _sort:

@@ -1627,7 +1627,10 @@ def _ms_decode_reference(body: bytes, ch: int, ba: int):
         for t, unib in enumerate(nibbles):
             c = t % ch
             code = unib - 16 if unib >= 8 else unib
-            pred = (s1[c] * coef1[pidx[c]] + s2[c] * coef2[pidx[c]]) >> 8
+            # int() division truncates toward zero like the C reference
+            # (r14 ADVICE: >>8 floors, diverging on negative sums).
+            num = s1[c] * coef1[pidx[c]] + s2[c] * coef2[pidx[c]]
+            pred = -((-num) >> 8) if num < 0 else num >> 8
             pred = max(-32768, min(32767, pred + code * delta[c]))
             chans[c].append(pred)
             s2[c], s1[c] = s1[c], pred
@@ -1754,6 +1757,41 @@ def test_wav_adpcm_ima_and_ms(spark):
             np.zeros(0, dtype=np.uint8), ch, 32 * ch,
             MC._MS_COEF1, MC._MS_COEF2)
         assert empty.shape == (0, ch)
+    # r15 (r14 ADVICE): the predictor divides truncating toward zero,
+    # not a floor >>8.  Predictor 6 (coef1=392, coef2=-232) reaches
+    # negative sums not divisible by 256 — with samp1=-1, samp2=0 the
+    # first step predicts trunc(-392/256) = -1 (floor would give -2),
+    # and the divergence feeds back through samp1/samp2.  Our own
+    # encoder (predictor 0) can't exercise this; build the block by
+    # hand and pin both the hand value and scalar==vectorized.
+    blk = bytearray(32)
+    blk[0] = 6                                   # predictor index
+    struct.pack_into("<h", blk, 1, 16)           # initial delta
+    struct.pack_into("<h", blk, 3, -1)           # sample1 (newer)
+    struct.pack_into("<h", blk, 5, 0)            # sample2 (older)
+    # all-zero nibbles: out[t] = pred exactly, isolating the division
+    dec = MC._ms_adpcm_decode(np.frombuffer(bytes(blk), np.uint8), 1, 32,
+                              MC._MS_COEF1, MC._MS_COEF2)
+    assert dec[0, 0] == 0 and dec[1, 0] == -1
+    assert dec[2, 0] == -1, "predictor must truncate toward zero, not floor"
+    assert np.array_equal(dec, _ms_decode_reference(bytes(blk), 1, 32))
+    # r15 (r14 ADVICE): RIFF orders only fmt-before-data — a fact chunk
+    # AFTER data must still truncate the padded tail (and still catch
+    # fact>decoded corruption).  Reassemble `good` with fact last.
+    chunks, p = {}, 12
+    while p + 8 <= len(good):
+        cid = good[p:p + 4]
+        csz = struct.unpack_from("<I", good, p + 4)[0]
+        chunks[cid] = good[p:p + 8 + csz + (csz & 1)]
+        p += 8 + csz + (csz & 1)
+    reordered = bytearray(
+        b"RIFF" + good[4:8] + b"WAVE"
+        + chunks[b"fmt "] + chunks[b"data"] + chunks[b"fact"])
+    arr, _ = MC.decode_wav(bytes(reordered))
+    assert arr.shape == (400, 1)  # 8 blocks pad to 456 without fact
+    struct.pack_into("<I", reordered, reordered.index(b"fact") + 8, 10_000)
+    with pytest.raises(ValueError, match="fact chunk claims"):
+        MC.decode_wav(bytes(reordered))
 
 
 def test_au_and_aiff_containers(spark):

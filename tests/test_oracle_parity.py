@@ -92,11 +92,13 @@ def test_entry_contract(spark):
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
     # r14 changed bytes — must re-verify: synth_media's audio
-    # sub-cycle widened %7 → %9 (IMA/MS ADPCM block codecs, r13
-    # verdict Next 2), which moves EVERY audio row's format and size,
-    # and multimodal_decode's oracle gained the two whole-block ADPCM
-    # size formulas; media_codecs also took the r13 ADVICE G.711
-    # frame-divisibility fix, which executes only under these rows.
+    # sub-cycle widened %7 → %11 (stereo IMA/MS ADPCM block codecs +
+    # Sun AU + AIFF, r13 verdict Next 2), which moves EVERY audio
+    # row's format and size, and multimodal_decode's oracle gained the
+    # whole-block ADPCM + AU + AIFF size formulas; media_codecs also
+    # took the r13 ADVICE G.711 frame-divisibility fix, which executes
+    # only under these rows.  (r15: comment corrected per r14 ADVICE —
+    # it predated the stereo/AU/AIFF widening.)
     "multimodal_decode",
     "multimodal_resize_features",
     # r14 review pass 10 changed plans/extensions.py (v2 _sort: key
