@@ -69,7 +69,50 @@ OPTIONAL = [
     # r14 (late-round): the PQ ANN path — codebook training sample +
     # code-only candidate scan + exact rerank; new line, prior 1:1.
     "similarity_topk_pq",
+    # r15: the composed IVF-ADC ANN (coarse probe prunes volume,
+    # residual PQ prunes width, exact rerank) — new line, prior 1:1.
+    "similarity_topk_ivfpq",
+    # r15 (r14 verdict stretch): the streaming family's first wall-time
+    # line — the heaviest stateful kernel (MinHash-band-keyed
+    # applyInPandasWithState fuzzy dedup); new line, prior 1:1.
+    "streaming_dedup_fuzzy",
 ]
+
+
+def _pq_pretrained_factory(spark, sf_dir):
+    """Bench-only variant (r14 verdict Next 3): the SAME query path as
+    the ``similarity_topk_pq`` registry line but with codebook training
+    hoisted OUT of the timed reps (``topk_pq(..., codebooks=)`` — the
+    production shape where codebooks are a persisted artifact).  The
+    pair decomposes the PQ line into train vs query-path cost so a
+    kernel regression in encode/scan/rerank is attributable instead of
+    hiding under training noise.  Not a registry query: it would
+    duplicate the PQ surface without new semantics (the precomputed
+    path is already pytest-pinned result-identical)."""
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.operators import similarity as SIM
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = SIM.train_pq_codebooks(emb, "embedding", m=8, ksub=256)
+
+    def run(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return SIM.topk_pq(emb, queries, "embedding", "vec_id",
+                           k=5, m=8, ksub=256, rerank=16,
+                           codebooks=books)
+
+    return run
+
+
+# Bench-only lines: {name: factory(spark, sf_dir) -> fn(spark, sf_dir)}.
+# The factory runs ONCE, untimed (setup/training); the returned fn is
+# timed like a registry query.
+LOCAL_VARIANTS = {
+    "similarity_topk_pq_pretrained": _pq_pretrained_factory,
+}
 
 
 def cpu_probe() -> float:
@@ -201,12 +244,16 @@ def main() -> None:
             f"bench set names not in REGISTRY: {missing}; update "
             "HEADLINE/OPTIONAL in bench.py alongside the rename"
         )
-    names = HEADLINE + OPTIONAL
+    names = HEADLINE + OPTIONAL + list(LOCAL_VARIANTS)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     probe_before = cpu_probe()
     timings: dict[str, float] = {}
     for name in names:
-        fn = registry.get(name).fn
+        if name in LOCAL_VARIANTS:
+            # Setup (e.g. codebook training) runs once, untimed.
+            fn = LOCAL_VARIANTS[name](spark, sf_dir)
+        else:
+            fn = registry.get(name).fn
         # Median of `reps` (default 5): the first run pays one-time
         # codegen/JIT for this query's generated classes, and single-shot
         # timings on local[32] swing ±40% on sub-second queries (round-3

@@ -62,13 +62,22 @@ def cosine_pandas(a: Column, b: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
     def _cos_fn(xs, ys):
-        xm = np.stack(xs.to_numpy()).astype(np.float64)
-        ym = np.stack(ys.to_numpy()).astype(np.float64)
+        # NULL-on-either-side → NULL, matching the expr cosine (its
+        # fold over a NULL array is NULL), and a zero-row Arrow batch
+        # → empty, matching _cosine_to_centroids' guard — previously
+        # both died in np.stack (r15 review pass 11).
+        mask = (xs.notna() & ys.notna()).to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(xs), dtype=object)
+        xm = np.stack(xs[mask].to_numpy()).astype(np.float64)
+        ym = np.stack(ys[mask].to_numpy()).astype(np.float64)
         dots = np.einsum("ij,ij->i", xm, ym)
         norms = np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1)
         # same zero-vector contract as the expr cosine: 0.0, never NaN
         safe = np.where(norms == 0.0, 1.0, norms)
-        return pd.Series(np.where(norms == 0.0, 0.0, dots / safe))
+        vals = np.where(norms == 0.0, 0.0, dots / safe)
+        it = iter(vals.tolist())
+        return pd.Series([next(it) if ok else None for ok in mask])
 
     # Real (non-string) annotations: this module uses postponed annotation
     # evaluation, which pandas_udf's signature inspection cannot resolve.
@@ -79,9 +88,15 @@ def cosine_pandas(a: Column, b: Column) -> Column:
 def hyperplane_signature(a: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a long.  ``planes`` is a small engine-generated list (broadcast as
-    literals into the expression — no join needed)."""
+    literals into the expression — no join needed).
+
+    NULL-in/NULL-out (r15 review pass 11): a NULL vector used to fold to
+    signature 0 — the same bucket as every all-negative-side vector — so
+    NULL embeddings silently joined a real LSH bucket and generated
+    candidate pairs; with NULL signatures the equi-join drops them (SQL
+    NULL never equals NULL)."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         plane_col = F.array(*[F.lit(float(v)) for v in plane])
         sig = sig + F.when(dot(a, plane_col) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return sig
+    return F.when(a.isNull(), F.lit(None).cast("long")).otherwise(sig)

@@ -69,6 +69,11 @@ def train_centroids_lite(
     Cheap fallback; ``train_centroids_kmeans`` is the quality path."""
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
+        # NULL vectors carry no geometry — and NULLS FIRST ordering
+        # would otherwise put them at the head of the sample (r15
+        # review pass 11: a NULL centroid crashed list(map(float, ..))
+        # with a bare TypeError).
+        .filter(F.col("v").isNotNull())
         # Order before limit: a bare limit() depends on partition layout,
         # which would make the "deterministic" sample anything but.
         .orderBy(F.col("v"))
@@ -97,13 +102,20 @@ def train_centroids_kmeans(
     # expression form — transform(arr, x -> x / norm(arr)) — re-evaluates
     # the full norm aggregate per ELEMENT: O(dim^2) work per row.)
     def _unit_rows(vs):
+        if len(vs) == 0:
+            # Arrow can hand a zero-row batch; np.stack raises on it
+            # (r15 review pass 11 — same guard as _cosine_to_centroids).
+            return pd.Series([], dtype=object)
         M = np.stack(vs.to_numpy()).astype(np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         return pd.Series(list(M))
 
     _unit_rows.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     unit = pandas_udf(_unit_rows, "array<double>")(F.col(vec_col))
-    train = corpus.select(array_to_vector(unit).alias("features"))
+    # NULL vectors train nothing; unfiltered they reach np.stack as
+    # None and die with a bare TypeError (r15 review pass 11).
+    train = corpus.filter(F.col(vec_col).isNotNull()).select(
+        array_to_vector(unit).alias("features"))
     model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(train)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
@@ -136,14 +148,22 @@ def assign_centroid(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     trees (nlist × dim literals deep) make Catalyst analysis itself the
     bottleneck, and a centroid *join* would amplify the corpus nlist-fold.
     Per-partition, no shuffle; centroids ride along in the closure
-    (serialized once per executor, like a broadcast)."""
+    (serialized once per executor, like a broadcast).  NULL vectors get
+    a NULL ``centroid_id`` (SQL NULL-in/NULL-out, like ``pq_encode`` —
+    r15 review pass 11: they previously reached ``np.stack`` and died
+    with a bare TypeError mid-executor)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     Cn = _centroid_matrix(centroids)
 
     def _nearest(vs):
-        return pd.Series(_cosine_to_centroids(vs, Cn).argmax(axis=1))
+        mask = vs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vs), dtype=object)
+        near = _cosine_to_centroids(vs[mask], Cn).argmax(axis=1)
+        it = iter(near.tolist())
+        return pd.Series([next(it) if ok else None for ok in mask])
 
     _nearest.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return df.withColumn("centroid_id", pandas_udf(_nearest, "int")(F.col(vec_col)))
@@ -152,7 +172,9 @@ def assign_centroid(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
 def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]],
                     nprobe: int) -> DataFrame:
     """Add ``probes`` = the ``nprobe`` nearest centroid ids (by cosine),
-    same Arrow-batched matmul as :func:`assign_centroid`."""
+    same Arrow-batched matmul as :func:`assign_centroid`.  NULL vectors
+    get NULL probes (the downstream ``explode`` then drops them, so a
+    NULL embedding generates no candidates — r15 review pass 11)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -160,9 +182,13 @@ def probe_centroids(df: DataFrame, vec_col: str, centroids: list[list[float]],
     Cn = _centroid_matrix(centroids)
 
     def _probes(vs):
-        sims = _cosine_to_centroids(vs, Cn)
+        mask = vs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vs), dtype=object)
+        sims = _cosine_to_centroids(vs[mask], Cn)
         order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        it = iter(list(order))
+        return pd.Series([next(it) if ok else None for ok in mask])
 
     _probes.__annotations__ = {"vs": pd.Series, "return": pd.Series}
     return df.withColumn("probes", pandas_udf(_probes, "array<int>")(F.col(vec_col)))
@@ -245,6 +271,18 @@ def train_pq_codebooks(
     """
     import numpy as np
 
+    X = _pq_sample_matrix(corpus, vec_col, sample)
+    rng = np.random.default_rng(seed)
+    books = _pq_kmeans_codebooks(X, m, ksub, rng, iters)
+    return [[list(map(float, c)) for c in B] for B in books]
+
+
+def _pq_sample_matrix(corpus: DataFrame, vec_col: str, sample: int):
+    """Bounded deterministic training sample as an L2-normalized
+    (sample, dim) matrix, with the named-error data checks (shared by
+    :func:`train_pq_codebooks` and :func:`train_ivfpq`)."""
+    import numpy as np
+
     rows = (
         corpus.select(F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
@@ -257,15 +295,37 @@ def train_pq_codebooks(
         .limit(sample)
         .collect()
     )
-    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    try:
+        X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    except ValueError as exc:  # ragged: numpy can't form a rectangle
+        raise ValueError(
+            "PQ training sample mixes embedding dimensions; all vectors "
+            f"in {vec_col!r} must have one length") from exc
     if X.ndim != 2 or X.shape[0] == 0:
         raise ValueError("PQ training needs at least one non-NULL vector")
+    if not np.isfinite(X).all():
+        # NaN would otherwise poison every k-means++ distance and
+        # surface as an unnamed numpy 'probabilities contain NaN'
+        # (r15 review pass 11); name the data problem and the tool.
+        raise ValueError(
+            f"PQ training sample contains non-finite values in "
+            f"{vec_col!r} (NaN/Inf); clean the corpus first — "
+            "quality_nonfinite_report locates them")
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _pq_kmeans_codebooks(X, m: int, ksub: int, rng, iters: int):
+    """Per-subspace k-means over a prepared (n, dim) matrix (raw unit
+    vectors for flat PQ, residuals for IVF-ADC) — the r14 running-min /
+    matmul / bincount kernels, factored so both trainers share one
+    implementation (identical rng call sequence → byte-identical flat-PQ
+    codebooks across the refactor).  Returns m (ksub, dsub) arrays."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dsub = dim // m
-    rng = np.random.default_rng(seed)
     books = []
     for j in range(m):
         S = X[:, j * dsub:(j + 1) * dsub]
@@ -309,7 +369,25 @@ def train_pq_codebooks(
             # domain stays [0, ksub) and encode/LUT shapes are stable.
             C = np.vstack([C, np.repeat(C[:1], ksub - kk, axis=0)])
         books.append(C)
-    return [[list(map(float, c)) for c in B] for B in books]
+    return books
+
+
+def _codebook_array(codebooks):
+    """Validate a (possibly externally persisted) codebook nest into the
+    (m, ksub, dsub) float array every PQ kernel indexes — fail loud by
+    name on a ragged or mis-shaped nest (r15 review pass 11)."""
+    import numpy as np
+
+    try:
+        B = np.asarray(codebooks, dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            "PQ codebooks must be a rectangular (m, ksub, dsub) nest of "
+            "floats (train_pq_codebooks output)") from exc
+    if B.ndim != 3 or 0 in B.shape:
+        raise ValueError(
+            f"PQ codebooks must have shape (m, ksub, dsub); got {B.shape}")
+    return B
 
 
 def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
@@ -317,12 +395,15 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
     the L2-NORMALIZED vector (array<int>, values < ksub — one byte each
     in parquet after dictionary encoding; the 100 TB storage form).
     One Arrow-batched kernel, per-partition, no shuffle; NULL vectors
-    encode to NULL (SQL NULL-in/NULL-out)."""
+    encode to NULL (SQL NULL-in/NULL-out).  Precomputed ``codebooks``
+    are validated up front (r15 review pass 11): a malformed nest or a
+    vector/codebook dimension mismatch raises a named ValueError, not a
+    numpy shape error deep in an executor."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    B = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    B = _codebook_array(codebooks)                   # (m, ksub, dsub)
     m, ksub, dsub = B.shape
 
     def _codes(vs):
@@ -331,6 +412,10 @@ def pq_encode(df: DataFrame, vec_col: str, codebooks) -> DataFrame:
         if not mask.any():
             return pd.Series([None] * len(vs))
         M = np.stack(vs[mask].to_numpy()).astype(np.float64)
+        if M.shape[1] != m * dsub:
+            raise ValueError(
+                f"pq_encode: vector dim {M.shape[1]} does not match the "
+                f"codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.empty((M.shape[0], m), dtype=np.int32)
         for j in range(m):
@@ -389,7 +474,9 @@ def topk_pq(
     if codebooks is None:
         codebooks = train_pq_codebooks(
             corpus, vec_col, m=m, ksub=ksub, sample=sample)
-    B = np.asarray(codebooks, dtype=np.float64)      # (m, ksub, dsub)
+    # Precomputed codebooks are authoritative: m/ksub are re-read from
+    # their shape (the keyword values only parameterize training).
+    B = _codebook_array(codebooks)                   # (m, ksub, dsub)
     m, ksub, dsub = B.shape
 
     qrows = [
@@ -397,16 +484,16 @@ def topk_pq(
         for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
         if r[1] is not None
     ]
+    bad = [q for q, v in qrows if len(v) != m * dsub]
+    if bad:
+        # Without this the driver dies inside Q.reshape with a bare
+        # numpy error (r15 review pass 11) — name the mismatch and the
+        # offending query ids.
+        raise ValueError(
+            f"topk_pq: query vectors {bad[:5]} have dims != the "
+            f"codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
     if not qrows:
-        # No usable queries: an empty result with the contract schema.
-        return (
-            corpus.select(
-                F.col(id_col).cast("long").alias("query_id"),
-                F.col(id_col).cast("long").alias("neighbor_id"),
-                F.lit(0.0).alias("cosine"),
-                F.lit(1).alias("rnk"),
-            ).limit(0)
-        )
+        return _empty_topk(corpus, id_col)
     qids = [q[0] for q in qrows]
     Q = np.asarray([q[1] for q in qrows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -450,6 +537,37 @@ def topk_pq(
         coded.mapInPandas(scan, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    return _adc_candidates_to_topk(cands, corpus, vec_col, id_col,
+                                   qrows, k, n_cand)
+
+
+def _empty_topk(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Empty result with the top-k contract schema (no usable queries)."""
+    return (
+        corpus.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(1).alias("rnk"),
+        ).limit(0)
+    )
+
+
+def _adc_candidates_to_topk(
+    cands: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    qrows: list,
+    k: int,
+    n_cand: int,
+) -> DataFrame:
+    """Shared ADC stage 2 (``topk_pq`` / ``topk_ivfpq``): a global
+    window prunes the per-batch local candidates to C = ``n_cand`` per
+    query, the survivors' RAW vectors come back via a point-lookup join
+    (the only time full embeddings leave the scan), and exact cosine
+    re-ranks — output schema and determinism rules match the exact
+    operator (ties break on neighbor id)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc"), F.asc("neighbor_id"))
     pruned = (
@@ -460,7 +578,7 @@ def topk_pq(
     # Exact rerank: point-fetch the survivors' raw vectors, broadcast
     # the (tiny) query matrix again as a DataFrame join.
     qdf = pruned.sparkSession.createDataFrame(
-        [(int(i), v) for i, v in qrows], f"query_id long, qv array<double>")
+        [(int(i), v) for i, v in qrows], "query_id long, qv array<double>")
     raw = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("cv"))
     scored = (
@@ -475,3 +593,268 @@ def topk_pq(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    vec_col: str,
+    *,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 256,
+    sample: int = 4096,
+    seed: int = 42,
+    iters: int = 12,
+    kmeans: bool = True,
+):
+    """Train the composed IVF-ADC index (r15): a coarse quantizer that
+    prunes candidate VOLUME plus per-subspace RESIDUAL codebooks that
+    prune candidate WIDTH — the production FAISS ``IVFx,PQy`` shape
+    (Jégou et al. §IVFADC).  Residual coding is what makes the
+    composition better than running the two halves separately: within a
+    coarse cell the residuals ``x - c`` span a much tighter region than
+    raw vectors, so the same ksub spends its codes on finer structure.
+
+    Coarse centroids train DISTRIBUTED (spherical MLlib k-means, same
+    as :func:`topk_ivf`; ``kmeans=False`` uses the deterministic-sample
+    fallback); residual codebooks train DRIVER-SIDE on the same bounded
+    hash-ordered sample as :func:`train_pq_codebooks` (the collect is
+    ``sample`` rows whatever the corpus size), sharing its k-means
+    kernel.  Returns ``(centroids, codebooks)`` — both plain nested
+    lists, the persistable index artifact."""
+    import numpy as np
+
+    if kmeans:
+        centroids = train_centroids_kmeans(
+            corpus, vec_col, nlist=nlist, seed=seed)
+    else:
+        centroids = train_centroids_lite(corpus, vec_col, nlist=nlist)
+    Cn = _centroid_matrix(centroids)
+    X = _pq_sample_matrix(corpus, vec_col, sample)
+    if X.shape[1] != Cn.shape[1]:
+        raise ValueError(
+            f"train_ivfpq: centroid dim {Cn.shape[1]} != embedding dim "
+            f"{X.shape[1]}")
+    R = X - Cn[(X @ Cn.T).argmax(axis=1)]
+    rng = np.random.default_rng(seed)
+    books = _pq_kmeans_codebooks(R, m, ksub, rng, iters)
+    return centroids, [[list(map(float, c)) for c in B] for B in books]
+
+
+def ivfpq_encode(
+    df: DataFrame, vec_col: str, centroids, codebooks, *, spill: int = 1
+) -> DataFrame:
+    """Add ``centroid_id`` + residual ``pq_codes`` in ONE Arrow-batched
+    kernel (per-partition, no shuffle): unit-normalize, assign the
+    ``spill`` nearest coarse centroids by cosine, quantize the RESIDUAL
+    against EACH assigned centroid with the subspace codebooks.
+    ``(id, centroid_id, pq_codes)`` is the 100 TB index layout —
+    written partitioned/bucketed by ``centroid_id``, a probed query
+    prunes whole files before any code is read.
+
+    ``spill > 1`` replicates each vector into its spill nearest lists
+    (IVF-with-replication, same recall device as :func:`topk_ivf` —
+    near-boundary vectors, where most recall is lost on weakly
+    clustered embeddings, become reachable from either side); each
+    replica's codes quantize ITS OWN list's residual, so ADC stays
+    anchored to the list that was probed.  Storage × spill, query
+    fan-in unchanged.  NULL vectors keep one row with NULL in both
+    columns (``explode_outer`` — NULL-in/NULL-out); centroid/codebook
+    dimension mismatches raise the named errors from the r15
+    review-pass-11 contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Cn = _centroid_matrix(centroids)
+    B = _codebook_array(codebooks)                   # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    if Cn.shape[1] != m * dsub:
+        raise ValueError(
+            f"ivfpq_encode: centroid dim {Cn.shape[1]} does not match "
+            f"the codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
+    spill_eff = min(max(1, spill), Cn.shape[0])
+
+    def _enc(vs):
+        out = [None] * len(vs)
+        mask = vs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series(out, dtype=object)
+        M = np.stack(vs[mask].to_numpy()).astype(np.float64)
+        if M.shape[1] != m * dsub:
+            raise ValueError(
+                f"ivfpq_encode: vector dim {M.shape[1]} does not match "
+                f"the codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ Cn.T
+        # top-spill lists per vector (argpartition + exact order of the
+        # short prefix, matching probe_centroids' ordering)
+        near = np.argsort(-sims, axis=1)[:, :spill_eff]
+        entries = []
+        for s in range(spill_eff):
+            cid = near[:, s]
+            R = M - Cn[cid]
+            codes = np.empty((M.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                S = R[:, j * dsub:(j + 1) * dsub]
+                d2 = (B[j] ** 2).sum(-1)[None, :] - 2.0 * (S @ B[j].T)
+                codes[:, j] = d2.argmin(1)
+            entries.append((cid.tolist(), codes.tolist()))
+        packed = iter([
+            [{"centroid_id": entries[s][0][i], "pq_codes": entries[s][1][i]}
+             for s in range(spill_eff)]
+            for i in range(M.shape[0])
+        ])
+        return pd.Series(
+            [next(packed) if ok else None for ok in mask], dtype=object)
+
+    _enc.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    kernel = pandas_udf(
+        _enc, "array<struct<centroid_id:int, pq_codes:array<int>>>")
+    return (
+        df.withColumn("_ivfpq", F.explode_outer(kernel(F.col(vec_col))))
+        .withColumn("centroid_id", F.col("_ivfpq.centroid_id"))
+        .withColumn("pq_codes", F.col("_ivfpq.pq_codes"))
+        .drop("_ivfpq")
+    )
+
+
+def topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 256,
+    rerank: int = 8,
+    sample: int = 4096,
+    spill: int = 2,
+    kmeans: bool = True,
+    centroids=None,
+    codebooks=None,
+) -> DataFrame:
+    """Approximate top-k via the composed IVF-ADC path (r15): coarse
+    probe prunes candidate VOLUME, residual-PQ ADC prunes candidate
+    WIDTH, exact cosine re-ranks the survivors.
+
+    Plan shape, scan-side first: the corpus encodes to
+    ``(id, centroid_id, residual codes)`` per partition with no shuffle;
+    a Catalyst ``isin`` filter on the UNION of all probed lists drops
+    non-probed rows BEFORE the Python kernel (on a ``centroid_id``-
+    partitioned index layout this is partition pruning — probing
+    nprobe/nlist of the lists reads nprobe/nlist of the files); each
+    Arrow batch then scores only the rows in each query's own probed
+    lists via ``<q,x> ≈ <q,c> + Σ_j LUT[q,j,code_j]`` (the per-list
+    constant rides the same centroid-similarity matrix the probes came
+    from) and emits a per-batch local top-C, so the shuffle carries
+    candidates, not the corpus.  Stage 2 is byte-shared with
+    :func:`topk_pq` (global prune → point-lookup exact rerank).
+
+    Same contracts as the other top-k operators: small-query-set
+    driver collect, NULL vectors on either side produce no candidates,
+    ties break on neighbor id, recall < 1 by design (pytest pins the
+    floor; the registry row embeds per-query ``recall_vs_exact``).
+    Pass precomputed ``centroids`` + ``codebooks`` (from
+    :func:`train_ivfpq`) to skip training — the production shape where
+    the index artifact is persisted; passing only one half raises (a
+    mixed index would silently mis-assign residuals)."""
+    import numpy as np
+    import pandas as pd
+
+    if (centroids is None) != (codebooks is None):
+        raise ValueError(
+            "topk_ivfpq: pass BOTH centroids and codebooks (a trained "
+            "pair from train_ivfpq) or neither — residual codes are "
+            "meaningless against a different coarse quantizer")
+    if centroids is None:
+        centroids, codebooks = train_ivfpq(
+            corpus, vec_col, nlist=nlist, m=m, ksub=ksub,
+            sample=sample, kmeans=kmeans)
+    Cn = _centroid_matrix(centroids)
+    B = _codebook_array(codebooks)                   # (m, ksub, dsub)
+    m, ksub, dsub = B.shape
+    if Cn.shape[1] != m * dsub:
+        raise ValueError(
+            f"topk_ivfpq: centroid dim {Cn.shape[1]} does not match "
+            f"the codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
+
+    qrows = [
+        (r[0], list(map(float, r[1])))
+        for r in queries.select(F.col(id_col), F.col(vec_col)).collect()
+        if r[1] is not None
+    ]
+    if not qrows:
+        return _empty_topk(corpus, id_col)
+    bad = [q for q, v in qrows if len(v) != m * dsub]
+    if bad:
+        raise ValueError(
+            f"topk_ivfpq: query vectors {bad[:5]} have dims != the "
+            f"codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
+    qids = [q[0] for q in qrows]
+    Q = np.asarray([q[1] for q in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # Coarse similarities feed BOTH the probe choice and the per-list
+    # ADC constant: <q, x> ≈ <q, c_list> + <q, residual reconstruction>.
+    csim = Q @ Cn.T                                   # (nq, nlist)
+    nprobe_eff = min(max(1, nprobe), Cn.shape[0])
+    probes = np.argsort(-csim, axis=1)[:, :nprobe_eff]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(qids), m, dsub), B)
+    n_cand = max(1, rerank * k)
+    probed_union = sorted({int(c) for row in probes for c in row})
+
+    coded = (
+        ivfpq_encode(
+            corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cv")),
+            "cv", centroids, codebooks, spill=spill)
+        .select("neighbor_id", "centroid_id", "pq_codes")
+        # Catalyst-side list pruning before any Python runs (partition
+        # pruning on a centroid-partitioned index layout).
+        .filter(F.col("centroid_id").isin(probed_union))
+    )
+
+    out_schema = "query_id long, neighbor_id long, adc double"
+
+    def scan(batches):
+        for pdf in batches:
+            ok = pdf["pq_codes"].notna().to_numpy()
+            if not ok.any():
+                continue
+            ids = pdf["neighbor_id"][ok].to_numpy()
+            cids = pdf["centroid_id"][ok].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["pq_codes"][ok].to_numpy()).astype(np.int64)
+            rows = {"query_id": [], "neighbor_id": [], "adc": []}
+            for qi, qid in enumerate(qids):
+                sel = np.isin(cids, probes[qi])
+                if not sel.any():
+                    continue
+                sub = codes[sel]
+                s = csim[qi, cids[sel]].copy()
+                for j in range(m):
+                    s += lut[qi, j, sub[:, j]]
+                top = min(n_cand, sub.shape[0])
+                part = np.argpartition(-s, top - 1)[:top]
+                rows["query_id"].extend([qid] * len(part))
+                rows["neighbor_id"].extend(ids[sel][part].tolist())
+                rows["adc"].extend(s[part].tolist())
+            if rows["query_id"]:
+                yield pd.DataFrame(rows)
+
+    cands = (
+        coded.mapInPandas(scan, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # Spill replicas can surface the same (query, neighbor) from
+        # several probed lists with DIFFERENT residual anchors — keep
+        # the best ADC estimate (max-agg, not dropDuplicates: an
+        # arbitrary survivor would make the prune ordering run-to-run
+        # nondeterministic).  The aggregate runs on the candidate set,
+        # not the corpus.
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("adc").alias("adc"))
+    )
+    return _adc_candidates_to_topk(cands, corpus, vec_col, id_col,
+                                   qrows, k, n_cand)

@@ -655,6 +655,148 @@ def test_pq_topk_recall_adc_and_determinism(spark):
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rnk"]
 
 
+def test_ivfpq_recall_determinism_and_contracts(spark):
+    """r15: the composed IVF-ADC ANN (coarse probe prunes candidate
+    volume, residual-PQ ADC prunes width, exact rerank) — recall vs the
+    exact twin on the real embeddings, run-to-run determinism, the
+    precomputed-index production path (both halves or neither), NULL
+    handling, and the named dimension-mismatch errors."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.topk_bruteforce(emb, queries, "embedding", "vec_id", k=5)
+    approx = SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                            k=5, nlist=8, nprobe=4, m=8, ksub=256,
+                            rerank=16)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    # Near-random embeddings are the worst case for BOTH halves (weak
+    # cluster structure + high quantization error); measured 0.90 at
+    # this config (0.94 at sf0.01) with spill=2 replication — spill=1
+    # read 0.68, the same boundary-loss mechanism the plain IVF gate
+    # documents.  The floor keeps ~half the margin like the IVF/PQ
+    # gates.
+    assert recall >= 0.8, f"IVF-ADC recall too low: {recall}"
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                                     k=5, nlist=8, nprobe=4, m=8,
+                                     ksub=256, rerank=16).collect()}
+    assert got == again
+
+    # Precomputed-index path: train once, search twice, same answer;
+    # the index artifact is (centroids, residual codebooks).
+    cents, books = SIM.train_ivfpq(emb, "embedding", nlist=8, m=8,
+                                   ksub=256)
+    assert np.asarray(books).shape == (8, 256, 8)
+    pre = {(r["query_id"], r["neighbor_id"])
+           for r in SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                                   k=5, nprobe=4, rerank=16,
+                                   centroids=cents,
+                                   codebooks=books).collect()}
+    assert pre == got
+    # Passing one half of the index is a named error, not a silent
+    # retrain or a mis-assigned residual search.
+    with pytest.raises(ValueError, match="BOTH centroids and codebooks"):
+        SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                       codebooks=books)
+    # Mismatched halves: named dimension error, driver-side.
+    with pytest.raises(ValueError, match=r"m\*dsub"):
+        SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                       centroids=[[1.0, 0.0]], codebooks=books)
+    with pytest.raises(ValueError, match=r"m\*dsub"):
+        SIM.ivfpq_encode(emb, "embedding", [[1.0, 0.0]], books)
+    # The encoder's index columns: NULL-in/NULL-out on both, codes in
+    # [0, ksub), centroid ids in [0, nlist).
+    mix = spark.createDataFrame(
+        [(100, None), (101, [1.0] * 64)],
+        "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in
+            SIM.ivfpq_encode(mix, "embedding", cents, books).collect()}
+    assert rows[100]["centroid_id"] is None and rows[100]["pq_codes"] is None
+    assert 0 <= rows[101]["centroid_id"] < 8
+    assert len(rows[101]["pq_codes"]) == 8
+    assert all(0 <= c < 256 for c in rows[101]["pq_codes"])
+    # Empty query set: contract schema, zero rows.
+    empty = SIM.topk_ivfpq(emb, emb.filter(F.col("vec_id") < 0),
+                           "embedding", "vec_id", centroids=cents,
+                           codebooks=books)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine", "rnk"]
+
+
+def test_similarity_null_contracts_and_named_errors(spark):
+    """r15 review pass 11 pins (similarity.py + vectors.py read against
+    the determinism and named-error contracts): precomputed-codebook
+    validation fails loud by name (driver-side where possible), training
+    rejects non-finite samples with the tool that locates them, and
+    every vector kernel honors NULL-in/NULL-out instead of dying in
+    np.stack or silently folding NULLs into LSH bucket 0."""
+    from spreadsheet_etl_engine_spark.functions import vectors as VEC
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = SIM.train_pq_codebooks(emb, "embedding", m=4, ksub=16,
+                                   sample=256)
+    # Malformed codebook nests: named, before any job runs.
+    with pytest.raises(ValueError, match="rectangular"):
+        SIM.pq_encode(emb, "embedding", [[[0.0, 1.0]], [[0.0]]])
+    with pytest.raises(ValueError, match=r"shape \(m, ksub, dsub\)"):
+        SIM.topk_pq(emb, emb.limit(1), "embedding", "vec_id",
+                    codebooks=[[1.0, 2.0]])
+    # Query-vector dim != codebooks' m*dsub: named, with offending ids.
+    q32 = spark.createDataFrame([(7, [1.0] * 32)],
+                                "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match=r"m\*dsub"):
+        SIM.topk_pq(emb, q32, "embedding", "vec_id", codebooks=books)
+    # Corpus-vector dim mismatch raises the SAME named message (from
+    # inside the Arrow batch, so Spark wraps it).
+    with pytest.raises(Exception, match=r"m\*dsub"):
+        SIM.pq_encode(q32, "embedding", books).collect()
+    # Non-finite training vectors: named, pointing at the quality tool.
+    nan = spark.createDataFrame(
+        [(1, [float("nan")] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-finite"):
+        SIM.train_pq_codebooks(nan, "embedding", m=8, ksub=4, sample=8)
+    # NULL embeddings: NULL centroid / NULL probes, no candidates, and
+    # the sample trainer skips them instead of crashing on float(None).
+    mix = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None), (3, [0.5] * 8)],
+        "vec_id long, embedding array<double>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in SIM.assign_centroid(mix, "embedding", cents).collect()}
+    assert got[2] is None and got[1] == 0
+    pr = {r["vec_id"]: r["probes"]
+          for r in SIM.probe_centroids(mix, "embedding", cents, 2).collect()}
+    assert pr[2] is None and list(pr[1]) == [0, 1]
+    lite = SIM.train_centroids_lite(mix, "embedding", nlist=2)
+    assert len(lite) == 2 and all(v is not None for c in lite for v in c)
+    out = SIM.topk_ivf(mix, mix.filter(F.col("vec_id") == 1), "embedding",
+                       "vec_id", k=2, nlist=2, nprobe=2, kmeans=False)
+    assert {r["neighbor_id"] for r in out.collect()} == {3}
+    # cosine_pandas matches the expr form's NULL semantics too.
+    pairs = spark.createDataFrame(
+        [(None, [1.0, 0.0]), ([1.0, 0.0], None), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>")
+    for r in pairs.select(
+            VEC.cosine(F.col("a"), F.col("b")).alias("ce"),
+            VEC.cosine_pandas(F.col("a"), F.col("b")).alias("cp")).collect():
+        assert (r["ce"] is None) == (r["cp"] is None)
+        if r["ce"] is not None:
+            assert abs(r["ce"] - r["cp"]) < 1e-12
+    # LSH signature: NULL vector → NULL signature, never bucket 0.
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    sigs = pairs.select(
+        VEC.hyperplane_signature(F.col("a"), planes).alias("s")).collect()
+    # [1,0] sits on the non-negative side of both planes (dot 1 and 0).
+    assert sigs[0]["s"] is None and sigs[1]["s"] == 3 and sigs[2]["s"] == 3
+
+
 def test_cosine_pandas_matches_expr(spark):
     from spreadsheet_etl_engine_spark.functions import vectors as VEC
     from spreadsheet_etl_engine_spark.sources.readers import load_table
