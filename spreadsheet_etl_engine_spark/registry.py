@@ -2558,76 +2558,95 @@ def get(name: str) -> RegisteredQuery:
 # dsl_flagship, dsl_formula_chain, dsl_json_source — lead the r15
 # freshness queue with the other r12 rows).  Every name below went
 # through scripts/check_promotions.py at sf0.001 + sf0.01.
+# r15 rotation (r14 verdict Next 1, 2, 5): ONE new query
+# (similarity_topk_ivfpq — the composed IVF-ADC ANN the r14 verdict
+# directed; growth rule: 1 new = 1 first-time driver verification),
+# the round's changed-bytes re-verifications, then the ENTIRE r12
+# vintage (30 rows — after the r15 run the newest-green floor moves to
+# r13, verdict Next 1) and the 14 alphabetically-first r13 rows as
+# freshness fillers.  Shared-module audit for the r15 edits:
+# media_codecs took the two r14 ADVICE decoder fixes (MS ADPCM
+# truncate-toward-zero predictor; whole-chunk scan honoring
+# fact-after-data) — executed only under the two multimodal rows
+# (promoted).  Review pass 11 changed similarity.py (named
+# codebook/dimension validation, NULL-safe centroid kernels, the PQ
+# k-means factored into _pq_kmeans_codebooks with an identical rng
+# call sequence) and vectors.py (hyperplane_signature NULL-out,
+# cosine_pandas NULL/empty-batch guards): executed under
+# similarity_topk_pq / dedup_semantic (assign_centroid) /
+# dedup_embedding_lsh_pairs (hyperplane_signature) — all promoted —
+# and similarity_topk_ivf / similarity_topk_bruteforce, which hold
+# r12-freshness seats anyway.  Riders on changed modules whose
+# EXECUTED functions are byte-unchanged: dedup_embedding_neardup
+# (embedding_neardup_pairs without planes — only dot_precast/
+# to_double, untouched; it also takes an r13 filler seat below) and
+# embedding_cluster_stats (pure expressions, no SIM/VEC calls).
+# ext_queries.py's change is the new registration block plus this
+# round's promoted rows only.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r14 new query (growth rule: 1 new = 1 first-time driver
-    # verification): product-quantization ANN — rows-only approximate
-    # like the IVF row, recall embedded in-query, recall>=0.8 +
-    # ADC-bound pytest-pinned.  similarity.py's change is a PURE
-    # ADDITION (module docstring + the three pq functions), so the two
-    # existing similarity queries ride their newest rows per the
-    # additive-module rule; ext_queries.py's change is the new
-    # registration block only. ---
-    "similarity_topk_pq",
-    # --- r14 changed-bytes re-verifications: the ADPCM + AU/AIFF
-    # fixture/oracle extension, and the four v2-DSL queries that
-    # execute the review-pass-10 extensions.py change (see the
-    # rotation note) ---
+    # --- r15 new query (growth rule: 1 new = 1 first-time driver
+    # verification): composed IVF-ADC ANN — rows-only approximate like
+    # the IVF/PQ rows, per-query recall_vs_exact embedded in-query,
+    # recall/determinism/NULL/named-error pytest-pinned. ---
+    "similarity_topk_ivfpq",
+    # --- r15 changed-bytes re-verifications (see the rotation note) ---
     "multimodal_decode",
     "multimodal_resize_features",
-    "dsl_v2_and_filter",
-    "dsl_v2_distinct",
-    "dsl_v2_having_topn",
-    "dsl_v2_join_agg",
-    # --- r14 freshness: ALL 25 queries whose newest driver row is
-    # r11, byte-unchanged since (tail fingerprint + shared-module hash
-    # tripwire) — clearing this vintage moves the floor to r12 ---
-    "events_cohort_retention",
-    "events_decayed_engagement",
-    "events_funnel",
-    "events_json_extract",
-    "events_mode_per_user",
-    "events_resample_gapfill",
-    "events_sliding_window",
-    "events_transitions",
-    "events_value_outliers",
-    "mix_weights_by_source",
-    "profile_columns",
-    "profile_key_skew",
-    "quality_constraint_report",
-    "sample_cap_per_source",
-    "sample_hash",
-    "sample_stratified",
-    "streaming_stateful_totals",
-    "text_collocations_pmi",
-    "text_contamination",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_quality_rank",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "train_split_assign",
-    # --- r14 filler rotation: the 18 alphabetically-first r12 rows
-    # (the oldest remaining vintage; dsl_direct_constant gave its seat
-    # to the new PQ query late-round), byte-unchanged since their
-    # green row; the remaining r12 rows lead the r15 freshness queue ---
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_heavy_hitters",
-    "agg_heavy_hitters_approx",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_quantiles",
-    "agg_rollup",
-    "dedup_embedding_lsh_pairs",
-    "dedup_exact",
-    "dedup_minhash_lsh_pairs",
+    "similarity_topk_pq",
     "dedup_semantic",
-    "distinct_nations_per_segment",
-    "dsl_a1_formula",
-    "dsl_a1_forward",
-    "dsl_csv_roundtrip",
+    "dedup_embedding_lsh_pairs",
+    # --- r15 freshness: ALL 30 queries whose newest driver row is
+    # r12, byte-unchanged since (tail fingerprint + shared-module hash
+    # tripwire; similarity_topk_ivf/_bruteforce ALSO execute this
+    # round's similarity.py edits) — clearing this vintage moves the
+    # floor to r13 ---
+    "dsl_direct_constant",
+    "dsl_filter_ops",
+    "dsl_flagship",
+    "dsl_formula_chain",
+    "dsl_json_source",
+    "dsl_orc_roundtrip",
+    "dsl_workbook_job",
+    "events_rolling_window",
+    "events_sessionize",
+    "events_tumbling_window",
+    "join_range_window",
+    "join_skew_salted",
+    "quality_nonfinite_report",
+    "scalar_datetime",
+    "scalar_string_math",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "streaming_dedup_events",
+    "streaming_seen_index",
+    "text_encoding_quality",
+    "text_quality",
+    "text_quality_rank_approx",
+    "text_stats",
+    "train_pack_sequences",
+    "window_distribution",
+    "window_first_last",
+    "window_lag_lead",
+    "window_rank_orders",
+    "window_rank_variants",
+    "window_running_sum",
+    # --- r15 filler rotation: the 14 alphabetically-first r13 rows
+    # (the oldest remaining vintage), byte-unchanged since their green
+    # row; the remaining 30 r13 rows lead the r16 freshness queue ---
+    "agg_corr_covar",
+    "agg_histogram",
+    "agg_linear_fit",
+    "agg_moments",
+    "curation_pipeline_decisions",
+    "dedup_components",
+    "dedup_embedding_neardup",
+    "dedup_incremental",
+    "dedup_index_probe",
+    "dedup_keep_best",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_paragraphs",
+    "dedup_simhash",
 )
 
 DRIVER_CHECK_BUDGET = 50

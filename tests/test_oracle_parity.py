@@ -91,24 +91,23 @@ def test_entry_contract(spark):
 # r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # r14 changed bytes — must re-verify: synth_media's audio
-    # sub-cycle widened %7 → %11 (stereo IMA/MS ADPCM block codecs +
-    # Sun AU + AIFF, r13 verdict Next 2), which moves EVERY audio
-    # row's format and size, and multimodal_decode's oracle gained the
-    # whole-block ADPCM + AU + AIFF size formulas; media_codecs also
-    # took the r13 ADVICE G.711 frame-divisibility fix, which executes
-    # only under these rows.  (r15: comment corrected per r14 ADVICE —
-    # it predated the stereo/AU/AIFF widening.)
+    # r15 changed bytes — must re-verify: media_codecs took the two
+    # r14 ADVICE decoder fixes (MS ADPCM truncate-toward-zero
+    # predictor division; whole-chunk-list scan so fact-after-data
+    # truncates), which execute only under the two multimodal rows.
     "multimodal_decode",
     "multimodal_resize_features",
-    # r14 review pass 10 changed plans/extensions.py (v2 _sort: key
-    # validation, parse-time _having:) — these four execute it.
-    "dsl_v2_and_filter",
-    "dsl_v2_distinct",
-    "dsl_v2_having_topn",
-    "dsl_v2_join_agg",
-    # r14 new query (PQ ANN) — first driver row.
+    # r15 review pass 11 changed similarity.py (named codebook/dim
+    # validation, NULL-safe centroid kernels, the PQ k-means factored
+    # into a shared helper) and vectors.py (hyperplane_signature
+    # NULL-out; cosine_pandas NULL/empty-batch guards) — these execute
+    # the changed functions (similarity_topk_ivf/_bruteforce do too;
+    # they hold r12-freshness head seats below).
     "similarity_topk_pq",
+    "dedup_semantic",
+    "dedup_embedding_lsh_pairs",
+    # r15 new query (composed IVF-ADC ANN) — first driver row.
+    "similarity_topk_ivfpq",
 ]
 
 
