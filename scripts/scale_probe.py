@@ -20,6 +20,10 @@ Probes:
             nlist/nprobe/spill: wall-time ratio AND recall-vs-exact at
             both scales (the quality axis SCALE.md promises survives
             growth).
+  ivfpq     topk_ivfpq's QUERY PATH (encode + probed-list ADC scan +
+            exact rerank; index pretrained untimed — training is a
+            bounded fixed cost that would dilute the curve) at n and
+            10n corpus vectors, with recall at both scales.
   salted    join_skew_salted's shape (salted_join) vs the plain shuffle
             join on a fact table where ONE key holds 50% of rows, at n
             and 10n fact rows.
@@ -231,6 +235,53 @@ def probe_ivf(spark: SparkSession, reps: int, n: int) -> dict:
         t_10ns.append(t)
     t_n, t_10n = statistics.median(t_ns), statistics.median(t_10ns)
     return {"probe": "similarity_topk_ivf", "n": n, "t_n": round(t_n, 2),
+            "t_10n": round(t_10n, 2), "ratio": round(t_10n / t_n, 2),
+            "recall_n": round(rec_n, 3), "recall_10n": round(rec_10n, 3)}
+
+
+def _ivfpq_recall(spark: SparkSession, n: int, k: int = 5) -> tuple[float, float]:
+    """Time the IVF-ADC QUERY PATH (encode + probed-list ADC scan +
+    exact rerank) with the index trained untimed — training is a
+    bounded fixed cost (MLlib coarse fit + 4096-row PQ sample) that
+    would dilute the curve this gate exists to watch: the scan work
+    that grows with the corpus."""
+    from spreadsheet_etl_engine_spark.operators.similarity import (
+        topk_bruteforce, topk_ivfpq, train_ivfpq,
+    )
+
+    corpus = synth_vectors(spark, n).cache()
+    corpus.count()
+    queries = corpus.limit(50)
+    cents, books = train_ivfpq(corpus, "embedding", nlist=16, m=8,
+                               ksub=256)
+    t0 = time.monotonic()
+    ann = topk_ivfpq(corpus, queries, "embedding", "vec_id", k=k,
+                     nprobe=4, rerank=16, spill=2,
+                     centroids=cents, codebooks=books).select(
+        "query_id", "neighbor_id")
+    ann_rows = {(r[0], r[1]) for r in ann.collect()}
+    elapsed = time.monotonic() - t0
+    exact = topk_bruteforce(corpus, queries, "embedding", "vec_id", k=k).select(
+        "query_id", "neighbor_id")
+    exact_rows = {(r[0], r[1]) for r in exact.collect()}
+    recall = len(ann_rows & exact_rows) / max(1, len(exact_rows))
+    corpus.unpersist()
+    return elapsed, recall
+
+
+def probe_ivfpq(spark: SparkSession, reps: int, n: int) -> dict:
+    # Same discipline as probe_ivf: untimed warmup, interleaved n/10n
+    # reps, medians; recall recorded at both arms.
+    _ivfpq_recall(spark, n)
+    t_ns, t_10ns = [], []
+    rec_n = rec_10n = 0.0
+    for _ in range(reps):
+        t, rec_n = _ivfpq_recall(spark, n)
+        t_ns.append(t)
+        t, rec_10n = _ivfpq_recall(spark, 10 * n)
+        t_10ns.append(t)
+    t_n, t_10n = statistics.median(t_ns), statistics.median(t_10ns)
+    return {"probe": "similarity_topk_ivfpq", "n": n, "t_n": round(t_n, 2),
             "t_10n": round(t_10n, 2), "ratio": round(t_10n / t_n, 2),
             "recall_n": round(rec_n, 3), "recall_10n": round(rec_10n, 3)}
 
@@ -727,6 +778,7 @@ PROBES = {
     "ngram": (probe_ngram, 10_000),
     "paragraph": (probe_paragraph, 200_000),
     "ivf": (probe_ivf, 10_000),
+    "ivfpq": (probe_ivfpq, 10_000),
     "salted": (probe_salted, 2_000_000),
     "components": (probe_components, 2_000),
     # 1M events -> ~5M grid rows in the small arm: large enough that the

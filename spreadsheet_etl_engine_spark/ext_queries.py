@@ -879,12 +879,11 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL/named-error contracts).
     doc="Composed IVF-ADC ANN top-k (r15): the production FAISS "
         "IVFx,PQy shape — a coarse quantizer prunes candidate VOLUME "
-        "(only nprobe/nlist of the lists are scanned; a Catalyst isin "
-        "filter on the probed-list union drops rows before any Python "
-        "runs — partition pruning on a centroid-partitioned index "
-        "layout), residual PQ codes prune candidate WIDTH (the scan "
-        "touches only (id, centroid_id, m one-byte codes)), and exact "
-        "cosine reranks the C = rerank*k survivors "
+        "(only nprobe/nlist of the lists reach the ADC scan; on a "
+        "persisted centroid-partitioned index the same isin filter is "
+        "partition pruning), residual PQ codes prune candidate WIDTH "
+        "(the scan touches only (id, centroid_id, m one-byte codes)), "
+        "and exact cosine reranks the C = rerank*k survivors "
         "(operators/similarity.py:topk_ivfpq).",
 )
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -687,8 +687,8 @@ def ivfpq_encode(
                 f"the codebooks' m*dsub = {m}*{dsub} = {m * dsub}")
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = M @ Cn.T
-        # top-spill lists per vector (argpartition + exact order of the
-        # short prefix, matching probe_centroids' ordering)
+        # top-spill lists per vector, same argsort ordering as
+        # probe_centroids (spill is tiny, a full sort costs nothing)
         near = np.argsort(-sims, axis=1)[:, :spill_eff]
         entries = []
         for s in range(spill_eff):
@@ -744,9 +744,11 @@ def topk_ivfpq(
     Plan shape, scan-side first: the corpus encodes to
     ``(id, centroid_id, residual codes)`` per partition with no shuffle;
     a Catalyst ``isin`` filter on the UNION of all probed lists drops
-    non-probed rows BEFORE the Python kernel (on a ``centroid_id``-
-    partitioned index layout this is partition pruning — probing
-    nprobe/nlist of the lists reads nprobe/nlist of the files); each
+    non-probed rows between the encode and ADC-scan kernels (inline
+    the encoder still sees every row — but on the production path the
+    encoded index is PERSISTED partitioned by ``centroid_id`` and the
+    same filter becomes partition pruning: probing nprobe/nlist of the
+    lists reads nprobe/nlist of the files); each
     Arrow batch then scores only the rows in each query's own probed
     lists via ``<q,x> ≈ <q,c> + Σ_j LUT[q,j,code_j]`` (the per-list
     constant rides the same centroid-similarity matrix the probes came
@@ -812,8 +814,10 @@ def topk_ivfpq(
                           F.col(vec_col).alias("cv")),
             "cv", centroids, codebooks, spill=spill)
         .select("neighbor_id", "centroid_id", "pq_codes")
-        # Catalyst-side list pruning before any Python runs (partition
-        # pruning on a centroid-partitioned index layout).
+        # Catalyst-side list pruning between encode and scan: only
+        # probed lists reach the ADC kernel (and on a PERSISTED
+        # centroid-partitioned index this same filter is partition
+        # pruning — pinned by the persisted-index pytest).
         .filter(F.col("centroid_id").isin(probed_union))
     )
 

@@ -728,6 +728,47 @@ def test_ivfpq_recall_determinism_and_contracts(spark):
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rnk"]
 
 
+def test_ivfpq_persisted_index_partition_pruning(spark, tmp_path):
+    """r15: the 100 TB claim behind the index layout — the encoded
+    ``(id, centroid_id, pq_codes)`` table persisted PARTITIONED BY
+    centroid_id turns the probed-list isin filter into real partition
+    pruning: a probe of nprobe lists reads only those lists' files
+    (inputFiles is the ground truth; the plan's PartitionFilters does
+    the work).  Inline (unpersisted) the filter still prunes rows
+    before the ADC-scan kernel, but only the persisted form skips the
+    read itself."""
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents, books = SIM.train_ivfpq(emb, "embedding", nlist=8, m=8,
+                                   ksub=256, kmeans=False)
+    idx_path = str(tmp_path / "ivfpq_index")
+    (SIM.ivfpq_encode(emb.select("vec_id", "embedding"), "embedding",
+                      cents, books)
+     .write.partitionBy("centroid_id").parquet(idx_path))
+    index = spark.read.parquet(idx_path)
+    probed = index.filter(F.col("centroid_id").isin([0, 3]))
+    # The probe lands in PartitionFilters (file skipping), not a
+    # post-scan Filter: the scan never opens non-probed lists.
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "centroid_id" in pf[0], plan
+    # The probed read returns exactly the probed lists' rows.
+    assert set(
+        r["centroid_id"] for r in
+        probed.select("centroid_id").distinct().collect()) <= {0, 3}
+    # And the persisted codes are the same ones the inline encoder
+    # produces (the index is a cache, not a fork of the algorithm).
+    inline = {(r["vec_id"], r["centroid_id"], tuple(r["pq_codes"]))
+              for r in SIM.ivfpq_encode(
+                  emb.select("vec_id", "embedding"), "embedding",
+                  cents, books).collect()}
+    persisted = {(r["vec_id"], r["centroid_id"], tuple(r["pq_codes"]))
+                 for r in index.select(
+                     "vec_id", "centroid_id", "pq_codes").collect()}
+    assert inline == persisted
+
+
 def test_similarity_null_contracts_and_named_errors(spark):
     """r15 review pass 11 pins (similarity.py + vectors.py read against
     the determinism and named-error contracts): precomputed-codebook

@@ -46,6 +46,11 @@ BOUNDS = {
     # catastrophic-only ceiling (~1.5x linear), not a precision pin.
     "paragraph": 15.0,  # recorded 7.87x
     "ivf": 4.0,         # recorded 1.49x
+    # r15: IVF-ADC query path (index pretrained; encode+scan+rerank is
+    # what scales with the corpus).  Recorded 1.75x drained — margin
+    # matches the ivf bound's ~2.7x headroom for ambient swings; a
+    # scan that stopped pruning by probed list reads ~10x.
+    "ivfpq": 4.5,       # recorded 1.75x
     # r9 additions (r8 verdict item 4): connected_components on 10x more
     # FIXED-diameter chains — round count is set by diameter, so the
     # ratio must stay far under linear (recorded 2.2x; diameter GROWTH
@@ -119,7 +124,7 @@ def _drop_probe_residue(spark):
 # residue, not a regression.)
 # megadup also ends in connected_components (localCheckpoint residue),
 # so it runs with components at the tail of the order.
-PROBE_ORDER = ["gapfill", "asof", "ivf", "ngram", "paragraph",
+PROBE_ORDER = ["gapfill", "asof", "ivf", "ivfpq", "ngram", "paragraph",
                "semantic", "wideschema", "media", "megadup", "components"]
 assert sorted(PROBE_ORDER) == sorted(BOUNDS)
 
@@ -146,6 +151,13 @@ def test_ratio_within_bound(spark, name):
     if name == "ivf":
         assert out["recall_n"] >= MIN_IVF_RECALL, out
         assert out["recall_10n"] >= MIN_IVF_RECALL, out
+    if name == "ivfpq":
+        # Two approximation stages compound (coarse probe AND residual
+        # quantization), so the floor sits at the pytest operator gate
+        # (0.8), not the single-stage IVF floor: recorded 0.928 (n) /
+        # 0.884 (10n) drained.
+        assert out["recall_n"] >= 0.8, out
+        assert out["recall_10n"] >= 0.8, out
 
 
 def test_star_components_flat_under_diameter_growth(spark):
