@@ -808,7 +808,15 @@ def decode_au(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported AU encoding {enc}")
     name, width = _AU_ENCODINGS[enc]
     avail = len(data) - off
-    n_bytes = avail if size == 0xFFFFFFFF else min(size, avail)
+    if size != 0xFFFFFFFF and size > avail:
+        # A header claiming more bytes than the file holds is
+        # truncation/corruption — fail by name like the AIFF
+        # SSND-vs-COMM check, never silently decode short (r15 review
+        # pass 12; the old `min(size, avail)` hid it).
+        raise ValueError(
+            f"AU header declares {size} data bytes but only {avail} "
+            "are present")
+    n_bytes = avail if size == 0xFFFFFFFF else size
     if n_bytes % (width * ch):
         raise ValueError(
             f"AU data size {n_bytes} is not a multiple of the "
@@ -915,6 +923,11 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     ch, n_frames, bits, rate = comm
     if bits != 16 or ch < 1:
         raise ValueError(f"unsupported AIFF layout (bits={bits}, ch={ch})")
+    if rate <= 0:
+        # A corrupt/denormal 80-bit rate field converts to 0 — name it
+        # here instead of letting a zero rate flow into downstream
+        # duration math (r15 review pass 12).
+        raise ValueError("AIFF sample rate must be positive")
     need = n_frames * ch * 2
     if len(ssnd) < need:
         raise ValueError(

@@ -1881,6 +1881,19 @@ def test_au_and_aiff_containers(spark):
                      + b"\x00" * 3)
     with pytest.raises(ValueError, match="AU data offset"):
         MC.decode_au(struct.pack(">4sIIIII", b".snd", 9999, 0, 1, 8000, 1))
+    # r15 review pass 12: a header declaring more data than the file
+    # holds is corruption, not a silently short decode (the AIFF
+    # COMM-vs-SSND check's AU twin).
+    with pytest.raises(ValueError, match="only 4 are present"):
+        MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 500, 1, 8000, 1)
+                     + b"\x00" * 4)
+    # r15 review pass 12: a corrupt/denormal 80-bit rate converts to 0
+    # and must be rejected by name, not flow into duration math.
+    with pytest.raises(ValueError, match="rate must be positive"):
+        zero_rate = bytearray(aiff)
+        rpos = aiff.index(b"COMM") + 8 + 8
+        zero_rate[rpos:rpos + 10] = b"\x00" * 10
+        MC.decode_aiff(bytes(zero_rate))
     with pytest.raises(ValueError, match="AIFC compression"):
         comp_comm = (struct.pack(">HIH", 1, 1, 16) + MC._int_to_f80(8000)
                      + b"sowt")
