@@ -1069,12 +1069,20 @@ def embedding_lsh_pairs(
     # Norms and double-cast arrays hoisted to the per-ROW side: inside the
     # candidate join the cosine is then one zip_with + one fold per pair
     # (HOFs run interpreted — per-pair norm recomputation tripled the
-    # verify cost before this hoist).
-    sigs = df.select(
-        F.col(id_col),
-        VEC.to_double(F.col(vec_col)).alias("v"),
-        F.posexplode(band_sigs).alias("band", "sig"),
-    ).withColumn("nrm", F.sqrt(VEC.dot_precast(F.col("v"), F.col("v"))))
+    # verify cost before this hoist).  The norm is computed BEFORE the
+    # band explode (r15 review pass 12: a post-explode withColumn
+    # re-evaluated the fold once per (row, band) — bands× the work the
+    # comment promised).
+    sigs = (
+        df.select(
+            F.col(id_col),
+            VEC.to_double(F.col(vec_col)).alias("v"),
+            band_sigs.alias("_sigs"),
+        )
+        .withColumn("nrm", F.sqrt(VEC.dot_precast(F.col("v"), F.col("v"))))
+        .select(F.col(id_col), "v", "nrm",
+                F.posexplode("_sigs").alias("band", "sig"))
+    )
     a = sigs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                     F.col("nrm").alias("na"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),

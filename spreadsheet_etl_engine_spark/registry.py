@@ -2582,7 +2582,13 @@ def get(name: str) -> RegisteredQuery:
 # to_double, untouched; it also takes an r13 filler seat below) and
 # embedding_cluster_stats (pure expressions, no SIM/VEC calls).
 # ext_queries.py's change is the new registration block plus this
-# round's promoted rows only.
+# round's promoted rows only.  Late-round pass-13 edits: media_codecs
+# decode_au/decode_aiff gained named truncation/zero-rate rejections
+# (multimodal rows, promoted) and dedup.py's embedding_lsh_pairs
+# hoisted its norm fold above the band explode (result-identical,
+# bands× less fold work; executed by dedup_embedding_lsh_pairs,
+# promoted — every other dedup query executes byte-unchanged functions
+# of the module and rides per the established rider rule).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like
