@@ -107,11 +107,37 @@ def _pq_pretrained_factory(spark, sf_dir):
     return run
 
 
+def _ivfpq_pretrained_factory(spark, sf_dir):
+    """Same decomposition discipline for the r15 IVF-ADC line: the
+    registry query's path with BOTH trainers (MLlib coarse fit +
+    residual PQ sample) hoisted out of the timed reps, so encode/scan/
+    rerank regressions are attributable — the ivfpq scale probe gates
+    the same pretrained path's 10x curve."""
+    from pyspark.sql import functions as F
+
+    from spreadsheet_etl_engine_spark.operators import similarity as SIM
+    from spreadsheet_etl_engine_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books = SIM.train_ivfpq(emb, "embedding", nlist=8, m=8,
+                                   ksub=256)
+
+    def run(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        return SIM.topk_ivfpq(emb, queries, "embedding", "vec_id",
+                              k=5, nprobe=4, rerank=16, spill=2,
+                              centroids=cents, codebooks=books)
+
+    return run
+
+
 # Bench-only lines: {name: factory(spark, sf_dir) -> fn(spark, sf_dir)}.
 # The factory runs ONCE, untimed (setup/training); the returned fn is
 # timed like a registry query.
 LOCAL_VARIANTS = {
     "similarity_topk_pq_pretrained": _pq_pretrained_factory,
+    "similarity_topk_ivfpq_pretrained": _ivfpq_pretrained_factory,
 }
 
 
