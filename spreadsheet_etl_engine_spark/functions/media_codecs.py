@@ -199,6 +199,10 @@ _WAV_FORMATS = {
     (2, 4): np.int16, (17, 4): np.int16,
 }
 
+# KSDATAFORMAT subtype GUID = <format code as 4 LE bytes> + this fixed
+# 12-byte base suffix (00000001-0000-0010-8000-00AA00389B71 for PCM).
+_KS_GUID_SUFFIX = bytes.fromhex("000010008000" + "00aa00389b71")
+
 
 def _g711_decode_tables() -> tuple[np.ndarray, np.ndarray]:
     """(a-law, mu-law) 256-entry expansion tables, computed from the
@@ -600,6 +604,43 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if chunk_id == b"fmt ":
             audio_fmt, n_channels, rate = struct.unpack_from("<HHI", data, pos + 8)
             block_align, bits = struct.unpack_from("<HH", data, pos + 20)
+            if audio_fmt == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE (r15): how real writers
+                # (ffmpeg, Windows, libsndfile) emit >16-bit and
+                # multichannel PCM.  The 22-byte extension carries
+                # wValidBitsPerSample, dwChannelMask, and a SubFormat
+                # GUID whose first 4 LE bytes are the true format code
+                # over the fixed KSDATAFORMAT base suffix; samples are
+                # stored at the CONTAINER width (`bits`), so after
+                # substituting the code the plain-format paths apply
+                # unchanged (valid-bits is precision metadata).
+                if size < 40:
+                    raise ValueError(
+                        f"extensible WAV fmt chunk is {size} bytes; the "
+                        "22-byte extension needs 40")
+                cb = struct.unpack_from("<H", data, pos + 24)[0]
+                if cb < 22:
+                    raise ValueError(
+                        f"extensible WAV cbSize {cb} < the 22-byte "
+                        "extension")
+                valid_bits = struct.unpack_from("<H", data, pos + 26)[0]
+                guid = data[pos + 32:pos + 48]
+                if guid[4:] != _KS_GUID_SUFFIX:
+                    raise ValueError(
+                        "extensible WAV SubFormat GUID is not a "
+                        "KSDATAFORMAT subtype")
+                if valid_bits > bits:
+                    raise ValueError(
+                        f"extensible WAV valid bits {valid_bits} exceed "
+                        f"the {bits}-bit container")
+                audio_fmt = struct.unpack_from("<I", guid)[0]
+                if audio_fmt not in (1, 3, 6, 7):
+                    # The block codecs put samplesPerBlock/coefficients
+                    # at plain-layout offsets the extension occupies —
+                    # no real writer emits them extensible; reject by
+                    # name rather than parse garbage state.
+                    raise ValueError(
+                        f"unsupported extensible WAV subtype {audio_fmt}")
             if (audio_fmt, bits) not in _WAV_FORMATS:
                 raise ValueError(
                     f"unsupported WAV sample format (fmt={audio_fmt}, "
@@ -682,7 +723,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 def encode_wav(samples: np.ndarray, rate: int, *,
                bits: int | None = None,
                codec: str | None = None,
-               block_align: int | None = None) -> bytes:
+               block_align: int | None = None,
+               extensible: bool = False) -> bytes:
     """Sample array → RIFF WAV bytes.  The format follows the dtype
     (uint8 → PCM8, int16 → PCM16, int32 → PCM32, float32/float64 →
     IEEE float); ``bits=24`` packs an int32 array as PCM24;
@@ -693,10 +735,20 @@ def encode_wav(samples: np.ndarray, rate: int, *,
     ``256 * n_channels``) — these emit the fmt-chunk extension
     (samplesPerBlock; plus the 7-pair coefficient table for MS) and a
     fact chunk carrying the true sample count, so the padded final
-    block round-trips exactly."""
+    block round-trips exactly.
+
+    ``extensible=True`` (r15) wraps the PCM/IEEE formats in
+    WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE + the 22-byte extension with
+    the KSDATAFORMAT SubFormat GUID) — how real writers emit >16-bit
+    and multichannel files; sample bytes are identical, only the fmt
+    chunk differs.  Not defined for the G.711/ADPCM codec paths."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n_channels = samples.shape[1]
+    if extensible and codec is not None:
+        raise ValueError(
+            "extensible WAV wraps only the PCM/IEEE formats, not the "
+            f"{codec!r} codec path")
     if codec in ("ima_adpcm", "ms_adpcm"):
         if bits is not None and bits != 4:
             raise ValueError("ADPCM WAV is 4 bits per code")
@@ -766,15 +818,28 @@ def encode_wav(samples: np.ndarray, rate: int, *,
         audio_fmt, width = spec
         body = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
     byte_rate = rate * n_channels * width
+    if extensible:
+        # fmt 0xFFFE + cbSize 22: valid bits = container bits, channel
+        # mask 0 (unspecified — what ffmpeg writes absent a layout),
+        # SubFormat = the true code over the KSDATAFORMAT base.
+        fmt_body = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, n_channels, rate, byte_rate,
+            n_channels * width, width * 8, 22, width * 8, 0
+        ) + struct.pack("<I", audio_fmt) + _KS_GUID_SUFFIX
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", audio_fmt, n_channels, rate, byte_rate,
+            n_channels * width, width * 8)
     # RIFF chunks are word-aligned: an odd-length data chunk body (PCM8/
     # PCM24 mono, odd sample count) gets a zero pad byte — excluded from
     # the chunk size, included in the RIFF size (r12 ADVICE; decode_wav's
     # `size & 1` skip already tolerates it, strict readers require it).
     pad = b"\x00" if len(body) & 1 else b""
     return (
-        struct.pack("<4sI4s", b"RIFF", 36 + len(body) + len(pad), b"WAVE")
-        + struct.pack("<4sIHHIIHH", b"fmt ", 16, audio_fmt, n_channels, rate,
-                      byte_rate, n_channels * width, width * 8)
+        struct.pack("<4sI4s", b"RIFF",
+                    4 + (8 + len(fmt_body)) + (8 + len(body)) + len(pad),
+                    b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
         + struct.pack("<4sI", b"data", len(body))
         + body
         + pad

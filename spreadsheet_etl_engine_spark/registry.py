@@ -2583,7 +2583,11 @@ def get(name: str) -> RegisteredQuery:
 # embedding_cluster_stats (pure expressions, no SIM/VEC calls).
 # ext_queries.py's change is the new registration block plus this
 # round's promoted rows only.  Late-round pass-13 edits: media_codecs
-# decode_au/decode_aiff gained named truncation/zero-rate rejections
+# decode_au/decode_aiff gained named truncation/zero-rate rejections,
+# decode/encode_wav gained WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE; plain-
+# format files decode byte-identically — equivalence-pinned — and the
+# fixture emits no extensible rows yet, so the new path is pytest-
+# covered while the multimodal rows re-attest the changed module)
 # (multimodal rows, promoted) and dedup.py's embedding_lsh_pairs
 # hoisted its norm fold above the band explode (result-identical,
 # bands× less fold work; executed by dedup_embedding_lsh_pairs,

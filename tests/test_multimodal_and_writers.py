@@ -1794,6 +1794,86 @@ def test_wav_adpcm_ima_and_ms(spark):
         MC.decode_wav(bytes(reordered))
 
 
+def test_wav_extensible():
+    """r15: WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) — how real writers
+    (ffmpeg, Windows, libsndfile) emit >16-bit and multichannel PCM.
+    Pins: decode equivalence with the plain-fmt encoding of the same
+    samples across PCM16-stereo/PCM24/PCM32/float32, the closed-form
+    size (the 40-byte fmt chunk adds exactly 24 bytes over the plain
+    16-byte one), and the named rejection of every malformed extension
+    shape (short chunk, short cbSize, non-KS GUID, valid bits past the
+    container, codec paths)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    t = np.arange(200)
+    cases = [
+        ("pcm16st", np.stack([(np.sin(t * 0.1) * 9000).astype(np.int16),
+                              (np.cos(t * 0.2) * 7000).astype(np.int16)],
+                             axis=1), None),
+        ("pcm24", (np.sin(t * 0.1) * 2**30).astype(np.int32), 24),
+        ("pcm32", (np.sin(t * 0.1) * 2**30).astype(np.int32), None),
+        ("f32", np.sin(t * 0.1).astype(np.float32), None),
+    ]
+    for name, sig, bits in cases:
+        plain = MC.encode_wav(sig, 16000, bits=bits)
+        ext = MC.encode_wav(sig, 16000, bits=bits, extensible=True)
+        assert MC.sniff(ext) == "wav"
+        assert len(ext) == len(plain) + 24, name  # 40- vs 16-byte fmt
+        pa, pr = MC.decode_wav(plain)
+        ea, er = MC.decode_wav(ext)
+        assert pr == er and pa.dtype == ea.dtype, name
+        assert np.array_equal(pa, ea), name
+    # Malformed extensions fail by name.
+    good = MC.encode_wav(cases[0][1], 16000, extensible=True)
+    short = bytearray(good)
+    struct.pack_into("<I", short, short.index(b"fmt ") + 4, 16)
+    with pytest.raises(ValueError, match="needs 40"):
+        MC.decode_wav(bytes(short))
+    small_cb = bytearray(good)
+    struct.pack_into("<H", small_cb, small_cb.index(b"fmt ") + 8 + 16, 2)
+    with pytest.raises(ValueError, match="cbSize"):
+        MC.decode_wav(bytes(small_cb))
+    bad_guid = bytearray(good)
+    bad_guid[bad_guid.index(b"fmt ") + 8 + 30] ^= 0xFF
+    with pytest.raises(ValueError, match="KSDATAFORMAT"):
+        MC.decode_wav(bytes(bad_guid))
+    too_valid = bytearray(good)
+    struct.pack_into("<H", too_valid, too_valid.index(b"fmt ") + 8 + 18, 64)
+    with pytest.raises(ValueError, match="valid bits"):
+        MC.decode_wav(bytes(too_valid))
+    with pytest.raises(ValueError, match="PCM/IEEE"):
+        MC.encode_wav(cases[0][1], 16000, codec="mulaw", extensible=True)
+    # A block-codec subtype would leave the plain-layout coefficient
+    # parse reading extension bytes — rejected by name.
+    adpcm_sub = bytearray(good)
+    struct.pack_into("<I", adpcm_sub, adpcm_sub.index(b"fmt ") + 8 + 24, 2)
+    with pytest.raises(ValueError, match="extensible WAV subtype"):
+        MC.decode_wav(bytes(adpcm_sub))
+    # The G.711 subtypes DO occur extensible (telephony rips): decode
+    # matches the plain-fmt file for the same companded bytes.
+    mono = (np.sin(t * 0.1) * 9000).astype(np.int16)
+    plain711 = MC.encode_wav(mono, 8000, codec="mulaw")
+    ext711 = bytearray(plain711)
+    fpos = plain711.index(b"fmt ")
+    fmt_body = (struct.pack("<HHIIHHHHI", 0xFFFE, 1, 8000, 8000, 1, 8,
+                            22, 8, 0)
+                + struct.pack("<I", 7) + MC._KS_GUID_SUFFIX)
+    rest = plain711[fpos + 8 + 16:]
+    ext711 = (plain711[:fpos]
+              + struct.pack("<4sI", b"fmt ", len(fmt_body)) + fmt_body
+              + rest)
+    ext711 = (struct.pack("<4sI", b"RIFF", len(ext711) - 8 + 24)
+              + ext711[8:])
+    pa, _ = MC.decode_wav(plain711)
+    ea, _ = MC.decode_wav(bytes(ext711))
+    assert np.array_equal(pa, ea)
+
+
 def test_au_and_aiff_containers(spark):
     """r14: the non-RIFF audio containers real speech corpora carry —
     Sun AU (.snd: six big-endian uint32 fields; mu-law via the r13
