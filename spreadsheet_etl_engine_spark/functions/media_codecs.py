@@ -852,7 +852,7 @@ def encode_wav(samples: np.ndarray, rate: int, *,
 # mu-law encoding (1) is its historic default and reuses the r13 tables.
 
 _AU_ENCODINGS = {1: ("mulaw", 1), 2: ("int8", 1), 3: ("int16", 2),
-                 6: ("float32", 4)}
+                 6: ("float32", 4), 27: ("alaw", 1)}
 
 
 def decode_au(data: bytes) -> tuple[np.ndarray, int]:
@@ -860,8 +860,9 @@ def decode_au(data: bytes) -> tuple[np.ndarray, int]:
     Encodings: 1 (G.711 mu-law → int16 via the ITU table), 2 (8-bit
     linear PCM, SIGNED per spec — unlike WAV's unsigned PCM8 → int16
     so the signedness difference cannot be confused downstream),
-    3 (16-bit PCM big-endian → int16), 6 (float32 BE).  A data-size
-    field of 0xFFFFFFFF means "until EOF", per the spec."""
+    3 (16-bit PCM big-endian → int16), 6 (float32 BE), 27 (G.711
+    a-law, r15 — telephony rips carry it).  A data-size field of
+    0xFFFFFFFF means "until EOF", per the spec."""
     if data[:4] != b".snd":
         raise ValueError("not a Sun AU file")
     off, size, enc, rate, ch = struct.unpack_from(">IIIII", data, 4)
@@ -886,10 +887,11 @@ def decode_au(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"AU data size {n_bytes} is not a multiple of the "
             f"{width * ch}-byte frame")
-    if name == "mulaw":
+    if name in ("mulaw", "alaw"):
         codes = np.frombuffer(data, dtype=np.uint8, count=n_bytes,
                               offset=off)
-        return _MULAW_TABLE[codes].reshape(-1, ch), rate
+        table = _MULAW_TABLE if name == "mulaw" else _ALAW_TABLE
+        return table[codes].reshape(-1, ch), rate
     if name == "int8":
         raw = np.frombuffer(data, dtype=np.int8, count=n_bytes, offset=off)
         return raw.astype(np.int16).reshape(-1, ch) << 8, rate
@@ -904,8 +906,8 @@ def decode_au(data: bytes) -> tuple[np.ndarray, int]:
 def encode_au(samples: np.ndarray, rate: int, *,
               codec: str = "int16") -> bytes:
     """Sample array → Sun AU bytes.  ``codec``: 'mulaw' compands int16
-    through G.711 (encoding 1 — the format's default), 'int16' writes
-    big-endian PCM (encoding 3)."""
+    through G.711 (encoding 1 — the format's default), 'alaw' likewise
+    (encoding 27, r15), 'int16' writes big-endian PCM (encoding 3)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     if samples.dtype != np.int16:
@@ -913,6 +915,9 @@ def encode_au(samples: np.ndarray, rate: int, *,
     if codec == "mulaw":
         body = _mulaw_encode(samples.reshape(-1)).tobytes()
         enc, width = 1, 1
+    elif codec == "alaw":
+        body = _alaw_encode(samples.reshape(-1)).tobytes()
+        enc, width = 27, 1
     elif codec == "int16":
         body = samples.astype(">i2").tobytes()
         enc, width = 3, 2
@@ -958,15 +963,17 @@ def _int_to_f80(n: int) -> bytes:
 def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     """AIFF → ((n_samples, n_channels) int16 array, sample_rate).
     PCM16 big-endian (the overwhelmingly common AIFF shape); AIFC is
-    accepted only with compression NONE (same PCM bytes).  The COMM
-    frame count is authoritative; SSND's offset field skips block-
-    alignment padding, per the spec."""
+    accepted with compression NONE (same PCM bytes) or ``sowt`` (r15 —
+    byte-swapped little-endian PCM16, what iTunes/macOS write).  The
+    COMM frame count is authoritative; SSND's offset field skips
+    block-alignment padding, per the spec."""
     if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
         raise ValueError("not an AIFF file")
     is_aifc = data[8:12] == b"AIFC"
     pos = 12
     comm = None
     ssnd = None
+    little = False
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         size = struct.unpack_from(">I", data, pos + 4)[0]
@@ -975,9 +982,10 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
             rate = _f80_to_int(data[pos + 16:pos + 26])
             if is_aifc:
                 comp = data[pos + 26:pos + 30]
-                if comp != b"NONE":
+                if comp not in (b"NONE", b"sowt"):
                     raise ValueError(
                         f"unsupported AIFC compression {comp!r}")
+                little = comp == b"sowt"
             comm = (ch, n_frames, bits, rate)
         elif cid == b"SSND":
             off = struct.unpack_from(">I", data, pos + 8)[0]
@@ -997,7 +1005,8 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     if len(ssnd) < need:
         raise ValueError(
             f"AIFF SSND holds {len(ssnd)} bytes, COMM declares {need}")
-    raw = np.frombuffer(ssnd, dtype=">i2", count=n_frames * ch)
+    raw = np.frombuffer(ssnd, dtype="<i2" if little else ">i2",
+                        count=n_frames * ch)
     return raw.astype(np.int16).reshape(-1, ch), rate
 
 

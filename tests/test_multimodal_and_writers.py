@@ -1953,8 +1953,10 @@ def test_au_and_aiff_containers(spark):
                for m in (1, 2, 3))
 
     # Named error paths.
+    # (23 = G.721 ADPCM, a real assignment our table doesn't carry; 27
+    # became the supported a-law encoding in r15.)
     with pytest.raises(ValueError, match="unsupported AU encoding"):
-        MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 4, 27, 8000, 1)
+        MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 4, 23, 8000, 1)
                      + b"\x00" * 4)
     with pytest.raises(ValueError, match="multiple of"):
         MC.decode_au(struct.pack(">4sIIIII", b".snd", 24, 3, 3, 8000, 1)
@@ -1976,10 +1978,37 @@ def test_au_and_aiff_containers(spark):
         MC.decode_aiff(bytes(zero_rate))
     with pytest.raises(ValueError, match="AIFC compression"):
         comp_comm = (struct.pack(">HIH", 1, 1, 16) + MC._int_to_f80(8000)
-                     + b"sowt")
+                     + b"ima4")
         raw = (struct.pack(">4sI4s", b"FORM", 30, b"AIFC")
                + struct.pack(">4sI", b"COMM", len(comp_comm)) + comp_comm)
         MC.decode_aiff(raw)
+    # r15: AIFC sowt (byte-swapped little-endian PCM16 — the iTunes/
+    # macOS shape).  Hand-built: int16 values asymmetric under byte
+    # swap, so an endianness bug cannot round-trip.
+    sowt_sig = np.array([[300], [-12345], [7]], dtype=np.int16)
+    sowt_comm = (struct.pack(">HIH", 1, 3, 16) + MC._int_to_f80(8000)
+                 + b"sowt" + b"\x00\x00")
+    sowt_ssnd = struct.pack(">II", 0, 0) + sowt_sig.astype("<i2").tobytes()
+    sowt_chunks = (struct.pack(">4sI", b"COMM", len(sowt_comm)) + sowt_comm
+                   + struct.pack(">4sI", b"SSND", len(sowt_ssnd))
+                   + sowt_ssnd)
+    sowt_raw = (struct.pack(">4sI4s", b"FORM", 4 + len(sowt_chunks),
+                            b"AIFC") + sowt_chunks)
+    arr, r = MC.decode_aiff(sowt_raw)
+    assert r == 8000 and np.array_equal(arr, sowt_sig)
+    # r15: AU a-law (encoding 27) round-trips within the G.711
+    # quantization bound, exact on table values.
+    ala = MC.encode_au(wave, 8000, codec="alaw")
+    assert ala[:4] == b".snd" and len(ala) == 24 + len(wave)
+    dec, r = MC.decode_au(ala)
+    assert r == 8000
+    err = np.abs(dec[:, 0].astype(np.int32) - wave.astype(np.int32))
+    # a-law segment quantization: relative error bounded by the segment
+    # step (<= mag/16 + 8 in the linear segment scaling).
+    assert (err <= np.maximum(np.abs(wave.astype(np.int32)) // 16, 8) + 8).all()
+    exact = MC._ALAW_TABLE.copy()
+    again, _ = MC.decode_au(MC.encode_au(exact, 8000, codec="alaw"))
+    assert np.array_equal(again[:, 0], exact)
     with pytest.raises(ValueError, match="COMM declares"):
         bad = bytearray(aiff)
         # inflate the COMM frame count past the SSND bytes
