@@ -1111,22 +1111,23 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- Audio container/format cycle (r13: G.711 a-law/mu-law
              -- at 5/6 — one companded byte per sample; r14: IMA/MS
              -- ADPCM stereo at 7/8, Sun AU mu-law at 9, stereo AIFF
-             -- PCM16 at 10 — each with its own size formula below,
-             -- bps unused for those rows)
-             CASE (i // 3) % 11 WHEN 0 THEN 2 WHEN 1 THEN 1
+             -- PCM16 at 10; r15: stereo WAVE_FORMAT_EXTENSIBLE PCM16
+             -- at 11 — each with its own size formula below, bps
+             -- unused for those rows)
+             CASE (i // 3) % 12 WHEN 0 THEN 2 WHEN 1 THEN 1
                   WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 4
                   ELSE 1 END AS bps,
-             (i // 3) % 11 AS wfmt,
+             (i // 3) % 12 AS wfmt,
              (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,
              CASE kind WHEN 'image' THEN iw WHEN 'audio' THEN ns
                   ELSE CASE vc WHEN 0 THEN 64 ELSE iw END END AS width,
-             -- audio height = n_channels: the ADPCM and AIFF rows
-             -- (r14) are stereo, everything else mono
+             -- audio height = n_channels: the ADPCM/AIFF (r14) and
+             -- extensible (r15) rows are stereo, everything else mono
              CASE kind WHEN 'image' THEN ih
-                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8, 10)
+                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8, 10, 11)
                                     THEN 2 ELSE 1 END
                   ELSE CASE vc WHEN 0 THEN 48 ELSE ih END END AS height,
              CASE kind WHEN 'video' THEN
@@ -1171,6 +1172,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN 8 THEN 90 + 64 * ((ns + 51) // 52)
                  WHEN 9 THEN 24 + ns
                  WHEN 10 THEN 54 + 4 * ns
+                 -- r15 extensible stereo PCM16: the 40-byte fmt chunk
+                 -- replaces the plain 16-byte one (+24), body 4*ns
+                 WHEN 11 THEN 68 + 4 * ns
                  ELSE 44 + bps * ns + (bps * ns) % 2 END
                ELSE CASE vc WHEN 0 THEN
                     11 + len(CAST(nf AS VARCHAR)) + plen ELSE 0 END
@@ -1248,17 +1252,17 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              256 + i % 64 AS ns,
              4 + i % 8 AS nf,
              2 + i % 3 AS npages,
-             (i // 3) % 11 AS wfmt,
+             (i // 3) % 12 AS wfmt,
              (i // 3) % 3 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,
              CASE kind WHEN 'image' THEN 4 WHEN 'audio' THEN ns
                   ELSE CASE vc WHEN 0 THEN 64 ELSE 4 END END AS width,
-             -- audio passes through resize untouched; the r14 ADPCM
-             -- and AIFF rows are stereo (height 2), the rest mono
+             -- audio passes through resize untouched; the r14 ADPCM/
+             -- AIFF and r15 extensible rows are stereo, the rest mono
              CASE kind WHEN 'image' THEN 2
-                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8, 10)
+                  WHEN 'audio' THEN CASE WHEN wfmt IN (7, 8, 10, 11)
                                     THEN 2 ELSE 1 END
                   ELSE CASE vc WHEN 0 THEN 48 ELSE 2 END END AS height,
              CASE kind WHEN 'video' THEN

@@ -76,7 +76,8 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     progressive JPEG (r13) — audio rows cycle every audio container
     and sample format the codecs speak (WAV PCM16 / PCM8 / PCM24 /
     PCM32 / IEEE float32, G.711 a-law / mu-law (r13), stereo IMA /
-    MS ADPCM blocks, Sun AU mu-law, stereo big-endian AIFF (r14)),
+    MS ADPCM blocks, Sun AU mu-law, stereo big-endian AIFF (r14),
+    stereo WAVE_FORMAT_EXTENSIBLE PCM16 (r15)),
     and video rows cycle fake header / animated GIF / multi-page TIFF
     (r13 — the TIFF rows sub-cycle G4-bilevel, LZW-RGB-with-predictor,
     and the tiled organization, so the scanned-document compressions
@@ -143,7 +144,7 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 ns = 256 + i % 64
                 t = np.arange(ns)
                 sine = np.sin(t * ((i % 7) + 1) * 0.1)
-                fmt = (i // 3) % 11
+                fmt = (i // 3) % 12
                 if fmt == 0:                       # PCM16 (the r12 row)
                     wave = (1000 * sine).astype(np.int16)
                 elif fmt == 1:                     # PCM8 (unsigned)
@@ -152,11 +153,12 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                     wave = (sine * (2 ** 30)).astype(np.int32)
                 elif fmt == 4:                     # IEEE float32
                     wave = sine.astype(np.float32)
-                elif fmt in (7, 8, 10):
-                    # IMA / MS ADPCM and AIFF (r14) — STEREO, with
-                    # distinct per-channel signals, so the interleaved
-                    # layouts and per-channel predictor state sit under
-                    # the driver's height=2 pin (a channel swap or
+                elif fmt in (7, 8, 10, 11):
+                    # IMA / MS ADPCM and AIFF (r14), EXTENSIBLE PCM16
+                    # (r15) — STEREO, with distinct per-channel
+                    # signals, so the interleaved layouts and
+                    # per-channel predictor state sit under the
+                    # driver's height=2 pin (a channel swap or
                     # shared-state bug would still decode *something*
                     # mono-shaped from a mono fixture).
                     wave = np.stack(
@@ -175,7 +177,10 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 # truncating the padded final block, so decoded width
                 # stays exactly ns (and height exactly 2).  The r14
                 # non-RIFF audio containers: Sun AU mu-law (24 + ns)
-                # and stereo AIFF PCM16 big-endian (54 + 4*ns).
+                # and stereo AIFF PCM16 big-endian (54 + 4*ns).  The
+                # r15 row: stereo WAVE_FORMAT_EXTENSIBLE PCM16 —
+                # 40-byte fmt chunk, 68 + 4*ns total — putting the
+                # fmt-0xFFFE/KSDATAFORMAT parse under the driver hash.
                 if fmt == 9:
                     payload = MC.encode_au(wave, 16000, codec="mulaw")
                 elif fmt == 10:
@@ -185,7 +190,8 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                         wave, 16000, bits=24 if fmt == 2 else None,
                         codec={5: "alaw", 6: "mulaw", 7: "ima_adpcm",
                                8: "ms_adpcm"}.get(fmt),
-                        block_align=64 if fmt in (7, 8) else None)
+                        block_align=64 if fmt in (7, 8) else None,
+                        extensible=fmt == 11)
             else:
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:

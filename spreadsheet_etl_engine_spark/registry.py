@@ -2584,11 +2584,13 @@ def get(name: str) -> RegisteredQuery:
 # ext_queries.py's change is the new registration block plus this
 # round's promoted rows only.  Late-round pass-13 edits: media_codecs
 # decode_au/decode_aiff gained named truncation/zero-rate rejections,
-# decode/encode_wav gained WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE; plain-
-# format files decode byte-identically — equivalence-pinned — and the
-# fixture emits no extensible rows yet, so the new path is pytest-
-# covered while the multimodal rows re-attest the changed module)
-# (multimodal rows, promoted) and dedup.py's embedding_lsh_pairs
+# media_codecs gained WAVE_FORMAT_EXTENSIBLE decode/encode, AU a-law
+# (27), and AIFC sowt, and synth_media's audio sub-cycle widened %11 →
+# %12 (stereo extensible PCM16 at 11, size 68 + 4*ns) so the
+# fmt-0xFFFE/KSDATAFORMAT parse sits under the driver hash — every
+# audio row's format/size moves, re-attested by the promoted
+# multimodal rows (check_promotions re-run green both SFs)
+# — and dedup.py's embedding_lsh_pairs
 # hoisted its norm fold above the band explode (result-identical,
 # bands× less fold work; executed by dedup_embedding_lsh_pairs,
 # promoted — every other dedup query executes byte-unchanged functions

@@ -94,7 +94,10 @@ MUST_BE_IN_CHECK_BUDGET = [
     # r15 changed bytes — must re-verify: media_codecs took the two
     # r14 ADVICE decoder fixes (MS ADPCM truncate-toward-zero
     # predictor division; whole-chunk-list scan so fact-after-data
-    # truncates), which execute only under the two multimodal rows.
+    # truncates) plus the r15 container additions (WAVE_FORMAT_
+    # EXTENSIBLE, AU a-law, AIFC sowt), and synth_media's audio
+    # sub-cycle widened %11 → %12 (stereo extensible PCM16 at 11) —
+    # every audio row's format and size moves, all under these rows.
     "multimodal_decode",
     "multimodal_resize_features",
     # r15 review pass 11 changed similarity.py (named codebook/dim
