@@ -2595,6 +2595,18 @@ def get(name: str) -> RegisteredQuery:
 # bands× less fold work; executed by dedup_embedding_lsh_pairs,
 # promoted — every other dedup query executes byte-unchanged functions
 # of the module and rides per the established rider rule).
+# r15 continuation: similarity.py's coarse-quantizer default moved to
+# train_centroids_sample — bounded-sample spherical k-means off the
+# SAME hash-ordered collect the PQ trainer uses (FAISS discipline:
+# faiss trains IVF centroids on a sample, not the corpus), replacing
+# the MLlib k-means|| fit whose multi-job cost was ~80% of both ANN
+# bench lines; MLlib stays the kmeans=True/"mllib" opt-in and the
+# explicit-kmeans pytest pins are unchanged.  Executes under
+# similarity_topk_ivf and similarity_topk_ivfpq (both head-seated
+# above; recall re-measured 0.88-0.96 in-query at both SFs, the
+# ivfpq pytest recall/determinism/precomputed-path gates green, 10x
+# scale probe re-run drained).  topk_pq / topk_bruteforce /
+# assign_centroid bytes unchanged — their queries ride.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like
