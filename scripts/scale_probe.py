@@ -666,8 +666,10 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
     16-bit / Adam7 PNG / baseline JPEG / progressive JPEG / G4-scan
     TIFF / LZW TIFF / bilevel-TILED-G4 TIFF / planar-2 TIFF (the two
     r13 layouts — per-tile CCITT decode is the heaviest per-row
-    kernel, so the curve must include it), videos are 4-frame animated
-    GIFs, audio cycles PCM16 / G.711 mu-law / IMA ADPCM / MS ADPCM WAV
+    kernel, so the curve must include it), videos cycle 4-frame
+    animated GIF / AVI-DIB / AVI-MJPEG (r15 — per-frame JFIF entropy
+    decode under the curve), audio cycles PCM16 / G.711 mu-law /
+    IMA ADPCM / MS ADPCM WAV
     (r14 — the block decoders' sequential-within-block loop must sit
     under the curve: a per-sample Python regression there would read
     as a superlinear wall blowup)."""
@@ -732,11 +734,23 @@ def synth_media_distributed(spark: SparkSession, n: int) -> DataFrame:
                                "ms_adpcm")[ac],
                         block_align=32 if ac >= 2 else None)
                 else:
-                    pal = ((np.arange(48) * 3 + i) % 256
-                           ).astype(np.uint8).reshape(16, 3)
-                    frames = ((np.arange(4 * 12 * 16).reshape(4, 12, 16)
-                               * (i + 1)) % 16).astype(np.uint8)
-                    payload = GC.encode_gif(frames, pal)
+                    vc = (i // 3) % 3
+                    if vc == 0:
+                        pal = ((np.arange(48) * 3 + i) % 256
+                               ).astype(np.uint8).reshape(16, 3)
+                        frames = ((np.arange(4 * 12 * 16)
+                                   .reshape(4, 12, 16)
+                                   * (i + 1)) % 16).astype(np.uint8)
+                        payload = GC.encode_gif(frames, pal)
+                    else:
+                        # r15: the AVI container joins the curve — DIB
+                        # (buffer-view frames) and MJPEG (per-frame JFIF
+                        # entropy decode, the heaviest video kernel).
+                        rgb = ((np.arange(4 * 12 * 16 * 3)
+                                .reshape(4, 12, 16, 3)
+                                * (i + 1)) % 256).astype(np.uint8)
+                        payload = MC.encode_avi(
+                            rgb, codec="dib" if vc == 1 else "mjpeg")
                 rows.append((i, kind, payload, i % 7))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "data", "source_doc"])

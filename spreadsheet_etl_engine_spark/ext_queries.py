@@ -1118,7 +1118,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 4
                   ELSE 1 END AS bps,
              (i // 3) % 12 AS wfmt,
-             (i // 3) % 3 AS vc
+             -- r15: the video cycle widened %3 -> %5 (AVI-DIB at 3,
+             -- AVI-MJPEG at 4 — the real RIFF video container)
+             (i // 3) % 5 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,
@@ -1176,8 +1178,16 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  -- replaces the plain 16-byte one (+24), body 4*ns
                  WHEN 11 THEN 68 + 4 * ns
                  ELSE 44 + bps * ns + (bps * ns) % 2 END
+               -- video: the fake header and AVI-DIB (r15) have closed
+               -- forms — DIB is 232 fixed container bytes + per frame
+               -- (8 chunk header + 16 idx1 entry + h 4-aligned BGR
+               -- rows); GIF/TIFF/AVI-MJPEG are entropy-coded (0 here,
+               -- pinned via dims + frame/page walks)
                ELSE CASE vc WHEN 0 THEN
-                    11 + len(CAST(nf AS VARCHAR)) + plen ELSE 0 END
+                    11 + len(CAST(nf AS VARCHAR)) + plen
+                    WHEN 3 THEN
+                    232 + nf * (24 + ih * ((3 * iw + 3) // 4 * 4))
+                    ELSE 0 END
              END AS sized_bytes
       FROM m
     )
@@ -1210,7 +1220,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = F.when(
         ((F.col("kind") == "image") & (F.expr("(media_id DIV 3) % 9") <= 6))
         | (F.col("kind") == "audio")
-        | ((F.col("kind") == "video") & (F.expr("(media_id DIV 3) % 3") == 0)),
+        # video closed forms (r15): the fake header and AVI-DIB rows
+        | ((F.col("kind") == "video")
+           & F.expr("(media_id DIV 3) % 5").isin(0, 3)),
         F.col("n_bytes"),
     ).otherwise(F.lit(0))
     return decoded.groupBy("kind").agg(
@@ -1253,7 +1265,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              4 + i % 8 AS nf,
              2 + i % 3 AS npages,
              (i // 3) % 12 AS wfmt,
-             (i // 3) % 3 AS vc
+             -- r15: the video cycle is %5 (AVI-DIB at 3, AVI-MJPEG at
+             -- 4); both resize every frame like GIF/TIFF, so only the
+             -- vc arithmetic changes here
+             (i // 3) % 5 AS vc
       FROM range(96) t(i)
     ), meta AS (
       SELECT kind,

@@ -43,6 +43,12 @@ Real decode/encode with no media libraries needed:
   like video frames); BigTIFF/tiles/16-bit/CCITT stay gated
   (``tiff_codec``).
 
+* **AVI** (RIFF video, r15) — real container mux/demux with
+  uncompressed-DIB and Motion-JPEG streams (``avi_codec``, re-exported
+  as ``decode_avi`` / ``encode_avi`` / ``count_avi_frames`` /
+  ``probe_avi_dims``); frames are independent, so the sampled-frame
+  path decodes only what it keeps.
+
 Still genuinely out of reach without PIL/cv2/ffmpeg: MP3 and
 H.264 — those stay behind
 the marked extension points in ``operators.multimodal``.  These codecs
@@ -58,6 +64,13 @@ import zlib
 
 import numpy as np
 
+from spreadsheet_etl_engine_spark.functions.avi_codec import (  # noqa: F401
+    count_avi_frames,
+    decode_avi,
+    encode_avi,
+    probe_avi_codec,
+    probe_avi_dims,
+)
 from spreadsheet_etl_engine_spark.functions.gif_codec import (  # noqa: F401
     count_gif_frames,
     decode_gif,
@@ -1494,10 +1507,10 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
 
 
 def sniff(data: bytes) -> str:
-    """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'png' |
-    'jpeg' | 'gif' | 'tiff' | 'fake' | 'unknown'.  RIFF alone is not
-    enough for WAV — WebP/AVI are RIFF containers too, so the WAVE fourcc
-    is required.  JPEG is SOI followed by another marker (all JFIF/EXIF/
+    """Container detection by magic bytes: 'bmp' | 'ppm' | 'wav' | 'avi' |
+    'png' | 'jpeg' | 'gif' | 'tiff' | 'fake' | 'unknown'.  RIFF alone is
+    not enough for WAV — WebP/AVI are RIFF containers too, so the form
+    fourcc routes ('WAVE' vs 'AVI ', r15; WebP stays unknown).  JPEG is SOI followed by another marker (all JFIF/EXIF/
     raw streams start FF D8 FF).  The tiff branch matches classic TIFF
     (magic 42) AND BigTIFF (magic 43) in both byte orders — tiff_codec
     decodes both, so the sniffer must route both (r12 ADVICE)."""
@@ -1516,6 +1529,8 @@ def sniff(data: bytes) -> str:
         return "tiff"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return "avi"                     # real video container (r15)
     if head[:4] == b".snd":
         return "au"                      # Sun/NeXT audio (r14)
     if head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):

@@ -78,10 +78,12 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
     PCM32 / IEEE float32, G.711 a-law / mu-law (r13), stereo IMA /
     MS ADPCM blocks, Sun AU mu-law, stereo big-endian AIFF (r14),
     stereo WAVE_FORMAT_EXTENSIBLE PCM16 (r15)),
-    and video rows cycle fake header / animated GIF / multi-page TIFF
-    (r13 — the TIFF rows sub-cycle G4-bilevel, LZW-RGB-with-predictor,
-    and the tiled organization, so the scanned-document compressions
-    all sit under the driver hash).  PNG rows use ``level=0`` (stored
+    and video rows cycle fake header / animated GIF / multi-page TIFF /
+    AVI-DIB / AVI-MJPEG (r13 TIFF rows sub-cycle G4-bilevel,
+    LZW-RGB-with-predictor, and the tiled organization, so the
+    scanned-document compressions all sit under the driver hash; the
+    r15 AVI rows put the RIFF video mux/demux there too — DIB with its
+    closed-form size, MJPEG via per-frame JFIF streams).  PNG rows use ``level=0`` (stored
     deflate blocks) and WAV bodies are even-length, so their byte sizes
     stay closed formulas the generative oracle can recompute (the Adam7
     row's formula sums the seven per-pass scanline blocks); the
@@ -196,8 +198,22 @@ def synth_media(spark: SparkSession, n: int = 96, *, real: bool = False) -> Data
                 payload = (f"AUD:{1000 + i}@16000:" + "p" * (i % 17 + 1)).encode()
         else:
             nf = 4 + i % 8
-            vcontainer = (i // 3) % 3 if real else 0
-            if vcontainer == 1:
+            vcontainer = (i // 3) % 5 if real else 0
+            if vcontainer in (3, 4):
+                # AVI (r15): the real RIFF video container.  Row 3 is
+                # uncompressed DIB — the one video container with a
+                # CLOSED-FORM byte size (232 + nf*(24 + h*4-aligned
+                # rows)), so the generative oracle pins its exact
+                # bytes like BMP/PNG/WAV; row 4 is Motion-JPEG (one
+                # complete baseline JFIF stream per frame), pinned
+                # via probe dims + the movi chunk-walk frame count.
+                w, h = 8 + i % 16, 6 + i % 8
+                frames = ((np.arange(nf * h * w * 3)
+                           .reshape(nf, h, w, 3) * (i + 1)) % 256
+                          ).astype(np.uint8)
+                payload = MC.encode_avi(
+                    frames, codec="dib" if vcontainer == 3 else "mjpeg")
+            elif vcontainer == 1:
                 # Animated GIF (r13): nf full frames of deterministic
                 # 16-color index gradients — count_gif_frames must walk
                 # the real block structure to nf, and decode_sampled_
@@ -335,6 +351,12 @@ def _decode_any(data: bytes) -> tuple[int, int, int]:
             # video frames — O(IFD chain), strips never touched.
             w, h = MC.probe_tiff_dims(raw)
             return w, h, MC.count_tiff_pages(raw)
+        if kind == "avi":
+            # Real video container (r15): dims from the hdrl
+            # BITMAPINFOHEADER probe, frame count from the O(chunk
+            # headers) movi structure walk — frame payloads never read.
+            w, h = MC.probe_avi_dims(raw)
+            return w, h, MC.count_avi_frames(raw)
         if kind == "wav":
             samples, _rate = MC.decode_wav(raw)
             return samples.shape[0], samples.shape[1], 1
@@ -407,16 +429,20 @@ def extract_features(df: DataFrame) -> DataFrame:
         raw = b"" if data is None else bytes(data)
         container = MC.sniff(raw)
         try:
-            if container in ("bmp", "ppm", "png", "jpeg", "gif", "tiff"):
+            if container in ("bmp", "ppm", "png", "jpeg", "gif", "tiff",
+                             "avi"):
                 decoded = (MC.decode_bmp(raw) if container == "bmp"
                            # P5/P4 decode single-channel (r12): same
                            # gray-replication as PNG/TIFF
                            else MC.to_rgb(MC.decode_ppm(raw)) if container == "ppm"
                            else MC.to_rgb(MC.decode_png(raw)) if container == "png"
                            else MC.decode_gif(raw)[0] if container == "gif"
-                           # GIF/TIFF: first frame/page embedding — the
-                           # per-frame fan-out is decode_sampled_frames
+                           # GIF/TIFF/AVI: first frame/page embedding —
+                           # the per-frame fan-out is
+                           # decode_sampled_frames (AVI decodes ONLY
+                           # frame 0: independent keyframes, r15)
                            else MC.to_rgb(MC.decode_tiff(raw)) if container == "tiff"
+                           else MC.decode_avi(raw, indices=[0])[0] if container == "avi"
                            else MC.to_rgb(MC.decode_jpeg(raw)))
                 # 16-bit PNG decodes to uint16: normalize by the sample
                 # dtype's max so an image carries the same embedding at
@@ -529,6 +555,16 @@ def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
                             [MC.resize_nearest(p, width, height)
                              for p in MC.decode_tiff_pages(raw)],
                             compression="lzw")
+                    elif container == "avi":
+                        # Every frame resizes, re-encoded in the SAME
+                        # stream flavor (DIB stays closed-form
+                        # uncompressed, MJPG re-entropy-codes) so the
+                        # container round-trips its codec (r15).
+                        frames = MC.decode_avi(raw)
+                        raw = MC.encode_avi(
+                            [MC.resize_nearest(f, width, height)
+                             for f in frames],
+                            codec=MC.probe_avi_codec(raw))
                     elif raw[:4] == b"IMG:":
                         _tag, _dims, payload = raw.split(b":", 2)
                         raw = b"IMG:%dx%d:" % (width, height) + payload
@@ -609,22 +645,34 @@ def decode_sampled_frames(df: DataFrame, *, every_k: int = 2) -> DataFrame:
                     pdf["media_id"], pdf["data"], pdf["frame_idxs"]):
                 raw = b"" if data is None else bytes(data)
                 container = MC.sniff(raw)
+                kept = sorted({int(i) for i in idxs if int(i) >= 0})
                 try:
                     if container == "gif":
                         frames = list(MC.decode_gif(raw))
+                        pairs = [(i, frames[i]) for i in kept
+                                 if i < len(frames)]
                     elif container == "tiff":
                         # Pages may differ in size — kept as a list.
                         frames = [MC.to_rgb(p) if p.shape[2] != 3 else p
                                   for p in MC.decode_tiff_pages(raw)]
+                        pairs = [(i, frames[i]) for i in kept
+                                 if i < len(frames)]
+                    elif container == "avi":
+                        # AVI frames are independent keyframes (r15):
+                        # only the KEPT frames entropy-decode; the
+                        # others are seeked over by chunk size.  The
+                        # decoder returns requested-and-present frames
+                        # in ascending order, so any out-of-range tail
+                        # indexes simply pair with nothing.
+                        frames = MC.decode_avi(raw, indices=kept)
+                        pairs = list(zip(kept, frames))
                     else:
                         continue
                 except (ValueError, IndexError, struct.error):
                     continue
-                for i in sorted(int(i) for i in idxs):
-                    if 0 <= i < len(frames):
-                        f = frames[i]
-                        out.append((media_id, i, f.shape[1], f.shape[0],
-                                    MC.encode_png(f)))
+                for i, f in pairs:
+                    out.append((media_id, i, f.shape[1], f.shape[0],
+                                MC.encode_png(f)))
             yield pd.DataFrame(out, columns=cols)
 
     return joined.mapInPandas(gen, SAMPLED_FRAME_SCHEMA)

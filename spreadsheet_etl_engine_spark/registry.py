@@ -2607,6 +2607,17 @@ def get(name: str) -> RegisteredQuery:
 # ivfpq pytest recall/determinism/precomputed-path gates green, 10x
 # scale probe re-run drained).  topk_pq / topk_bruteforce /
 # assign_centroid bytes unchanged — their queries ride.
+# r15 continuation 2: AVI — the real RIFF video container
+# (functions/avi_codec.py: DIB + Motion-JPEG mux/demux, O(header) dim
+# probe, O(chunk-headers) movi frame walk, indices-only sampled
+# decode) — joined the codec layer, and synth_media's VIDEO sub-cycle
+# widened %3 → %5 (AVI-DIB at 3 with the closed-form size
+# 232 + nf*(24 + h*((3w+3)//4*4)) in the oracle's sized_bytes pin,
+# AVI-MJPEG at 4 pinned via probe dims + the frame walk).  Every
+# video row's container assignment moves, re-attested by the two
+# promoted multimodal rows (check_promotions green both SFs).
+# extract_features/resize_images/decode_sampled_frames gained avi
+# branches executing ONLY under those two rows.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like

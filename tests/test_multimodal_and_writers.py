@@ -1075,12 +1075,13 @@ def test_png_adam7_fail_loud_gates():
 
 def test_synth_media_new_containers_spark_pipeline(spark):
     """The real-container fixture (r12 PNG surface + r13 JPEG/GIF/TIFF/
-    WAV-format rows) flows through decode -> resize -> feature-extract
-    on the Arrow path: true dims from the O(header) probes, every image
-    AND every real video container (GIF/TIFF) payload changed by the
-    4x2 resize with its frame/page count preserved, audio + fake-video
-    rows byte-identical, every feature vector 8-wide with the exact
-    w/4096, h/4096 slots on the resized rows."""
+    WAV-format rows + r15 AVI rows) flows through decode -> resize ->
+    feature-extract on the Arrow path: true dims from the O(header)
+    probes, every image AND every real video container (GIF/TIFF/AVI)
+    payload changed by the 4x2 resize with its frame/page count
+    preserved, audio + fake-video rows byte-identical, every feature
+    vector 8-wide with the exact w/4096, h/4096 slots on the resized
+    rows."""
     import numpy as np
 
     media = MM.synth_media(spark, 96, real=True)
@@ -1089,17 +1090,18 @@ def test_synth_media_new_containers_spark_pipeline(spark):
     for i, row in dec.items():
         if row["kind"] == "image":
             assert (row["width"], row["height"]) == (8 + i % 16, 6 + i % 8)
-        elif row["kind"] == "video" and (i // 3) % 3 > 0:
+        elif row["kind"] == "video" and (i // 3) % 5 > 0:
             # r13: GIF (vc=1) / multi-page TIFF (vc=2) video rows carry
-            # real probe dims and REAL frame/page counts.
+            # real probe dims and REAL frame/page counts; r15 widened
+            # the cycle to %5 with AVI-DIB (3) and AVI-MJPEG (4).
             assert (row["width"], row["height"]) == (8 + i % 16, 6 + i % 8)
-            want = (2 + i % 3) if (i // 3) % 3 == 2 else (4 + i % 8)
+            want = (2 + i % 3) if (i // 3) % 5 == 2 else (4 + i % 8)
             assert row["n_frames"] == want, i
     resized = MM.resize_images(media, width=4, height=2)
     rdec = {r["media_id"]: r for r in MM.decode_media(resized).collect()}
     for i, row in rdec.items():
         if row["kind"] == "image" or (
-                row["kind"] == "video" and (i // 3) % 3 > 0):
+                row["kind"] == "video" and (i // 3) % 5 > 0):
             assert (row["width"], row["height"]) == (4, 2), i
             assert row["payload_hash"] != dec[i]["payload_hash"], i
             assert row["n_frames"] == dec[i]["n_frames"], i
@@ -1111,7 +1113,7 @@ def test_synth_media_new_containers_spark_pipeline(spark):
     for i, v in feats.items():
         assert len(v) == MM.FEATURE_DIM
         if dec[i]["kind"] == "image" or (
-                dec[i]["kind"] == "video" and (i // 3) % 3 > 0):
+                dec[i]["kind"] == "video" and (i // 3) % 5 > 0):
             assert v[6] == np.float32(4 / 4096.0) and \
                 v[7] == np.float32(2 / 4096.0), i
 
@@ -2947,3 +2949,181 @@ def test_netpbm_p5_p4_variants(spark):
                for r in MM.resize_images(media, width=7, height=4).collect()}
     assert resized[2].startswith(b"P5")                # gray stays gray
     assert MC.decode_ppm(resized[2]).shape == (4, 7, 1)
+
+
+def test_avi_codec_roundtrip_and_probes():
+    """r15: AVI — the real RIFF video container.  DIB streams round-trip
+    bit-exact with the closed-form byte size the generative oracle
+    recomputes; MJPEG streams carry one standalone JFIF per frame and
+    only the requested frames entropy-decode on the sampled path; the
+    structures real muxers emit (JUNK, 'rec ' grouping, non-video
+    streams, RIFF pad bytes) demux; everything else rejects by name."""
+    import struct
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    nf, h, w = 5, 6, 9
+    frames = ((np.arange(nf * h * w * 3).reshape(nf, h, w, 3) * 7) % 256
+              ).astype(np.uint8)
+
+    # DIB: sniff routes, closed-form size, bit-exact round trip.
+    dib = MC.encode_avi(frames, codec="dib")
+    stride = (3 * w + 3) // 4 * 4
+    assert MC.sniff(dib) == "avi"
+    assert len(dib) == 232 + nf * (24 + h * stride)
+    assert MC.probe_avi_dims(dib) == (w, h)
+    assert MC.probe_avi_codec(dib) == "dib"
+    assert MC.count_avi_frames(dib) == nf
+    assert all(np.array_equal(d, f)
+               for d, f in zip(MC.decode_avi(dib), frames))
+
+    # MJPEG: probes + bounded reconstruction error + sampled decode
+    # returns exactly the requested present frames in order.
+    mj = MC.encode_avi(frames, codec="mjpeg", quality=90)
+    assert MC.probe_avi_codec(mj) == "mjpeg"
+    assert (MC.probe_avi_dims(mj), MC.count_avi_frames(mj)) == ((w, h), nf)
+    full = MC.decode_avi(mj)
+    assert len(full) == nf
+    err = np.abs(full[0].astype(int) - frames[0].astype(int)).mean()
+    assert err < 12.0, err
+    some = MC.decode_avi(mj, indices=[3, 0, 99])
+    assert len(some) == 2                      # 99 is out of range
+    assert np.array_equal(some[0], full[0])
+    assert np.array_equal(some[1], full[3])
+
+    # Determinism: byte-identical re-encode (the driver hash relies on
+    # synth_media being a pure function of the row index).
+    assert MC.encode_avi(frames, codec="mjpeg", quality=90) == mj
+
+    # Demux tolerance: JUNK before hdrl, a 'rec ' grouping LIST around
+    # the first two frames, an odd-sized foreign chunk (pad byte), and
+    # an 'auds' stream occupying stream 0 so video chunk ids are 01xx.
+    def chunk(cc, payload):
+        return cc + struct.pack("<I", len(payload)) + payload \
+            + (b"\x00" if len(payload) % 2 else b"")
+
+    def lst(fourcc, payload):
+        return chunk(b"LIST", fourcc + payload)
+
+    # re-extract the exact on-disk DIB payloads from the clean file
+    pay = []
+    pos = dib.find(b"movi") + 4
+    for _ in range(nf):
+        size = struct.unpack_from("<I", dib, pos + 4)[0]
+        pay.append(dib[pos + 8:pos + 8 + size])
+        pos += 8 + size + size % 2
+    avih = struct.pack("<10I", 100000, 0, 0, 0x10, nf, 0, 2,
+                       max(len(p) for p in pay), w, h) + b"\x00" * 16
+    strh_a = struct.pack("<4s4sIHHIIIIIIiI4H", b"auds", b"\x00" * 4,
+                         0, 0, 0, 0, 1, 8000, 0, 0, 0, -1, 1, 0, 0, 0, 0)
+    strf_a = struct.pack("<HHIIHHH", 1, 1, 8000, 8000, 1, 8, 0)
+    strh_v = struct.pack("<4s4sIHHIIIIIIiI4H", b"vids", b"DIB ",
+                         0, 0, 0, 0, 1, 10, 0, nf,
+                         max(len(p) for p in pay), -1, 0, 0, 0, w, h)
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         h * stride, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh_a) + chunk(b"strf", strf_a))
+               + lst(b"strl", chunk(b"strh", strh_v) + chunk(b"strf", strf_v)))
+    movi_inner = (lst(b"rec ", chunk(b"01db", pay[0]) + chunk(b"01db", pay[1]))
+                  + chunk(b"zzzz", b"\x01\x02\x03")       # odd: pad byte
+                  + b"".join(chunk(b"01db", p) for p in pay[2:]))
+    body = chunk(b"JUNK", b"\x00" * 10) + hdrl + lst(b"movi", movi_inner)
+    messy = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    assert MC.probe_avi_dims(messy) == (w, h)
+    assert MC.count_avi_frames(messy) == nf
+    assert all(np.array_equal(d, f)
+               for d, f in zip(MC.decode_avi(messy), frames))
+
+    # Named rejections — every failure mode says what and why.
+    with pytest.raises(ValueError, match="RIFF"):
+        MC.decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="overruns"):
+        MC.decode_avi(dib[:40])
+    with pytest.raises(ValueError, match="XVID"):
+        MC.decode_avi(mj.replace(b"MJPG", b"XVID"))
+    with pytest.raises(ValueError, match="no video"):
+        no_vids = b"RIFF" + struct.pack("<I", len(hdrl2 := lst(
+            b"hdrl", chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh_a)
+                  + chunk(b"strf", strf_a)))) + 4) + b"AVI " + hdrl2
+        MC.probe_avi_dims(no_vids)
+    with pytest.raises(ValueError, match="codec must be"):
+        MC.encode_avi(frames, codec="h264")
+    with pytest.raises(ValueError, match="at least one frame"):
+        MC.encode_avi([])
+    with pytest.raises(ValueError, match="one size"):
+        MC.encode_avi([frames[0], frames[1][:4]])
+    with pytest.raises(ValueError, match="frame rate"):
+        MC.encode_avi(frames, fps=0)
+    # DIB depth: patch biBitCount 24 -> 16 in the strf.
+    i16 = dib.find(struct.pack("<IiiHH", 40, w, h, 1, 24))
+    bad_depth = dib[:i16 + 14] + struct.pack("<H", 16) + dib[i16 + 16:]
+    with pytest.raises(ValueError, match="depth 16"):
+        MC.decode_avi(bad_depth)
+    # Truncated DIB frame payload: named, not a numpy reshape error.
+    short = bytearray(dib)
+    p0 = dib.find(b"00db")
+    struct.pack_into("<I", short, p0 + 4, 8)  # lie: frame is 8 bytes
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        MC.decode_avi(bytes(short))
+
+
+def test_avi_through_spark_pipeline(spark):
+    """r15: the AVI rows end-to-end through every multimodal kernel —
+    decode (probe dims + movi frame walk), first-frame features with
+    the exact dim slots, resize preserving the stream flavor and frame
+    count, and the sampled-frame path decoding only kept frames."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    nf, h, w = 6, 8, 10
+    frames = ((np.arange(nf * h * w * 3).reshape(nf, h, w, 3) * 3) % 256
+              ).astype(np.uint8)
+    rows = [
+        (1, "video", MC.encode_avi(frames, codec="dib"), 0),
+        (2, "video", MC.encode_avi(frames, codec="mjpeg"), 0),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+
+    dec = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    for m in (1, 2):
+        assert (dec[m]["width"], dec[m]["height"], dec[m]["n_frames"]) \
+            == (w, h, nf)
+
+    feats = {r["media_id"]: r["feature"]
+             for r in MM.extract_features(media).collect()}
+    for m in (1, 2):
+        # slots 7/8 are w/4096, h/4096 — the first-frame image path.
+        assert feats[m][6] == pytest.approx(w / 4096.0)
+        assert feats[m][7] == pytest.approx(h / 4096.0)
+    # DIB features are computed on exact pixels: match a direct BMP of
+    # frame 0.
+    bmp_row = spark.createDataFrame(
+        [(3, "image", MC.encode_bmp(frames[0]), 0)], MM.MEDIA_SCHEMA)
+    f_bmp = MM.extract_features(bmp_row).collect()[0]["feature"]
+    assert np.allclose(feats[1], f_bmp, atol=1e-6)
+
+    resized = {r["media_id"]: bytes(r["data"])
+               for r in MM.resize_images(media, width=4, height=2).collect()}
+    for m, flavor in ((1, "dib"), (2, "mjpeg")):
+        assert MC.sniff(resized[m]) == "avi"
+        assert MC.probe_avi_codec(resized[m]) == flavor  # flavor kept
+        assert MC.probe_avi_dims(resized[m]) == (4, 2)
+        assert MC.count_avi_frames(resized[m]) == nf
+    # DIB resize is exact nearest-neighbor: compare against the kernel.
+    want = MC.resize_nearest(frames[0], 4, 2)
+    assert np.array_equal(MC.decode_avi(resized[1], indices=[0])[0], want)
+
+    sampled = MM.decode_sampled_frames(media, every_k=2)
+    got = {(r["media_id"], r["frame_idx"]): r for r in sampled.collect()}
+    assert {k for k in got} == {(m, i) for m in (1, 2)
+                               for i in range(0, nf, 2)}
+    for (m, i), r in got.items():
+        assert (r["width"], r["height"]) == (w, h)
+        if m == 1:  # DIB frames re-encode losslessly to PNG
+            assert np.array_equal(
+                MC.decode_png(bytes(r["frame_png"])), frames[i])
