@@ -2618,6 +2618,16 @@ def get(name: str) -> RegisteredQuery:
 # promoted multimodal rows (check_promotions green both SFs).
 # extract_features/resize_images/decode_sampled_frames gained avi
 # branches executing ONLY under those two rows.
+# r15 continuation 3 (review pass 15, sources/xlsx_native.py): the
+# xlsx READ path gained Excel-grid-cap guards (hostile r=/cell refs
+# were an unbounded-allocation path), range-checked shared-string
+# indexes (a negative index silently read the LAST entry via
+# Python's end-relative lookup), and container-error normalization
+# (BadZipFile/ParseError/KeyError → named ValueError).  Executes
+# under dsl_workbook_job (already head-seated above) and
+# dsl_xlsx_roundtrip — promoted below per the changed-code-over-
+# fillers invariant, displacing the dedup_simhash filler to the r16
+# queue.  The write path is byte-unchanged.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like
@@ -2681,7 +2691,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signature",
     "dedup_ngram_jaccard_pairs",
     "dedup_paragraphs",
-    "dedup_simhash",
+    # --- r15 continuation: changed-code promotion (review pass 15
+    # xlsx read-path hardening) takes the final filler seat;
+    # dedup_simhash leads the r16 freshness queue instead ---
+    "dsl_xlsx_roundtrip",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -33,8 +33,22 @@ instead).  Cells come back as *display strings* plus a per-cell
 numeric-typed flag so callers can do typed-column inference.
 
 Scale stance: xlsx is a driver-side, spreadsheet-sized format (Excel's
-own grid caps at ~1M rows); the distributed sinks are parquet/CSV
-(``writers.py``).  Collecting here is by design, bounded by ``max_rows``.
+own grid caps at 1,048,576 rows x 16,384 columns — the same caps this
+reader enforces as named errors, since a corrupt ``r=`` attribute would
+otherwise demand an arbitrarily large grid allocation before any other
+validation fires); the distributed sinks are parquet/CSV
+(``writers.py``).  Driver-side materialization here is by design.
+
+Display-string contract (r15 review pass 15): number cells read back as
+their raw ``<v>`` text — for files THIS codec wrote that is the shortest
+round-trip repr, but foreign writers may store exponent notation
+(``1.5E2``) and date cells are stored as day serials with a style
+reference, so a foreign date cell reads as its serial text, not a
+formatted date (this engine's datetime path is typed parquet/CSV, not
+spreadsheet styles).  Corrupt containers (non-zip bytes, malformed XML,
+missing parts, dangling relationships, out-of-range shared-string
+indexes) raise ``ValueError`` with the reason named — never a raw
+``BadZipFile`` / ``ParseError`` / ``IndexError`` from the stdlib.
 """
 
 from __future__ import annotations
@@ -106,6 +120,14 @@ def column_letter(col: int) -> str:
 
 
 _CELL_REF_RE = re.compile(r"^([A-Z]+)(\d+)$")
+
+# Excel's own grid bounds (XFD1048576).  A row/cell reference beyond
+# them is corrupt — and honoring it would allocate an arbitrarily large
+# padded grid BEFORE any content validation fires (r15 review pass 15:
+# the same fail-loud-not-OOM class the media codecs' decode budgets
+# guard).
+_MAX_ROW = 1_048_576
+_MAX_COL = 16_384
 
 # XML 1.0 forbids these control characters outright — they cannot be
 # escaped, so a cell containing one is unrepresentable in xlsx (openpyxl
@@ -243,9 +265,37 @@ def write_workbook(
 
 
 def sheet_names(path: str) -> list[str]:
-    with zipfile.ZipFile(path) as zf:
-        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    with _open_workbook(path) as zf:
+        wb = _parse_part(zf, "xl/workbook.xml")
         return [s.get("name") for s in wb.iter(_tag("sheet"))]
+
+
+def _open_workbook(path: str) -> zipfile.ZipFile:
+    """Open an xlsx container with the corrupt-bytes error normalized:
+    a non-zip file raises ``ValueError`` naming the problem, not a raw
+    ``zipfile.BadZipFile`` (r15 review pass 15 — the read path's error
+    surface is ValueError, like every codec here)."""
+    try:
+        return zipfile.ZipFile(path)
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"{path!r} is not an xlsx workbook "
+                         f"(not a ZIP container: {exc})") from exc
+
+
+def _parse_part(zf: zipfile.ZipFile, name: str) -> ET.Element:
+    """Read + parse one XML part with missing-part and malformed-XML
+    errors normalized to named ValueErrors (KeyError / ParseError — a
+    SyntaxError subclass — would otherwise escape the read path)."""
+    try:
+        data = zf.read(name)
+    except KeyError:
+        raise ValueError(
+            f"xlsx workbook is missing required part {name!r}") from None
+    try:
+        return ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(
+            f"xlsx part {name!r} is not well-formed XML: {exc}") from exc
 
 
 def _tag(name: str) -> str:
@@ -253,11 +303,9 @@ def _tag(name: str) -> str:
 
 
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
-    try:
-        data = zf.read("xl/sharedStrings.xml")
-    except KeyError:
-        return []
-    root = ET.fromstring(data)
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []                        # legal: all-inline workbook
+    root = _parse_part(zf, "xl/sharedStrings.xml")
     out = []
     for si in root.iter(_tag("si")):
         # <si> may hold one <t> or rich-text runs of <r><t>; join texts.
@@ -266,7 +314,7 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
 
 
 def _sheet_part(zf: zipfile.ZipFile, sheet_name: str | int) -> str:
-    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    wb = _parse_part(zf, "xl/workbook.xml")
     sheets = list(wb.iter(_tag("sheet")))
     if not sheets:
         raise ValueError("workbook has no sheets")
@@ -282,7 +330,7 @@ def _sheet_part(zf: zipfile.ZipFile, sheet_name: str | int) -> str:
             raise ValueError(f"no sheet named {sheet_name!r}; workbook has {names}")
         chosen = match[0]
     rid = chosen.get(f"{{{REL_NS}}}id")
-    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rels = _parse_part(zf, "xl/_rels/workbook.xml.rels")
     for rel in rels.iter(f"{{{PKG_REL_NS}}}Relationship"):
         if rel.get("Id") == rid:
             target = rel.get("Target")
@@ -299,9 +347,9 @@ def read_workbook(
     marks, per cell, whether the source cell was a number cell — the hook
     ``readers.read_excel`` uses for typed-column inference.
     """
-    with zipfile.ZipFile(path) as zf:
+    with _open_workbook(path) as zf:
         shared = _shared_strings(zf)
-        root = ET.fromstring(zf.read(_sheet_part(zf, sheet_name)))
+        root = _parse_part(zf, _sheet_part(zf, sheet_name))
         grid: list[list[str]] = []
         flags: list[list[bool]] = []
         for rpos, row in enumerate(root.iter(_tag("row")), start=1):
@@ -312,6 +360,12 @@ def read_workbook(
                 rn = int(row.get("r", rpos))
             except ValueError:
                 rn = rpos
+            if rn < 1:
+                rn = rpos                # corrupt r=0/negative: sequential
+            if rn > _MAX_ROW:
+                raise ValueError(
+                    f"xlsx row reference r={rn} exceeds Excel's "
+                    f"{_MAX_ROW}-row grid; the file is corrupt")
             while len(grid) < rn:
                 grid.append([])
                 flags.append([])
@@ -336,6 +390,11 @@ def read_workbook(
                 # sparse rows) — element position would relocate values
                 # leftwards past the gaps.
                 idx = letters_to_ordinal(m.group(1)) if m else prev_idx + 1
+                if idx > _MAX_COL:
+                    raise ValueError(
+                        f"xlsx cell reference {ref or idx!r} exceeds "
+                        f"Excel's {_MAX_COL}-column grid; the file is "
+                        "corrupt")
                 prev_idx = idx
                 ctype = c.get("t", "n")
                 v = c.find(_tag("v"))
@@ -347,7 +406,22 @@ def read_workbook(
                     ) if is_el is not None else ""
                     put(idx, text, False)
                 elif ctype == "s":
-                    put(idx, shared[int(v.text)] if v is not None else "", False)
+                    if v is None:
+                        put(idx, "", False)
+                    else:
+                        try:
+                            s_idx = int(v.text)
+                            if not 0 <= s_idx < len(shared):
+                                # range-check, not bare indexing: a
+                                # negative index would silently hit
+                                # Python's end-relative lookup
+                                raise IndexError
+                        except (ValueError, IndexError):
+                            raise ValueError(
+                                f"xlsx cell {ref or idx} references "
+                                f"shared string {v.text!r}, outside the "
+                                f"{len(shared)}-entry table") from None
+                        put(idx, shared[s_idx], False)
                 elif f is not None:
                     # Formula wins even when a cached <v> is present —
                     # Excel always writes the cached value alongside <f>,

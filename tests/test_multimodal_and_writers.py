@@ -3127,3 +3127,108 @@ def test_avi_through_spark_pipeline(spark):
         if m == 1:  # DIB frames re-encode losslessly to PNG
             assert np.array_equal(
                 MC.decode_png(bytes(r["frame_png"])), frames[i])
+
+
+def test_xlsx_corrupt_container_named_errors(tmp_path):
+    """r15 review pass 15: the xlsx READ path's error surface is
+    ValueError with the reason named — corrupt containers must never
+    escape as BadZipFile / ParseError (a SyntaxError subclass!) /
+    IndexError / KeyError, and a corrupt row/cell reference must fail
+    loud at Excel's own grid caps instead of allocating an arbitrarily
+    large padded grid (the media codecs' fail-loud-not-OOM class)."""
+    import zipfile
+
+    from spreadsheet_etl_engine_spark.sources import xlsx_native as X
+
+    # Not a ZIP at all.
+    notzip = tmp_path / "fake.xlsx"
+    notzip.write_bytes(b"this is not a zip file")
+    with pytest.raises(ValueError, match="not a ZIP container"):
+        X.read_workbook(str(notzip))
+    with pytest.raises(ValueError, match="not a ZIP container"):
+        X.sheet_names(str(notzip))
+
+    # A ZIP missing the workbook part.
+    partless = tmp_path / "partless.xlsx"
+    with zipfile.ZipFile(partless, "w") as zf:
+        zf.writestr("hello.txt", "hi")
+    with pytest.raises(ValueError, match="missing required part"):
+        X.read_workbook(str(partless))
+
+    def build(sheet_xml: str, shared: str | None = None,
+              workbook: str | None = None) -> str:
+        """Minimal workbook around a given sheet1.xml payload."""
+        p = tmp_path / f"t{abs(hash((sheet_xml, shared)))}.xlsx"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("[Content_Types].xml", X._content_types(1))
+            zf.writestr("_rels/.rels", X._ROOT_RELS)
+            zf.writestr(
+                "xl/workbook.xml", workbook or (
+                    '<workbook xmlns="%s" xmlns:r="%s"><sheets>'
+                    '<sheet name="S" sheetId="1" r:id="rId1"/>'
+                    "</sheets></workbook>" % (X.SHEET_NS, X.REL_NS)))
+            zf.writestr("xl/_rels/workbook.xml.rels", X._workbook_rels(1))
+            zf.writestr("xl/styles.xml", X._STYLES)
+            if shared is not None:
+                zf.writestr("xl/sharedStrings.xml", shared)
+            zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        return str(p)
+
+    ns = X.SHEET_NS
+
+    # Malformed sheet XML.
+    with pytest.raises(ValueError, match="not well-formed XML"):
+        X.read_workbook(build("<worksheet><unclosed"))
+
+    # Hostile row reference: must be the named grid-cap error, not a
+    # billion-entry list allocation.
+    sheet = ('<worksheet xmlns="%s"><sheetData>'
+             '<row r="999999999"><c r="A999999999" t="inlineStr">'
+             "<is><t>x</t></is></c></row>"
+             "</sheetData></worksheet>" % ns)
+    with pytest.raises(ValueError, match="row reference.*exceeds"):
+        X.read_workbook(build(sheet))
+
+    # Hostile column reference, same class.
+    sheet = ('<worksheet xmlns="%s"><sheetData>'
+             '<row r="1"><c r="ZZZZ1" t="inlineStr">'
+             "<is><t>x</t></is></c></row>"
+             "</sheetData></worksheet>" % ns)
+    with pytest.raises(ValueError, match="column grid"):
+        X.read_workbook(build(sheet))
+
+    # Shared-string index out of range / negative / non-numeric — all
+    # the named table error ('-1' must NOT silently read the last
+    # entry via Python's end-relative indexing).
+    shared = ('<sst xmlns="%s" count="1" uniqueCount="1">'
+              "<si><t>only</t></si></sst>" % ns)
+    for bad in ("7", "-1", "zz"):
+        sheet = ('<worksheet xmlns="%s"><sheetData>'
+                 '<row r="1"><c r="A1" t="s"><v>%s</v></c></row>'
+                 "</sheetData></worksheet>" % (ns, bad))
+        with pytest.raises(ValueError, match="shared string"):
+            X.read_workbook(build(sheet, shared=shared))
+    # In-range shared strings still read (control for the loop above).
+    sheet = ('<worksheet xmlns="%s"><sheetData>'
+             '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+             '<row r="2"><c r="A2" t="s"><v>0</v></c></row>'
+             "</sheetData></worksheet>" % ns)
+    header, rows, _ = X.read_workbook(build(sheet, shared=shared))
+    assert header == ["only"] and rows == [["only"]]
+
+    # Dangling sheet relationship: named, not a KeyError deep in zf.read.
+    wb = ('<workbook xmlns="%s" xmlns:r="%s"><sheets>'
+          '<sheet name="S" sheetId="1" r:id="rId99"/>'
+          "</sheets></workbook>" % (X.SHEET_NS, X.REL_NS))
+    with pytest.raises(ValueError, match="relationship"):
+        X.read_workbook(build(
+            '<worksheet xmlns="%s"><sheetData/></worksheet>' % ns,
+            workbook=wb))
+
+    # Corrupt r=0: sequential fallback, not grid[-1] row merging.
+    sheet = ('<worksheet xmlns="%s"><sheetData>'
+             '<row r="0"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+             '<row><c t="inlineStr"><is><t>d</t></is></c></row>'
+             "</sheetData></worksheet>" % ns)
+    header, rows, _ = X.read_workbook(build(sheet))
+    assert header == ["h"] and rows == [["d"]]
