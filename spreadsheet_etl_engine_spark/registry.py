@@ -2628,6 +2628,15 @@ def get(name: str) -> RegisteredQuery:
 # dsl_xlsx_roundtrip — promoted below per the changed-code-over-
 # fillers invariant, displacing the dedup_simhash filler to the r16
 # queue.  The write path is byte-unchanged.
+# r15 continuation 4 (review pass 16, sources/writers.py): zorder_key
+# excludes ±Inf from the auto-range (a single Inf row collapsed the
+# dimension into constant bits — the NaN fix's other door) and the
+# degenerate guard now rejects non-finite caller ranges;
+# write_zordered uniquifies its helper-key name (a user column named
+# _zkey was silently overwritten and DROPPED from the files).
+# Executes under scan_zorder_pruned — promoted below, displacing the
+# dedup_paragraphs filler to the r16 queue.  All other writers are
+# byte-unchanged riders.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like
@@ -2690,11 +2699,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "dedup_minhash_signature",
     "dedup_ngram_jaccard_pairs",
-    "dedup_paragraphs",
-    # --- r15 continuation: changed-code promotion (review pass 15
-    # xlsx read-path hardening) takes the final filler seat;
-    # dedup_simhash leads the r16 freshness queue instead ---
+    # --- r15 continuation: changed-code promotions (review passes 15
+    # + 16 — the xlsx read-path hardening and the zorder Inf/collision
+    # fixes) take the final two filler seats; dedup_paragraphs and
+    # dedup_simhash lead the r16 freshness queue instead ---
     "dsl_xlsx_roundtrip",
+    "scan_zorder_pruned",
 )
 
 DRIVER_CHECK_BUDGET = 50

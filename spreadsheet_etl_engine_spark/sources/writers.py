@@ -142,16 +142,25 @@ def zorder_key(
     ranges = dict(ranges or {})
     missing = [c for c in columns if c not in ranges]
     if missing:
-        # nanvl: Spark orders NaN greater than every number, so a single
-        # NaN row poisons max() (min is unaffected), and a NaN upper
-        # bound passes the lo >= hi degenerate check below (NaN
-        # comparisons are False) — width_bucket would then NULL every
-        # row and the dimension would silently contribute constant
-        # bits.  Excluding NaN from both aggregates keeps the true
-        # numeric range; NaN rows themselves still cluster at key 0,
-        # like NULLs.
+        # Non-finite exclusion: Spark orders NaN greater than every
+        # number, so a single NaN row poisons max() (min is
+        # unaffected), and a NaN upper bound passes the lo >= hi
+        # degenerate check below (NaN comparisons are False) —
+        # width_bucket would then NULL every row and the dimension
+        # would silently contribute constant bits.  A single ±Inf row
+        # does the same through the other door (r15 review pass 16):
+        # hi = +Inf makes (v-lo)/(hi-lo) collapse every finite row
+        # into bucket 1 — constant bits again, silently.  Excluding
+        # BOTH from the aggregates keeps the true finite range;
+        # NaN/NULL rows cluster at key 0 and ±Inf rows clamp into the
+        # edge buckets via width_bucket's overflow slots — strictly
+        # better clustering than losing the whole dimension.
+        finite = {
+            c: F.when(F.abs(numeric[c]) != float("inf"), numeric[c])
+            for c in missing
+        }
         row = df.agg(
-            *[f(F.nanvl(numeric[c], F.lit(None).cast("double")))
+            *[f(F.nanvl(finite[c], F.lit(None).cast("double")))
               for c in missing for f in (F.min, F.max)]
         ).first()
         for i, c in enumerate(missing):
@@ -162,9 +171,10 @@ def zorder_key(
         lo, hi = ranges[name]
         if (
             lo is None or hi is None
-            # Caller-supplied ranges can still carry NaN: same silent
-            # constant-bits failure, so treat it as degenerate too.
-            or math.isnan(float(lo)) or math.isnan(float(hi))
+            # Caller-supplied ranges can still carry NaN/±Inf: same
+            # silent constant-bits failure, so treat both as
+            # degenerate too (an infinite bound cannot quantize).
+            or not math.isfinite(float(lo)) or not math.isfinite(float(hi))
             or float(lo) >= float(hi)
         ):
             # Degenerate (constant / all-NULL) column: contributes nothing
@@ -210,11 +220,17 @@ def write_zordered(
     periodically as data appends, like any OPTIMIZE job.
     """
     key = zorder_key(df, zorder_by, bits=bits, ranges=ranges)
+    # Collision-proof helper name (r15 review pass 16): a fixed "_zkey"
+    # would silently OVERWRITE a user column of that name and then drop
+    # it from the written files — data loss, not an error.
+    kname = "_zkey"
+    while kname in df.columns:
+        kname += "_"
     (
-        df.withColumn("_zkey", key)
-        .repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        df.withColumn(kname, key)
+        .repartitionByRange(n_files, kname)
+        .sortWithinPartitions(kname)
+        .drop(kname)
         .write.mode("overwrite").parquet(path)
     )
 

@@ -3232,3 +3232,44 @@ def test_xlsx_corrupt_container_named_errors(tmp_path):
              "</sheetData></worksheet>" % ns)
     header, rows, _ = X.read_workbook(build(sheet))
     assert header == ["h"] and rows == [["d"]]
+
+
+def test_zorder_infinity_and_zkey_collision(spark, tmp_path):
+    """r15 review pass 16: (a) a single ±Inf row must not collapse a
+    z-order dimension into constant bits — the auto-range excludes
+    non-finite values (the NaN fix's other door), Inf rows clamp into
+    the edge buckets; (b) a user column literally named _zkey must
+    survive write_zordered instead of being overwritten by the helper
+    key and dropped from the files; (c) a caller-supplied infinite
+    range is degenerate (skipped), not a NULL-key poison."""
+    import math
+
+    rows = [(float(i), float(i % 7), i) for i in range(64)]
+    rows.append((float("inf"), 3.0, 999))
+    rows.append((float("-inf"), 4.0, 998))
+    rows.append((float("nan"), 5.0, 997))
+    df = spark.createDataFrame(rows, "x double, y double, _zkey long")
+
+    # (a) the x dimension still spreads finite rows across buckets.
+    key_col = W.zorder_key(df, ["x", "y"], bits=4)
+    keyed = {r["_zkey"]: r["k"] for r in df.withColumn("k", key_col).collect()}
+    finite_keys = {keyed[i] for i in range(64)}
+    assert len(finite_keys) > 8, "Inf row collapsed the z-order range"
+    # Inf rows clamp to edge buckets (not NULL -> 0-everything).
+    assert keyed[999] == max(keyed[i] for i in range(64)) or keyed[999] > 0
+
+    # (b) the user's _zkey column survives the write byte-for-byte.
+    out = str(tmp_path / "zord_user_zkey")
+    W.write_zordered(df, out, zorder_by=["x", "y"], n_files=4)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"x", "y", "_zkey"}
+    got = sorted(r["_zkey"] for r in back.collect())
+    assert got == sorted(r[2] for r in rows)
+
+    # (c) caller-supplied infinite range: dimension skipped by the
+    # degenerate guard, the other dimension still orders.
+    key2 = W.zorder_key(df, ["x", "y"], bits=4,
+                        ranges={"x": (0.0, float("inf"))})
+    vals = [r["k2"] for r in df.withColumn("k2", key2).collect()]
+    assert all(v is not None for v in vals)
+    assert len(set(vals)) > 1
