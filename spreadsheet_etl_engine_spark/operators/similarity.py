@@ -4,8 +4,10 @@
   query side is broadcast, so the big side streams through one scan with
   no shuffle; ranking is a per-query window.  The right baseline, and the
   right *final reranker* at scale.
-* ``topk_ivf`` — IVF-style ANN: k-means-lite centroids assign every vector
-  to a partition (nprobe controls recall); candidate generation joins the
+* ``topk_ivf`` — IVF-style ANN: coarse centroids (bounded-sample
+  spherical k-means by default — the FAISS training discipline; MLlib
+  k-means|| as the distributed opt-in) assign every vector to a
+  partition (nprobe controls recall); candidate generation joins the
   query only against its closest centroid partitions.  This is the
   100 TB path: candidate volume drops by ~nlist/nprobe.
 * ``topk_pq`` (r14) — product quantization with asymmetric-distance
