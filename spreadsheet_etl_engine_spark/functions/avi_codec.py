@@ -65,17 +65,26 @@ def _dib_decode_frame(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 def encode_avi(frames, *, fps: int = 10, codec: str = "dib",
-               quality: int = 85) -> bytes:
+               quality: int = 85, audio=None,
+               audio_rate: int = 16000) -> bytes:
     """Frames ((nf, h, w, 3) uint8 array or list of (h, w, 3)) -> AVI
-    bytes with one 'vids' stream and an idx1 index.
+    bytes with one 'vids' stream, an optional interleaved PCM16 'auds'
+    stream, and an idx1 index.
 
-    ``codec="dib"`` writes uncompressed '00db' chunks whose total file
-    size is the closed formula ``232 + nf*(24 + h*((3w+3)//4*4))``
-    (232 = 12 RIFF + 200 hdrl + 12 movi LIST header/fourcc + 8 idx1
-    header; per frame: 8 chunk header + 4-aligned pixel rows + 16 idx1
-    entry).  ``codec="mjpeg"`` writes one complete baseline JFIF stream
-    per '00dc' chunk (tables included, so every frame decodes
-    standalone), entropy-coded — no closed size form."""
+    ``codec="dib"`` writes uncompressed '00db' chunks; with no audio
+    the total file size is the closed formula
+    ``232 + nf*(24 + h*((3w+3)//4*4))`` (232 = 12 RIFF + 200 hdrl +
+    12 movi LIST header/fourcc + 8 idx1 header; per frame: 8 chunk
+    header + 4-aligned pixel rows + 16 idx1 entry).  ``codec="mjpeg"``
+    writes one complete baseline JFIF stream per '00dc' chunk (tables
+    included, so every frame decodes standalone), entropy-coded — no
+    closed size form.
+
+    ``audio`` is an int16 array ((ns,) or (ns, channels)); the samples
+    split across nf '01wb' chunks interleaved after each frame's video
+    chunk — the standard one-chunk-per-frame-period interleave real
+    muxers produce, so seeking stays local.  PCM16 only (the WAV/AU/
+    AIFF codecs own the compressed audio formats)."""
     if codec not in ("dib", "mjpeg"):
         raise ValueError(f"AVI codec must be 'dib' or 'mjpeg'; got {codec!r}")
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
@@ -102,9 +111,50 @@ def encode_avi(frames, *, fps: int = 10, codec: str = "dib",
     nf = len(payloads)
     bufsize = max(len(p) for p in payloads)
 
+    audio_chunks: list[bytes] = []
+    audio_strl = b""
+    n_streams = 1
+    if audio is not None:
+        A = np.asarray(audio)
+        if A.dtype != np.int16:
+            raise ValueError(
+                f"AVI audio must be int16 PCM; got dtype {A.dtype} — "
+                "use the WAV/AU/AIFF codecs for other sample formats")
+        if A.ndim == 1:
+            A = A[:, None]
+        if A.ndim != 2 or A.shape[0] == 0:
+            raise ValueError("AVI audio must be a non-empty (ns,) or "
+                             "(ns, channels) array")
+        if audio_rate <= 0:
+            raise ValueError(
+                f"AVI audio rate must be positive; got {audio_rate}")
+        ns, ch = A.shape
+        block = 2 * ch
+        # One audio chunk per frame period: whole samples, remainder
+        # rides the last chunk (chunk sizes stay block-aligned → even,
+        # so the audio chunks never need RIFF pads).
+        per = ns // nf
+        bounds = [min(ns, per * i) for i in range(1, nf)] + [ns]
+        start = 0
+        interleaved = A.astype("<i2").tobytes()
+        for b_end in bounds:
+            audio_chunks.append(interleaved[start * block:b_end * block])
+            start = b_end
+        strh_a = struct.pack(
+            "<4s4sIHHIIIIIIiI4H", b"auds", b"\x00" * 4, 0, 0, 0, 0,
+            1, audio_rate, 0, ns, max(len(c) for c in audio_chunks),
+            -1, block, 0, 0, 0, 0)
+        strf_a = struct.pack(                              # WAVEFORMATEX,
+            "<HHIIHH", 1, ch, audio_rate, audio_rate * block, block, 16)
+        audio_strl = (b"LIST"
+                      + struct.pack("<I", 4 + 8 + 56 + 8 + len(strf_a))
+                      + b"strl" + b"strh" + struct.pack("<I", 56) + strh_a
+                      + b"strf" + struct.pack("<I", len(strf_a)) + strf_a)
+        n_streams = 2
+
     avih = struct.pack(
-        "<10I", 1_000_000 // fps, 0, 0, _AVIF_HASINDEX, nf, 0, 1,
-        bufsize, w, h) + b"\x00" * 16                      # dwReserved[4]
+        "<10I", 1_000_000 // fps, 0, 0, _AVIF_HASINDEX, nf, 0,
+        n_streams, bufsize, w, h) + b"\x00" * 16           # dwReserved[4]
     strh = struct.pack(
         "<4s4sIHHIIIIIIiI4H", b"vids", handler, 0, 0, 0, 0,
         1, fps, 0, nf, bufsize, -1, 0, 0, 0, w, h)
@@ -114,19 +164,25 @@ def encode_avi(frames, *, fps: int = 10, codec: str = "dib",
     strl = b"strl" + b"strh" + struct.pack("<I", 56) + strh \
         + b"strf" + struct.pack("<I", 40) + strf
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih \
-        + b"LIST" + struct.pack("<I", len(strl)) + strl
+        + b"LIST" + struct.pack("<I", len(strl)) + strl + audio_strl
 
     movi = bytearray(b"movi")
     idx = bytearray()
-    for payload in payloads:
+
+    def put(cc: bytes, payload: bytes) -> None:
         # idx1 offsets are relative to the 'movi' fourcc (the common
         # muxer convention; the demuxer below never needs idx1, it
         # walks the chunks).
-        idx += ckid + struct.pack("<III", _AVIIF_KEYFRAME,
-                                  len(movi), len(payload))
-        movi += ckid + struct.pack("<I", len(payload)) + payload
+        idx.extend(cc + struct.pack("<III", _AVIIF_KEYFRAME,
+                                    len(movi), len(payload)))
+        movi.extend(cc + struct.pack("<I", len(payload)) + payload)
         if len(payload) % 2:
-            movi += b"\x00"                                # RIFF pad
+            movi.extend(b"\x00")                           # RIFF pad
+
+    for fi, payload in enumerate(payloads):
+        put(ckid, payload)
+        if audio_chunks and audio_chunks[fi]:
+            put(b"01wb", audio_chunks[fi])
 
     body = (b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
             + b"LIST" + struct.pack("<I", len(movi)) + movi
@@ -194,6 +250,83 @@ def probe_avi_dims(data: bytes) -> tuple[int, int]:
     O(header walk), movi never touched."""
     _no, w, h, _comp, _bits = _video_stream(data)
     return w, h
+
+
+def _audio_stream(data: bytes):
+    """-> (stream_no, channels, rate, bits, format_tag) of the FIRST
+    'auds' stream, from the hdrl headers only; None if the file has no
+    audio stream."""
+    raw = bytes(data)
+    end = _riff_span(raw)
+    for cc, p, size in _chunks(raw, 12, end):
+        if cc != b"LIST" or raw[p:p + 4] != b"hdrl":
+            continue
+        stream_no = -1
+        for scc, sp, ssize in _chunks(raw, p + 4, p + size):
+            if scc != b"LIST" or raw[sp:sp + 4] != b"strl":
+                continue
+            stream_no += 1
+            want = False
+            for tcc, tp, tsize in _chunks(raw, sp + 4, sp + ssize):
+                if tcc == b"strh" and tsize >= 4:
+                    want = raw[tp:tp + 4] == b"auds"
+                elif tcc == b"strf" and want:
+                    if tsize < 16:
+                        raise ValueError(
+                            f"AVI audio strf is {tsize} bytes; "
+                            "WAVEFORMATEX needs at least 16")
+                    tag, ch, rate, _avg, _blk, bits = struct.unpack_from(
+                        "<HHIIHH", raw, tp)
+                    return stream_no, ch, rate, bits, tag
+        return None
+    raise ValueError("AVI has no hdrl header list")
+
+
+def decode_avi_audio(data: bytes):
+    """Decode the audio stream -> ((ns, channels) int16 array, rate).
+
+    Concatenates the stream's '%02dwb' movi chunks in file order (the
+    interleave is storage layout, not sample order).  PCM16
+    (``wFormatTag=1, 16 bit``) only — compressed audio-in-AVI is a
+    named error pointing at the formats the WAV codec owns; a file
+    with no audio stream is a named error too (probe with
+    ``has_avi_audio`` first)."""
+    raw = bytes(data)
+    info = _audio_stream(raw)
+    if info is None:
+        raise ValueError("AVI has no audio ('auds') stream")
+    no, ch, rate, bits, tag = info
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"AVI audio format tag={tag} bits={bits} not supported "
+            "(PCM16 only; G.711/ADPCM belong to the WAV codec)")
+    if ch < 1:
+        raise ValueError("AVI audio stream declares zero channels")
+    want = (b"%02dwb" % no,)
+    end = _riff_span(raw)
+    parts = []
+    for cc, p, size in _chunks(raw, 12, end):
+        if cc == b"LIST" and raw[p:p + 4] == b"movi":
+            for scc, sp, ssize in _chunks(raw, p + 4, p + size):
+                if scc == b"LIST" and raw[sp:sp + 4] == b"rec ":
+                    for tcc, tp, tsize in _chunks(raw, sp + 4, sp + ssize):
+                        if tcc in want:
+                            parts.append(raw[tp:tp + tsize])
+                elif scc in want:
+                    parts.append(raw[sp:sp + ssize])
+    body = b"".join(parts)
+    block = 2 * ch
+    if len(body) % block:
+        raise ValueError(
+            f"AVI audio bytes ({len(body)}) are not whole "
+            f"{block}-byte sample frames")
+    samples = np.frombuffer(body, dtype="<i2")
+    return samples.reshape(-1, ch).copy(), rate
+
+
+def has_avi_audio(data: bytes) -> bool:
+    """True when the file declares an 'auds' stream — O(header walk)."""
+    return _audio_stream(data) is not None
 
 
 def probe_avi_codec(data: bytes) -> str:

@@ -67,7 +67,9 @@ import numpy as np
 from spreadsheet_etl_engine_spark.functions.avi_codec import (  # noqa: F401
     count_avi_frames,
     decode_avi,
+    decode_avi_audio,
     encode_avi,
+    has_avi_audio,
     probe_avi_codec,
     probe_avi_dims,
 )

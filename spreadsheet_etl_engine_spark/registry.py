@@ -2637,6 +2637,13 @@ def get(name: str) -> RegisteredQuery:
 # Executes under scan_zorder_pruned — promoted below, displacing the
 # dedup_paragraphs filler to the r16 queue.  All other writers are
 # byte-unchanged riders.
+# r15 continuation 5: avi_codec gained the interleaved PCM16 'auds'
+# stream (encode_avi(audio=) / decode_avi_audio / has_avi_audio) — a
+# PURE ADDITION: the no-audio encoder byte layout is unchanged
+# (closed-form + promotion gate re-verified green both SFs), the
+# fixture carries no audio tracks, and no registry query executes the
+# new functions (pytest round-trip pins only, like codec internals).
+# The two multimodal rows ride their promoted seats.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like

@@ -3334,3 +3334,64 @@ def test_property_avi_roundtrip_and_totality():
             pass
 
     totality()
+
+
+def test_avi_audio_stream_mux_demux():
+    """r15: the AVI 'auds' stream — interleaved PCM16 chunks round-trip
+    bit-exact (mono + stereo, including remainder-sample splits and
+    ns < nf), the video stream is unaffected (frame count/walk ignore
+    '01wb' chunks and the no-audio byte layout is unchanged — the
+    fixture's closed form still holds), and non-PCM16 shapes reject by
+    name on both sides."""
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    nf, h, w = 4, 6, 9
+    frames = ((np.arange(nf * h * w * 3).reshape(nf, h, w, 3) * 7) % 256
+              ).astype(np.uint8)
+    t = np.arange(333)
+    stereo = np.stack([np.sin(t * 0.1) * 20000,
+                       np.cos(t * 0.13) * 15000], 1).astype(np.int16)
+
+    # No audio: byte layout (and the oracle's closed form) unchanged.
+    plain = MC.encode_avi(frames, codec="dib")
+    stride = (3 * w + 3) // 4 * 4
+    assert len(plain) == 232 + nf * (24 + h * stride)
+    assert not MC.has_avi_audio(plain)
+    with pytest.raises(ValueError, match="no audio"):
+        MC.decode_avi_audio(plain)
+
+    # Stereo A/V through both video codecs: audio exact, video intact.
+    for codec in ("dib", "mjpeg"):
+        av = MC.encode_avi(frames, codec=codec, audio=stereo,
+                           audio_rate=22050)
+        assert MC.has_avi_audio(av)
+        assert MC.count_avi_frames(av) == nf
+        assert MC.probe_avi_dims(av) == (w, h)
+        back, rate = MC.decode_avi_audio(av)
+        assert rate == 22050 and np.array_equal(back, stereo)
+        if codec == "dib":
+            assert all(np.array_equal(a, b)
+                       for a, b in zip(MC.decode_avi(av), frames))
+
+    # Mono 1-D input, fewer samples than frames (empty early chunks).
+    tiny = MC.encode_avi(frames, codec="dib",
+                         audio=np.arange(3, dtype=np.int16))
+    back, rate = MC.decode_avi_audio(tiny)
+    assert back.shape == (3, 1) and back[:, 0].tolist() == [0, 1, 2]
+    assert rate == 16000
+
+    # Named rejections: wrong dtype in, compressed audio out.
+    with pytest.raises(ValueError, match="int16 PCM"):
+        MC.encode_avi(frames, audio=np.zeros(5, dtype=np.float32))
+    with pytest.raises(ValueError, match="rate must be positive"):
+        MC.encode_avi(frames, audio=stereo, audio_rate=0)
+    import struct as _struct
+    av = MC.encode_avi(frames, codec="dib", audio=stereo)
+    mut = bytearray(av)
+    p = av.find(_struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16))
+    assert p > 0
+    mut[p:p + 2] = _struct.pack("<H", 2)      # wFormatTag=2 (MS ADPCM)
+    with pytest.raises(ValueError, match="format tag=2"):
+        MC.decode_avi_audio(bytes(mut))
