@@ -242,9 +242,10 @@ def probe_ivf(spark: SparkSession, reps: int, n: int) -> dict:
 def _ivfpq_recall(spark: SparkSession, n: int, k: int = 5) -> tuple[float, float]:
     """Time the IVF-ADC QUERY PATH (encode + probed-list ADC scan +
     exact rerank) with the index trained untimed — training is a
-    bounded fixed cost (MLlib coarse fit + 4096-row PQ sample) that
-    would dilute the curve this gate exists to watch: the scan work
-    that grows with the corpus."""
+    bounded fixed cost (one 4096-row hash-ordered sample feeding both
+    the coarse and residual k-means since the r15 sample-trainer
+    default; MLlib is the opt-in) that would dilute the curve this
+    gate exists to watch: the scan work that grows with the corpus."""
     from spreadsheet_etl_engine_spark.operators.similarity import (
         topk_bruteforce, topk_ivfpq, train_ivfpq,
     )
