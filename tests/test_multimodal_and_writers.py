@@ -3395,3 +3395,39 @@ def test_avi_audio_stream_mux_demux():
     mut[p:p + 2] = _struct.pack("<H", 2)      # wFormatTag=2 (MS ADPCM)
     with pytest.raises(ValueError, match="format tag=2"):
         MC.decode_avi_audio(bytes(mut))
+
+
+def test_decode_media_composes_with_structured_streaming(spark, tmp_path):
+    """r15: the multimodal kernels are STREAM-composable — the ingest
+    shape a production pipeline uses (files land, a readStream picks
+    them up, the same Arrow-batched mapInPandas decodes them
+    incrementally).  decode_media is stateless, so it must plug into a
+    file stream unchanged and produce exactly the batch result across
+    multiple micro-batches."""
+    media = MM.synth_media(spark, 48, real=True)
+    src = str(tmp_path / "media_in")
+    media.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch = {r["media_id"]: r for r in
+             MM.decode_media(spark.read.parquet(src)).collect()}
+
+    stream = (
+        spark.readStream.schema(MM.MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)      # force several micro-batches
+        .parquet(src)
+    )
+    q = (
+        MM.decode_media(stream)
+        .writeStream.format("memory").queryName("media_decoded")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = {r["media_id"]: r for r in
+                spark.sql("select * from media_decoded").collect()}
+    assert set(streamed) == set(batch)
+    for mid, row in batch.items():
+        got = streamed[mid]
+        assert (got["width"], got["height"], got["n_frames"],
+                got["n_bytes"], got["payload_hash"]) == (
+            row["width"], row["height"], row["n_frames"],
+            row["n_bytes"], row["payload_hash"]), mid
