@@ -329,6 +329,15 @@ def run_workbook(
 
     Workbook-sized by design (driver-side; the 100 TB path is
     ``run_job`` over parquet).
+
+    Preserve-and-rewrite fidelity notes (r15 review pass 17): non-output
+    sheets round-trip by DISPLAY value and cell class for strings,
+    numbers and formulas; boolean cells re-land as text cells showing
+    the same TRUE/FALSE (the reader's per-cell flag distinguishes only
+    numeric — a bool flag would be ambiguous against literal
+    "TRUE"-string cells, so the displayed value wins).  The output
+    sheet is appended last rather than rewritten in position — sheet
+    ORDER is presentation, the reference contract is content.
     """
     from spreadsheet_etl_engine_spark.sources import xlsx_native
     from spreadsheet_etl_engine_spark.sources.readers import read_excel
