@@ -53,7 +53,12 @@ def _dib_encode_frame(img: np.ndarray) -> bytes:
     return body.tobytes()
 
 
-def _dib_decode_frame(payload: bytes, w: int, h: int) -> np.ndarray:
+def _dib_decode_frame(payload: bytes, w: int, h: int,
+                      bottom_up: bool = True) -> np.ndarray:
+    """``bottom_up`` follows the BITMAPINFOHEADER biHeight sign
+    convention (positive = bottom-up, the overwhelmingly common case;
+    negative = top-down — same rule ``decode_bmp`` honors, so a
+    top-down stream must not come back vertically flipped)."""
     stride = (w * 3 + 3) & ~3
     need = h * stride
     if len(payload) < need:
@@ -61,7 +66,9 @@ def _dib_decode_frame(payload: bytes, w: int, h: int) -> np.ndarray:
             f"AVI DIB frame truncated: {len(payload)} bytes < {need}")
     raw = np.frombuffer(payload, dtype=np.uint8, count=need)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    return rows[::-1, :, ::-1].copy()          # bottom-up BGR -> RGB
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()             # BGR -> RGB
 
 
 def encode_avi(frames, *, fps: int = 10, codec: str = "dib",
@@ -240,7 +247,10 @@ def _video_stream(data: bytes):
                             "BITMAPINFOHEADER needs 40")
                     (_bsz, bw, bh, _planes, bits, comp) = struct.unpack_from(
                         "<IiiHHI", raw, tp)
-                    return stream_no, bw, abs(bh), comp, bits
+                    # bh keeps its SIGN: negative = top-down DIB rows
+                    # (the BITMAPINFOHEADER convention decode_bmp also
+                    # honors); callers that only need dims abs() it.
+                    return stream_no, bw, bh, comp, bits
         raise ValueError("AVI has no video ('vids') stream")
     raise ValueError("AVI has no hdrl header list")
 
@@ -249,7 +259,7 @@ def probe_avi_dims(data: bytes) -> tuple[int, int]:
     """(width, height) from the video stream's BITMAPINFOHEADER —
     O(header walk), movi never touched."""
     _no, w, h, _comp, _bits = _video_stream(data)
-    return w, h
+    return w, abs(h)
 
 
 def _audio_stream(data: bytes):
@@ -376,6 +386,7 @@ def decode_avi(data: bytes, indices=None) -> list[np.ndarray]:
     fourccs and DIB bit depths are named errors."""
     raw = bytes(data)
     no, w, h, comp, bits = _video_stream(raw)
+    bottom_up, h = h >= 0, abs(h)
     if comp not in (0, struct.unpack("<I", b"MJPG")[0]):
         fourcc = struct.pack("<I", comp).decode("latin-1")
         raise ValueError(
@@ -391,7 +402,7 @@ def decode_avi(data: bytes, indices=None) -> list[np.ndarray]:
             continue
         payload = raw[p:p + size]
         if comp == 0:
-            out.append(_dib_decode_frame(payload, w, h))
+            out.append(_dib_decode_frame(payload, w, h, bottom_up))
         else:
             img = JC.decode_jpeg(payload)
             if img.ndim == 2:

@@ -3431,3 +3431,45 @@ def test_decode_media_composes_with_structured_streaming(spark, tmp_path):
                 got["n_bytes"], got["payload_hash"]) == (
             row["width"], row["height"], row["n_frames"],
             row["n_bytes"], row["payload_hash"]), mid
+
+
+def test_avi_top_down_dib():
+    """r15 review follow-up: negative biHeight = top-down DIB rows (the
+    BITMAPINFOHEADER convention decode_bmp already honors).  A top-down
+    AVI must decode to the SAME pixels as its bottom-up twin — before
+    the sign was threaded through, it came back vertically flipped
+    (silent wrong output, the worst class)."""
+    import struct
+
+    import numpy as np
+
+    from spreadsheet_etl_engine_spark.functions import media_codecs as MC
+
+    nf, h, w = 3, 5, 7
+    frames = ((np.arange(nf * h * w * 3).reshape(nf, h, w, 3) * 11) % 256
+              ).astype(np.uint8)
+    up = MC.encode_avi(frames, codec="dib")
+
+    # Build the top-down twin: flip biHeight's sign in strf (and avih
+    # dwHeight stays positive — only strf carries the convention), and
+    # reverse each frame payload's row order.
+    strf_pat = struct.pack("<IiiHH", 40, w, h, 1, 24)
+    sp = up.find(strf_pat)
+    assert sp > 0
+    down = bytearray(up)
+    down[sp + 8:sp + 12] = struct.pack("<i", -h)
+    stride = (w * 3 + 3) & ~3
+    pos = up.find(b"movi") + 4
+    for _ in range(nf):
+        size = struct.unpack_from("<I", up, pos + 4)[0]
+        body = np.frombuffer(up[pos + 8:pos + 8 + size], dtype=np.uint8)
+        flipped = body.reshape(h, stride)[::-1].tobytes()
+        down[pos + 8:pos + 8 + size] = flipped
+        pos += 8 + size + size % 2
+    down = bytes(down)
+
+    assert MC.probe_avi_dims(down) == (w, h)        # dims still positive
+    assert MC.count_avi_frames(down) == nf
+    got = MC.decode_avi(down)
+    assert all(np.array_equal(g, f) for g, f in zip(got, frames)), \
+        "top-down DIB decoded flipped"
