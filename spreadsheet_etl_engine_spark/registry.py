@@ -2643,7 +2643,10 @@ def get(name: str) -> RegisteredQuery:
 # (closed-form + promotion gate re-verified green both SFs), the
 # fixture carries no audio tracks, and no registry query executes the
 # new functions (pytest round-trip pins only, like codec internals).
-# The two multimodal rows ride their promoted seats.
+# The two multimodal rows ride their promoted seats.  Late follow-up:
+# decode_avi now honors negative-biHeight top-down DIB row order (was
+# silently flipped; hand-built twin pinned) — same promoted rows
+# re-gated green both SFs.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # --- r15 new query (growth rule: 1 new = 1 first-time driver
     # verification): composed IVF-ADC ANN — rows-only approximate like
