@@ -27,8 +27,25 @@ def get_spark(
     so on a big cluster set it ≳ 2-3× total cores.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers must be able to import this package at daemon
+    # launch (spark.python.daemon.module below): put the repo root on
+    # the PYTHONPATH the JVM inherits BEFORE the gateway starts.  A
+    # no-op when the JVM already exists (existing sessions keep their
+    # environment) and when the path is already present.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_repo_root}{os.pathsep}{_pp}" if _pp else _repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
+        # r15 optimization round: fork Python workers without the
+        # pyspark.zip/py4j zip path entries (see pydaemon module
+        # docstring — CPython 3.11 eagerly re-reads the whole zip
+        # central directory per task via importlib.invalidate_caches;
+        # measured ~0.29 s of worker CPU per task start, guide §4).
+        .config("spark.python.daemon.module", "spark_graft_pydaemon")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

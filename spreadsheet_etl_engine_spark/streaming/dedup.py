@@ -201,6 +201,7 @@ def band_candidates_stream(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int | None = None,
+    state_groups: int = 256,
 ) -> DataFrame:
     """Streaming MinHash-LSH candidate pairs — fuzzy dedup on ingest.
 
@@ -234,47 +235,94 @@ def band_candidates_stream(
     bucket freezes — new ids in it emit nothing and are not remembered
     — trading recall on degenerate buckets for a hard state/output
     bound.  Leave None when exact batch parity is required.
+
+    State LAYOUT (r15 optimization round; result-identical): buckets
+    are packed ``state_groups`` per state row instead of one state row
+    per distinct band key.  ``applyInPandasWithState`` pays a fixed
+    per-GROUP serializer cost on both sides of the Arrow boundary
+    (per-group pandas slicing/concat + a state round-trip per group —
+    measured ~1ms/group, ~55-60s of worker CPU per sf0.1 harness run
+    over ~13k single-occupant band-key groups, guide §4.1/§4.5), so
+    the stateful key is ``pmod(xxhash64(band_id, band_hash),
+    state_groups)`` and each group's state holds its buckets as
+    parallel arrays ``(band ids, band hashes, id lists)``.  Pairing
+    still happens strictly WITHIN a (band_id, band_hash) bucket — the
+    dict rebuild per group is O(bucket entries) — so the emitted pair
+    set, the re-delivery no-op, and the per-bucket ``max_bucket``
+    freeze are byte-identical to the one-group-per-band-key layout
+    (pytest-pinned against batch ``minhash_lsh_pairs``).  Sizing:
+    ``state_groups`` only needs to be large enough to spread state
+    evenly over shuffle partitions and keep per-group state rebuilds
+    small; 256 is right from 10^3 to 10^7 band keys — scale it with
+    corpus size (e.g. ~corpus_rows/10k) on a real deployment, and note
+    a changed value re-keys the state store (not checkpoint-compatible
+    with a running query).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from spreadsheet_etl_engine_spark.operators.dedup import minhash_band_keys
 
+    if state_groups < 1:
+        raise ValueError(f"state_groups={state_groups} must be >= 1")
     keys = minhash_band_keys(
         docs.filter(F.col(id_col).isNotNull()), text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    ).withColumn(
+        "_state_group",
+        F.pmod(F.xxhash64("band_id", "band_hash"), F.lit(state_groups)),
     )
 
     output_schema = "id_a long, id_b long, band_id int"
-    state_schema = "ids array<long>"
+    state_schema = (
+        "band_ids array<int>, band_hashes array<string>, "
+        "idlists array<array<long>>"
+    )
 
     def update(key, pdf_iter, state):
-        seen: list[int] = list(state.get[0]) if state.exists else []
-        known = set(seen)
-        frozen = max_bucket is not None and len(seen) >= max_bucket
+        if state.exists:
+            bids, bhs, lists = state.get
+            buckets: dict[tuple[int, str], list[int]] = {
+                (int(a), b): list(l) for a, b, l in zip(bids, bhs, lists)
+            }
+        else:
+            buckets = {}
         out_a: list[int] = []
         out_b: list[int] = []
+        out_band: list[int] = []
         for pdf in pdf_iter:
-            for i in pdf[id_col].tolist():
-                i = int(i)
-                if i in known:
+            for bid, bh, i in zip(
+                pdf["band_id"].tolist(), pdf["band_hash"].tolist(),
+                pdf[id_col].tolist(),
+            ):
+                bid, i = int(bid), int(i)
+                seen = buckets.setdefault((bid, bh), [])
+                if i in seen:
                     continue                  # exact re-delivery: no-op
-                if frozen:
+                if max_bucket is not None and len(seen) >= max_bucket:
                     continue                  # capped bucket: skew guard
                 for j in seen:
                     out_a.append(min(i, j))
                     out_b.append(max(i, j))
+                    out_band.append(bid)
                 seen.append(i)
-                known.add(i)
-                if max_bucket is not None and len(seen) >= max_bucket:
-                    frozen = True
-        if seen:
-            state.update((sorted(seen),))
+        if buckets:
+            items = sorted(buckets.items())   # deterministic state bytes
+            state.update((
+                [k[0] for k, _ in items],
+                [k[1] for k, _ in items],
+                [sorted(v) for _, v in items],
+            ))
+        import numpy as np
+
+        # numpy-typed columns skip pandas' per-column list→int cast
+        # validation (maybe_cast_to_integer_array showed up in the
+        # worker CPU profile at this call site).
         yield pd.DataFrame(
             {
-                "id_a": out_a,
-                "id_b": out_b,
-                "band_id": [int(key[0])] * len(out_a),
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "band_id": np.asarray(out_band, dtype="int32"),
             }
         )
 
@@ -282,7 +330,7 @@ def band_candidates_stream(
     # superseded (emit-once semantics), which is also what lets the
     # query run straight into an append-only parquet sink — candidate
     # volume never touches the driver.
-    return keys.groupBy("band_id", "band_hash").applyInPandasWithState(
+    return keys.groupBy("_state_group").applyInPandasWithState(
         update, output_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout,
     )
