@@ -751,7 +751,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("decision"),
         )
     out = DD.semantic_dedup(
-        emb, "embedding", "vec_id", centroids=centroids, threshold=0.40
+        emb, "embedding", "vec_id", centroids=centroids, threshold=0.40,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return out.select(
         "vec_id", "cluster_id", "cos_centroid",

@@ -1163,6 +1163,7 @@ def semantic_dedup(
     centroids: list[list[float]],
     threshold: float,
     assign: str = "kernel",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster embeddings, then within each cluster prune every vector that
@@ -1231,6 +1232,31 @@ def semantic_dedup(
     # NULL-out, same contract as the topk oracles), and never reaches
     # the Arrow kernel, whose np.stack cannot represent missing rows.
     base = all_rows.filter(F.col("v").isNotNull())
+    # r15 optimization round: ``parallelism`` spreads the two CPU-bound
+    # regions that otherwise serialize (measured at sf0.1: the whole
+    # query ran its quadratic prune in ONE task):
+    #
+    # * the Arrow assignment kernel inherits the scan's partitioning —
+    #   a single small file = a single Python worker; repartitioning
+    #   the base rows splits it (same knob/convention as
+    #   minhash_signature; row-preserving, results identical);
+    # * the prune self-join has only ``nlist`` distinct keys, so its
+    #   parallelism is capped at nlist whatever the cluster size — and
+    #   AQE's byte-based coalescing (CPU-blind) folds the tiny-but-
+    #   quadratic partitions into one.  The join is salted (guide
+    #   §2.5): the removed-candidate side keeps a deterministic
+    #   ``pmod(xxhash64(id), K)`` salt, the earlier-member side is
+    #   exploded K ways, and both sides are EXPLICITLY repartitioned on
+    #   (cluster, salt) — user-specified partitioning that AQE does not
+    #   re-coalesce.  K ≈ 4·parallelism/nlist gives 4× more buckets
+    #   than partitions (guide: many more distinct keys than
+    #   partitions) while bounding the replication of the earlier side
+    #   to K — at real scale nlist ∝ corpus keeps clusters bounded, so
+    #   K stays small as parallelism and nlist grow together.  Each
+    #   unordered pair still meets exactly once (y carries one salt, x
+    #   spans all K), so the removed-id set is unchanged.
+    if parallelism:
+        base = base.repartition(parallelism)
     null_rows = all_rows.filter(F.col("v").isNull()).select(
         F.col(id_col),
         F.lit(None).cast("long").alias("cluster_id"),
@@ -1296,10 +1322,22 @@ def semantic_dedup(
     # (And short-circuits left-to-right; a post-join .filter() gets
     # pushed in FRONT of the ordering conjunct and doubles the cosine
     # evaluations — measured on the sf0.1 fixture).
+    cluster_match = F.col("_cx") == F.col("_cy")
+    if parallelism:
+        nsalt = max(1, -(-4 * parallelism // nlist))  # ceil
+        x = x.withColumn(
+            "_sx",
+            F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit(nsalt - 1).cast("long"))),
+        ).repartition(parallelism, "_cx", "_sx")
+        y = y.withColumn(
+            "_sy", F.pmod(F.xxhash64(F.col("_idy")), F.lit(nsalt))
+        ).repartition(parallelism, "_cy", "_sy")
+        cluster_match = cluster_match & (F.col("_sx") == F.col("_sy"))
     removed = (
         x.join(
             y,
-            (F.col("_cx") == F.col("_cy"))
+            cluster_match
             & earlier
             & (
                 _cos(F.col("vx"), F.col("nx"), F.col("vy"), F.col("ny"))

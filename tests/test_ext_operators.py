@@ -1860,6 +1860,31 @@ def test_semantic_dedup_kernel_and_exact_assign_agree(spark, sf_dir):
     )
 
 
+def test_semantic_dedup_salted_prune_is_result_identical(spark, sf_dir):
+    # r15 optimization round: with ``parallelism`` set, the quadratic
+    # within-cluster prune join is salted (x exploded K ways, y salted
+    # by pmod(xxhash64(id), K)) and explicitly repartitioned so the
+    # hot cluster keys split across tasks (guide §2.5).  Every
+    # unordered pair still meets exactly once, so the full output —
+    # cluster, fold cosine, kept flag — must equal the unsalted path's.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]
+    kw = dict(centroids=cents, threshold=0.40)
+    plain = DD.semantic_dedup(emb, "embedding", "vec_id", **kw).collect()
+    salted = DD.semantic_dedup(
+        emb, "embedding", "vec_id", parallelism=8, **kw
+    ).collect()
+    norm = lambda rows: sorted(
+        (r["vec_id"], r["cluster_id"], r["cos_centroid"], r["kept"])
+        for r in rows
+    )
+    assert norm(plain) == norm(salted)
+
+
 def test_semantic_dedup_arg_validation(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vid long, emb array<double>")
     with pytest.raises(ValueError, match="kernel.*exact|exact.*kernel"):
