@@ -741,34 +741,40 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nbr_component").alias("nbr_min"))
         )
+        # The changed flag rides the SAME join that computes the new
+        # label (r15 optimization round): labels only ever decrease, so
+        # "this round changed something" ⇔ some row has
+        # nbr_min < component — computable in-row, no second pass.  The
+        # previous convergence check re-joined the full old and new
+        # label tables every round: two extra whole-table shuffles per
+        # round at scale, and ~2 extra driver-sequential jobs per round
+        # locally (guide §2.4 — remove shuffles outright).  Iteration
+        # count and labels are identical: new != old ⇔ nbr_min < old.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("component"),
                         F.coalesce("nbr_min", F.col("component"))).alias("component"),
+                (F.coalesce("nbr_min", F.col("component"))
+                 < F.col("component")).alias("_changed"),
             )
         )
         new_labels, new_path = _pin(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        # The changed-count above was the last reader of round N-1:
+        changed = not new_labels.filter(F.col("_changed")).isEmpty()
+        # The changed probe above was the last reader of round N-1:
         # delete it now that round N is durable (reliable mode only).
         if labels_path is not None:
             _delete_path(spark, labels_path)
-        labels, labels_path = new_labels, new_path
-        if changed == 0:
+        labels, labels_path = new_labels.drop("_changed"), new_path
+        if not changed:
             return labels.select(F.col("node"), F.col("component"))
     # Silent non-convergence would split one duplicate cluster into
     # several "canonical" representatives — fail loudly instead.
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
-        f"rounds ({changed} labels still changing); the graph has a "
-        "component with diameter > max_iter — raise max_iter, or rerun "
+        "rounds (labels still changing in the final round); the graph has "
+        "a component with diameter > max_iter — raise max_iter, or rerun "
         "with algorithm='star' (O(log n) rounds independent of diameter)"
     )
 
