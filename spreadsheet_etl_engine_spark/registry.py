@@ -2618,6 +2618,21 @@ def get(name: str) -> RegisteredQuery:
 # promoted multimodal rows (check_promotions green both SFs).
 # extract_features/resize_images/decode_sampled_frames gained avi
 # branches executing ONLY under those two rows.
+# r15 OPTIMIZATION round shared-module audit (all result-identical,
+# perf-only; every query executing changed bytes holds a head seat):
+# streaming/dedup.py — band_candidates_stream state re-packed into
+# bounded hash groups (streaming_dedup_fuzzy, promoted into the
+# changed-bytes block) and seen_index_stream likewise
+# (streaming_seen_index, r12-freshness seat); dedup_within_watermark
+# byte-unchanged (streaming_dedup_events rides its freshness seat).
+# operators/dedup.py — semantic_dedup gained the salted prune join
+# (dedup_semantic, changed-bytes seat) and connected_components folded
+# its convergence check into the round join (dedup_components +
+# curation_pipeline_decisions, filler seats); every other function in
+# the module is byte-unchanged (rider rule).  session.py — worker
+# daemon module + PYTHONPATH only (no query semantics; all outputs
+# byte-identical, re-pinned in the tail snapshot).  registry.py — this
+# comment and the DRIVER_PRIORITY list only.
 # r15 continuation 3 (review pass 15, sources/xlsx_native.py): the
 # xlsx READ path gained Excel-grid-cap guards (hostile r=/cell refs
 # were an unbounded-allocation path), range-checked shared-string
@@ -2659,6 +2674,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "similarity_topk_pq",
     "dedup_semantic",
     "dedup_embedding_lsh_pairs",
+    # --- r15 optimization round changed-bytes re-verification:
+    # band_candidates_stream's state re-packed into bounded hash groups
+    # (streaming/dedup.py; pair set pinned identical to batch LSH) —
+    # the module's other two operators are byte-unchanged and their
+    # queries hold freshness seats below anyway.  dedup_semantic
+    # (salted prune) and dedup_components + curation_pipeline_decisions
+    # (in-join convergence flag) already hold seats above/below. ---
+    "streaming_dedup_fuzzy",
     # --- r15 freshness: ALL 30 queries whose newest driver row is
     # r12, byte-unchanged since (tail fingerprint + shared-module hash
     # tripwire; similarity_topk_ivf/_bruteforce ALSO execute this
@@ -2694,9 +2717,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_rank_orders",
     "window_rank_variants",
     "window_running_sum",
-    # --- r15 filler rotation: the 14 alphabetically-first r13 rows
+    # --- r15 filler rotation: the alphabetically-first r13 rows
     # (the oldest remaining vintage), byte-unchanged since their green
-    # row; the remaining 30 r13 rows lead the r16 freshness queue ---
+    # row; the remaining r13 rows lead the r16 freshness queue
+    # (dedup_ngram_jaccard_pairs gave its seat to the optimization
+    # round's streaming_dedup_fuzzy changed-bytes re-verification
+    # above — changed code outranks freshness per the standing
+    # invariant; it joins dedup_paragraphs/dedup_simhash at the front
+    # of the r16 queue) ---
     "agg_corr_covar",
     "agg_histogram",
     "agg_linear_fit",
@@ -2708,7 +2736,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_index_probe",
     "dedup_keep_best",
     "dedup_minhash_signature",
-    "dedup_ngram_jaccard_pairs",
     # --- r15 continuation: changed-code promotions (review passes 15
     # + 16 — the xlsx read-path hardening and the zorder Inf/collision
     # fixes) take the final two filler seats; dedup_paragraphs and

@@ -13,10 +13,10 @@ operators, both with batch twins so the DuckDB oracle applies:
   O(horizon) and O(stream) state.  Final output set ≡ batch
   ``SELECT DISTINCT *`` (order-free, so exactly oracle-able).
 * :func:`seen_index_stream` — the ``incremental_dedup`` seen-index
-  contract as ARBITRARY STATE (``applyInPandasWithState``): one
-  ``(n_copies, min_id)`` state row per content hash — the state-store
-  form of the persisted index table ``operators/dedup.py:
-  incremental_dedup`` maintains in parquet.  Every emitted quantity is
+  contract as ARBITRARY STATE (``applyInPandasWithState``):
+  ``(n_copies, min_id)`` per content hash, packed into bounded hash
+  groups (r15) — the state-store form of the persisted index table
+  ``operators/dedup.py:incremental_dedup`` maintains in parquet.  Every emitted quantity is
   arrival-order-independent at final state (count and min are
   commutative), which is what makes a streaming operator batch-oracle-
   able at all — "first seen" by arrival would be micro-batch-layout
@@ -132,33 +132,54 @@ def dedup_within_watermark(
 
 
 def seen_index_stream(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    *, state_groups: int = 256,
 ) -> DataFrame:
-    """Running content-hash seen-index: one state row per distinct
-    ``md5(text)`` holding ``(n_copies, min id)``; emits the updated
+    """Running content-hash seen-index: ``(n_copies, min id)`` per
+    distinct ``md5(text)``; emits the updated
     ``(content_hash, rep_doc_id, n_copies)`` row each micro-batch.
 
     The final emission per hash is the batch ``exact_dedup`` row
     (count + min-id representative) regardless of arrival order —
     count and min are the commutative core of the survivorship
     contract, which is why this is oracle-able while a "first arrival
-    wins" index is not.  State is one 16-byte row per distinct hash;
-    the continuous-deployment bound is the same as the parquet index
+    wins" index is not.  State is 16 bytes per distinct hash; the
+    continuous-deployment bound is the same as the parquet index
     in ``incremental_dedup`` (distinct content, not corpus rows), with
     RocksDB state-store backing at 100 TB.
+
+    State LAYOUT (r15 optimization round; result-identical, same
+    rationale as :func:`band_candidates_stream`): hashes are packed
+    ``state_groups`` per state row instead of one state row per
+    distinct hash — ``applyInPandasWithState`` pays ~1 ms of fixed
+    serializer cost per GROUP per batch, so a one-group-per-hash
+    layout costs O(distinct hashes) of pure overhead every
+    micro-batch.  The stateful key is ``pmod(xxhash64(content_hash),
+    state_groups)``; each group's state holds its hashes' counters as
+    parallel arrays, per-batch counting is one pandas groupby, and the
+    per-touched-hash emission (count + min over the sentinel-encoded
+    id) is unchanged row-for-row.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if state_groups < 1:
+        raise ValueError(f"state_groups={state_groups} must be >= 1")
     output_schema = "content_hash string, rep_doc_id long, n_copies long"
-    state_schema = "n long, min_id long"
+    state_schema = "hashes array<string>, ns array<long>, min_ids array<long>"
 
     def update(key, pdf_iter, state):
         import numpy as np
 
-        n, min_id = state.get if state.exists else (0, _NO_ID)
+        if state.exists:
+            hs, ns, mids = state.get
+            seen: dict[str, list[int]] = {
+                h: [int(n), int(m)] for h, n, m in zip(hs, ns, mids)
+            }
+        else:
+            seen = {}
+        touched: dict[str, bool] = {}
         for pdf in pdf_iter:
-            n += len(pdf)
             ids = pdf["id_nn"]
             if not np.issubdtype(ids.dtype, np.integer):
                 raise TypeError(
@@ -166,14 +187,38 @@ def seen_index_stream(
                     "seen-index contract requires the null-free sentinel "
                     "column (see the coalesce in seen_index_stream)"
                 )
-            if len(ids):
-                min_id = min(min_id, min(ids.tolist()))
-        state.update((n, min_id))
+            # dropna=False: a NULL text hashes to the NULL content
+            # group, which is a real row of the index (SQL GROUP BY
+            # semantics — pinned by the equals-batch test).
+            g = pdf.groupby("content_hash", dropna=False)["id_nn"].agg(
+                ["count", "min"])
+            for h, n, mn in zip(g.index.tolist(), g["count"].tolist(),
+                                g["min"].tolist()):
+                h = None if h is None or (isinstance(h, float)) else h
+                rec = seen.get(h)
+                if rec is None:
+                    rec = [0, _NO_ID]
+                    seen[h] = rec
+                rec[0] += int(n)
+                rec[1] = min(rec[1], int(mn))
+                touched[h] = True
+        nkey = lambda h: (h is None, h or "")  # None sorts first
+        if seen:
+            items = sorted(seen.items(), key=lambda kv: nkey(kv[0]))
+            state.update((                     # deterministic state bytes
+                [h for h, _ in items],
+                [r[0] for _, r in items],
+                [r[1] for _, r in items],
+            ))
+        out = sorted(touched, key=nkey)
         yield pd.DataFrame(
             {
-                "content_hash": [key[0]],
-                "rep_doc_id": [None if min_id == _NO_ID else min_id],
-                "n_copies": [n],
+                "content_hash": out,
+                "rep_doc_id": [
+                    None if seen[h][1] == _NO_ID else seen[h][1]
+                    for h in out
+                ],
+                "n_copies": [seen[h][0] for h in out],
             }
         )
 
@@ -184,7 +229,11 @@ def seen_index_stream(
                 F.col(id_col).cast("long"), F.lit(_NO_ID).cast("long")
             ).alias("id_nn"),
         )
-        .groupBy("content_hash")
+        .withColumn(
+            "_state_group",
+            F.pmod(F.xxhash64("content_hash"), F.lit(state_groups)),
+        )
+        .groupBy("_state_group")
         .applyInPandasWithState(
             update, output_schema, state_schema, "update",
             GroupStateTimeout.NoTimeout,
