@@ -1687,9 +1687,24 @@ def streaming_seen_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(src)
         stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
         name = "streaming_seen_index_sink"
-        SE.run_to_memory_sink(
-            SD.seen_index_stream(stream), name, output_mode="update"
-        )
+        # Scale-governed state partitioning (r16) — same rationale and
+        # restore discipline as streaming_dedup_fuzzy; the emitted
+        # (hash, count, min-id) rows are partitioning-independent.
+        import glob as _glob
+        import math as _math
+
+        src_rows = spark.read.parquet(src).count()
+        n_triggers = max(
+            1, _math.ceil(len(_glob.glob(f"{src}/*.parquet")) / 2))
+        n_parts = SD.stream_state_partitions(spark, src_rows / n_triggers)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            SE.run_to_memory_sink(
+                SD.seen_index_stream(stream), name, output_mode="update"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         out = spark.table(name)
         final = out.groupBy("content_hash").agg(
             F.max("n_copies").alias("n_copies"),
@@ -1768,15 +1783,34 @@ def streaming_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, "text", "doc_id", num_hashes=8, bands=4
         )
         out_dir = f"{tmp}/pairs"
-        q = (
-            pairs.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Scale-governed state partitioning (r16, guide §2.2): size the
+        # stateful shuffle by per-trigger input rows, not the session's
+        # batch-query default — see SD.stream_state_partitions.  Results
+        # are partitioning-independent (pairs form strictly within a
+        # band bucket); only the fixed per-partition-per-batch cost
+        # moves.  Restored after the stream so the final DISTINCT runs
+        # under the session default.
+        import glob as _glob
+        import math as _math
+
+        src_rows = spark.read.parquet(src).count()
+        n_triggers = max(
+            1, _math.ceil(len(_glob.glob(f"{src}/*.parquet")) / 2))
+        n_parts = SD.stream_state_partitions(spark, src_rows / n_triggers)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        try:
+            q = (
+                pairs.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         pair_schema = StructType([
             StructField("id_a", LongType()),
             StructField("id_b", LongType()),

@@ -376,62 +376,121 @@ def _pq_sample_matrix(corpus: DataFrame, vec_col: str, sample: int):
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
 
+def _kmeanspp_seed_batched(T, kk: int, rng):
+    """k-means++ seeding for ALL m subspaces at once over ``T`` of shape
+    ``(m, n, dsub)`` → ``(m, kk, dsub)`` seeds (r16 optimization round).
+
+    The r15 trainer seeded each subspace separately: 2·m·ksub
+    small-array numpy steps (``rng.choice(p=probs)`` re-validates and
+    cumsums the weight vector per draw), which cProfile attributed
+    1.4-2.0 s of each train-inclusive ANN bench line to.  This form
+    does one vectorized step per centroid ordinal — inverse-CDF
+    sampling of the SAME d² weight distribution (cumsum + count, one
+    uniform per subspace), then one (m, n, dsub) running-min distance
+    update — so the step count drops m-fold and each step is one pass
+    of whole-matrix numpy.  The rng call SEQUENCE differs from the r15
+    per-subspace loop, so codebooks/centroids differ run-over-round
+    (NOT run-over-run: one rng draw per step keeps training fully
+    deterministic for a fixed seed) — legal for the rows-only ANN
+    queries; the recall floors and determinism pins in
+    tests/test_ext_operators.py re-verify the quality contract.
+    """
+    import numpy as np
+
+    m, n, dsub = T.shape
+    # float32 working set: the seeding loop is memory-bandwidth-bound
+    # (whole-matrix pass per step) and k-means++ only needs distances
+    # as sampling WEIGHTS — half the bytes, deterministic arithmetic;
+    # the cumsum accumulates in float64 so the inverse-CDF boundaries
+    # are exact.  Returned seeds are float64 (the Lloyd refinement's
+    # precision).
+    T32 = np.asarray(T, dtype=np.float32)
+    C = np.empty((m, kk, dsub))
+    rows = np.arange(m)
+    idx0 = rng.integers(0, n, size=m)
+    C[:, 0] = T[rows, idx0]
+    d2 = ((T32 - T32[rows, idx0][:, None, :]) ** 2).sum(-1)  # (m, n)
+    for t in range(1, kk):
+        u = rng.random(m)
+        cs = np.cumsum(d2, axis=1, dtype=np.float64)
+        tot = cs[:, -1]
+        # First index with cumsum >= u·tot == inverse-CDF draw from the
+        # d² distribution; clip covers u·tot == tot float rounding.
+        idx = np.minimum((cs < (u * tot)[:, None]).sum(1), n - 1)
+        degenerate = tot <= 0                    # all residual mass zero
+        if degenerate.any():                     # → uniform, like r15
+            idx[degenerate] = np.minimum(
+                (u[degenerate] * n).astype(np.int64), n - 1)
+        C[:, t] = T[rows, idx]
+        d2 = np.minimum(
+            d2, ((T32 - T32[rows, idx][:, None, :]) ** 2).sum(-1))
+    return C
+
+
 def _pq_kmeans_codebooks(X, m: int, ksub: int, rng, iters: int):
     """Per-subspace k-means over a prepared (n, dim) matrix (raw unit
-    vectors for flat PQ, residuals for IVF-ADC) — the r14 running-min /
-    matmul / bincount kernels, factored so both trainers share one
-    implementation (identical rng call sequence → byte-identical flat-PQ
-    codebooks across the refactor).  Returns m (ksub, dsub) arrays."""
+    vectors for flat PQ, residuals for IVF-ADC) — batched k-means++
+    seeding (see :func:`_kmeanspp_seed_batched`), then the r14
+    running-min / matmul / bincount Lloyd loop per subspace (kept
+    per-subspace so each keeps its own early-convergence break).
+    Both trainers share this implementation.  Returns m (ksub, dsub)
+    arrays."""
     import numpy as np
 
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"PQ subspace count m={m} must divide dim={dim}")
     dsub = dim // m
-    books = []
-    for j in range(m):
-        S = X[:, j * dsub:(j + 1) * dsub]
-        kk = min(ksub, S.shape[0])
-        # k-means++ seeding, then Lloyd; empty clusters re-seed from the
-        # sample (deterministic: seeded rng).
-        # k-means++ with a RUNNING min-distance vector (each new
-        # centroid only updates d2 against itself — O(n*dsub) per step,
-        # not O(n*|C|*dsub) recomputation; the recompute form cost ~30s
-        # per bench rep at sample=4096/ksub=256, r14 measured).
-        C = S[rng.choice(S.shape[0], 1)]
-        d2 = ((S - C[0]) ** 2).sum(-1)
-        while C.shape[0] < kk:
-            tot = d2.sum()
-            probs = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
-            nxt = S[rng.choice(S.shape[0], p=probs)]
-            C = np.vstack([C, nxt])
-            d2 = np.minimum(d2, ((S - nxt) ** 2).sum(-1))
-        Ssq = (S ** 2).sum(-1)
-        for _ in range(iters):
-            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 via one matmul —
-            # the broadcast (n, k, dsub) tensor form is ~100x slower.
-            d2 = Ssq[:, None] - 2.0 * (S @ C.T) + (C ** 2).sum(-1)[None, :]
-            assign = d2.argmin(1)
-            # Vectorized centroid update (one bincount + one scatter-add
-            # — the per-cluster masked-mean Python loop was the next
-            # bottleneck after the tensor form, r14 measured); empty
-            # clusters re-seed deterministically from the sample.
-            counts = np.bincount(assign, minlength=kk)
-            sums = np.zeros((kk, S.shape[1]))
-            np.add.at(sums, assign, S)
-            newC = np.where(counts[:, None] > 0,
-                            sums / np.maximum(counts, 1)[:, None],
-                            S[rng.integers(0, S.shape[0], kk)])
-            if np.allclose(newC, C):
-                C = newC
-                break
+    n = X.shape[0]
+    kk = min(ksub, n)
+    # Subspaces are contiguous column blocks, so the (m, n, dsub) view
+    # is a reshape + axis swap (one 2·n·dim-byte copy, layout-friendly
+    # for every per-subspace kernel below).
+    T = np.ascontiguousarray(X.reshape(n, m, dsub).transpose(1, 0, 2))
+    C = _kmeanspp_seed_batched(T, kk, rng)
+    sub_ix = np.arange(m)
+    # Batched Lloyd across all m subspaces (r16; the per-subspace loop
+    # paid m× the numpy dispatch and small-gemm overhead).  The
+    # assignment step is the memory-bound core (an (m, n, kk) distance
+    # tensor per iteration): it runs in float32 over a PREALLOCATED
+    # buffer (half the bytes, no per-iteration 64 MB alloc), and drops
+    # the ||s||² term (constant in the argmin).  Centroid MEANS stay
+    # float64 (one flat bincount + one flat scatter-add over m·kk
+    # rows), so only which-cluster decisions see float32 — fine for a
+    # quantizer whose cells are re-pinned this round.  Empty clusters
+    # re-seed deterministically from the sample (seeded rng), as
+    # before.  The convergence break is GLOBAL (all subspaces stable)
+    # instead of per-subspace — a converged subspace's extra
+    # iterations reproduce its C, so only the rng re-seed sequence
+    # differs, which this round re-pins anyway.
+    T32 = np.asarray(T, dtype=np.float32)
+    Tflat = T.reshape(m * n, dsub)
+    dist = np.empty((m, n, kk), dtype=np.float32)
+    for _ in range(iters):
+        C32 = np.asarray(C, dtype=np.float32)
+        np.matmul(T32, C32.transpose(0, 2, 1), out=dist)
+        dist *= -2.0
+        dist += (C32 ** 2).sum(-1)[:, None, :]
+        assign = dist.argmin(2)
+        flat = (assign + (sub_ix * kk)[:, None]).ravel()
+        counts = np.bincount(flat, minlength=m * kk).reshape(m, kk)
+        sums = np.zeros((m * kk, dsub))
+        np.add.at(sums, flat, Tflat)
+        newC = np.where(
+            counts[:, :, None] > 0,
+            sums.reshape(m, kk, dsub) / np.maximum(counts, 1)[:, :, None],
+            T[:, rng.integers(0, n, kk)],
+        )
+        if np.allclose(newC, C):
             C = newC
-        if kk < ksub:
-            # Degenerate tiny corpus: pad with repeats so the code
-            # domain stays [0, ksub) and encode/LUT shapes are stable.
-            C = np.vstack([C, np.repeat(C[:1], ksub - kk, axis=0)])
-        books.append(C)
-    return books
+            break
+        C = newC
+    if kk < ksub:
+        # Degenerate tiny corpus: pad with repeats so the code
+        # domain stays [0, ksub) and encode/LUT shapes are stable.
+        C = np.concatenate(
+            [C, np.repeat(C[:, :1], ksub - kk, axis=1)], axis=1)
+    return list(C)
 
 
 def _codebook_array(codebooks):

