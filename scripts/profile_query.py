@@ -34,8 +34,11 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     times = []
+    last_rep_first_job = 0
     for rep in range(reps):
-        before_jobs = set(tracker.getJobIdsForGroup(None) or [])
+        # Bracket each rep by job id (r16 ADVICE fix: the wall-clock
+        # cutoff heuristic could misattribute overlapping jobs).
+        last_rep_first_job = max(tracker.getJobIdsForGroup(None) or [-1]) + 1
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
@@ -60,9 +63,7 @@ def main() -> None:
         jobs.sort(key=lambda j: j["submissionTime"])
         total = sum(times) / len(times)
         print(f"\nmedian-ish mean: {total:.3f}s;  last-rep jobs:")
-        # last rep ~ jobs submitted within the final `wall` seconds
-        cutoff = ts(jobs[-1]["completionTime"]) - times[-1] - 0.2
-        shown = [j for j in jobs if ts(j["submissionTime"]) >= cutoff]
+        shown = [j for j in jobs if j["jobId"] >= last_rep_first_job]
         for j in shown:
             dur = ts(j["completionTime"]) - ts(j["submissionTime"])
             desc = (j.get("description") or j.get("name") or "")[:90]

@@ -42,16 +42,21 @@ import sys
 def _strip_spark_zip_path_entries() -> None:
     def is_spark_zip(p: str) -> bool:
         base = os.path.basename(p)
-        # The pyspark/py4j bundles, plus any .jar entry: Spark's
+        # The pyspark/py4j bundles, plus SPARK'S OWN jars: Spark's
         # PythonUtils.sparkPythonPath historically appends the
         # spark-core JAR to the worker PYTHONPATH, and a single failed
         # import probe registers a zipimporter over the multi-MB jar
         # whose directory then gets re-parsed on EVERY task's
         # invalidate_caches (measured: the jar, not pyspark.zip, was
         # the larger re-read).  No Python module is ever imported from
-        # Spark jars, so dropping them is behavior-neutral.
+        # Spark's jars, so dropping those is behavior-neutral — but
+        # only Spark's (``spark-*.jar``, r16 ADVICE fix): a deployment
+        # may legitimately ship Python modules inside some other jar on
+        # the worker PYTHONPATH, and a blanket jar strip would lose
+        # them silently (the importability restore below only re-checks
+        # pyspark/py4j).
         if base.endswith(".jar"):
-            return True
+            return base.startswith("spark-")
         return base.endswith(".zip") and (
             base.startswith("pyspark") or base.startswith("py4j")
         )

@@ -446,7 +446,12 @@ def ngram_jaccard_pairs(
     count) so the same fraction scales from a 500-doc fixture to a 100 TB
     corpus.
     """
-    if parallelism:
+    if parallelism and df.rdd.getNumPartitions() < parallelism:
+        # Conditional (r16, same rationale as semantic_dedup): widen
+        # only when the scan arrives narrower than requested — on a
+        # real corpus the scan is already split and an unconditional
+        # repartition would shuffle the full text corpus to dodge the
+        # local single-file layout.
         df = df.repartition(parallelism)
     shingles = (
         df.select(
@@ -487,6 +492,14 @@ def ngram_jaccard_pairs(
                 ranked_src = ranked_src.crossJoin(F.broadcast(total)).filter(
                     F.col("df") <= F.ceil(F.lit(max_df_frac) * F.col("_n_docs"))
                 )
+        if parallelism:
+            # Spread the per-doc ranking aggregation (r16): collect_list
+            # keeps every row, so the exchange is byte-small while the
+            # per-group sort_array work is CPU-bound — exactly the shape
+            # AQE's byte-based coalescing folds to 1-3 tasks (profiled).
+            # Partial aggregation loses nothing here (nothing combines),
+            # so user-pinned partitioning on the group key is free.
+            ranked_src = ranked_src.repartition(parallelism, id_col)
         docs = (
             ranked_src
             .groupBy(id_col)
@@ -526,6 +539,17 @@ def ngram_jaccard_pairs(
         # MEMORY_AND_DISK persist as strictly SLOWER (storage-memory
         # writes on top of the reused exchange).  For repeated batches
         # at scale, materialize the index as a table instead.
+        #
+        # Explicit repartition on the join key (r16, guide §2.5 — the
+        # semantic-prune treatment): the candidate join's per-pair
+        # array_intersect is CPU-quadratic on tiny BYTES, so AQE's
+        # byte-based coalescing folded the verify stages to 1-3 tasks
+        # (profiled ~0.9 s serial of the 2.1 s query).  User-specified
+        # partitioning on the high-cardinality hash key spreads it and
+        # is exactly the hash distribution the join needs (no extra
+        # exchange); both sides reuse the single repartitioned subtree.
+        if parallelism:
+            index = index.repartition(parallelism, "s")
         ia = index.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"),
                           F.col("arr").alias("arr_a"), "s")
         ib = index.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"),

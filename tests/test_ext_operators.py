@@ -1892,3 +1892,57 @@ def test_semantic_dedup_arg_validation(spark):
                           threshold=0.9, assign="bogus")
     with pytest.raises(ValueError, match="at least one centroid"):
         DD.semantic_dedup(df, "emb", "vid", centroids=[], threshold=0.9)
+
+
+def test_pq_trainer_batched_seeding_contracts():
+    """r16: the batched k-means++ seeding + float32 batched Lloyd — the
+    trainer internals changed, so pin the properties the ANN operators
+    rely on: every seed is an actual sample subvector, training is
+    deterministic for a fixed seed, codebook shape/padding contracts
+    hold, and quantization quality is in k-means territory (beats a
+    random-codebook baseline by a wide margin)."""
+    import numpy as np
+
+    rng0 = np.random.default_rng(123)
+    X = rng0.normal(size=(512, 32))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    m, ksub, dsub = 4, 16, 8
+
+    T = np.ascontiguousarray(X.reshape(512, m, dsub).transpose(1, 0, 2))
+    seeds = SIM._kmeanspp_seed_batched(T, ksub, np.random.default_rng(42))
+    assert seeds.shape == (m, ksub, dsub)
+    # Every seed row is one of the subspace's sample rows (k-means++
+    # draws centroids FROM the data, never interpolates).
+    for j in range(m):
+        sample_rows = {tuple(r) for r in T[j]}
+        assert all(tuple(c) in sample_rows for c in seeds[j])
+    again = SIM._kmeanspp_seed_batched(T, ksub, np.random.default_rng(42))
+    assert np.array_equal(seeds, again)
+
+    books = SIM._pq_kmeans_codebooks(X, m, ksub, np.random.default_rng(1), 8)
+    B = np.asarray(books)
+    assert B.shape == (m, ksub, dsub)
+    assert np.array_equal(
+        B, np.asarray(SIM._pq_kmeans_codebooks(
+            X, m, ksub, np.random.default_rng(1), 8)))
+
+    def quant_err(codebooks):
+        errs = []
+        for j, Cb in enumerate(codebooks):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            Cb = np.asarray(Cb)
+            d2 = ((S ** 2).sum(-1)[:, None] - 2 * (S @ Cb.T)
+                  + (Cb ** 2).sum(-1)[None, :])
+            errs.append(d2.min(1).mean())
+        return float(np.mean(errs))
+
+    random_books = [X[:ksub, j * dsub:(j + 1) * dsub].copy()
+                    for j in range(m)]
+    # Measured 0.134 vs 0.190 (0.70×) at this small config; the floor
+    # keeps some margin while still requiring genuine Lloyd refinement.
+    assert quant_err(books) < 0.8 * quant_err(random_books)
+
+    # Tiny-corpus padding: code domain stays [0, ksub) with n < ksub.
+    pad = np.asarray(SIM._pq_kmeans_codebooks(
+        X[:3], m, ksub, np.random.default_rng(2), 4))
+    assert pad.shape == (m, ksub, dsub)

@@ -788,3 +788,44 @@ def test_read_document_stream_validates_columns(spark, tmp_path):
     bad.write.parquet(src)
     with pytest.raises(ValueError, match="missing column"):
         SD.read_document_stream(spark, src)
+
+
+def test_stream_state_partitions_scaling_and_conf(spark):
+    """r16: the scale-governed state-shuffle partition count — floor 1
+    on tiny triggers, linear in per-trigger rows, capped at 4× the
+    cluster parallelism, conf-overridable, fail-loud on a bad conf."""
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    par = spark.sparkContext.defaultParallelism
+    assert SD.stream_state_partitions(spark, 0) == 1
+    assert SD.stream_state_partitions(spark, 1) == 1
+    assert SD.stream_state_partitions(spark, 256) == 1
+    assert SD.stream_state_partitions(spark, 257) == 2
+    assert SD.stream_state_partitions(spark, 256 * 10) == 10
+    # Cap: one huge backfill trigger cannot demand an absurd count.
+    assert SD.stream_state_partitions(spark, 256 * par * 400) == 4 * par
+    spark.conf.set(SD.ROWS_PER_STATE_PARTITION_CONF, "10")
+    try:
+        assert SD.stream_state_partitions(spark, 100) == 10
+        spark.conf.set(SD.ROWS_PER_STATE_PARTITION_CONF, "0")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            SD.stream_state_partitions(spark, 100)
+    finally:
+        spark.conf.unset(SD.ROWS_PER_STATE_PARTITION_CONF)
+
+
+def test_resolve_state_groups_conf(spark):
+    """r16: packed-state group count resolves None -> session conf ->
+    default 256; an explicit argument wins; invalid values fail loud."""
+    from spreadsheet_etl_engine_spark.streaming import dedup as SD
+
+    assert SD.resolve_state_groups(spark, None) == 256
+    assert SD.resolve_state_groups(spark, 7) == 7
+    spark.conf.set(SD.STATE_GROUPS_CONF, "1024")
+    try:
+        assert SD.resolve_state_groups(spark, None) == 1024
+        assert SD.resolve_state_groups(spark, 7) == 7  # arg wins
+    finally:
+        spark.conf.unset(SD.STATE_GROUPS_CONF)
+    with pytest.raises(ValueError, match="state_groups"):
+        SD.resolve_state_groups(spark, 0)
