@@ -1779,9 +1779,6 @@ def streaming_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(src)
         stream = SD.read_document_stream(spark, src, max_files_per_trigger=2)
-        pairs = SD.band_candidates_stream(
-            stream, "text", "doc_id", num_hashes=8, bands=4
-        )
         out_dir = f"{tmp}/pairs"
         # Scale-governed state partitioning (r16, guide §2.2): size the
         # stateful shuffle by per-trigger input rows, not the session's
@@ -1789,7 +1786,9 @@ def streaming_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         # are partitioning-independent (pairs form strictly within a
         # band bucket); only the fixed per-partition-per-batch cost
         # moves.  Restored after the stream so the final DISTINCT runs
-        # under the session default.
+        # under the session default.  The conf is sized BEFORE the
+        # stateful operator is constructed so the packed-state group
+        # derivation (resolve_state_groups, 8× partitions) follows it.
         import glob as _glob
         import math as _math
 
@@ -1800,6 +1799,9 @@ def streaming_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
         try:
+            pairs = SD.band_candidates_stream(
+                stream, "text", "doc_id", num_hashes=8, bands=4
+            )
             q = (
                 pairs.writeStream.format("parquet")
                 .option("path", out_dir)

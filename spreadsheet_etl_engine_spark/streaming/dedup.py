@@ -107,29 +107,44 @@ def stream_state_partitions(
 # Conf key: packed-state group count for the stateful dedup operators
 # (see resolve_state_groups); override per deployment.
 STATE_GROUPS_CONF = "spark.spreadsheet_etl.streaming.stateGroups"
-_STATE_GROUPS_DEFAULT = 256
+_STATE_GROUPS_PER_PARTITION = 8
 
 
 def resolve_state_groups(spark: SparkSession, state_groups: int | None) -> int:
     """Resolve the packed-state group count (r16; VERDICT r15 item 5).
 
-    ``None`` reads the session conf ``STATE_GROUPS_CONF`` (default 256
-    — right from 10^3 to 10^7 distinct state keys locally); an explicit
-    argument wins.  Sizing: groups only need to (a) spread state evenly
-    over the state-shuffle partitions and (b) keep each group's state
-    row SMALL, because ``applyInPandasWithState`` rebuilds a touched
-    group's whole state row per micro-batch — an under-sized count at
-    100 TB turns the ~1 ms/group fixed cost this packing removes into
-    O(group-state-bytes) rebuild cost.  Scale it like
-    ~distinct_state_keys/10k on a real deployment (e.g. 10^11 band
-    keys → ~10^7 groups).  CHECKPOINT: the group count is part of the
-    stateful key, so a changed value re-keys the state store — set it
-    before the FIRST start of a checkpointed query and keep it for the
-    query's lifetime (upgrades need a fresh ``checkpointLocation``).
+    ``None`` reads the session conf ``STATE_GROUPS_CONF``; when that is
+    also unset, the default DERIVES from the state-shuffle width:
+    ``8 × spark.sql.shuffle.partitions`` (read at operator-construction
+    time, so size the partition conf FIRST — the harness queries do).
+    Under the session default of ~cluster-cores partitions this equals
+    the r15 literal (8×32 = 256); when the partition count is sized by
+    :func:`stream_state_partitions` the group count follows it.  Why 8×:
+    every TOUCHED group costs ~1 ms of ``applyInPandasWithState``
+    serializer overhead per micro-batch (measured again this round via
+    an in-worker SIGPROF sampler: >90% of the streaming line's worker
+    CPU sat in ``gen_data_and_pandas``/``arrow_to_pandas``/
+    ``construct_state_pdf`` pandas plumbing, not the state function), so
+    groups ≫ needed spread is pure overhead — a groups sweep at P=3
+    measured worker CPU 14.4/9.5/8.7/7.6/7.5 s per run at
+    256/64/24/12/6 groups, identical output — while groups must still
+    exceed partitions enough for even hash placement (8× keeps the
+    max/mean partition load reasonable) and keep each group's state row
+    SMALL (``applyInPandasWithState`` rebuilds a touched group's whole
+    state row per batch).  An explicit argument or the conf wins over
+    the derivation.  CHECKPOINT: the group count is part of the
+    stateful key, so a changed value (including via a changed partition
+    conf) re-keys the state store — set both before the FIRST start of
+    a checkpointed query and keep them for the query's lifetime
+    (upgrades need a fresh ``checkpointLocation``).
     """
     if state_groups is None:
-        state_groups = int(
-            spark.conf.get(STATE_GROUPS_CONF, str(_STATE_GROUPS_DEFAULT)))
+        conf_val = spark.conf.get(STATE_GROUPS_CONF, None)
+        if conf_val is not None and conf_val != "":
+            state_groups = int(conf_val)
+        else:
+            state_groups = _STATE_GROUPS_PER_PARTITION * int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
     if state_groups < 1:
         raise ValueError(f"state_groups={state_groups} must be >= 1")
     return state_groups

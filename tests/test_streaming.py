@@ -816,10 +816,19 @@ def test_stream_state_partitions_scaling_and_conf(spark):
 
 def test_resolve_state_groups_conf(spark):
     """r16: packed-state group count resolves None -> session conf ->
-    default 256; an explicit argument wins; invalid values fail loud."""
+    derived default (8x the state-shuffle partition conf, which equals
+    the old 256 literal under a 32-partition session); an explicit
+    argument wins; invalid values fail loud."""
     from spreadsheet_etl_engine_spark.streaming import dedup as SD
 
-    assert SD.resolve_state_groups(spark, None) == 256
+    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert SD.resolve_state_groups(spark, None) == 8 * cur_parts
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        assert SD.resolve_state_groups(spark, None) == 256  # r15 literal
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     assert SD.resolve_state_groups(spark, 7) == 7
     spark.conf.set(SD.STATE_GROUPS_CONF, "1024")
     try:
